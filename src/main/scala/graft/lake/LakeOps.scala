@@ -1,0 +1,201 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+import graft.operators.OracleSafe._
+
+/** §2B lake operations — the reference's ingestion + Iceberg table
+  * management surface (Airflow DAG + Trino DDL/INSERT + Jupyter ETL)
+  * re-expressed Spark-first. Each query does the real lake side effect
+  * (partitioned write / merge / compact / snapshot commit) in a scratch
+  * area, reads it back, and returns an aggregate the DuckDB oracle can
+  * recompute from the raw events table — content preservation IS the
+  * correctness criterion for lake maintenance ops.
+  */
+object LakeOps {
+
+  /** Scratch root, unique per input dir so sf0.001/sf0.01/sf0.1 runs
+    * don't collide. Local /tmp here; any Hadoop-FS URI at scale. */
+  private def scratch(dir: String, name: String): String =
+    s"/tmp/graft_lake/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  private def clean(s: SparkSession, path: String): Unit =
+    SnapshotTable.drop(s, path) // recursive delete via Hadoop FS
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---------------------------------------------------------------
+  /** Curated ingest: reshape + stamp + date-partitioned parquet write,
+    * mirroring dags/yfinance_to_minio.py:70-98 (tidy frame → type
+    * coercion → `ingest_date` stamp → one parquet per date partition),
+    * then a read-back verification agg (RUNBOOK.md §8 smoke).
+    */
+  def ingestPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "curated_events")
+    clean(s, out)
+    val curated = events(s, dir)
+      .select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .withColumn("ingest_date", lit("2026-08-12"))
+    // repartition on the partition column first: each writer task owns
+    // whole partitions → exactly one file per (task, date), no
+    // small-file explosion at 1000 executors.
+    curated
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("date")
+  }
+
+  val ingestPartitionedOracle: String =
+    s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, COUNT(*) AS n,
+       | ${sqlSumMoney("value", "total_value")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** MERGE INTO (upsert): target = latest state per user before
+    * 2024-01-15; updates = raw events from then on; merged = SCD1
+    * result. Cf. notebook cell 5 (batch insert of curated rows).
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val target = ev.filter(col("ts") < cutoff)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val updates = ev.filter(col("ts") >= cutoff)
+    Merge.upsert(target, updates, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "event_type", "value", "updated")
+      .orderBy("user_id")
+  }
+
+  val mergeUpsertOracle: String =
+    """SELECT user_id, event_id, event_type, value,
+      | (ts >= TIMESTAMP '2024-01-15') AS updated
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Small-file compaction preserving content byte-for-byte. */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val smallDir = scratch(dir, "small_files")
+    val outDir = scratch(dir, "compacted")
+    clean(s, smallDir); clean(s, outDir)
+    events(s, dir).repartition(64).write.mode("overwrite").parquet(smallDir)
+    val (before, after) = Compaction.compact(s, smallDir, outDir)
+    require(after <= before, s"compaction grew file count: $before -> $after")
+    s.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val compactionOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Schema evolution: v1 files lack the `day` column, v2 files have
+    * it; a mergeSchema read unions them (Iceberg add-column semantics).
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "evolving")
+    clean(s, root)
+    val ev = events(s, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    ev.filter(col("ts") < cutoff)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(root)
+    ev.filter(col("ts") >= cutoff)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .write.mode("append").parquet(root)
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("day").isNull, 1)).as("n_legacy"),
+        count(col("day")).as("n_new"))
+      .orderBy("event_type")
+  }
+
+  val schemaEvolutionOracle: String =
+    """SELECT event_type, COUNT(*) AS n_total,
+      | COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 END) AS n_legacy,
+      | COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_new
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Incremental ingest: day-granular watermark (max ingested day),
+    * new batch = strictly later days. Day boundaries are exact in both
+    * engines (raw max(ts) would be ns-vs-µs sensitive).
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val wm = ev.filter(col("ts") < lit("2024-01-21").cast("timestamp"))
+      .agg(max(to_date(col("ts"))).as("wm_day"))
+    ev.crossJoin(broadcast(wm))
+      .filter(to_date(col("ts")) > col("wm_day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(to_date(col("ts"))).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  val incrementalOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      |FROM events
+      |WHERE CAST(ts AS DATE) > (SELECT MAX(CAST(ts AS DATE)) FROM events WHERE ts < TIMESTAMP '2024-01-21')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Snapshot commits + time travel: three append commits (days 1-10,
+    * 11-20, 21+), then read each version — version N must see exactly
+    * the first N batches.
+    */
+  def snapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snapshot_table")
+    SnapshotTable.drop(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < d11))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d11 && col("ts") < d21))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d21))
+    (1 to 3).map { v =>
+      SnapshotTable.read(s, root, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionByName _)
+      .select("version", "event_type", "n", "total_value")
+      .orderBy("version", "event_type")
+  }
+
+  val snapshotTimeTravelOracle: String = {
+    def v(n: Int, pred: String) =
+      s"""SELECT $n AS version, event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+         |FROM events WHERE $pred GROUP BY 1, 2""".stripMargin
+    v(1, "ts < TIMESTAMP '2024-01-11'") + "\nUNION ALL\n" +
+      v(2, "ts < TIMESTAMP '2024-01-21'") + "\nUNION ALL\n" +
+      v(3, "TRUE") + "\nORDER BY version, event_type"
+  }
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("lake_ingest_partitioned", ingestPartitioned, Some(ingestPartitionedOracle)),
+    Q("lake_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    Q("lake_compaction", compaction, Some(compactionOracle)),
+    Q("lake_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
+    Q("lake_incremental", incremental, Some(incrementalOracle)),
+    Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)))
+}

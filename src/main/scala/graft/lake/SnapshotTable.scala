@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal Iceberg-style snapshot table: versioned manifests over
+  * immutable parquet data files.
+  *
+  * Re-expresses the reference's Iceberg/Lakekeeper table layer
+  * (/root/reference/etc/catalog/iceberg.properties,
+  * RUNBOOK.md §7 — `CREATE TABLE … WITH (partitioning …)`, inserts,
+  * read-back) with no external catalog: each commit writes new
+  * immutable files plus a manifest (`_manifests/v{N}.manifest`)
+  * listing every file visible at that version. Readers pick a
+  * version → time travel; appends never rewrite old files.
+  *
+  * All file I/O goes through the Hadoop FileSystem API, so `root`
+  * can be s3a://… on a real cluster exactly like the reference's
+  * MinIO bucket; local paths are just the test medium.
+  */
+object SnapshotTable {
+
+  private def fsOf(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(s"$root/_manifests")
+
+  private val ManifestRe = "v(\\d+)\\.manifest".r
+
+  def currentVersion(s: SparkSession, root: String): Int = {
+    val dir = manifestDir(root)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) 0
+    else
+      fs.listStatus(dir).map(_.getPath.getName).collect {
+        case ManifestRe(v) => v.toInt
+      }.foldLeft(0)(math.max)
+  }
+
+  def dataFiles(s: SparkSession, root: String, version: Int): Seq[String] = {
+    val p = new Path(s"$root/_manifests/v$version.manifest")
+    val fs = fsOf(s, p)
+    val in = fs.open(p)
+    try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit a new version. `append=true` keeps prior files visible;
+    * `append=false` is an overwrite commit (old files stay on disk
+    * for old-version readers — that's what makes time travel work).
+    * Returns the new version number.
+    */
+  def commit(s: SparkSession, root: String, df: DataFrame, append: Boolean = true): Int = {
+    val v = currentVersion(s, root) + 1
+    val dataDir = s"$root/data/v$v"
+    df.write.mode("overwrite").parquet(dataDir)
+    val dataPath = new Path(dataDir)
+    val fs = fsOf(s, dataPath)
+    val newFiles = fs.listStatus(dataPath)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    val base = if (append && v > 1) dataFiles(s, root, v - 1) else Seq.empty
+    val mp = new Path(s"$root/_manifests/v$v.manifest")
+    val out = fs.create(mp, true)
+    try out.write(((base ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    v
+  }
+
+  /** Read the table at a version (default: latest). */
+  def read(s: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion(s, root) else version
+    s.read.parquet(dataFiles(s, root, v): _*)
+  }
+
+  def drop(s: SparkSession, root: String): Unit = {
+    val p = new Path(root)
+    val fs = fsOf(s, p)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}
