@@ -1,0 +1,92 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** §2E similarity search over the embeddings table.
+  *
+  * Scale architecture: the query set is always the small side →
+  * broadcast it; the corpus streams. Brute force scores
+  * |corpus|×|queries| pairs with the codegen'd cosine expression; the
+  * LSH variant prunes the corpus to matching hyperplane buckets first
+  * (signatures are deterministic functions of (seed, plane, dim), so
+  * no RNG state needs to ship to executors).
+  */
+object Ann {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+
+  // ---------------------------------------------------------------
+  /** Brute-force top-5 cosine neighbors for every 50th vector. */
+  def bruteForce(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_cosine(q_emb, embedding)").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  val bruteForceOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+      |scored AS (
+      | SELECT q.q_id, e.vec_id AS neighbor_id,
+      |  list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS cos
+      | FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+      |SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cos
+      |FROM (SELECT q_id, neighbor_id, cos,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |      FROM scored) t
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** LSH-bucketed ANN: two 8-bit hyperplane tables prune candidates;
+    * exact cosine re-ranks within buckets. Approximate → rows-only.
+    */
+  def lsh(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = emb(s, dir)
+    val tables = Seq(1L, 2L)
+    val bucketed = tables.map { seed =>
+      e.select(col("vec_id"), col("embedding"), lit(seed).as("tbl"),
+        expr(s"graft_lsh_bucket(embedding, 8, $seed)").as("bucket"))
+    }.reduce(_ unionByName _)
+    val q = bucketed.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val cand = bucketed.join(broadcast(q),
+        Seq("tbl", "bucket")).filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .dropDuplicates("q_id", "neighbor_id")
+      .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
+    Q("ann_lsh", lsh, None))
+}

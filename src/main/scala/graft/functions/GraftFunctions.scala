@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Registers the custom Catalyst expressions as SQL functions so both
+  * the DataFrame API (via `expr("graft_…(…)")`) and plain `spark.sql`
+  * can use them. Idempotent per session.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_lsh_bucket" -> (es => HyperplaneLsh(es(0), intArg(es(1), "nBits"), longArg(es(2), "seed"))),
+    "graft_minhash" -> (es => MinHashSignature(es(0), intArg(es(1), "k"), intArg(es(2), "shingle"))),
+    "graft_simhash" -> (es => SimHash64(es(0))),
+    "graft_ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
+    "graft_fingerprint" -> (es => RollingFingerprint(es(0), intArg(es(1), "k"))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+}

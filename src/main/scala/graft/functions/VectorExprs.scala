@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector math over `array<float>` embedding columns as native
+  * Catalyst expressions with whole-stage codegen — the hot path of
+  * similarity search runs millions of pairs, so this must stay inside
+  * WholeStageCodegen (a Scala UDF would break the span and box every
+  * row).
+  *
+  * Accumulation is a sequential double-precision fold, mirrored
+  * op-for-op by the DuckDB oracle SQL (list_transform + list_sum in
+  * DOUBLE), so results are deterministic under any partitioning.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = (double) $a.getFloat(i);
+         |  double yi = (double) $b.getFloat(i);
+         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |}
+         |${ev.value} = dot / java.lang.Math.sqrt(na) / java.lang.Math.sqrt(nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product (same codegen shape; building block for IVF/LSH ANN). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH signature: `nBits` sign bits of projections
+  * onto deterministic pseudo-random hyperplanes, packed into a long.
+  * Hyperplane component (b, i) is derived from splitmix64(seed, b, i)
+  * mapped to [-1, 1) — reproducible on any cluster, no RNG state.
+  */
+case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        proj += x.getFloat(i).toDouble * HashUtil.unitComponent(seed, b, i)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hu = HashUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
+      s"""
+         |int n = $a.numElements();
+         |long sig = 0L;
+         |for (int b = 0; b < $nBits; b++) {
+         |  double proj = 0.0;
+         |  for (int i = 0; i < n; i++)
+         |    proj += (double) $a.getFloat(i) * $hu.unitComponent(${seed}L, b, i);
+         |  if (proj >= 0) sig |= (1L << b);
+         |}
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+/** §2C text analysis over the documents table — the per-document
+  * scoring layer of an LLM training-data pipeline. Everything here is
+  * embarrassingly parallel (no shuffle except the final presentation
+  * sort): token metrics stay codegen'd built-ins; only the rolling
+  * fingerprint needs a custom expression.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks: Column = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
+
+  // ---------------------------------------------------------------
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_token_chars"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(toks)).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      | LEN(LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0)) AS n_tokens,
+      | LENGTH(regexp_replace(text, '\s', '', 'g')) AS n_token_chars,
+      | CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |   / LEN(LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0)) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "is", "of", "and", "to", "in")
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_chars"))
+    base.select(
+      col("doc_id"), col("n_tokens"),
+      (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+      (col("n_distinct").cast("double") / col("n_tokens")).as("diversity"),
+      (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+      (least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.5)
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * lit(0.3)
+        + col("n_distinct").cast("double") / col("n_tokens") * lit(0.2)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualityOracle: String = {
+    val in = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> LEN(t) > 0)) AS n_tokens,
+       |  LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> t IN ($in))) AS n_stop,
+       |  LEN(LIST_DISTINCT(LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> LEN(t) > 0))) AS n_distinct,
+       |  LENGTH(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+       |  LENGTH(text) AS n_chars
+       | FROM documents)
+       |SELECT doc_id, n_tokens,
+       | CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       | CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       | CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       | LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+       |  + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+       |  + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "et", "les", "est", "dans"))
+
+  /** Shared CASE (same SQL text runs in Spark and DuckDB). */
+  private val predCase: String =
+    """CASE WHEN zh_n > 0 THEN 'zh'
+      | WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n AND en_n > 0 THEN 'en'
+      | WHEN de_n >= es_n AND de_n >= fr_n AND de_n > 0 THEN 'de'
+      | WHEN es_n >= fr_n AND es_n > 0 THEN 'es'
+      | WHEN fr_n > 0 THEN 'fr'
+      | ELSE 'und' END""".stripMargin
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val withCounts = langSets.foldLeft(docs(s, dir).toDF()) { case (df, (code, words)) =>
+      df.withColumn(s"${code}_n", size(filter(toks, t => t.isInCollection(words))))
+    }.withColumn("zh_n", length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")))
+    withCounts
+      .withColumn("predicted", expr(predCase))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val langIdOracle: String = {
+    val countCols = langSets.map { case (code, words) =>
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> t IN ($in))) AS ${code}_n"
+    }.mkString(",\n  ")
+    s"""WITH counts AS (
+       | SELECT lang,
+       |  $countCols,
+       |  LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh_n
+       | FROM documents)
+       |SELECT lang, $predCase AS predicted, COUNT(*) AS n
+       |FROM counts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Rolling-hash fingerprints (custom exprs) — rows-only check. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("graft_fingerprint(text, 8)").as("fingerprint"),
+      expr("graft_simhash(text)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("text_token_count", tokenCount, Some(tokenCountOracle)),
+    Q("text_quality", quality, Some(qualityOracle)),
+    Q("text_lang_id", langId, Some(langIdOracle)),
+    Q("text_fingerprint", fingerprint, None))
+}
