@@ -8,7 +8,8 @@ object SparkEntry {
   /** Every capability from SURVEY.md §2, one Q each. */
   def registry: Seq[Q] =
     operators.Relational.queries ++ lake.LakeOps.queries ++
-      text.TextAnalysis.queries ++ dedup.Dedup.queries ++ ann.Ann.queries
+      text.TextAnalysis.queries ++ dedup.Dedup.queries ++ ann.Ann.queries ++
+      multimodal.Multimodal.queries ++ streaming.Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's headline query (avg value by key and day —

