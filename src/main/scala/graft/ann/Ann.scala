@@ -32,11 +32,14 @@ object Ann {
     val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         expr("graft_cosine(q_emb, embedding)").as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("neighbor_id"))
+    // bounded top-k aggregate: map side forwards ≤5 pairs per query
+    // instead of the whole score set (vs. a window sort of all pairs)
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .groupBy("q_id")
+      .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -77,11 +80,12 @@ object Ann {
       .select(col("q_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
       .dropDuplicates("q_id", "neighbor_id")
       .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("neighbor_id"))
     cand
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .groupBy("q_id")
+      .agg(expr("graft_topk(cos, neighbor_id, 3)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }
 

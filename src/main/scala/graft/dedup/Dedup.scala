@@ -134,11 +134,14 @@ object Dedup {
     val pairs = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
         expr("graft_cosine(a.embedding, b.embedding)").as("cos"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("nn_id"))
+    // top-1 via the bounded aggregate: partial agg keeps one candidate
+    // per partition per vector - no window sort of the N² pair set
     pairs
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos"),
-        (round(col("cos"), 6) >= 0.45).as("near_dup"))
+      .groupBy("vec_id")
+      .agg(expr("graft_topk(cos, nn_id, 1)").as("top"))
+      .select(col("vec_id"), col("top")(0).getField("id").as("nn_id"),
+        round(col("top")(0).getField("score"), 6).as("cos"),
+        (round(col("top")(0).getField("score"), 6) >= 0.45).as("near_dup"))
       .orderBy("vec_id")
   }
 

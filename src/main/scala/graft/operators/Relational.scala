@@ -274,6 +274,7 @@ object Relational {
   def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
     t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice") // prune before the window sort
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
@@ -292,6 +293,7 @@ object Relational {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
       .withColumn("running_total", sum(cents(col("o_totalprice"))).over(w).cast("double") / lit(100.0))
       .select(col("o_custkey"), col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("running_total"))
       .orderBy("o_custkey", "o_orderkey")
@@ -329,6 +331,7 @@ object Relational {
     // semantics exactly and the input here is the orders table only.
     val w = Window.orderBy("o_totalprice", "o_orderkey")
     t(s, dir, "orders")
+      .select("o_totalprice", "o_orderkey") // 2 columns through the global sort
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"), min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
@@ -422,6 +425,7 @@ object Relational {
   def qLatestPerKey(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
     t(s, dir, "events")
+      .select("user_id", "event_id", "event_type", "value", "ts")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "event_type", "value")
