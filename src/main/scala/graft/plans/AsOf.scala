@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftSqlInternals, SparkSession}
+
+/** User-facing as-of join API. Column names must be unambiguous
+  * across the two inputs (rename the right side first).
+  */
+object AsOf {
+
+  private def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+  }
+
+  /** Backward as-of LEFT join: every left row picks the most recent
+    * right row with equal key and `rightTime <= leftTime`.
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = GraftSqlInternals.logicalPlan(left)
+    val rPlan = GraftSqlInternals.logicalPlan(right)
+    def resolve(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    GraftSqlInternals.ofRows(spark, AsOfJoin(
+      lPlan, rPlan,
+      Seq(resolve(lPlan, leftKey)), Seq(resolve(rPlan, rightKey)),
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime)))
+  }
+}

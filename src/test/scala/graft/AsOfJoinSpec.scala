@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof picks most recent right row at or before left time, null when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")) // no view for user 2
+      .toDF("uid", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "v1"),
+      (1L, ts("2024-01-01 11:59:59"), "v2"),
+      (3L, ts("2024-01-01 08:00:00"), "v3"))
+      .toDF("r_uid", "r_t", "r_tag")
+    val out = AsOf.join(left, right, "uid", "r_uid", "t", "r_t")
+      .select("tag", "r_tag").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out === Map("p1" -> "v1", "p2" -> "v2", "p3" -> null))
+  }
+
+  test("exact time equality matches (<= semantics)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("uid", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), "v")).toDF("r_uid", "r_t", "r_tag")
+    val out = AsOf.join(left, right, "uid", "r_uid", "t", "r_t")
+      .select("r_tag").collect()(0).getString(0)
+    assert(out === "v")
+  }
+
+  test("survives multi-partition shuffle (many keys, interleaved times)") {
+    val left = (1L to 500L).map(i => (i % 37, ts(f"2024-01-01 ${(i % 23) + 1}%02d:00:00"), i)).toDF("uid", "t", "id")
+    val right = (1L to 300L).map(i => (i % 37, ts(f"2024-01-01 ${(i % 19) + 1}%02d:30:00"), i)).toDF("r_uid", "r_t", "rid")
+    val got = AsOf.join(left, right, "uid", "r_uid", "t", "r_t")
+    // reference computed the quadratic way
+    val expected = left.as("l").join(right.as("r"),
+        $"l.uid" === $"r.r_uid" && $"r.r_t" <= $"l.t", "left")
+      .groupBy($"l.id").agg(
+        org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"r.r_t", $"r.rid"), $"r.r_t")("rid").as("rid"))
+    val g = got.select($"id", $"rid").collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val e = expected.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(g === e)
+  }
+}

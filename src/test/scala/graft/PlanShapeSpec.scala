@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Asserts the plan SHAPES the engine's scale story depends on —
+  * pushdown reaching the scan, partial agg before the exchange, and
+  * bucketed joins running without a shuffle.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan (q06)") {
+    val p = planOf("q06_revenue_filter")
+    // plan strings truncate long filter lists; match on stable prefixes
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"no pushdown in:\n${p.take(1500)}")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("top-k aggregate runs with a partial phase (ann_bruteforce)") {
+    val p = planOf("ann_bruteforce")
+    assert(p.contains("partial_graft_topk"), "map-side partial top-k missing")
+  }
+
+  test("bucketed join needs no shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // build the bucketed tables, then inspect the join plan itself
+      operators.Advanced.qBucketedJoin(spark, sf()).collect()
+      val suffix = math.abs(sf().hashCode).toString
+      val joined = spark.table(s"graft_b_lineitem_$suffix")
+        .join(spark.table(s"graft_b_orders_$suffix"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join should not shuffle:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dimension joins broadcast (q05)") {
+    val p = planOf("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}

@@ -9,6 +9,7 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
