@@ -9,7 +9,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     operators.Relational.queries ++ operators.Advanced.queries ++ lake.LakeOps.queries ++
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++ ann.Ann.queries ++
-      multimodal.Multimodal.queries ++ streaming.Streaming.queries
+      multimodal.Multimodal.queries ++ streaming.Streaming.queries ++
+      quality.DataQuality.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's headline query (avg value by key and day —

@@ -90,7 +90,48 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  /** IVF-style ANN: a coarse quantizer (16 deterministic centroids —
+    * production would k-means a sample) partitions the corpus into
+    * inverted lists; each query probes its 4 nearest lists only. The
+    * scan cost drops from |corpus| to |probed lists| per query —
+    * the standard billion-vector scale path. Approximate → rows-only.
+    */
+  def ivf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = emb(s, dir)
+    val centroids = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // inverted lists: every vector → nearest centroid
+    val assigned = e.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+      .groupBy("vec_id")
+      .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
+      .select(col("vec_id"), col("top")(0).getField("id").as("cid"))
+      .join(e, Seq("vec_id"))
+    // queries probe their 4 nearest lists
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(centroids))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"),
+        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+      .groupBy("q_id", "q_emb")
+      .agg(expr("graft_topk(c_cos, cid, 4)").as("top"))
+      .select(col("q_id"), col("q_emb"), explode(expr("transform(top, t -> t.id)")).as("cid"))
+    // search only within probed lists
+    probes.join(assigned, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
+      .groupBy("q_id")
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
-    Q("ann_lsh", lsh, None))
+    Q("ann_lsh", lsh, None),
+    Q("ann_ivf", ivf, None))
 }

@@ -191,7 +191,42 @@ object LakeOps {
   }
 
   // ---------------------------------------------------------------
+  /** Multi-format source/sink round-trip: the same batch lands as
+    * parquet, ORC, JSON, and CSV and reads back identically (the lake
+    * ingests whatever upstream emits; cf. the reference's
+    * Parquet-landing DAG + Trino's format-agnostic reads).
+    */
+  def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "formats")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "event_type", "value")
+    val schema = ev.schema
+    ev.write.mode("overwrite").parquet(s"$root/parquet")
+    ev.write.mode("overwrite").orc(s"$root/orc")
+    ev.write.mode("overwrite").json(s"$root/json")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+    val reads = Seq(
+      "csv" -> s.read.schema(schema).option("header", "true").csv(s"$root/csv"),
+      "json" -> s.read.schema(schema).json(s"$root/json"),
+      "orc" -> s.read.orc(s"$root/orc"),
+      "parquet" -> s.read.parquet(s"$root/parquet"))
+    reads.map { case (fmt, df) =>
+      df.groupBy().agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("format", lit(fmt))
+    }.reduce(_ unionByName _)
+      .select("format", "n", "total_value")
+      .orderBy("format")
+  }
+
+  val formatRoundtripOracle: String =
+    Seq("csv", "json", "orc", "parquet").map { fmt =>
+      s"""SELECT '$fmt' AS format, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+         |FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY format"
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_format_roundtrip", formatRoundtrip, Some(formatRoundtripOracle)),
     Q("lake_ingest_partitioned", ingestPartitioned, Some(ingestPartitionedOracle)),
     Q("lake_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("lake_compaction", compaction, Some(compactionOracle)),

@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpec {
     assert(closed.toSeq === Seq(Streaming.SessionOut(7L, 2, 10L)))
   }
 
+  test("streaming dedup drops duplicate ids across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 2L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:00:02"), 1L), (ts("2024-01-01 10:00:03"), 3L)) // 1 is a dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
   test("batch sessionize and streaming sessionize agree on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
