@@ -225,7 +225,37 @@ object LakeOps {
     }.mkString("\nUNION ALL\n") + "\nORDER BY format"
 
   // ---------------------------------------------------------------
+  /** Partition pruning: a date filter on the date-partitioned curated
+    * layout must prune directories (PartitionFilters, asserted in
+    * PlanShapeSpec) — at 100 TB this is the difference between
+    * scanning 10 days and scanning 3 years.
+    */
+  def partitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "curated_pruning")
+    clean(s, out)
+    events(s, dir)
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    // keep the partition column a plain string (no type inference) so
+    // pruning compares strings exactly as the oracle does
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    s.read.parquet(out)
+      .filter(col("date") >= "2024-01-10" && col("date") <= "2024-01-19")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val partitionPruningOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events
+       |WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND CAST(ts AS DATE) <= DATE '2024-01-19'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_partition_pruning", partitionPruning, Some(partitionPruningOracle)),
     Q("lake_format_roundtrip", formatRoundtrip, Some(formatRoundtripOracle)),
     Q("lake_ingest_partitioned", ingestPartitioned, Some(ingestPartitionedOracle)),
     Q("lake_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),

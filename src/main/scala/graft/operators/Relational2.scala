@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+import OracleSafe._
+
+/** Second relational batch: TPC-H Q12/Q14/Q16/Q19/Q22 shapes adapted
+  * to the driver schema, plus dialect-neutral SQL-text queries that
+  * run the IDENTICAL string through `spark.sql` and the DuckDB oracle
+  * (the `spark.sql` entry point is part of the Trino-replacement
+  * surface).
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** One ANSI SQL text, two engines: Spark executes it via spark.sql
+    * over registered views; DuckDB runs it as the oracle verbatim.
+    */
+  private def sqlBoth(name: String, sql: String): Q =
+    Q(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql))
+
+  // ---------------------------------------------------------------
+  /** Q12 shape: join + conditional aggregation by line status. */
+  def q12PriorityShipping(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .cast("long").as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .cast("long").as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12Oracle: String =
+    """SELECT l_linestatus,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Q14 shape: conditional-revenue ratio (promo share). */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+    val p = t(s, dir, "part")
+    val rev = cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).cast("double"))
+        / sum(rev).cast("double")).as("promo_pct"))
+  }
+
+  val q14Oracle: String = {
+    val rev = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    s"""SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS DOUBLE))
+       |  / CAST(SUM($rev) AS DOUBLE) AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Q16 shape: suppliers-per-part with a NOT IN exclusion. */
+  def q16SupplierParts(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+    val p = t(s, dir, "part").filter(col("p_type") =!= "PROMO")
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"))
+      .limit(20)
+  }
+
+  val q16Oracle: String =
+    """SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Q19 shape: disjunction of conjunctive brand/size/quantity bands. */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val pred =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) && col("l_quantity").between(20, 35))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19Oracle: String =
+    s"""SELECT ${sqlSumMoney("l_extendedprice * (1 - l_discount)", "revenue")}, COUNT(*) AS n_rows
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 25)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Q22 shape: substring bucketing + scalar avg subquery + NOT EXISTS. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val ccs = Seq("00", "11", "22", "33", "44", "55", "66", "77", "88", "99")
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg((sum(cents(col("c_acctbal"))).cast("double") / lit(100.0) / count(lit(1))).as("avg_bal"))
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 480000).select("o_custkey")
+    c.withColumn("cc", substring(col("c_name"), -2, 2))
+      .filter(col("cc").isInCollection(ccs))
+      .crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cc")
+      .agg(count(lit(1)).as("num_cust"), sumMoney(col("c_acctbal")).as("total_bal"))
+      .orderBy("cc")
+  }
+
+  val q22Oracle: String =
+    s"""SELECT RIGHT(c_name, 2) AS cc, COUNT(*) AS num_cust, ${sqlSumMoney("c_acctbal", "total_bal")}
+       |FROM customer
+       |WHERE RIGHT(c_name, 2) IN ('00', '11', '22', '33', '44', '55', '66', '77', '88', '99')
+       |  AND c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+       |                   FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Dialect-neutral SQL texts: one string, both engines.
+
+  val qGroupingSets: Q = sqlBoth("q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+
+  val qInSubquery: Q = sqlBoth("q_in_subquery",
+    """SELECT p_brand, COUNT(*) AS n
+      |FROM part
+      |WHERE p_size IN (SELECT p_size FROM part WHERE p_type = 'PROMO')
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+
+  val qRegexpExtract: Q = sqlBoth("q_regexp_extract",
+    """SELECT COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS name_id_matches
+      |FROM customer""".stripMargin)
+
+  val qDateQuarter: Q = sqlBoth("q_date_quarter",
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("q12_priority_shipping", q12PriorityShipping, Some(q12Oracle)),
+    Q("q14_promo_revenue", q14PromoRevenue, Some(q14Oracle)),
+    Q("q16_supplier_parts", q16SupplierParts, Some(q16Oracle)),
+    Q("q19_disjunctive", q19Disjunctive, Some(q19Oracle)),
+    Q("q22_idle_customers", q22IdleCustomers, Some(q22Oracle)),
+    qGroupingSets, qInSubquery, qRegexpExtract, qDateQuarter)
+}

@@ -37,6 +37,13 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date filter prunes partitions on the curated layout") {
+    val df = lake.LakeOps.partitionPruning(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(date"),
+      s"no partition pruning in:\n${p.take(1500)}")
+  }
+
   test("dimension joins broadcast (q05)") {
     val p = planOf("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
