@@ -160,7 +160,30 @@ object Dedup {
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Embedding clustering: 1-NN graph → connected components → one
+    * cluster label per vector (the "pick a canonical doc per near-dup
+    * cluster" step). Approximate graph → rows-only.
+    */
+  def ccClusters(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val pairs = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+        expr("graft_cosine(a.embedding, b.embedding)").as("cos"))
+      .groupBy("vec_id")
+      .agg(expr("graft_topk(cos, nn_id, 1)").as("top"))
+      .select(col("vec_id").as("src"), col("top")(0).getField("id").as("dst"))
+    val labels = ConnectedComponents.run(
+      pairs, e.select(col("vec_id").as("id")), maxIter = 8)
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("id").as("vec_id"), col("component"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("dedup_cc_clusters", ccClusters, None),
     Q("dedup_exact", exact, Some(exactOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),

@@ -132,7 +132,41 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  /** Deterministic stratified sampling for training-mix construction:
+    * per-language keep-rates applied via pure integer hashing of
+    * doc_id — no RNG, identical on any cluster and in the oracle, and
+    * the sample is stable under re-runs/retries (a hard requirement
+    * for reproducible training data).
+    */
+  private val mixRates = Seq("en" -> 20, "de" -> 50, "es" -> 50, "fr" -> 50, "zh" -> 80)
+
+  def sampling(s: SparkSession, dir: String): DataFrame = {
+    val rate = mixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    docs(s, dir)
+      .withColumn("bucket", (col("doc_id") * 1103 + 7) % 100)
+      .withColumn("sampled", col("bucket") < rate)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_chars"))).cast("long").as("sampled_chars"))
+      .orderBy("lang")
+  }
+
+  val samplingOracle: String = {
+    val rateCase = "CASE lang " +
+      mixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 0 END"
+    s"""SELECT lang, COUNT(*) AS n_total,
+       | COUNT(CASE WHEN (doc_id * 1103 + 7) % 100 < $rateCase THEN 1 END) AS n_sampled,
+       | CAST(SUM(CASE WHEN (doc_id * 1103 + 7) % 100 < $rateCase THEN n_chars END) AS BIGINT) AS sampled_chars
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("text_mix_sampling", sampling, Some(samplingOracle)),
     Q("text_token_count", tokenCount, Some(tokenCountOracle)),
     Q("text_quality", quality, Some(qualityOracle)),
     Q("text_lang_id", langId, Some(langIdOracle)),
