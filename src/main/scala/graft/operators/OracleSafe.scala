@@ -31,7 +31,7 @@ object OracleSafe {
 
   // --- DuckDB-side mirrors (string builders for oracleSql) ---
   def sqlSumMoney(x: String, as: String): String =
-    s"CAST(SUM(CAST(ROUND($x * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS $as"
+    s"CAST(SUM(CAST(ROUND(($x) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS $as"
   def sqlAvgFixed(x: String, as: String): String =
-    s"CAST(SUM(CAST(ROUND($x * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT($x) AS $as"
+    s"CAST(SUM(CAST(ROUND(($x) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT($x) AS $as"
 }

@@ -25,6 +25,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, 1).count() === 3) // time travel intact
   }
 
+  test("streaming micro-batches commit as snapshot versions (LakeSink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/snap_stream"
+    val ckpt = "/tmp/graft_test/snap_stream_ckpt"
+    graft.lake.SnapshotTable.drop(spark, root)
+    graft.lake.SnapshotTable.drop(spark, ckpt)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = graft.lake.LakeSink.start(input.toDF().toDF("x"), root, ckpt)
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    input.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.lake.SnapshotTable.currentVersion(spark, root) === 2)
+    assert(graft.lake.SnapshotTable.read(spark, root, 1).count() === 3)
+    assert(graft.lake.SnapshotTable.read(spark, root, 2).count() === 5)
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
