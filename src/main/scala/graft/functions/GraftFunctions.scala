@@ -29,7 +29,8 @@ object GraftFunctions {
     "graft_simhash" -> (es => SimHash64(es(0))),
     "graft_ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
     "graft_fingerprint" -> (es => RollingFingerprint(es(0), intArg(es(1), "k"))),
-    "graft_topk" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))))
+    "graft_topk" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
+    "graft_zvalue" -> (es => ZValue(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

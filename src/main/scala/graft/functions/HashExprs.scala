@@ -144,6 +144,38 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** Z-order value: interleaves the low 32 bits of two non-negative
+  * integer keys so multi-dimensional range queries map to compact
+  * 1-D ranges — the clustering key behind Delta/Iceberg OPTIMIZE
+  * ZORDER, used by the lake's cluster-rewrite op.
+  */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zvalue"
+
+  private def spread(v0: Long): Long = {
+    // spread the low 32 bits of v into the even bit positions
+    var v = v0 & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Number].longValue()
+    val y = b.asInstanceOf[Number].longValue()
+    spread(x) | (spread(y) << 1)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Rolling-hash document fingerprint: minimum mix64 of all byte
   * k-gram polynomial window hashes (winnowing with a global window).
   * Equal fingerprints ⇒ documents share their minimal k-gram.

@@ -254,7 +254,34 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Z-order clustering rewrite: sort the batch by the interleaved
+    * (user_id, value-bucket) z-value before writing, so files carry
+    * tight min/max ranges on BOTH dimensions and scans with either
+    * predicate skip most files (OPTIMIZE ZORDER semantics). Content
+    * preservation is the oracle; file-skipping stats are asserted in
+    * the spec.
+    */
+  def zorderCluster(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val out = scratch(dir, "zordered")
+    clean(s, out)
+    val ev = events(s, dir)
+    ZorderWriter.write(ev, Seq("user_id", "value"), out, nPartitions = 8)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val zorderClusterOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")},
+       | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),
     Q("lake_partition_pruning", partitionPruning, Some(partitionPruningOracle)),
     Q("lake_format_roundtrip", formatRoundtrip, Some(formatRoundtripOracle)),
     Q("lake_ingest_partitioned", ingestPartitioned, Some(ingestPartitionedOracle)),

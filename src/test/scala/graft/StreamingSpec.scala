@@ -73,6 +73,26 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("stream-stream join with watermarks joins events within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "1 hour")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "1 hour")
+    val joined = c.join(b,
+      org.apache.spark.sql.functions.expr(
+        "c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + interval 30 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    buys.addData((ts("2024-01-01 10:20:00"), 1L), (ts("2024-01-01 11:30:00"), 2L)) // 2L outside bound
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("ss_join").select("c_user").collect().map(_.getLong(0)).toSeq
+    assert(users === Seq(1L)) // only the within-30min pair joins
+  }
+
   test("batch sessionize and streaming sessionize agree on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
