@@ -44,6 +44,31 @@ object Advanced {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Forward as-of: attribute each purchase to the NEXT view at or
+    * after it (follow-up behavior analysis).
+    */
+  def qAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    AsOf.join(purchases, views, "user_id", "v_user_id", "ts", "v_ts", forward = true)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("v_event_id"), col("v_event_id").isNotNull.as("matched"))
+      .orderBy("event_id")
+  }
+
+  val qAsOfForwardOracle: String =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id, p.value AS value,
+      | v.event_id AS v_event_id, v.event_id IS NOT NULL AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      | ON p.user_id = v.user_id AND v.ts >= p.ts
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Semi-structured props column: JSON field extraction + agg. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -150,6 +175,7 @@ object Advanced {
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("q_asof_join", qAsOfJoin, Some(qAsOfJoinOracle)),
+    Q("q_asof_forward", qAsOfForward, Some(qAsOfForwardOracle)),
     Q("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
     Q("q_collect_agg", qCollectAgg, Some(qCollectAggOracle)),
     Q("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),

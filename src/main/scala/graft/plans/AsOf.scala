@@ -14,13 +14,17 @@ object AsOf {
     }
   }
 
-  /** Backward as-of LEFT join: every left row picks the most recent
-    * right row with equal key and `rightTime <= leftTime`.
+  /** As-of LEFT join. Backward (default): every left row picks the
+    * most recent right row with equal key and `rightTime <= leftTime`;
+    * forward: the earliest right row with `rightTime >= leftTime`.
+    * `toleranceMicros` nulls the match when the time gap exceeds it.
     */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      forward: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = GraftSqlInternals.logicalPlan(left)
@@ -31,6 +35,7 @@ object AsOf {
     GraftSqlInternals.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       Seq(resolve(lPlan, leftKey)), Seq(resolve(rPlan, rightKey)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime)))
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      forward, toleranceMicros))
   }
 }

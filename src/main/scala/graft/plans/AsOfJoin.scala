@@ -30,7 +30,9 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -42,8 +44,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -54,7 +56,9 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false,
+    toleranceMicros: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -90,34 +94,58 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
 
+      val fwd = forward
+      val tol = toleranceMicros
+
       new Iterator[InternalRow] {
         private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
-        private var lastMatch: InternalRow = null      // copied
+        private var lastMatch: InternalRow = null      // copied (backward only)
+        private var lastMatchTime: Long = 0L
         private var lastMatchKey: UnsafeRow = null     // copied
 
         override def hasNext: Boolean = lIt.hasNext
 
+        private def advance(): Unit =
+          rHead = if (rIt.hasNext) rIt.next() else null
+
         override def next(): InternalRow = {
           val l = lIt.next()
           val lKey = lKeyProj(l)
-          if (lastMatchKey == null || keyOrd.compare(lastMatchKey, lKey) != 0) {
-            lastMatch = null
-          }
-          // drop right rows whose key sorts before the current left key
-          while (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) < 0) {
-            rHead = if (rIt.hasNext) rIt.next() else null
-          }
-          // absorb right rows of this key with time <= left time
           val lTime = lTimeProj(l)
-          while (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
-            timeOrd.compare(rTimeProj(rHead), lTime) <= 0) {
-            lastMatch = rHead.copy()
-            if (lastMatchKey == null || keyOrd.compare(lastMatchKey, lKey) != 0) {
-              lastMatchKey = lKey.copy()
+          // drop right rows whose key sorts before the current left key
+          while (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) < 0) advance()
+
+          val r: InternalRow =
+            if (fwd) {
+              // forward: first right row of this key with time >= left
+              // time. Matching rows are NOT consumed (they can serve
+              // later left rows); earlier rows can never match later
+              // lefts, so skipping them is safe.
+              while (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+                timeOrd.compare(rTimeProj(rHead), lTime) < 0) advance()
+              if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+                tol.forall(t => rTimeProj(rHead).getLong(0) - lTime.getLong(0) <= t))
+                rHead
+              else nullRight
+            } else {
+              // backward: remember the latest right row with time <=
+              // left time (the closest predecessor)
+              if (lastMatchKey == null || keyOrd.compare(lastMatchKey, lKey) != 0) {
+                lastMatch = null
+              }
+              while (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+                timeOrd.compare(rTimeProj(rHead), lTime) <= 0) {
+                lastMatch = rHead.copy()
+                lastMatchTime = rTimeProj(rHead).getLong(0)
+                if (lastMatchKey == null || keyOrd.compare(lastMatchKey, lKey) != 0) {
+                  lastMatchKey = lKey.copy()
+                }
+                advance()
+              }
+              if (lastMatch != null &&
+                tol.forall(t => lTime.getLong(0) - lastMatchTime <= t)) lastMatch
+              else nullRight
             }
-            rHead = if (rIt.hasNext) rIt.next() else null
-          }
-          val r = if (lastMatch != null) lastMatch else nullRight
           resultProj(joined(l, r))
         }
       }

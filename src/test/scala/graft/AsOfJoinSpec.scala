@@ -33,6 +33,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === "v")
   }
 
+  test("forward as-of picks the earliest right row at or after left time") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 11:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")) // user 2 has no later view
+      .toDF("uid", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "v1"),
+      (1L, ts("2024-01-01 12:00:00"), "v2"),
+      (2L, ts("2024-01-01 08:00:00"), "v0"))
+      .toDF("r_uid", "r_t", "r_tag")
+    val out = AsOf.join(left, right, "uid", "r_uid", "t", "r_t", forward = true)
+      .select("tag", "r_tag").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out === Map("p1" -> "v1", "p2" -> "v2", "p3" -> null))
+  }
+
+  test("tolerance nulls matches outside the bound (both directions)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("uid", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 08:00:00"), "old"),
+      (1L, ts("2024-01-01 13:00:00"), "late")).toDF("r_uid", "r_t", "r_tag")
+    val hourMicros = 3600L * 1000000L
+    val back = AsOf.join(left, right, "uid", "r_uid", "t", "r_t",
+      toleranceMicros = Some(hourMicros)) // nearest predecessor is 2h old -> null
+    assert(back.select("r_tag").collect()(0).isNullAt(0))
+    val backWide = AsOf.join(left, right, "uid", "r_uid", "t", "r_t",
+      toleranceMicros = Some(3 * hourMicros))
+    assert(backWide.select("r_tag").collect()(0).getString(0) === "old")
+    val fwd = AsOf.join(left, right, "uid", "r_uid", "t", "r_t",
+      forward = true, toleranceMicros = Some(2 * hourMicros)) // next is 3h away -> null
+    assert(fwd.select("r_tag").collect()(0).isNullAt(0))
+  }
+
   test("survives multi-partition shuffle (many keys, interleaved times)") {
     val left = (1L to 500L).map(i => (i % 37, ts(f"2024-01-01 ${(i % 23) + 1}%02d:00:00"), i)).toDF("uid", "t", "id")
     val right = (1L to 300L).map(i => (i % 37, ts(f"2024-01-01 ${(i % 19) + 1}%02d:30:00"), i)).toDF("r_uid", "r_t", "rid")
