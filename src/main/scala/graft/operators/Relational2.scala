@@ -165,6 +165,32 @@ object Relational2 {
       |               THEN 1 ELSE 0 END) AS BIGINT) AS name_id_matches
       |FROM customer""".stripMargin)
 
+  /** RANGE window frame: 7-day sliding revenue per day (value-based
+    * frame, not row-based — days with no orders still bound the frame
+    * correctly).
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .withColumn("day_num", datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long"))
+      .groupBy("day_num")
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", (sum(col("rev_cents")).over(w).cast("double") / lit(100.0)))
+      .select(col("day_num"), (col("rev_cents").cast("double") / lit(100.0)).as("rev"), col("rev_7d"))
+      .orderBy("day_num")
+  }
+
+  val qWindowRangeOracle: String =
+    """WITH daily AS (
+      | SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+      |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      | FROM orders GROUP BY 1)
+      |SELECT day_num, CAST(rev_cents AS DOUBLE) / 100.0 AS rev,
+      | CAST(SUM(rev_cents) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rev_7d
+      |FROM daily ORDER BY day_num""".stripMargin
+
   val qDateQuarter: Q = sqlBoth("q_date_quarter",
     """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
       | COUNT(*) AS n,
@@ -178,5 +204,6 @@ object Relational2 {
     Q("q16_supplier_parts", q16SupplierParts, Some(q16Oracle)),
     Q("q19_disjunctive", q19Disjunctive, Some(q19Oracle)),
     Q("q22_idle_customers", q22IdleCustomers, Some(q22Oracle)),
+    Q("q_window_range", qWindowRange, Some(qWindowRangeOracle)),
     qGroupingSets, qInSubquery, qRegexpExtract, qDateQuarter)
 }
