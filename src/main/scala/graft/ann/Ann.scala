@@ -90,17 +90,45 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
-  /** IVF-style ANN: a coarse quantizer (16 deterministic centroids —
-    * production would k-means a sample) partitions the corpus into
-    * inverted lists; each query probes its 4 nearest lists only. The
-    * scan cost drops from |corpus| to |probed lists| per query —
-    * the standard billion-vector scale path. Approximate → rows-only.
+  /** Lloyd refinement: reassign vectors to nearest centroid, then
+    * recompute each centroid as the per-dimension mean of its list.
+    * Means are computed via posexplode → (cid, dim) partial-agg —
+    * one shuffle of (cid, dim, sum, count) per round, never the
+    * vectors themselves.
+    */
+  def refineCentroids(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init
+    (1 to iters).foreach { _ =>
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+        .groupBy("vec_id", "embedding")
+        .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
+        .select(col("embedding"), col("top")(0).getField("id").as("cid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("col")).as("mean"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> CAST(x.mean AS FLOAT))")
+          .as("c_emb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF-style ANN: a k-means coarse quantizer (16 seed centroids +
+    * 2 Lloyd rounds) partitions the corpus into inverted lists; each
+    * query probes its 4 nearest lists only. The scan cost drops from
+    * |corpus| to |probed lists| per query — the standard
+    * billion-vector scale path. Approximate → rows-only.
     */
   def ivf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = emb(s, dir)
-    val centroids = e.filter(col("vec_id") < 16)
+    val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val centroids = refineCentroids(e, seeds, iters = 2)
     // inverted lists: every vector → nearest centroid
     val assigned = e.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
