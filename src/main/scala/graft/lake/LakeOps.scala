@@ -280,7 +280,36 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Incremental view maintenance: the per-type summary is refreshed
+    * batch-by-batch (three appends) and must equal a from-scratch
+    * aggregate over all events — O(batch) refresh, exact fixed-point
+    * merge.
+    */
+  def materializedAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "mat_summary")
+    clean(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    Seq(
+      ev.filter(col("ts") < d11),
+      ev.filter(col("ts") >= d11 && col("ts") < d21),
+      ev.filter(col("ts") >= d21)
+    ).foreach(b => MaterializedAgg.refresh(s, root, b, Seq("event_type"), "value"))
+    MaterializedAgg.read(s, root)
+      .select("event_type", "n", "total", "avg")
+      .orderBy("event_type")
+  }
+
+  val materializedAggOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       | ${sqlSumMoney("value", "total")},
+       | CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_materialized_agg", materializedAgg, Some(materializedAggOracle)),
     Q("lake_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),
     Q("lake_partition_pruning", partitionPruning, Some(partitionPruningOracle)),
     Q("lake_format_roundtrip", formatRoundtrip, Some(formatRoundtripOracle)),
