@@ -197,8 +197,39 @@ object Relational2 {
       | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  val qValuesJoin: Q = sqlBoth("q_values_join",
+    """SELECT t.s AS seg, COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+      |FROM (VALUES ('BUILDING'), ('MACHINERY'), ('HOUSEHOLD')) AS t(s)
+      |JOIN customer ON c_mktsegment = t.s
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val qIntersectAll: Q = sqlBoth("q_intersect_all",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT ALL
+      |SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY nk""".stripMargin)
+
+  val qFirstLast: Q = sqlBoth("q_first_last",
+    """SELECT o_custkey, o_orderkey,
+      | FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+      | LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  val qLateral: Q = sqlBoth("q_lateral",
+    """SELECT c_custkey, t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin)
+
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    qValuesJoin, qIntersectAll, qFirstLast, qLateral,
     Q("q12_priority_shipping", q12PriorityShipping, Some(q12Oracle)),
     Q("q14_promo_revenue", q14PromoRevenue, Some(q14Oracle)),
     Q("q16_supplier_parts", q16SupplierParts, Some(q16Oracle)),
