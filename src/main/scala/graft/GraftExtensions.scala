@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     fns.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

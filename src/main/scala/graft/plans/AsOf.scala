@@ -12,6 +12,10 @@ object AsOf {
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     }
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(PruneAsOfJoinColumns)) {
+      spark.experimental.extraOptimizations = rules :+ PruneAsOfJoinColumns
+    }
   }
 
   /** As-of LEFT join. Backward (default): every left row picks the

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Column pruning through the custom AsOfJoin node.
+  *
+  * Catalyst's built-in ColumnPruning only understands its own
+  * operators, so without this rule an as-of join carries EVERY column
+  * of both children through the exchange and sort — at 100 TB that is
+  * the difference between shuffling two key/time columns and shuffling
+  * whole rows. The rule narrows each child to the attributes the
+  * parent Project references plus the join's own keys/time columns,
+  * which then cascades into parquet scan pruning (ReadSchema) via the
+  * normal rules.
+  *
+  * Injected by [[graft.GraftExtensions]] as an optimizer rule; also
+  * effective for plans built through [[AsOf.join]].
+  */
+object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, a: AsOfJoin) =>
+      val required = AttributeSet(
+        p.references ++
+          a.leftKeys.flatMap(_.references) ++ a.rightKeys.flatMap(_.references) ++
+          a.leftTime.references ++ a.rightTime.references)
+      val pruneL = (a.left.outputSet -- required).nonEmpty
+      val pruneR = (a.right.outputSet -- required).nonEmpty
+      if (!pruneL && !pruneR) p
+      else {
+        val newLeft =
+          if (pruneL) Project(a.left.output.filter(required.contains), a.left) else a.left
+        val newRight =
+          if (pruneR) Project(a.right.output.filter(required.contains), a.right) else a.right
+        p.copy(child = a.copy(left = newLeft, right = newRight))
+      }
+  }
+}

@@ -44,6 +44,21 @@ class PlanShapeSpec extends SparkSpec {
       s"no partition pruning in:\n${p.take(1500)}")
   }
 
+  test("column pruning cascades through the custom AsOfJoin node") {
+    // deliberately un-preselected inputs: events carries props/value etc.
+    val ev = sources.Tables.load(spark, sf(), "events")
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "view")
+      .withColumnRenamed("event_id", "v_event_id")
+      .withColumnRenamed("user_id", "v_user_id")
+      .withColumnRenamed("ts", "v_ts")
+    val joined = plans.AsOf.join(l, r, "user_id", "v_user_id", "ts", "v_ts")
+      .select("event_id", "v_event_id") // only ids + (implicitly) keys/time needed
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("props"), s"props should be pruned from scans:\n${p.take(2500)}")
+    assert(!p.contains("value#"), s"value should be pruned from scans:\n${p.take(2500)}")
+  }
+
   test("dimension joins broadcast (q05)") {
     val p = planOf("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
