@@ -69,6 +69,38 @@ object Advanced {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Nearest as-of: each purchase picks whichever view — predecessor
+    * or successor — is closer in time (ties go to the predecessor).
+    * Oracle: two chained native ASOF joins + a CASE pick.
+    */
+  def qAsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    AsOf.join(purchases, views, "user_id", "v_user_id", "ts", "v_ts", nearest = true)
+      .select(col("event_id"), col("user_id"), col("v_event_id"),
+        col("v_event_id").isNotNull.as("matched"))
+      .orderBy("event_id")
+  }
+
+  val qAsOfNearestOracle: String =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      | CASE WHEN vb.event_id IS NULL THEN vf.event_id
+      |      WHEN vf.event_id IS NULL THEN vb.event_id
+      |      WHEN (p.ts - vb.ts) <= (vf.ts - p.ts) THEN vb.event_id
+      |      ELSE vf.event_id END AS v_event_id,
+      | (vb.event_id IS NOT NULL OR vf.event_id IS NOT NULL) AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') vb
+      |  ON p.user_id = vb.user_id AND vb.ts <= p.ts
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') vf
+      |  ON p.user_id = vf.user_id AND vf.ts > p.ts
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Semi-structured props column: JSON field extraction + agg. */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -176,6 +208,7 @@ object Advanced {
   val queries: Seq[Q] = Seq(
     Q("q_asof_join", qAsOfJoin, Some(qAsOfJoinOracle)),
     Q("q_asof_forward", qAsOfForward, Some(qAsOfForwardOracle)),
+    Q("q_asof_nearest", qAsOfNearest, Some(qAsOfNearestOracle)),
     Q("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
     Q("q_collect_agg", qCollectAgg, Some(qCollectAggOracle)),
     Q("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),

@@ -28,7 +28,8 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       forward: Boolean = false,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = GraftSqlInternals.logicalPlan(left)
@@ -40,6 +41,6 @@ object AsOf {
       lPlan, rPlan,
       Seq(resolve(lPlan, leftKey)), Seq(resolve(rPlan, rightKey)),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      forward, toleranceMicros))
+      forward, toleranceMicros, nearest))
   }
 }

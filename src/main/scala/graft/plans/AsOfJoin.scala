@@ -32,7 +32,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean = false,
-    toleranceMicros: Option[Long] = None)
+    toleranceMicros: Option[Long] = None,
+    nearest: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -44,8 +45,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd, tol, near) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +59,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean = false,
-    toleranceMicros: Option[Long] = None)
+    toleranceMicros: Option[Long] = None,
+    nearest: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -96,6 +98,7 @@ case class AsOfJoinExec(
 
       val fwd = forward
       val tol = toleranceMicros
+      val near = nearest
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = if (rIt.hasNext) rIt.next() else null
@@ -142,7 +145,21 @@ case class AsOfJoinExec(
                 }
                 advance()
               }
-              if (lastMatch != null &&
+              if (near) {
+                // nearest: compare the predecessor against the first
+                // strictly-later right row (rHead after the absorb
+                // loop); ties go to the predecessor
+                val fwdCand =
+                  if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0) rHead
+                  else null
+                val lt0 = lTime.getLong(0)
+                val backGap = if (lastMatch != null) lt0 - lastMatchTime else Long.MaxValue
+                val fwdGap =
+                  if (fwdCand != null) rTimeProj(fwdCand).getLong(0) - lt0 else Long.MaxValue
+                val pick = if (backGap <= fwdGap) lastMatch else fwdCand
+                if (pick != null && tol.forall(math.min(backGap, fwdGap) <= _)) pick
+                else nullRight
+              } else if (lastMatch != null &&
                 tol.forall(t => lTime.getLong(0) - lastMatchTime <= t)) lastMatch
               else nullRight
             }

@@ -65,6 +65,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd.select("r_tag").collect()(0).isNullAt(0))
   }
 
+  test("nearest as-of picks the closer side; ties go to the predecessor") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "closer_before"),
+      (2L, ts("2024-01-01 10:00:00"), "closer_after"),
+      (3L, ts("2024-01-01 10:00:00"), "tie"),
+      (4L, ts("2024-01-01 10:00:00"), "only_after"),
+      (5L, ts("2024-01-01 10:00:00"), "none")).toDF("uid", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:50:00"), "b10"), (1L, ts("2024-01-01 10:30:00"), "a30"),
+      (2L, ts("2024-01-01 09:30:00"), "b30"), (2L, ts("2024-01-01 10:10:00"), "a10"),
+      (3L, ts("2024-01-01 09:45:00"), "b15"), (3L, ts("2024-01-01 10:15:00"), "a15"),
+      (4L, ts("2024-01-01 10:20:00"), "a20")).toDF("r_uid", "r_t", "r_tag")
+    val out = AsOf.join(left, right, "uid", "r_uid", "t", "r_t", nearest = true)
+      .select("tag", "r_tag").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out === Map(
+      "closer_before" -> "b10", "closer_after" -> "a10",
+      "tie" -> "b15", "only_after" -> "a20", "none" -> null))
+  }
+
   test("survives multi-partition shuffle (many keys, interleaved times)") {
     val left = (1L to 500L).map(i => (i % 37, ts(f"2024-01-01 ${(i % 23) + 1}%02d:00:00"), i)).toDF("uid", "t", "id")
     val right = (1L to 300L).map(i => (i % 37, ts(f"2024-01-01 ${(i % 19) + 1}%02d:30:00"), i)).toDF("r_uid", "r_t", "rid")
