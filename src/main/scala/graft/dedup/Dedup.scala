@@ -160,6 +160,40 @@ object Dedup {
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The full dedup product in one call: MinHash-LSH candidates →
+    * exact-Jaccard verification → connected components → keep the
+    * smallest doc_id per cluster. Returns every doc with its cluster
+    * and keep decision — `filter(col("kept"))` IS the deduped corpus.
+    */
+  def dedupCorpus(s: SparkSession, docs: DataFrame, jaccardThreshold: Double = 0.8): DataFrame = {
+    GraftFunctions.register(s)
+    val d = docs.select("doc_id", "text")
+    val bands = d
+      .select(col("doc_id"), expr("graft_minhash(text, 64, 3)").as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val edges = cand
+      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .filter(expr(s"graft_ngram_jaccard(text_a, text_b, 3) >= $jaccardThreshold"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = ConnectedComponents.run(edges, d.select(col("doc_id").as("id")))
+    comps
+      .withColumn("kept", col("id") === col("component"))
+      .select(col("id").as("doc_id"), col("component"), col("kept"))
+  }
+
+  /** Rows-only query over the pipeline: per-doc cluster + keep flag. */
+  def dedupPipeline(s: SparkSession, dir: String): DataFrame =
+    dedupCorpus(s, docs(s, dir)).orderBy("doc_id")
+
+  // ---------------------------------------------------------------
   /** Embedding clustering: 1-NN graph → connected components → one
     * cluster label per vector (the "pick a canonical doc per near-dup
     * cluster" step). Approximate graph → rows-only.
@@ -183,6 +217,7 @@ object Dedup {
 
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("dedup_pipeline", dedupPipeline, None),
     Q("dedup_cc_clusters", ccClusters, None),
     Q("dedup_exact", exact, Some(exactOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
