@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
+    e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
     fns.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

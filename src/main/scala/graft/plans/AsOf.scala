@@ -13,8 +13,9 @@ object AsOf {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     }
     val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(PruneAsOfJoinColumns)) {
-      spark.experimental.extraOptimizations = rules :+ PruneAsOfJoinColumns
+    val missing = Seq(PruneAsOfJoinColumns, PushLimitThroughAsOfJoin).filterNot(rules.contains)
+    if (missing.nonEmpty) {
+      spark.experimental.extraOptimizations = rules ++ missing
     }
   }
 

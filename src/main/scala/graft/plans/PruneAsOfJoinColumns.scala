@@ -18,6 +18,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Injected by [[graft.GraftExtensions]] as an optimizer rule; also
   * effective for plans built through [[AsOf.join]].
   */
+/** Limit pushdown through AsOfJoin: the operator emits exactly one
+  * row per left row, so a LocalLimit above it can also bound the LEFT
+  * child — n rows in, n rows out — instead of merging both full
+  * inputs first. (The limit above stays: pushdown is an additional
+  * bound, same contract as Spark's own LimitPushDown through joins.)
+  */
+object PushLimitThroughAsOfJoin extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case ll @ LocalLimit(expr, a: AsOfJoin) if !a.left.isInstanceOf[LocalLimit] =>
+      ll.copy(child = a.copy(left = LocalLimit(expr, a.left)))
+  }
+}
+
 object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

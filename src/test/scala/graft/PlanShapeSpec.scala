@@ -59,6 +59,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("value#"), s"value should be pruned from scans:\n${p.take(2500)}")
   }
 
+  test("limit pushes through the AsOfJoin left side") {
+    val ev = sources.Tables.load(spark, sf(), "events")
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "view")
+      .withColumnRenamed("event_id", "v_event_id")
+      .withColumnRenamed("user_id", "v_user_id")
+      .withColumnRenamed("ts", "v_ts")
+    val limited = plans.AsOf.join(l, r, "user_id", "v_user_id", "ts", "v_ts").limit(7)
+    val optimized = limited.queryExecution.optimizedPlan.toString
+    // a LocalLimit must appear BELOW the AsOfJoin (on its left child)
+    val asofIdx = optimized.indexOf("AsOfJoin")
+    assert(asofIdx >= 0)
+    assert(optimized.indexOf("LocalLimit", asofIdx) > asofIdx,
+      s"no pushed LocalLimit below AsOfJoin:\n${optimized.take(1500)}")
+    assert(limited.count() === 7) // and semantics hold
+  }
+
   test("dimension joins broadcast (q05)") {
     val p = planOf("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
