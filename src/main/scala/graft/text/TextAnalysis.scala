@@ -165,7 +165,31 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  /** PII-style scrubbing: mask numeric tokens in the semi-structured
+    * props column (the shape of phone/SSN/account redaction in a
+    * training-data pipeline — codegen'd regexp_replace, no UDF) and
+    * account for what was removed.
+    */
+  def redact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("props"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("redacted"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("redacted") =!= col("props"), 1)).as("n_changed"),
+        sum(length(col("props")) - length(col("redacted"))).cast("long").as("chars_removed"))
+      .orderBy("event_type")
+
+  val redactOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | COUNT(CASE WHEN regexp_replace(props, '[0-9]+', '#', 'g') <> props THEN 1 END) AS n_changed,
+      | CAST(SUM(LENGTH(props) - LENGTH(regexp_replace(props, '[0-9]+', '#', 'g'))) AS BIGINT) AS chars_removed
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("text_redact", redact, Some(redactOracle)),
     Q("text_mix_sampling", sampling, Some(samplingOracle)),
     Q("text_token_count", tokenCount, Some(tokenCountOracle)),
     Q("text_quality", quality, Some(qualityOracle)),
