@@ -227,9 +227,25 @@ object Relational2 {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
       |ORDER BY c_custkey""".stripMargin)
 
+  val qExistsAgg: Q = sqlBoth("q_exists_agg",
+    """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+      |WHERE EXISTS (SELECT o_custkey FROM orders WHERE o_custkey = c_custkey
+      |              GROUP BY o_custkey HAVING COUNT(*) >= 12)
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val qSplitPart: Q = sqlBoth("q_split_part",
+    """SELECT split_part(c_name, '#', 1) AS prefix, COUNT(*) AS n
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val qNullifCoalesce: Q = sqlBoth("q_nullif_coalesce",
+    """SELECT p_brand, COUNT(*) AS n,
+      | CAST(SUM(COALESCE(NULLIF(p_size, 1), 0)) AS BIGINT) AS sum_nontrivial_size
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     qValuesJoin, qIntersectAll, qFirstLast, qLateral,
+    qExistsAgg, qSplitPart, qNullifCoalesce,
     Q("q12_priority_shipping", q12PriorityShipping, Some(q12Oracle)),
     Q("q14_promo_revenue", q14PromoRevenue, Some(q14Oracle)),
     Q("q16_supplier_parts", q16SupplierParts, Some(q16Oracle)),
