@@ -123,25 +123,88 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
-  /** Embedding near-dup: each vector's nearest neighbor by cosine
-    * (codegen'd custom expression), flagged against a threshold.
-    * DuckDB oracle recomputes the cosine with the same sequential
-    * double-precision fold.
+  /** Exact self-1NN over an embedding table WITHOUT broadcasting the
+    * corpus: a fragment-and-replicate block grid. The corpus is hashed
+    * into `blocks` fragments; every query row is replicated once per
+    * fragment (explode — no join, no broadcast) and equi-joins its
+    * fragment. Each task therefore holds ONE fragment (N/B vectors) of
+    * build side — memory is bounded by choosing B — and the N²/B pair
+    * stream per task collapses through the partial `graft_topk`
+    * aggregate before anything shuffles. Total shuffle: N·B probe rows
+    * + N corpus rows + ≤ tasks×1 partial top-1 rows; never N² rows and
+    * never a full-corpus broadcast (the round-1 version died on both).
+    *
+    * Exact kNN is inherently N² compute — the *approximate* scale path
+    * is [[embeddingAnn]] — but this is the shape that lets the exact
+    * variant run as far as compute allows on a 1000-executor cluster.
+    *
+    * Returns (vec_id, nn_id, cos) with DuckDB-matching tie-breaking
+    * (score desc, id asc — guaranteed by the TopK buffer's total
+    * order, independent of partitioning).
+    */
+  def exactSelf1nn(s: SparkSession, e: DataFrame, blocks: Int = 8): DataFrame = {
+    GraftFunctions.register(s)
+    val corpus = e.select(
+      pmod(xxhash64(col("vec_id")), lit(blocks)).as("blk"),
+      col("vec_id"), col("embedding"))
+    val probes = e.select(
+      explode(sequence(lit(0L), lit((blocks - 1).toLong))).as("blk"),
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    probes.join(corpus, Seq("blk"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("graft_cosine(q_emb, embedding)").as("cos"))
+      .groupBy("q_id")
+      .agg(expr("graft_topk(cos, nn_id, 1)").as("top"))
+      .select(col("q_id").as("vec_id"), col("top")(0).getField("id").as("nn_id"),
+        col("top")(0).getField("score").as("cos"))
+  }
+
+  /** Embedding near-dup: each vector's exact nearest neighbor by
+    * cosine, flagged against a threshold. Pair generation is the
+    * block-grid [[exactSelf1nn]] (no corpus broadcast, no
+    * BroadcastNestedLoopJoin — pinned in PlanShapeSpec). DuckDB oracle
+    * recomputes the cosine with the same sequential double fold.
     */
   def embedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
-    val pairs = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-        expr("graft_cosine(a.embedding, b.embedding)").as("cos"))
-    // top-1 via the bounded aggregate: partial agg keeps one candidate
-    // per partition per vector - no window sort of the N² pair set
-    pairs
-      .groupBy("vec_id")
-      .agg(expr("graft_topk(cos, nn_id, 1)").as("top"))
-      .select(col("vec_id"), col("top")(0).getField("id").as("nn_id"),
-        round(col("top")(0).getField("score"), 6).as("cos"),
-        (round(col("top")(0).getField("score"), 6) >= 0.45).as("near_dup"))
+    exactSelf1nn(s, e)
+      .select(col("vec_id"), col("nn_id"),
+        round(col("cos"), 6).as("cos"),
+        (round(col("cos"), 6) >= 0.45).as("near_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** The 100 TB embedding-dedup path: LSH-bucketed candidate
+    * generation (two 12-bit hyperplane tables — a self-join WITHIN
+    * buckets, the same shape as the text MinHash-LSH), exact-cosine
+    * re-rank on candidates only, flag pairs above the near-dup
+    * threshold. Approximate (recall < 1 on uniform corpora) →
+    * rows-only; the recall harness in AnnRecallSpec measures it on
+    * clustered data.
+    */
+  def embeddingAnn(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val bucketed = Seq(1L, 2L).map { seed =>
+      e.select(col("vec_id"), col("embedding"), lit(seed).as("tbl"),
+        expr(s"graft_lsh_bucket(embedding, 12, $seed)").as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("a.embedding").as("emb_a"),
+        col("b.vec_id").as("id_b"), col("b.embedding").as("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    val reps = cand.groupBy(col("id_b").as("vec_id")).agg(min("id_a").as("rep_cand"))
+    e.select("vec_id").join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_cand"), col("vec_id")).as("rep_id"),
+        coalesce(col("rep_cand") =!= col("vec_id"), lit(false)).as("is_dup"))
       .orderBy("vec_id")
   }
 
@@ -201,12 +264,9 @@ object Dedup {
   def ccClusters(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
-    val pairs = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-        expr("graft_cosine(a.embedding, b.embedding)").as("cos"))
-      .groupBy("vec_id")
-      .agg(expr("graft_topk(cos, nn_id, 1)").as("top"))
-      .select(col("vec_id").as("src"), col("top")(0).getField("id").as("dst"))
+    // 1-NN graph via the block-grid exact kNN — no corpus broadcast
+    val pairs = exactSelf1nn(s, e)
+      .select(col("vec_id").as("src"), col("nn_id").as("dst"))
     val labels = ConnectedComponents.run(
       pairs, e.select(col("vec_id").as("id")), maxIter = 8)
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -223,5 +283,6 @@ object Dedup {
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),
     Q("dedup_ngram_jaccard", ngramJaccard, None),
-    Q("dedup_embedding", embedding, Some(embeddingOracle)))
+    Q("dedup_embedding", embedding, Some(embeddingOracle)),
+    Q("dedup_embedding_ann", (s, d) => embeddingAnn(s, d), None))
 }

@@ -80,4 +80,40 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("embedding 1-NN never broadcasts the corpus (dedup_embedding)") {
+    // At test scale Catalyst may legitimately broadcast the (tiny)
+    // probe side; the scale property is that the pair generation is an
+    // EQUI-join on the block key — disable auto-broadcast to see the
+    // 100 TB plan and assert it degrades to a shuffle join, never a
+    // nested-loop cross product.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("dedup_embedding")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"must not all-pairs-broadcast the corpus:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastExchange"),
+        s"at scale must shuffle, not broadcast:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "pair generation must be a shuffle equi-join on blk")
+      assert(p.contains("partial_graft_topk"),
+        "needs map-side partial top-k before the exchange")
+      // cc_clusters checkpoints the 1-NN graph during construction
+      // (iterative CC), so the final plan only shows the label join —
+      // assert the shared exactSelf1nn plan directly instead.
+      val e = sources.Tables.load(spark, sf(), "embeddings")
+        .select("vec_id", "embedding")
+      val nn = dedup.Dedup.exactSelf1nn(spark, e)
+        .queryExecution.executedPlan.toString
+      assert(!nn.contains("BroadcastNestedLoopJoin") && !nn.contains("BroadcastExchange"))
+      assert(nn.contains("partial_graft_topk"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("embedding ANN dedup joins within LSH buckets only") {
+    val p = planOf("dedup_embedding_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be a bucket equi-join:\n${p.take(2000)}")
+  }
 }
