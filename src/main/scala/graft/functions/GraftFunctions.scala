@@ -21,7 +21,12 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** The single source of truth for the graft_* SQL surface — both
+    * registration paths (runtime [[register]] and the
+    * `spark.sql.extensions` installer in graft.GraftExtensions) derive
+    * from this list, so they can never diverge.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_lsh_bucket" -> (es => HyperplaneLsh(es(0), intArg(es(1), "nBits"), longArg(es(2), "seed"))),
@@ -31,6 +36,8 @@ object GraftFunctions {
     "graft_fingerprint" -> (es => RollingFingerprint(es(0), intArg(es(1), "k"))),
     "graft_topk" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
     "graft_zvalue" -> (es => ZValue(es(0), es(1))))
+
+  def names: Seq[String] = builders.map(_._1)
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>

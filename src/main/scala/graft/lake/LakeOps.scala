@@ -238,9 +238,15 @@ object LakeOps {
       .repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(out)
     // keep the partition column a plain string (no type inference) so
-    // pruning compares strings exactly as the oracle does
-    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    s.read.parquet(out)
+    // pruning compares strings exactly as the oracle does; schema
+    // inference happens eagerly at read(), so the conf can be restored
+    // right after instead of leaking into the shared session
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.get(confKey)
+    val base =
+      try { s.conf.set(confKey, "false"); s.read.parquet(out) }
+      finally s.conf.set(confKey, prev)
+    base
       .filter(col("date") >= "2024-01-10" && col("date") <= "2024-01-19")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))

@@ -12,13 +12,32 @@ import org.apache.spark.sql.Row
   */
 object LakeSink {
 
+  /** Highest streaming batch id already committed to `root`, or -1.
+    * Batch ids are stamped into manifest headers at commit time, so
+    * this survives restarts with no side-channel state.
+    */
+  def lastCommittedBatch(stream: DataFrame, root: String): Long = {
+    val s = stream.sparkSession
+    (1 to SnapshotTable.currentVersion(s, root))
+      .flatMap(v => SnapshotTable.commitMeta(s, root, v).get("streaming_batch"))
+      .map(_.toLong).foldLeft(-1L)(math.max)
+  }
+
   /** foreachBatch writer committing each micro-batch to `root`.
     * Empty batches are skipped (no empty snapshots).
+    *
+    * foreachBatch is at-least-once: after a restart Spark replays the
+    * last un-checkpointed batch with the SAME batchId. The batch id is
+    * stamped into the commit's manifest header, and replayed ids are
+    * skipped — the batchId and the committed files land in one atomic
+    * manifest rename, so the dedup decision can never disagree with
+    * the committed data (exactly-once table contents).
     */
   def append(stream: DataFrame, root: String): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        SnapshotTable.commit(batch.sparkSession, root, batch, append = true)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
+        SnapshotTable.commit(batch.sparkSession, root, batch, append = true,
+          meta = Map("streaming_batch" -> batchId.toString))
         ()
       }
     }

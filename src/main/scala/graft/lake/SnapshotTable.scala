@@ -37,7 +37,7 @@ object SnapshotTable {
       }.foldLeft(0)(math.max)
   }
 
-  def dataFiles(s: SparkSession, root: String, version: Int): Seq[String] = {
+  private def manifestLines(s: SparkSession, root: String, version: Int): Seq[String] = {
     val p = new Path(s"$root/_manifests/v$version.manifest")
     val fs = fsOf(s, p)
     val in = fs.open(p)
@@ -46,13 +46,47 @@ object SnapshotTable {
     finally in.close()
   }
 
+  /** Data files visible at a version (metadata header lines excluded). */
+  def dataFiles(s: SparkSession, root: String, version: Int): Seq[String] =
+    manifestLines(s, root, version).filterNot(_.startsWith("#"))
+
+  /** Metadata recorded with a commit (`#key=value` manifest header). */
+  def commitMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
+    manifestLines(s, root, version).takeWhile(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
   /** Commit a new version. `append=true` keeps prior files visible;
     * `append=false` is an overwrite commit (old files stay on disk
     * for old-version readers — that's what makes time travel work).
-    * Returns the new version number.
+    * `meta` is recorded in the manifest header (`#key=value`) — used
+    * e.g. by LakeSink to stamp the streaming batch id for idempotent
+    * replay. Returns the new version number.
+    *
+    * The manifest is written to a temp path and renamed into place,
+    * with an existence check on the final path — a concurrent
+    * committer racing to the same version fails loudly instead of
+    * silently clobbering the manifest. Pass `expectedVersion` (the
+    * version this commit should create, i.e. the version you read
+    * plus one) for optimistic concurrency: the commit fails if
+    * another writer got there first, Iceberg-CAS style. Single-writer
+    * remains the supported default; the checks turn a lost update
+    * into an error. A crash before the rename leaves only orphan
+    * data files, never a corrupt or half-visible version.
     */
-  def commit(s: SparkSession, root: String, df: DataFrame, append: Boolean = true): Int = {
-    val v = currentVersion(s, root) + 1
+  def commit(
+      s: SparkSession, root: String, df: DataFrame,
+      append: Boolean = true, meta: Map[String, String] = Map.empty,
+      expectedVersion: Option[Int] = None): Int = {
+    val cur = currentVersion(s, root)
+    val v = expectedVersion.getOrElse(cur + 1)
+    if (v <= cur)
+      throw new IllegalStateException(
+        s"concurrent commit detected for $root: expected to create version $v " +
+          s"but table is already at $cur")
     val dataDir = s"$root/data/v$v"
     df.write.mode("overwrite").parquet(dataDir)
     val dataPath = new Path(dataDir)
@@ -60,10 +94,15 @@ object SnapshotTable {
     val newFiles = fs.listStatus(dataPath)
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
     val base = if (append && v > 1) dataFiles(s, root, v - 1) else Seq.empty
+    val header = meta.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
     val mp = new Path(s"$root/_manifests/v$v.manifest")
-    val out = fs.create(mp, true)
-    try out.write(((base ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+    val tmp = new Path(s"$root/_manifests/.v$v.manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(((header ++ base ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(mp) || !fs.rename(tmp, mp))
+      throw new IllegalStateException(
+        s"concurrent commit detected for $root version $v — manifest already exists")
     v
   }
 

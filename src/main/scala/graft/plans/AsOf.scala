@@ -38,10 +38,22 @@ object AsOf {
     def resolve(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    // the exec's tolerance/nearest arithmetic reads time values as
+    // long (getLong) — accept only long-backed types up front instead
+    // of corrupting silently on e.g. a DateType (int-backed) column
+    def checkTime(a: org.apache.spark.sql.catalyst.expressions.Attribute): a.type = {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      a.dataType match {
+        case TimestampType | TimestampNTZType | LongType => a
+        case other => throw new IllegalArgumentException(
+          s"as-of time column ${a.name} must be TIMESTAMP or BIGINT, got $other " +
+            "(cast DATE/INT columns explicitly)")
+      }
+    }
     GraftSqlInternals.ofRows(spark, AsOfJoin(
       lPlan, rPlan,
       Seq(resolve(lPlan, leftKey)), Seq(resolve(rPlan, rightKey)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime),
+      checkTime(resolve(lPlan, leftTime)), checkTime(resolve(rPlan, rightTime)),
       forward, toleranceMicros, nearest))
   }
 }

@@ -98,4 +98,20 @@ class AsOfJoinSpec extends SparkSpec {
     val e = expected.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
     assert(g === e)
   }
+
+  test("int-backed time columns are rejected up front (DATE would corrupt)") {
+    import org.apache.spark.sql.functions.col
+    val l = Seq((1L, java.sql.Date.valueOf("2024-01-02"))).toDF("uid", "d")
+    val r = Seq((1L, java.sql.Date.valueOf("2024-01-01"), "v")).toDF("r_uid", "r_d", "tag")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "uid", "r_uid", "d", "r_d")
+    }
+    assert(ex.getMessage.contains("must be TIMESTAMP or BIGINT"))
+    // the documented escape hatch works: cast to timestamp
+    val ok = AsOf.join(
+      l.withColumn("d", col("d").cast("timestamp")),
+      r.withColumn("r_d", col("r_d").cast("timestamp")),
+      "uid", "r_uid", "d", "r_d")
+    assert(ok.select("tag").collect()(0).getString(0) === "v")
+  }
 }

@@ -24,8 +24,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .config("spark.ui.enabled", "false").getOrCreate()
       val r = s.sql(
         """SELECT graft_cosine(array(1.0F,2.0F), array(1.0F,2.0F)) AS c,
-          | graft_simhash('a b c') AS h""".stripMargin).collect()(0)
+          | graft_simhash('a b c') AS h,
+          | graft_zvalue(3, 5) AS z""".stripMargin).collect()(0)
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      // both registration paths expose the same surface: every name in
+      // the shared builder list resolves through the extensions too
+      graft.functions.GraftFunctions.names.foreach { n =>
+        assert(s.catalog.functionExists(n), s"extensions path missing $n")
+      }
       // as-of works without AsOf.ensureStrategy (strategy came from extensions)
       import s.implicits._
       val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))).toDF("uid", "t")

@@ -43,6 +43,63 @@ class SnapshotTableSpec extends SparkSpec {
     assert(graft.lake.SnapshotTable.read(spark, root, 2).count() === 5)
   }
 
+  test("commit meta rides the manifest header; data files exclude it") {
+    val root = "/tmp/graft_test/snap_meta"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1).toDF("x"),
+      meta = Map("streaming_batch" -> "7", "source" -> "spec"))
+    assert(SnapshotTable.commitMeta(spark, root, 1) ===
+      Map("streaming_batch" -> "7", "source" -> "spec"))
+    assert(SnapshotTable.dataFiles(spark, root, 1).forall(_.endsWith(".parquet")))
+    assert(SnapshotTable.read(spark, root).count() === 1)
+  }
+
+  test("optimistic commit fails when another writer won the version") {
+    val root = "/tmp/graft_test/snap_race"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1).toDF("x"))
+    // both writers read the table at v1 and plan to create v2;
+    // writer A lands first
+    SnapshotTable.commit(spark, root, Seq(2).toDF("x"), expectedVersion = Some(2))
+    val before = SnapshotTable.dataFiles(spark, root, 2)
+    // writer B, still expecting to create v2, must fail loudly
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.commit(spark, root, Seq(99).toDF("x"), expectedVersion = Some(2))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // the winner's manifest is untouched and the table still reads
+    assert(SnapshotTable.dataFiles(spark, root, 2) === before)
+    assert(SnapshotTable.read(spark, root).count() === 2)
+  }
+
+  test("replayed streaming batch ids commit once (idempotent LakeSink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = "/tmp/graft_test/snap_replay"
+    graft.lake.SnapshotTable.drop(spark, root)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // first run: two batches land as v1/v2 with batch ids 0/1
+    val ckpt1 = "/tmp/graft_test/snap_replay_ckpt1"
+    graft.lake.SnapshotTable.drop(spark, ckpt1)
+    val q1 = graft.lake.LakeSink.start(input.toDF().toDF("x"), root, ckpt1)
+    input.addData(1L, 2L); q1.processAllAvailable()
+    input.addData(3L); q1.processAllAvailable()
+    q1.stop()
+    assert(graft.lake.SnapshotTable.currentVersion(spark, root) === 2)
+    // "restart" from a FRESH checkpoint over the same source data —
+    // the sink sees batch ids 0.. again (a strictly harsher replay
+    // than a real restart, which replays only the last batch)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val ckpt2 = "/tmp/graft_test/snap_replay_ckpt2"
+    graft.lake.SnapshotTable.drop(spark, ckpt2)
+    val q2 = graft.lake.LakeSink.start(input2.toDF().toDF("x"), root, ckpt2)
+    input2.addData(1L, 2L); q2.processAllAvailable()   // batchId 0 ≤ committed 1 → skipped
+    input2.addData(3L); q2.processAllAvailable()       // batchId 1 ≤ committed 1 → skipped
+    input2.addData(4L); q2.processAllAvailable()       // batchId 2 → new commit
+    q2.stop()
+    assert(graft.lake.SnapshotTable.currentVersion(spark, root) === 3)
+    assert(graft.lake.SnapshotTable.read(spark, root).count() === 4) // 1,2,3,4 — no dupes
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
