@@ -326,13 +326,46 @@ object Relational {
 
   // ---------------------------------------------------------------
   def qNtile(s: SparkSession, dir: String): DataFrame = {
-    // NOTE global NTILE needs a single-partition sort; at 100 TB you'd
-    // NTILE within partitions or pre-aggregate — this mirrors the SQL
-    // semantics exactly and the input here is the orders table only.
-    val w = Window.orderBy("o_totalprice", "o_orderkey")
-    t(s, dir, "orders")
-      .select("o_totalprice", "o_orderkey") // 2 columns through the global sort
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    // Exact global NTILE with NO single-partition window. Plan:
+    //  1. approximate split points on the order key — they only decide
+    //     LOAD BALANCE, never the answer;
+    //  2. exact per-range counts → cumulative offsets (≤ numBuckets
+    //     rows, collected once at the driver);
+    //  3. row_number windows partitioned BY RANGE (parallel) + the
+    //     broadcast offset = exact global rank;
+    //  4. NTILE bucket arithmetic from (rank, N) as expressions.
+    // Rank never depends on where the approximate boundaries fell, so
+    // the result is exact and deterministic. At 100 TB raise
+    // numBuckets so each range sort fits an executor.
+    val numBuckets = 32
+    val o = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
+    val splits = o.stat.approxQuantile(
+      "o_totalprice", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.001)
+      .distinct.sorted
+    val bucket = splits.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("o_totalprice") > b, 1).otherwise(0)
+    }
+    val bucketed = o.withColumn("bkt", bucket)
+    val cnts = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1) // ≤ numBuckets rows
+    val n = cnts.map(_._2).sum
+    val offs = cnts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .init.zip(cnts).map { case ((_, off), (b, _)) => (b, off) }
+    val offDf = s.createDataFrame(offs.toSeq).toDF("bkt", "off")
+    val base = n / 4
+    val big = n % 4
+    val wRange = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    val ranked = bucketed
+      .withColumn("rn", row_number().over(wRange))
+      .join(broadcast(offDf), Seq("bkt"))
+      .withColumn("rank", col("off") + col("rn"))
+    val quartile =
+      if (base == 0) col("rank") // degenerate N<4: one row per bucket
+      else when(col("rank") <= big * (base + 1),
+          ceil(col("rank") / lit((base + 1).toDouble)))
+        .otherwise(lit(big) + ceil((col("rank") - lit(big * (base + 1))) / lit(base.toDouble)))
+    ranked
+      .withColumn("quartile", quartile.cast("long"))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"), min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
       .orderBy("quartile")

@@ -111,6 +111,14 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("global NTILE runs without a single-partition window") {
+    val p = planOf("q_ntile")
+    assert(!p.contains("SinglePartition"),
+      s"q_ntile must not funnel rows into one partition:\n${p.take(2000)}")
+    // the ranking window must be partitioned (by the range bucket)
+    assert(p.contains("Window [row_number()"), "bucketed ranking window missing")
+  }
+
   test("embedding ANN dedup joins within LSH buckets only") {
     val p = planOf("dedup_embedding_ann")
     assert(!p.contains("BroadcastNestedLoopJoin"),
