@@ -85,6 +85,58 @@ object LakeOps {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** MERGE with WHEN-MATCHED-DELETE: same SCD1 state table, but
+    * update-window 'error' events are CDC tombstones — a user whose
+    * latest event is an error drops out of the state entirely (the
+    * Trino `MERGE … WHEN MATCHED THEN DELETE` surface on Iceberg,
+    * RUNBOOK.md §9's table maintenance story).
+    */
+  def mergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val target = ev.filter(col("ts") < cutoff)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val updates = ev.filter(col("ts") >= cutoff)
+    Merge.upsertWithDeletes(target, updates, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type") === "error")
+      .select("user_id", "event_id", "event_type", "value", "updated")
+      .orderBy("user_id")
+  }
+
+  val mergeDeleteOracle: String =
+    """SELECT user_id, event_id, event_type, value,
+      | (ts >= TIMESTAMP '2024-01-15') AS updated
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+      |WHERE rn = 1 AND NOT (ts >= TIMESTAMP '2024-01-15' AND event_type = 'error')
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Row-level DELETE on the snapshot table (copy-on-write): commit
+    * the events as a table, DELETE WHERE event_type='click', read the
+    * new version back. The oracle recomputes the post-delete content
+    * from the raw table; time-travel preservation is pinned in
+    * SnapshotTableSpec.
+    */
+  def deleteRows(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_delete")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    SnapshotTable.deleteWhere(s, root, col("event_type") === "click")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val deleteRowsOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_type <> 'click'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Small-file compaction preserving content byte-for-byte. */
   def compaction(s: SparkSession, dir: String): DataFrame = {
     val smallDir = scratch(dir, "small_files")
@@ -324,5 +376,7 @@ object LakeOps {
     Q("lake_compaction", compaction, Some(compactionOracle)),
     Q("lake_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
     Q("lake_incremental", incremental, Some(incrementalOracle)),
-    Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)))
+    Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)),
+    Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
+    Q("lake_delete", deleteRows, Some(deleteRowsOracle)))
 }

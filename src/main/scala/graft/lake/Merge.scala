@@ -20,17 +20,38 @@ object Merge {
     * resolve by `orderCols` descending (pass e.g. event-time, then a
     * unique id as the last tiebreaker for determinism).
     */
-  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
+    merged(target, updates, keys, orderCols, isDelete = lit(false))
+
+  /** CDC MERGE with tombstones — `WHEN MATCHED AND isDelete THEN
+    * DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND NOT
+    * isDelete THEN INSERT` — in the same single-shuffle plan.
+    * `isDelete` is evaluated against update rows (the CDC convention:
+    * the source row IS the delete marker). A key whose winning row is
+    * a tombstone disappears; a later non-delete update outranking the
+    * tombstone by `orderCols` keeps the key (latest-wins CDC).
+    */
+  def upsertWithDeletes(
+      target: DataFrame, updates: DataFrame,
+      keys: Seq[String], orderCols: Seq[Column], isDelete: Column): DataFrame =
+    merged(target, updates, keys, orderCols, isDelete)
+
+  private def merged(
+      target: DataFrame, updates: DataFrame,
+      keys: Seq[String], orderCols: Seq[Column], isDelete: Column): DataFrame = {
     val srcCol = "_graft_src"
     val rnCol = "_graft_rn"
-    val unioned = target.withColumn(srcCol, lit(0))
-      .unionByName(updates.withColumn(srcCol, lit(1)))
+    val delCol = "_graft_del"
+    val unioned = target.withColumn(srcCol, lit(0)).withColumn(delCol, lit(false))
+      .unionByName(updates.withColumn(srcCol, lit(1))
+        .withColumn(delCol, coalesce(isDelete, lit(false))))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(srcCol).desc +: orderCols.map(_.desc): _*)
     unioned
       .withColumn(rnCol, row_number().over(w))
       .filter(col(rnCol) === 1)
+      .filter(!col(delCol))
       .withColumn("updated", col(srcCol) === 1)
-      .drop(srcCol, rnCol)
+      .drop(srcCol, rnCol, delCol)
   }
 }

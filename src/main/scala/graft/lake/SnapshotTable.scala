@@ -1,7 +1,8 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Minimal Iceberg-style snapshot table: versioned manifests over
   * immutable parquet data files.
@@ -87,23 +88,67 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"concurrent commit detected for $root: expected to create version $v " +
           s"but table is already at $cur")
+    val newFiles = writeDataFiles(s, root, v, df)
+    val base = if (append && v > 1) dataFiles(s, root, v - 1) else Seq.empty
+    writeManifestAtomic(s, root, v, meta, base ++ newFiles)
+    v
+  }
+
+  /** Row-level DELETE, copy-on-write Iceberg-style. Planning finds the
+    * data files that actually contain matching rows (via the
+    * `_metadata.file_path` column — a metadata-scale scan with the
+    * predicate pushed to parquet); only those files are rewritten
+    * without the matching rows, every untouched file is re-listed
+    * as-is in the new manifest. Old versions still read the
+    * pre-delete content — time travel is preserved, which is exactly
+    * how Iceberg serves GDPR deletes without mutating history.
+    *
+    * SQL DELETE semantics: rows where the predicate is TRUE go; rows
+    * where it is NULL stay. Returns the new version (unchanged current
+    * version when nothing matched).
+    */
+  def deleteWhere(s: SparkSession, root: String, predicate: Column): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val files = dataFiles(s, root, cur)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val affected = s.read.parquet(files: _*)
+      .filter(predicate)
+      .select(col("_metadata.file_path"))
+      .distinct().collect().map(r => norm(r.getString(0))).toSet
+    val (touched, untouched) = files.partition(f => affected.contains(norm(f)))
+    if (touched.isEmpty) return cur
+    val v = cur + 1
+    val kept = s.read.parquet(touched: _*)
+      .filter(!coalesce(predicate, lit(false)))
+    val newFiles = writeDataFiles(s, root, v, kept)
+    writeManifestAtomic(s, root, v,
+      Map("op" -> "delete", "rewrote" -> touched.size.toString),
+      untouched ++ newFiles)
+    v
+  }
+
+  private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] = {
     val dataDir = s"$root/data/v$v"
     df.write.mode("overwrite").parquet(dataDir)
     val dataPath = new Path(dataDir)
-    val fs = fsOf(s, dataPath)
-    val newFiles = fs.listStatus(dataPath)
+    fsOf(s, dataPath).listStatus(dataPath)
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
-    val base = if (append && v > 1) dataFiles(s, root, v - 1) else Seq.empty
+  }
+
+  private def writeManifestAtomic(
+      s: SparkSession, root: String, v: Int,
+      meta: Map[String, String], files: Seq[String]): Unit = {
     val header = meta.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
     val mp = new Path(s"$root/_manifests/v$v.manifest")
     val tmp = new Path(s"$root/_manifests/.v$v.manifest.tmp")
+    val fs = fsOf(s, mp)
     val out = fs.create(tmp, true)
-    try out.write(((header ++ base ++ newFiles).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(mp) || !fs.rename(tmp, mp))
       throw new IllegalStateException(
         s"concurrent commit detected for $root version $v — manifest already exists")
-    v
   }
 
   /** Read the table at a version (default: latest). */

@@ -100,6 +100,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(graft.lake.SnapshotTable.read(spark, root).count() === 4) // 1,2,3,4 — no dupes
   }
 
+  test("deleteWhere rewrites only affected files; time travel keeps history") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_delete"
+    SnapshotTable.drop(spark, root)
+    // two commits → two disjoint file sets; the predicate only hits v1's
+    SnapshotTable.commit(spark, root, Seq(1, 2, 3).toDF("x").repartition(1))
+    SnapshotTable.commit(spark, root, Seq(10, 11).toDF("x").repartition(1))
+    val filesBefore = SnapshotTable.dataFiles(spark, root, 2)
+    val v = SnapshotTable.deleteWhere(spark, root, col("x") === 2)
+    assert(v === 3)
+    assert(SnapshotTable.read(spark, root).collect().map(_.getInt(0)).toSet === Set(1, 3, 10, 11))
+    // only the file containing x=2 was rewritten; the other survives as-is
+    val filesAfter = SnapshotTable.dataFiles(spark, root, 3)
+    assert(filesBefore.toSet.intersect(filesAfter.toSet).nonEmpty,
+      "untouched files must be re-listed, not rewritten")
+    assert(SnapshotTable.commitMeta(spark, root, 3).get("rewrote") === Some("1"))
+    // time travel: pre-delete versions are intact
+    assert(SnapshotTable.read(spark, root, 2).collect().map(_.getInt(0)).toSet === Set(1, 2, 3, 10, 11))
+    // no-match delete is a no-op returning the current version
+    assert(SnapshotTable.deleteWhere(spark, root, col("x") === 999) === 3)
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_delete_null"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq(Some(1), None, Some(3)).toDF("x"))
+    SnapshotTable.deleteWhere(spark, root, col("x") > 2)
+    assert(SnapshotTable.read(spark, root).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet === Set(Some(1), None))
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
