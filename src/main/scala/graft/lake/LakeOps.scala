@@ -137,6 +137,35 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Schema evolution beyond add-column: rename + widen through the
+    * column-mapping layer. v1 files store `points:int`; the column is
+    * renamed to `score` and widened to bigint (both metadata-only
+    * commits — zero rewrite); post-evolution appends write wide under
+    * the original physical name. One read serves all file epochs.
+    */
+  def renameWiden(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "rename_widen")
+    clean(s, root)
+    val ev = events(s, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < cutoff)
+      .select(col("event_type"), floor(col("value") * 10).cast("int").as("points")))
+    SnapshotTable.renameColumn(s, root, "points", "score")
+    SnapshotTable.widenColumn(s, root, "score", "bigint")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= cutoff)
+      .select(col("event_type"), floor(col("value") * 10).cast("bigint").as("score")))
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(sum("score").as("total_score"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val renameWidenOracle: String =
+    """SELECT event_type, CAST(SUM(CAST(FLOOR(value * 10) AS BIGINT)) AS BIGINT) AS total_score,
+      | COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Small-file compaction preserving content byte-for-byte. */
   def compaction(s: SparkSession, dir: String): DataFrame = {
     val smallDir = scratch(dir, "small_files")
@@ -378,5 +407,6 @@ object LakeOps {
     Q("lake_incremental", incremental, Some(incrementalOracle)),
     Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)),
     Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
-    Q("lake_delete", deleteRows, Some(deleteRowsOracle)))
+    Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
+    Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)))
 }

@@ -88,9 +88,14 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"concurrent commit detected for $root: expected to create version $v " +
           s"but table is already at $cur")
-    val newFiles = writeDataFiles(s, root, v, df)
+    // schema-evolution metadata survives every commit (incl. overwrite:
+    // replacing the data does not undo a rename); incoming logical
+    // column names are stored under their physical names
+    val inherited = schemaMeta(s, root, cur)
+    val newFiles = writeDataFiles(s, root, v,
+      toPhysical(df, parsePairs(inherited.get(ColMapKey))))
     val base = if (append && v > 1) dataFiles(s, root, v - 1) else Seq.empty
-    writeManifestAtomic(s, root, v, meta, base ++ newFiles)
+    writeManifestAtomic(s, root, v, inherited ++ meta, base ++ newFiles)
     v
   }
 
@@ -111,21 +116,61 @@ object SnapshotTable {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
     val files = dataFiles(s, root, cur)
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
     def norm(p: String) = new Path(p).toUri.getPath
-    val affected = s.read.parquet(files: _*)
+    // predicate is written against the LOGICAL schema; pin the file
+    // path first, then apply the logical view over it
+    def viewWithFile(paths: Seq[String]) = logicalView(
+      s.read.parquet(paths: _*)
+        .select(col("_metadata.file_path").as("_graft_file"), col("*")),
+      mapping, types)
+    val affected = viewWithFile(files)
       .filter(predicate)
-      .select(col("_metadata.file_path"))
+      .select("_graft_file")
       .distinct().collect().map(r => norm(r.getString(0))).toSet
     val (touched, untouched) = files.partition(f => affected.contains(norm(f)))
     if (touched.isEmpty) return cur
     val v = cur + 1
-    val kept = s.read.parquet(touched: _*)
-      .filter(!coalesce(predicate, lit(false)))
+    val kept = toPhysical(
+      viewWithFile(touched)
+        .filter(!coalesce(predicate, lit(false)))
+        .drop("_graft_file"),
+      mapping)
     val newFiles = writeDataFiles(s, root, v, kept)
     writeManifestAtomic(s, root, v,
-      Map("op" -> "delete", "rewrote" -> touched.size.toString),
+      schemaMeta(s, root, cur) ++
+        Map("op" -> "delete", "rewrote" -> touched.size.toString),
       untouched ++ newFiles)
     v
+  }
+
+  /** Expire old snapshots (Iceberg `expire_snapshots`): keep the last
+    * `keepLast` versions, delete older manifests AND every data file
+    * referenced only by them. Without this a 100 TB table's storage
+    * grows without bound — every delete/compaction/overwrite keeps its
+    * pre-image alive. Live versions are untouched (their files are
+    * never rewritten, so reads stay byte-identical); expired versions
+    * become unreadable. Returns (expired versions, deleted data files).
+    */
+  def expire(s: SparkSession, root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val dir = manifestDir(root)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val versions = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toInt
+    }.sorted.toSeq
+    val (expired, live) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (expired.isEmpty) return (Seq.empty, Seq.empty)
+    val liveFiles = live.flatMap(v => dataFiles(s, root, v)).toSet
+    val orphaned = expired.flatMap(v => dataFiles(s, root, v)).distinct
+      .filterNot(liveFiles.contains)
+    // delete manifests FIRST: a crash mid-expire must never leave a
+    // readable version pointing at deleted data files
+    expired.foreach(v => fs.delete(new Path(s"$root/_manifests/v$v.manifest"), false))
+    orphaned.foreach(f => fs.delete(new Path(f), false))
+    (expired, orphaned)
   }
 
   private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] = {
@@ -151,10 +196,124 @@ object SnapshotTable {
         s"concurrent commit detected for $root version $v — manifest already exists")
   }
 
-  /** Read the table at a version (default: latest). */
+  // ----- schema evolution: rename / widen via column mapping --------
+  //
+  // Delta-style "column mapping by name": data files keep their
+  // PHYSICAL column names and types forever (immutable files); the
+  // manifest header carries logical→physical name mapping and
+  // logical type overrides, copied forward by every commit. Renames
+  // and widens are metadata-only commits — zero data rewritten, old
+  // versions still read with their old schema (time travel includes
+  // schema history, like Iceberg).
+
+  private val ColMapKey = "colmap"    // logical=physical,…
+  private val ColTypesKey = "coltypes" // logical=ddl type,…
+
+  private def parsePairs(v: Option[String]): Map[String, String] =
+    v.toSeq.flatMap(_.split(",")).flatMap { e =>
+      e.split("=", 2) match { case Array(k, x) => Some(k -> x); case _ => None }
+    }.toMap
+
+  private def renderPairs(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, x) => s"$k=$x" }.mkString(",")
+
+  /** logical name → physical (in-file) name at a version. */
+  def columnMapping(s: SparkSession, root: String, version: Int): Map[String, String] =
+    parsePairs(commitMeta(s, root, version).get(ColMapKey))
+
+  /** logical name → widened DDL type at a version. */
+  def columnTypes(s: SparkSession, root: String, version: Int): Map[String, String] =
+    parsePairs(commitMeta(s, root, version).get(ColTypesKey))
+
+  private def schemaMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
+    if (version < 1) Map.empty
+    else commitMeta(s, root, version).filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey)
+
+  /** Rename a column — metadata-only commit (no files touched). New
+    * files keep writing the ORIGINAL physical name; readers see the
+    * new logical name at this and later versions, the old name when
+    * time-traveling earlier.
+    */
+  def renameColumn(s: SparkSession, root: String, oldName: String, newName: String): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    val physical = mapping.getOrElse(oldName, oldName)
+    val newMapping = (mapping - oldName) + (newName -> physical)
+    val newTypes = types.get(oldName) match {
+      case Some(t) => (types - oldName) + (newName -> t)
+      case None => types
+    }
+    val meta = Map("op" -> s"rename:$oldName->$newName", ColMapKey -> renderPairs(newMapping)) ++
+      (if (newTypes.nonEmpty) Map(ColTypesKey -> renderPairs(newTypes)) else Map.empty)
+    val v = cur + 1
+    writeManifestAtomic(s, root, v, meta, dataFiles(s, root, cur))
+    v
+  }
+
+  /** Widen a column's logical type (int→bigint, float→double, …) —
+    * metadata-only commit. Old narrow files are upcast at read time;
+    * new files are written already-wide. Narrowing is rejected by the
+    * cast at read (Spark ANSI) rather than silently truncated.
+    */
+  def widenColumn(s: SparkSession, root: String, name: String, ddlType: String): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val types = columnTypes(s, root, cur) + (name -> ddlType)
+    val mapping = columnMapping(s, root, cur)
+    val meta = Map("op" -> s"widen:$name:$ddlType", ColTypesKey -> renderPairs(types)) ++
+      (if (mapping.nonEmpty) Map(ColMapKey -> renderPairs(mapping)) else Map.empty)
+    val v = cur + 1
+    writeManifestAtomic(s, root, v, meta, dataFiles(s, root, cur))
+    v
+  }
+
+  /** Physical file columns → the logical schema of a version. */
+  private def logicalView(df: DataFrame, mapping: Map[String, String], types: Map[String, String]): DataFrame = {
+    val renamed = mapping.foldLeft(df) { case (d, (logical, physical)) =>
+      if (physical != logical && d.columns.contains(physical))
+        d.withColumnRenamed(physical, logical)
+      else d
+    }
+    types.foldLeft(renamed) { case (d, (name, t)) =>
+      if (d.columns.contains(name)) d.withColumn(name, col(name).cast(t)) else d
+    }
+  }
+
+  /** Logical column names → physical for writing into a mapped table. */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (logical, physical)) =>
+      if (physical != logical && d.columns.contains(logical))
+        d.withColumnRenamed(logical, physical)
+      else d
+    }
+
+  /** Read the table at a version (default: latest), applying that
+    * version's column mapping and type overrides.
+    */
   def read(s: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(s, root) else version
-    s.read.parquet(dataFiles(s, root, v): _*)
+    val files = dataFiles(s, root, v)
+    val mapping = columnMapping(s, root, v)
+    val types = columnTypes(s, root, v)
+    val raw =
+      if (types.isEmpty) s.read.parquet(files: _*)
+      else {
+        // files written before a widen are physically narrow — hand the
+        // scan an explicit widened schema (Spark 4's parquet reader
+        // upcasts int32→bigint / float→double in place) so mixed-width
+        // file sets read as one type
+        val physTypes = types.map { case (l, t) => mapping.getOrElse(l, l) -> t }
+        val inferred = s.read.parquet(files: _*).schema
+        val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
+          physTypes.get(f.name)
+            .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+            .getOrElse(f)
+        })
+        s.read.schema(widened).parquet(files: _*)
+      }
+    logicalView(raw, mapping, types)
   }
 
   def drop(s: SparkSession, root: String): Unit = {

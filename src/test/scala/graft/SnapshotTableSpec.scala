@@ -133,6 +133,77 @@ class SnapshotTableSpec extends SparkSpec {
       if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet === Set(Some(1), None))
   }
 
+  test("expire keeps last n versions, deletes orphaned files, leaves live bytes alone") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_expire"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))            // v1
+    SnapshotTable.commit(spark, root, Seq(3).toDF("x"))               // v2 (append: shares v1 files)
+    SnapshotTable.commit(spark, root, Seq(9, 10).toDF("x"), append = false) // v3 (drops v1/v2 files)
+    SnapshotTable.commit(spark, root, Seq(11).toDF("x"))              // v4
+    val liveBefore = SnapshotTable.read(spark, root).collect().map(_.getInt(0)).sorted
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Files = SnapshotTable.dataFiles(spark, root, 1)
+    val v2Files = SnapshotTable.dataFiles(spark, root, 2)
+    val v3Files = SnapshotTable.dataFiles(spark, root, 3)
+    val v4Files = SnapshotTable.dataFiles(spark, root, 4)
+    val (expired, orphaned) = SnapshotTable.expire(spark, root, keepLast = 2)
+    assert(expired === Seq(1, 2))
+    // v1/v2's files are referenced by no live version → physically gone
+    assert(v1Files.forall(f => !fs.exists(new org.apache.hadoop.fs.Path(f))))
+    assert(orphaned.toSet === (v1Files ++ v2Files).toSet.diff((v3Files ++ v4Files).toSet))
+    // expired versions are unreadable
+    intercept[Exception](SnapshotTable.read(spark, root, 1).collect())
+    // live versions read exactly what they read before
+    assert(SnapshotTable.read(spark, root).collect().map(_.getInt(0)).sorted === liveBefore)
+    assert(SnapshotTable.read(spark, root, 3).collect().map(_.getInt(0)).toSet === Set(9, 10))
+    // files shared with live versions survive
+    assert(v3Files.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))))
+  }
+
+  test("renameColumn is metadata-only; old files read through the new name") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_rename"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1, "a"), (2, "b")).toDF("x", "tag")) // v1
+    val v1Files = SnapshotTable.dataFiles(spark, root, 1)
+    val v2 = SnapshotTable.renameColumn(spark, root, "x", "amount")             // v2: metadata only
+    assert(v2 === 2)
+    assert(SnapshotTable.dataFiles(spark, root, 2) === v1Files, "rename must not rewrite data")
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("amount", "tag"))
+    assert(SnapshotTable.read(spark, root).agg(org.apache.spark.sql.functions.sum("amount"))
+      .collect()(0).getLong(0) === 3)
+    // appends after the rename use the logical name; physical files stay on "x"
+    SnapshotTable.commit(spark, root, Seq((5, "c")).toDF("amount", "tag"))      // v3
+    val out = SnapshotTable.read(spark, root).orderBy("amount")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out === Array((1, "a"), (2, "b"), (5, "c")))
+    // time travel sees the schema of the day: v1 still reads as "x"
+    assert(SnapshotTable.read(spark, root, 1).columns.toSeq === Seq("x", "tag"))
+    // delete through the logical name still works and preserves mapping
+    SnapshotTable.deleteWhere(spark, root, col("amount") === 2)
+    assert(SnapshotTable.read(spark, root).orderBy("amount")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 5))
+  }
+
+  test("widenColumn upcasts old narrow files at read; new files write wide") {
+    val root = "/tmp/graft_test/snap_widen"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))          // int files
+    SnapshotTable.widenColumn(spark, root, "x", "bigint")
+    assert(SnapshotTable.read(spark, root).schema("x").dataType ===
+      org.apache.spark.sql.types.LongType)
+    SnapshotTable.commit(spark, root, Seq(3000000000L).toDF("x"))   // long file
+    assert(SnapshotTable.read(spark, root).agg(org.apache.spark.sql.functions.sum("x"))
+      .collect()(0).getLong(0) === 3000000003L)
+    // rename composes with widen
+    SnapshotTable.renameColumn(spark, root, "x", "big_x")
+    val df = SnapshotTable.read(spark, root)
+    assert(df.columns.toSeq === Seq("big_x"))
+    assert(df.schema("big_x").dataType === org.apache.spark.sql.types.LongType)
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
