@@ -44,11 +44,16 @@ object LakeOps {
         col("value").cast("double").as("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("date"))
       .withColumn("ingest_date", lit("2026-08-12"))
-    // repartition on the partition column first: each writer task owns
-    // whole partitions → exactly one file per (task, date), no
-    // small-file explosion at 1000 executors.
+    // repartition on (date, bounded salt) before the partitioned
+    // write: files stay O(dates × saltBuckets) — no small-file
+    // explosion at 1000 executors — while a hot date spreads over
+    // saltBuckets writer tasks instead of one straggler writing one
+    // giant file. Explicit partition count so AQE can't coalesce the
+    // spread away.
+    val saltBuckets = 4
     curated
-      .repartition(col("date"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("date"), pmod(xxhash64(col("event_id")), lit(saltBuckets)))
       .write.mode("overwrite").partitionBy("date").parquet(out)
     s.read.parquet(out)
       .groupBy(col("date").cast("string").as("date"))
@@ -164,6 +169,34 @@ object LakeOps {
     """SELECT event_type, CAST(SUM(CAST(FLOOR(value * 10) AS BIGINT)) AS BIGINT) AS total_score,
       | COUNT(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Hidden partitioning: the table is committed with the day(ts)
+    * TRANSFORM (reference DDL `WITH (partitioning = ARRAY['day(ts)'])`,
+    * RUNBOOK.md:91) — no materialized date column anywhere; the user
+    * filters raw `ts` and scan planning prunes through the transform
+    * from manifest-recorded partition values (pruning asserted in
+    * SnapshotTableSpec).
+    */
+  def hiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "hidden_day")
+    clean(s, root)
+    SnapshotTable.drop(s, root)
+    SnapshotTable.commitPartitionedByDay(s, root,
+      events(s, dir).select("event_id", "ts", "event_type", "value"), "ts")
+    SnapshotTable.readWhere(s, root,
+        col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-20").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val hiddenPartitioningOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   /** Small-file compaction preserving content byte-for-byte. */
@@ -408,5 +441,6 @@ object LakeOps {
     Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)),
     Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
-    Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)))
+    Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
+    Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
 }

@@ -1,0 +1,77 @@
+package graft.lake
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+
+/** Best-effort derivation of `day(ts)` partition bounds from a row
+  * predicate — the piece that makes HIDDEN partitioning useful: the
+  * user filters on `ts`, the table is partitioned by the transform
+  * `day(ts)` (reference DDL `WITH (partitioning = ARRAY['day(ts)'])`,
+  * RUNBOOK.md:91), and scan planning maps the ts bounds through the
+  * transform to skip partitions.
+  *
+  * Correctness NEVER depends on this: the full predicate is always
+  * re-applied after the scan, so an unrecognized predicate shape just
+  * means no pruning (scan everything), exactly like Iceberg's residual
+  * evaluation.
+  */
+object PartitionTransforms {
+
+  private val Utc = ZoneOffset.UTC
+
+  private def dayOfMicros(us: Long): String =
+    LocalDate.ofInstant(Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L), Utc).toString
+
+  /** Evaluate a foldable expression to a yyyy-MM-dd day string. */
+  private def dayOf(raw: Expression): Option[String] = {
+    // literals arrive as un-timezoned casts (col >= lit("…").cast("timestamp"));
+    // resolve them against UTC — the session timezone graft runs with
+    val e = raw.transform {
+      case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty => t.withTimeZone("UTC")
+    }
+    if (!e.foldable) None
+    else
+      try e.dataType match {
+        case TimestampType => Option(e.eval()).map(v => dayOfMicros(v.asInstanceOf[Long]))
+        case DateType => Option(e.eval()).map(v => LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+        case StringType => Option(e.eval()).map(_.toString.take(10))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def isCol(e: Expression, name: String): Boolean = e match {
+    case u: UnresolvedAttribute => u.name == name
+    case a: AttributeReference => a.name == name
+    case _ => false
+  }
+
+  /** (lower day, upper day) bounds implied by `e` for column `src`
+    * (inclusive, at day granularity). (None, None) = cannot prune.
+    */
+  def dayBounds(e: Expression, src: String): (Option[String], Option[String]) = e match {
+    case And(l, r) =>
+      val (ll, lu) = dayBounds(l, src)
+      val (rl, ru) = dayBounds(r, src)
+      (tighterLo(ll, rl), tighterHi(lu, ru))
+    case GreaterThanOrEqual(a, v) if isCol(a, src) => (dayOf(v), None)
+    case GreaterThan(a, v) if isCol(a, src) => (dayOf(v), None) // day granularity: ts > x ⇒ day ≥ day(x)
+    case LessThanOrEqual(a, v) if isCol(a, src) => (None, dayOf(v))
+    case LessThan(a, v) if isCol(a, src) => (None, dayOf(v))
+    case EqualTo(a, v) if isCol(a, src) => (dayOf(v), dayOf(v))
+    // mirrored operand order
+    case GreaterThanOrEqual(v, a) if isCol(a, src) => (None, dayOf(v))
+    case GreaterThan(v, a) if isCol(a, src) => (None, dayOf(v))
+    case LessThanOrEqual(v, a) if isCol(a, src) => (dayOf(v), None)
+    case LessThan(v, a) if isCol(a, src) => (dayOf(v), None)
+    case _ => (None, None)
+  }
+
+  private def tighterLo(a: Option[String], b: Option[String]) =
+    (a ++ b).reduceOption((x, y) => if (x >= y) x else y)
+  private def tighterHi(a: Option[String], b: Option[String]) =
+    (a ++ b).reduceOption((x, y) => if (x <= y) x else y)
+}

@@ -47,9 +47,24 @@ object SnapshotTable {
     finally in.close()
   }
 
-  /** Data files visible at a version (metadata header lines excluded). */
+  /** Data files visible at a version (metadata header lines excluded,
+    * per-file partition annotations stripped).
+    */
   def dataFiles(s: SparkSession, root: String, version: Int): Seq[String] =
-    manifestLines(s, root, version).filterNot(_.startsWith("#"))
+    manifestLines(s, root, version).filterNot(_.startsWith("#")).map(_.split('\t').head)
+
+  /** Data files with their manifest-recorded partition values —
+    * Iceberg-style: partition values live in table metadata, NOT in
+    * the file content, which is what makes the partitioning hidden.
+    */
+  def dataFilesWithPartitions(s: SparkSession, root: String, version: Int): Seq[(String, Map[String, String])] =
+    manifestLines(s, root, version).filterNot(_.startsWith("#")).map { line =>
+      val parts = line.split('\t')
+      val annots = parts.drop(1).flatMap { a =>
+        a.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+      }.toMap
+      (parts.head, annots)
+    }
 
   /** Metadata recorded with a commit (`#key=value` manifest header). */
   def commitMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
@@ -145,6 +160,91 @@ object SnapshotTable {
     v
   }
 
+  // ----- hidden partitioning: day(ts) transform --------------------
+
+  private val PartitionKey = "partition" // "<source>" — table is day(<source>)-partitioned
+
+  /** Commit with HIDDEN day(`source`) partitioning (the reference's
+    * `WITH (partitioning = ARRAY['day(ts)'])`, RUNBOOK.md:91). The
+    * transform value is computed at write time, used to direct rows
+    * into per-day files, recorded per file in the MANIFEST, and never
+    * stored in the file content — readers see the original schema
+    * only. Rows of one day spread across `saltBuckets` writer tasks,
+    * so a hot day costs bounded extra files instead of one straggler
+    * task writing one giant file.
+    */
+  def commitPartitionedByDay(
+      s: SparkSession, root: String, df: DataFrame, source: String,
+      append: Boolean = true, saltBuckets: Int = 4): Int = {
+    val cur = currentVersion(s, root)
+    val v = cur + 1
+    val pcol = "_graft_day"
+    val day = org.apache.spark.sql.functions.date_format(col(source), "yyyy-MM-dd")
+    val salt = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(
+        df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+    val dataDir = s"$root/data/v$v"
+    // explicit partition count: AQE would otherwise coalesce the
+    // write shuffle and undo the salt spread on small batches
+    val shufflePartitions = s.sessionState.conf.numShufflePartitions
+    df.withColumn(pcol, day)
+      .repartition(shufflePartitions, col(pcol), salt)
+      .write.mode("overwrite").partitionBy(pcol).parquet(dataDir)
+    // recursive listing: files live under data/vN/_graft_day=…/
+    val dataPath = new Path(dataDir)
+    val fs = fsOf(s, dataPath)
+    val it = fs.listFiles(dataPath, true)
+    val annotated = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val dayVal = f.getParent.getName.split("=", 2).lift(1).getOrElse("")
+        annotated += s"${f.toString}\t$pcol=$dayVal"
+      }
+    }
+    val base = if (append && v > 1) manifestLines(s, root, cur).filterNot(_.startsWith("#")) else Seq.empty
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) + (PartitionKey -> source),
+      base ++ annotated.sorted)
+    v
+  }
+
+  /** Read with a row predicate, pruning manifest entries THROUGH the
+    * day transform: bounds on the source timestamp column become day
+    * bounds on the per-file partition values. The full predicate is
+    * re-applied after the scan (residual evaluation), so unprunable
+    * predicate shapes stay correct — they just scan more.
+    */
+  def readWhere(s: SparkSession, root: String, predicate: Column, version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion(s, root) else version
+    val entries = dataFilesWithPartitions(s, root, v)
+    val mapping = columnMapping(s, root, v)
+    val types = columnTypes(s, root, v)
+    def view(files: Seq[String]) =
+      logicalView(s.read.parquet(files: _*), mapping, types).filter(predicate)
+    val full = view(entries.map(_._1))
+    val pruned = commitMeta(s, root, v).get(PartitionKey) match {
+      case Some(source) =>
+        // pattern-match the ANALYZED filter condition (the unresolved
+        // Column wraps lazy ColumnNodes in Spark 4) — resolved
+        // comparisons with analyzer-set cast timezones
+        val cond = full.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+        cond.map(PartitionTransforms.dayBounds(_, source)) match {
+          case Some((lo, hi)) if lo.nonEmpty || hi.nonEmpty => entries.collect {
+            case (f, annots) if annots.get("_graft_day").forall(d =>
+              lo.forall(d >= (_: String)) && hi.forall(d <= (_: String))) => f
+          }
+          case _ => entries.map(_._1)
+        }
+      case None => entries.map(_._1)
+    }
+    if (pruned.isEmpty) full.filter(lit(false)) // nothing matched: keep schema, no rows
+    else if (pruned.size == entries.size) full
+    else view(pruned)
+  }
+
   /** Expire old snapshots (Iceberg `expire_snapshots`): keep the last
     * `keepLast` versions, delete older manifests AND every data file
     * referenced only by them. Without this a 100 TB table's storage
@@ -227,7 +327,8 @@ object SnapshotTable {
 
   private def schemaMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
     if (version < 1) Map.empty
-    else commitMeta(s, root, version).filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey)
+    else commitMeta(s, root, version)
+      .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey || kv._1 == "partition")
 
   /** Rename a column — metadata-only commit (no files touched). New
     * files keep writing the ORIGINAL physical name; readers see the

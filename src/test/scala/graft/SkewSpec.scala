@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
   */
 class SkewSpec extends SparkSpec {
 
+  test("salted ingest spreads a hot date over tasks, file count stays O(dates)") {
+    lake.LakeOps.ingestPartitioned(spark, sf()).collect()
+    val out = new java.io.File(s"/tmp/graft_lake/${sf().replaceAll("[^A-Za-z0-9.]", "_")}/curated_events")
+    val dateDirs = out.listFiles().filter(d => d.isDirectory && d.getName.startsWith("date="))
+    assert(dateDirs.nonEmpty)
+    val filesPerDate = dateDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // bounded: never more than the salt-bucket count per date
+    assert(filesPerDate.forall(n => n >= 1 && n <= 4), s"file counts: ${filesPerDate.mkString(",")}")
+    // spread: the busiest date used more than one writer task
+    assert(filesPerDate.max > 1, "hot date should spread over multiple tasks")
+  }
+
   test("AQE splits a skewed sort-merge join partition") {
     val confs = Seq(
       "spark.sql.adaptive.enabled" -> "true",

@@ -204,6 +204,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(df.schema("big_x").dataType === org.apache.spark.sql.types.LongType)
   }
 
+  test("hidden day(ts) partitioning prunes files through the transform") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_test/snap_hidden"
+    SnapshotTable.drop(spark, root)
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      (lit("2024-01-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, CAST(id % 240 AS INT), 0, 0)")).as("ts"))
+    SnapshotTable.commitPartitionedByDay(spark, root, df, "ts", saltBuckets = 8)
+    val pred = col("ts") >= lit("2024-01-03").cast("timestamp") &&
+      col("ts") < lit("2024-01-05").cast("timestamp")
+    val out = SnapshotTable.readWhere(spark, root, pred)
+    // the partition column is hidden: readers see the original schema
+    assert(out.columns.toSeq === Seq("id", "ts"))
+    // pruning reached the transform: only day 03/04 (and the boundary
+    // day of the exclusive upper bound) files are scanned
+    val scanned = out.inputFiles
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(f => f.contains("_graft_day=2024-01-03") ||
+      f.contains("_graft_day=2024-01-04") || f.contains("_graft_day=2024-01-05")),
+      s"unpruned files: ${scanned.filterNot(_.contains("2024-01-0")).take(3).mkString(",")}")
+    val total = SnapshotTable.dataFiles(spark, root, 1).size
+    assert(scanned.length < total, "pruning must skip most files")
+    // residual predicate still applied exactly
+    assert(out.count() === df.filter(pred).count())
+    // hot-day salting: a day's rows spread across multiple writer tasks
+    // (multiple files) but stay bounded by the salt-bucket count
+    val day3 = SnapshotTable.dataFilesWithPartitions(spark, root, 1)
+      .filter(_._2.get("_graft_day").contains("2024-01-03"))
+    assert(day3.size > 1 && day3.size <= 8, s"expected 2-8 salted files, got ${day3.size}")
+    // unprunable predicate shapes fall back to full scan but stay correct
+    val odd = SnapshotTable.readWhere(spark, root, col("id") % 2 === 1)
+    assert(odd.count() === 1000)
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
