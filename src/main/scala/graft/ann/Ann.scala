@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,26 +22,34 @@ object Ann {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
 
-  // ---------------------------------------------------------------
-  /** Brute-force top-5 cosine neighbors for every 50th vector. */
-  def bruteForce(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        expr("graft_cosine(q_emb, embedding)").as("cos"))
-    // bounded top-k aggregate: map side forwards ≤5 pairs per query
-    // instead of the whole score set (vs. a window sort of all pairs)
+  private def explodeTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("q_id")
-      .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+      .agg(expr(s"graft_topk(cos, neighbor_id, $k)").as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
       .orderBy("q_id", "rank")
+
+  /** Exact top-k for a query subset: queries broadcast, corpus
+    * streams, bounded top-k partial agg (pinned in PlanShapeSpec).
+    */
+  def bruteForceKnn(s: SparkSession, corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_cosine(q_emb, embedding)").as("cos"))
+    // bounded top-k aggregate: map side forwards ≤k pairs per query
+    // instead of the whole score set (vs. a window sort of all pairs)
+    explodeTopK(scored, k)
   }
+
+  // ---------------------------------------------------------------
+  /** Brute-force top-5 cosine neighbors for every 50th vector. */
+  def bruteForce(s: SparkSession, dir: String): DataFrame =
+    bruteForceKnn(s, emb(s, dir), col("vec_id") % 50 === 0, k = 5)
 
   val bruteForceOracle: String =
     """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
@@ -61,18 +69,20 @@ object Ann {
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
-  /** LSH-bucketed ANN: two 8-bit hyperplane tables prune candidates;
-    * exact cosine re-ranks within buckets. Approximate → rows-only.
+  /** LSH-bucketed ANN core: `tables` hyperplane tables of `nBits`
+    * bits prune candidates; exact cosine re-ranks within buckets.
+    * More tables / fewer bits → higher recall, more candidates
+    * (measured by AnnRecallSpec / tools.RecallCurve).
     */
-  def lsh(s: SparkSession, dir: String): DataFrame = {
+  def lshKnn(
+      s: SparkSession, corpus: DataFrame, queryPred: Column,
+      k: Int, nBits: Int, tables: Seq[Long]): DataFrame = {
     GraftFunctions.register(s)
-    val e = emb(s, dir)
-    val tables = Seq(1L, 2L)
     val bucketed = tables.map { seed =>
-      e.select(col("vec_id"), col("embedding"), lit(seed).as("tbl"),
-        expr(s"graft_lsh_bucket(embedding, 8, $seed)").as("bucket"))
+      corpus.select(col("vec_id"), col("embedding"), lit(seed).as("tbl"),
+        expr(s"graft_lsh_bucket(embedding, $nBits, $seed)").as("bucket"))
     }.reduce(_ unionByName _)
-    val q = bucketed.filter(col("vec_id") % 50 === 0)
+    val q = bucketed.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
     val cand = bucketed.join(broadcast(q),
@@ -80,14 +90,12 @@ object Ann {
       .select(col("q_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
       .dropDuplicates("q_id", "neighbor_id")
       .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
-    cand
-      .groupBy("q_id")
-      .agg(expr("graft_topk(cos, neighbor_id, 3)").as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
-      .orderBy("q_id", "rank")
+    explodeTopK(cand, k)
   }
+
+  /** Registry entry: two 8-bit tables, top-3. Approximate → rows-only. */
+  def lsh(s: SparkSession, dir: String): DataFrame =
+    lshKnn(s, emb(s, dir), col("vec_id") % 50 === 0, k = 3, nBits = 8, tables = Seq(1L, 2L))
 
   // ---------------------------------------------------------------
   /** Lloyd refinement: reassign vectors to nearest centroid, then
@@ -117,44 +125,82 @@ object Ann {
     cents
   }
 
-  /** IVF-style ANN: a k-means coarse quantizer (16 seed centroids +
-    * 2 Lloyd rounds) partitions the corpus into inverted lists; each
-    * query probes its 4 nearest lists only. The scan cost drops from
-    * |corpus| to |probed lists| per query — the standard
-    * billion-vector scale path. Approximate → rows-only.
+  /** IVF-style ANN core: a k-means coarse quantizer (`nLists` seed
+    * centroids + `lloydIters` Lloyd rounds) partitions the corpus into
+    * inverted lists; each query probes its `nProbes` nearest lists
+    * only. The scan cost drops from |corpus| to |probed lists| per
+    * query — the standard billion-vector scale path. Recall vs probes
+    * is measured by AnnRecallSpec / tools.RecallCurve.
     */
-  def ivf(s: SparkSession, dir: String): DataFrame = {
+  def ivfKnn(
+      s: SparkSession, corpus: DataFrame, queryPred: Column,
+      k: Int, nLists: Int, nProbes: Int, lloydIters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
-    val e = emb(s, dir)
-    val seeds = e.filter(col("vec_id") < 16)
+    val seeds = corpus.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val centroids = refineCentroids(e, seeds, iters = 2)
+    val centroids = refineCentroids(corpus, seeds, iters = lloydIters)
     // inverted lists: every vector → nearest centroid
-    val assigned = e.join(broadcast(centroids))
+    val assigned = corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         expr("graft_cosine(embedding, c_emb)").as("c_cos"))
       .groupBy("vec_id")
       .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
       .select(col("vec_id"), col("top")(0).getField("id").as("cid"))
-      .join(e, Seq("vec_id"))
-    // queries probe their 4 nearest lists
-    val probes = e.filter(col("vec_id") % 50 === 0)
+      .join(corpus, Seq("vec_id"))
+    // queries probe their nProbes nearest lists
+    val probes = corpus.filter(queryPred)
       .join(broadcast(centroids))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"),
         expr("graft_cosine(embedding, c_emb)").as("c_cos"))
       .groupBy("q_id", "q_emb")
-      .agg(expr("graft_topk(c_cos, cid, 4)").as("top"))
+      .agg(expr(s"graft_topk(c_cos, cid, $nProbes)").as("top"))
       .select(col("q_id"), col("q_emb"), explode(expr("transform(top, t -> t.id)")).as("cid"))
     // search only within probed lists
-    probes.join(assigned, Seq("cid"))
+    val scored = probes.join(assigned, Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
-      .groupBy("q_id")
-      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"), round(col("col.score"), 6).as("cos"))
-      .orderBy("q_id", "rank")
+      .withColumn("neighbor_id", col("vec_id"))
+    explodeTopK(scored, k)
+  }
+
+  /** Registry entry: 16 lists, 4 probes, top-3. Approximate → rows-only. */
+  def ivf(s: SparkSession, dir: String): DataFrame =
+    ivfKnn(s, emb(s, dir), col("vec_id") % 50 === 0, k = 3, nLists = 16, nProbes = 4)
+
+  // ---------------------------------------------------------------
+  /** Deterministic clustered corpus for recall measurement. The
+    * testdata embeddings are quasi-uniform (true-NN recall from any
+    * bucketing caps out low by construction), so recall is validated
+    * on data with real cluster structure — the regime ANN indexes
+    * exist for. `clusters` unit-ish centers; each member = center +
+    * N(0, noise) per dim. vec_ids interleave (member*C + cluster) so
+    * any id-prefix or id-modulus picks vectors across clusters
+    * (ivfKnn seeds from the first `nLists` ids).
+    */
+  def clusteredCorpus(
+      s: SparkSession, clusters: Int, membersPerCluster: Int,
+      dims: Int, noise: Double, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(clusters, dims)(rnd.nextGaussian())
+    val rows = for {
+      m <- 0 until membersPerCluster
+      c <- 0 until clusters
+    } yield {
+      val v = Array.tabulate(dims)(i => (centers(c)(i) + rnd.nextGaussian() * noise).toFloat)
+      ((m * clusters + c).toLong, v)
+    }
+    import s.implicits._
+    rows.toDF("vec_id", "embedding").repartition(8, col("vec_id"))
+  }
+
+  /** recall@k of `approx` against exact `truth` (both in the
+    * explodeTopK output shape): matched (q_id, neighbor_id) pairs
+    * over truth pairs. Missing queries/short lists count as misses.
+    */
+  def recallAt(truth: DataFrame, approx: DataFrame): Double = {
+    val t = truth.select("q_id", "neighbor_id")
+    val hits = t.join(approx.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id")).count()
+    hits.toDouble / t.count()
   }
 
   // ---------------------------------------------------------------

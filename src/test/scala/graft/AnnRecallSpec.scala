@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+
+/** Recall validation for the approximate ANN paths (VERDICT round-1
+  * item 2): on a corpus with genuine cluster structure, lshKnn and
+  * ivfKnn must recover ≥90% of the exact top-10 neighbors, and
+  * recall must increase with more probes/tables (the tunable the
+  * operator exposes for the 100 TB path).
+  *
+  * The corpus is 25 clusters × 40 members in 16 dims (noise σ=0.15
+  * around unit-Gaussian centers) — vec_ids interleaved so the IVF
+  * seed prefix spans distinct clusters. Queries: every 41st id
+  * (41 ⊥ 25, so queries also span clusters).
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val corpus =
+    Ann.clusteredCorpus(spark, clusters = 25, membersPerCluster = 40,
+      dims = 16, noise = 0.15, seed = 42L).cache()
+
+  private val pred = col("vec_id") % 41 === 0
+  private val K = 10
+
+  private lazy val truth =
+    Ann.bruteForceKnn(spark, corpus, pred, k = K).cache()
+
+  test("ground truth covers every query with a full top-k") {
+    val counts = truth.groupBy("q_id").count().collect()
+    assert(counts.length == 25) // 1000 ids / 41 → 25 queries
+    assert(counts.forall(_.getLong(1) == K))
+  }
+
+  test("LSH recall@10 >= 0.9 at 8 bits x 4 tables") {
+    val approx = Ann.lshKnn(spark, corpus, pred, k = K, nBits = 8,
+      tables = Seq(1L, 2L, 3L, 4L))
+    val r = Ann.recallAt(truth, approx)
+    info(f"lsh recall@10 = $r%.3f (8 bits, 4 tables)")
+    assert(r >= 0.9, f"LSH recall $r%.3f below 0.9")
+  }
+
+  test("LSH recall improves with more tables") {
+    val r1 = Ann.recallAt(truth,
+      Ann.lshKnn(spark, corpus, pred, k = K, nBits = 8, tables = Seq(1L)))
+    val r4 = Ann.recallAt(truth,
+      Ann.lshKnn(spark, corpus, pred, k = K, nBits = 8, tables = Seq(1L, 2L, 3L, 4L)))
+    info(f"lsh recall@10: 1 table = $r1%.3f, 4 tables = $r4%.3f")
+    assert(r4 >= r1)
+  }
+
+  test("IVF recall@10 >= 0.9 at 25 lists x 4 probes") {
+    val approx = Ann.ivfKnn(spark, corpus, pred, k = K,
+      nLists = 25, nProbes = 4)
+    val r = Ann.recallAt(truth, approx)
+    info(f"ivf recall@10 = $r%.3f (25 lists, 4 probes)")
+    assert(r >= 0.9, f"IVF recall $r%.3f below 0.9")
+  }
+
+  test("IVF recall improves with more probes") {
+    val r1 = Ann.recallAt(truth,
+      Ann.ivfKnn(spark, corpus, pred, k = K, nLists = 25, nProbes = 1))
+    val r4 = Ann.recallAt(truth,
+      Ann.ivfKnn(spark, corpus, pred, k = K, nLists = 25, nProbes = 4))
+    info(f"ivf recall@10: 1 probe = $r1%.3f, 4 probes = $r4%.3f")
+    assert(r4 >= r1)
+  }
+}
