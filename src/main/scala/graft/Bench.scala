@@ -6,11 +6,21 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries materialize
   * through the `noop` sink so the full plan executes (a bare
   * `count()` would let Catalyst prune the projections being timed).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and
+  * reports the per-query MEDIAN — round-1 single runs carried
+  * multi-second GC/JIT artifacts (a trivial codegen'd agg once
+  * clocked 35 s cold vs 0.5 s warm), so one sample is not a gate.
+  * `spread` (max−min across reps) is emitted per query so the
+  * reader can judge stability; `value` is the sum of medians.
   */
 object Bench {
+  private def fmt(d: Double): String = f"$d%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,15 +36,21 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(times.length / 2)
+      (name, median, times.last - times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
