@@ -10,7 +10,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Relational2.queries ++ operators.Relational3.queries ++ operators.Advanced.queries ++ lake.LakeOps.queries ++
       text.TextAnalysis.queries ++ dedup.Dedup.queries ++ ann.Ann.queries ++
       multimodal.Multimodal.queries ++ streaming.Streaming.queries ++
-      quality.DataQuality.queries
+      quality.DataQuality.queries ++ sources.Catalog.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's headline query (avg value by key and day —

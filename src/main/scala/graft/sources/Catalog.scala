@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** Named-table catalog over the driver lake — the reference's
+  * `SHOW TABLES FROM iceberg.yfinance` / `DESCRIBE` surface
+  * (reference RUNBOOK.md:95) re-expressed through Spark's session
+  * catalog: external parquet tables registered in a `graft` database,
+  * plus a catalog VIEW for the nanos-timestamped events table (the
+  * same rebuild Tables.load does, but addressable by name). Listing
+  * and describe are catalog metadata ops — O(tables), no data scan;
+  * only the row counts touch data, and those are parquet
+  * footer-count scans.
+  */
+object Catalog {
+
+  val DB = "graft"
+
+  /** Idempotent (re)registration of every lake table under `graft.*`.
+    * At cluster scale `dir` is an object-store prefix and this is the
+    * one-time DDL a platform team runs; here it doubles as test setup.
+    */
+  def register(s: SparkSession, dir: String): Unit = {
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $DB")
+    // events.parquet is TIMESTAMP(NANOS): expose a view rebuilding a
+    // proper TimestampType (values are µs-precision — lossless), so
+    // `graft.events` shows the same schema a DuckDB/Trino user sees.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.filterNot(_ == "events").foreach { n =>
+      s.sql(s"DROP TABLE IF EXISTS $DB.$n")
+      s.catalog.createTable(s"$DB.$n", "parquet", Map("path" -> s"$dir/$n.parquet"))
+    }
+    s.sql(
+      s"""CREATE OR REPLACE VIEW $DB.events AS
+         |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+         |       user_id, event_type, value, props
+         |FROM parquet.`$dir/events.parquet`""".stripMargin)
+  }
+
+  /** SHOW TABLES equivalent: names straight from the catalog listing
+    * (filtered to the database — temp views excluded), one count(*)
+    * per table. The collect() is catalog metadata (tens of names),
+    * not data.
+    */
+  def tablesListing(s: SparkSession, dir: String): DataFrame = {
+    register(s, dir)
+    val names = s.sql(s"SHOW TABLES IN $DB")
+      .where(!col("isTemporary"))
+      .select("tableName").collect().map(_.getString(0)).sorted
+    names.map { n =>
+      val df = s.table(s"$DB.$n")
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(
+          lit(n).as("table_name"), col("n_rows"),
+          lit(df.schema.size).cast("long").as("n_cols"))
+    }.reduce(_ union _).orderBy("table_name")
+  }
+
+  /** DESCRIBE parity: (table, column, type) for every registered
+    * table, through the real `DESCRIBE TABLE` surface.
+    */
+  def describeAll(s: SparkSession, dir: String): DataFrame = {
+    register(s, dir)
+    Tables.all.sorted.map { n =>
+      s.sql(s"DESCRIBE TABLE $DB.$n")
+        .where(!col("col_name").startsWith("#") && col("col_name") =!= "")
+        .select(
+          lit(n).as("table_name"),
+          col("col_name").as("column_name"),
+          col("data_type"))
+    }.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  // ----------------------------------------------------------------
+  // oracles: DuckDB recomputes the listing from its own metadata
+  // (pragma_table_info over the same parquet views), with its type
+  // names mapped to Spark's simpleString spelling.
+
+  // Raw parquet timestamps (isAdjustedToUTC=false) surface in Spark as
+  // TIMESTAMP_NTZ; the events view deliberately rebuilds an instant
+  // (TimestampType), so its mapping differs per table.
+  private def typeCase(table: String) = {
+    val ts = if (table == "events") "timestamp" else "timestamp_ntz"
+    s"""CASE type WHEN 'INTEGER' THEN 'int' WHEN 'BIGINT' THEN 'bigint'
+       | WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+       | WHEN 'TIMESTAMP' THEN '$ts' WHEN 'FLOAT[]' THEN 'array<float>'
+       | ELSE lower(type) END""".stripMargin.replace("\n", "")
+  }
+
+  private def tablesOracle: String =
+    Tables.all.sorted.map { n =>
+      s"""SELECT '$n' AS table_name, (SELECT count(*) FROM "$n") AS n_rows,
+         | (SELECT count(*) FROM pragma_table_info('$n')) AS n_cols""".stripMargin.replace("\n", "")
+    }.mkString("SELECT table_name, n_rows, n_cols FROM (", " UNION ALL ", ") ORDER BY table_name")
+
+  private def describeOracle: String =
+    Tables.all.sorted.map { n =>
+      s"SELECT '$n' AS table_name, name AS column_name, ${typeCase(n)} AS data_type FROM pragma_table_info('$n')"
+    }.mkString(
+      "SELECT table_name, column_name, data_type FROM (",
+      " UNION ALL ",
+      ") ORDER BY table_name, column_name")
+
+  def queries: Seq[Q] = Seq(
+    Q("catalog_tables", (s, dir) => tablesListing(s, dir), Some(tablesOracle)),
+    Q("catalog_describe", (s, dir) => describeAll(s, dir), Some(describeOracle)))
+}
