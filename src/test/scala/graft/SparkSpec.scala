@@ -10,6 +10,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    // static conf for SqlEndpointSpec: serve JDBC clients from this
+    // session so temp state stays visible (see SqlEndpoint.start)
+    .config("spark.sql.hive.thriftServer.singleSession", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.DriverManager
+
+import graft.sources.Catalog
+
+/** Drives the in-process Thrift/JDBC endpoint the way a BI tool
+  * would: two concurrent JDBC clients listing the catalog and running
+  * aggregates over the named tables.
+  */
+class SqlEndpointSpec extends SparkSpec {
+
+  private lazy val port: Int = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
+
+  private lazy val server: Unit = {
+    Catalog.register(spark, sf())
+    graft.endpoint.SqlEndpoint.start(spark, port)
+  }
+
+  private def connect(): java.sql.Connection = {
+    server // force start
+    // the server binds asynchronously; retry briefly
+    var last: Throwable = null
+    for (_ <- 1 to 30) {
+      try return DriverManager.getConnection(s"jdbc:hive2://localhost:$port/default", "", "")
+      catch { case t: Throwable => last = t; Thread.sleep(1000) }
+    }
+    throw last
+  }
+
+  test("JDBC client sees the graft catalog and query results match spark.sql") {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery("SHOW TABLES IN graft")
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(2)).toSet
+      assert(Set("lineitem", "events", "embeddings").subsetOf(names), names.toString)
+      val rs2 = st.executeQuery(
+        "SELECT count(*) AS n, count(distinct l_orderkey) AS k FROM graft.lineitem")
+      assert(rs2.next())
+      val direct = spark.sql(
+        "SELECT count(*) AS n, count(distinct l_orderkey) AS k FROM graft.lineitem").head()
+      assert(rs2.getLong(1) == direct.getLong(0) && rs2.getLong(2) == direct.getLong(1))
+    } finally conn.close()
+  }
+
+  test("two concurrent clients run independent queries") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      "SELECT count(*) FROM graft.orders",
+      "SELECT count(*) FROM graft.customer").map { q =>
+      Future {
+        val c = connect()
+        try {
+          val rs = c.createStatement().executeQuery(q)
+          rs.next(); rs.getLong(1)
+        } finally c.close()
+      }
+    }
+    val Seq(nOrders, nCust) = Await.result(Future.sequence(fs), 120.seconds)
+    assert(nOrders > 0 && nCust > 0 && nOrders != nCust)
+  }
+
+  test("graft_* functions are callable over JDBC") {
+    val conn = connect()
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      assert(rs.next() && math.abs(rs.getDouble(1) - 1.0) < 1e-9)
+    } finally conn.close()
+  }
+}
