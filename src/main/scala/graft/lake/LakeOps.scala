@@ -142,6 +142,32 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Row-level UPDATE (copy-on-write, shared planner with DELETE):
+    * errors get their value zeroed and are re-tagged 'error_voided'.
+    * Only files containing error rows rewrite; the oracle recomputes
+    * the post-update content with a CASE over the raw table.
+    */
+  def updateRows(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_update")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    SnapshotTable.updateWhere(s, root, col("event_type") === "error",
+      Map("value" -> lit(0.0), "event_type" -> lit("error_voided")))
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val updateRowsOracle: String =
+    s"""SELECT CASE WHEN event_type = 'error' THEN 'error_voided' ELSE event_type END AS event_type,
+       | COUNT(*) AS n,
+       | ${sqlSumMoney("CASE WHEN event_type = 'error' THEN 0.0 ELSE value END", "total_value")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Schema evolution beyond add-column: rename + widen through the
     * column-mapping layer. v1 files store `points:int`; the column is
     * renamed to `score` and widened to bigint (both metadata-only
@@ -441,6 +467,7 @@ object LakeOps {
     Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)),
     Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
+    Q("lake_update", updateRows, Some(updateRowsOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
 }

@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Minimal Iceberg-style snapshot table: versioned manifests over
   * immutable parquet data files.
@@ -127,7 +127,38 @@ object SnapshotTable {
     * where it is NULL stay. Returns the new version (unchanged current
     * version when nothing matched).
     */
-  def deleteWhere(s: SparkSession, root: String, predicate: Column): Int = {
+  def deleteWhere(s: SparkSession, root: String, predicate: Column): Int =
+    copyOnWrite(s, root, predicate, "delete") { (df, p) =>
+      df.filter(!coalesce(p, lit(false)))
+    }
+
+  /** Row-level UPDATE, same copy-on-write planning as [[deleteWhere]]:
+    * only files containing matching rows are rewritten, with each SET
+    * column replaced where the predicate is TRUE (NULL predicate rows
+    * keep their values, like SQL UPDATE). Assignments are cast to the
+    * column's existing logical type so the physical schema never
+    * drifts. Time travel preserved.
+    */
+  def updateWhere(
+      s: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column]): Int =
+    copyOnWrite(s, root, predicate, "update") { (df, p) =>
+      set.foldLeft(df) { case (d, (name, value)) =>
+        require(d.columns.contains(name), s"unknown SET column $name")
+        d.withColumn(name,
+          when(coalesce(p, lit(false)), value.cast(d.schema(name).dataType))
+            .otherwise(col(name)))
+      }
+    }
+
+  /** Shared copy-on-write planner: find the data files that actually
+    * contain predicate-matching rows (via `_metadata.file_path`, a
+    * predicate-pushed metadata-scale scan), rewrite ONLY those through
+    * `rewrite`, re-list every untouched file in the new manifest.
+    */
+  private def copyOnWrite(
+      s: SparkSession, root: String, predicate: Column, op: String)(
+      rewrite: (DataFrame, Column) => DataFrame): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
     val files = dataFiles(s, root, cur)
@@ -147,15 +178,13 @@ object SnapshotTable {
     val (touched, untouched) = files.partition(f => affected.contains(norm(f)))
     if (touched.isEmpty) return cur
     val v = cur + 1
-    val kept = toPhysical(
-      viewWithFile(touched)
-        .filter(!coalesce(predicate, lit(false)))
-        .drop("_graft_file"),
+    val rewritten = toPhysical(
+      rewrite(viewWithFile(touched), predicate).drop("_graft_file"),
       mapping)
-    val newFiles = writeDataFiles(s, root, v, kept)
+    val newFiles = writeDataFiles(s, root, v, rewritten)
     writeManifestAtomic(s, root, v,
       schemaMeta(s, root, cur) ++
-        Map("op" -> "delete", "rewrote" -> touched.size.toString),
+        Map("op" -> op, "rewrote" -> touched.size.toString),
       untouched ++ newFiles)
     v
   }

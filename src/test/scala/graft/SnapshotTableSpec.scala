@@ -122,6 +122,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.deleteWhere(spark, root, col("x") === 999) === 3)
   }
 
+  test("updateWhere rewrites only affected files and keeps NULL-predicate rows unchanged") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = "/tmp/graft_test/snap_update"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1, 10), (2, 20)).toDF("k", "v").repartition(1))
+    SnapshotTable.commit(spark, root, Seq((3, 30), (4, 40)).toDF("k", "v").repartition(1))
+    val filesBefore = SnapshotTable.dataFiles(spark, root, 2)
+    val v = SnapshotTable.updateWhere(spark, root, col("k") === 2, Map("v" -> lit(99)))
+    assert(v === 3)
+    assert(SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet === Set((1, 10), (2, 99), (3, 30), (4, 40)))
+    // only the file containing k=2 was rewritten
+    val filesAfter = SnapshotTable.dataFiles(spark, root, 3)
+    assert(filesBefore.toSet.intersect(filesAfter.toSet).nonEmpty)
+    assert(SnapshotTable.commitMeta(spark, root, 3).get("op") === Some("update"))
+    // time travel: pre-update content intact
+    assert(SnapshotTable.read(spark, root, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet === Set((1, 10), (2, 20), (3, 30), (4, 40)))
+    // no-match update is a no-op
+    assert(SnapshotTable.updateWhere(spark, root, col("k") === 999, Map("v" -> lit(0))) === 3)
+    // NULL predicate rows keep their values; SET casts to the existing type
+    val root2 = "/tmp/graft_test/snap_update_null"
+    SnapshotTable.drop(spark, root2)
+    SnapshotTable.commit(spark, root2, Seq(Some(1), None, Some(3)).toDF("x"))
+    SnapshotTable.updateWhere(spark, root2, col("x") > 2, Map("x" -> lit(0L)))
+    assert(SnapshotTable.read(spark, root2).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet === Set(Some(1), None, Some(0)))
+  }
+
   test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_delete_null"
