@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+import graft.operators.OracleSafe._
+
+/** Price-lake analytics — the query surface a user of the reference's
+  * yfinance OHLCV lake (dags/yfinance_to_minio.py:64-71 tidy frame:
+  * ticker/ts/open/high/low/close/volume; notebooks cell 5 AVG(close)
+  * GROUP BY ticker) actually runs day to day: resampled OHLC bars,
+  * VWAP, rolling averages, period returns. Modeled on the synthetic
+  * tables: `events` plays the tick stream (event_type = instrument,
+  * value = price), `lineitem` plays the trade blotter (extendedprice =
+  * notional, quantity = size).
+  *
+  * Scale notes: OHLC open/close are `min/max(struct(ts, id, value))` —
+  * a plain aggregate with map-side partial combine, ONE shuffle on the
+  * group keys and no window sort; at 100 TB that beats the textbook
+  * ROW_NUMBER formulation (full sort per key) by the width of the sort.
+  * Rolling stats window over DAILY bars (cardinality = instruments ×
+  * days, already reduced), never over raw ticks.
+  */
+object Finance {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Deterministic tick ordering: (ts, event_id) is unique. Struct
+    * comparison is lexicographic, so min picks the earliest tick and
+    * carries its price along — no window, partial-aggregable.
+    */
+  private val tickOrder = struct(col("ts"), col("event_id"), col("value"))
+
+  // ---------------------------------------------------------------
+  /** Daily OHLC bars per instrument: the reference lake's raison
+    * d'être (fact_price is an OHLCV table, RUNBOOK.md:91). Open/close
+    * via struct-min/max (see scale note above); high/low/volume are
+    * trivial partials.
+    */
+  def ohlcDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(tickOrder).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(tickOrder).getField("value").as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("event_type", "day")
+
+  val ohlcDailyOracle: String =
+    """SELECT event_type, day, open, high, low, close, n_ticks FROM (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |   MAX(value) AS high, MIN(value) AS low,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |   COUNT(*) AS n_ticks
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) x
+      |  GROUP BY 1, 2) bars
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Monthly VWAP from the trade blotter: Σ notional / Σ size, both
+    * sums in exact fixed-point so the ratio is order-independent.
+    * One partial-aggregable shuffle; group count is bounded
+    * (flags × months), so the result is driver-small at any SF.
+    */
+  def vwapMonthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy("l_returnflag", "month")
+      .agg(
+        (sum(cents(col("l_extendedprice"))).cast("double") /
+          sum(cents(col("l_quantity"))).cast("double")).as("vwap"),
+        sumMoney(col("l_extendedprice")).as("notional"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("l_returnflag", "month")
+
+  val vwapMonthlyOracle: String =
+    s"""SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS month,
+       | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+       |   / CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS vwap,
+       | ${sqlSumMoney("l_extendedprice", "notional")},
+       | COUNT(*) AS n_trades
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** 7-day moving average price per instrument, computed over daily
+    * bars (not ticks): inner agg reduces to instruments × days rows,
+    * then the window sums two exact integers over a 7-row frame —
+    * the division is the only float op, so the result is
+    * order-independent. ISO day strings sort chronologically.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(sum(cents(col("value"))).as("day_cents"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7",
+        sum(col("day_cents")).over(w).cast("double") / lit(100.0) /
+          sum(col("n")).over(w).cast("double"))
+      .select("event_type", "day", "ma7", "n")
+      .orderBy("event_type", "day")
+  }
+
+  val movingAvgOracle: String =
+    """SELECT event_type, day,
+      | CAST(SUM(day_cents) OVER w AS DOUBLE) / 100.0 / CAST(SUM(n) OVER w AS DOUBLE) AS ma7,
+      | n
+      |FROM (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2) daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Day-over-day close-to-close returns in basis points. Close comes
+    * from the same struct-max aggregate as the OHLC bars; LAG runs
+    * over daily bars. The ratio of two raw doubles is IEEE-exact in
+    * both engines; ROUND(...) pins the hash.
+    */
+  def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+    val bars = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    bars
+      .withColumn("prev_close", lag("close", 1).over(w))
+      .withColumn("ret_bps",
+        round((col("close") / col("prev_close") - 1) * 10000).cast("long"))
+      .select("event_type", "day", "close", "ret_bps")
+      .orderBy("event_type", "day")
+  }
+
+  val dailyReturnsOracle: String =
+    """SELECT event_type, day, close,
+      | CAST(ROUND((close / LAG(close) OVER (PARTITION BY event_type ORDER BY day) - 1) * 10000) AS BIGINT) AS ret_bps
+      |FROM (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) x
+      |  GROUP BY 1, 2) bars
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  val queries: Seq[Q] = Seq(
+    Q("q_fin_ohlc_daily", ohlcDaily, Some(ohlcDailyOracle)),
+    Q("q_fin_vwap", vwapMonthly, Some(vwapMonthlyOracle)),
+    Q("q_fin_moving_avg", movingAvg, Some(movingAvgOracle)),
+    Q("q_fin_returns", dailyReturns, Some(dailyReturnsOracle)))
+}

@@ -124,4 +124,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must be a bucket equi-join:\n${p.take(2000)}")
   }
+
+  test("OHLC bars aggregate with a partial phase, no per-tick window sort") {
+    val p = planOf("q_fin_ohlc_daily")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"open/close must be map-side partial struct-min/max aggs:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "OHLC must not rank raw ticks with a window function")
+  }
 }
