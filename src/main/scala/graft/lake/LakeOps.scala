@@ -168,6 +168,39 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** CDF-style version diff: commit pre-cutoff events (v1), append the
+    * rest (v2), DELETE clicks (v3), then ask for the net row changes
+    * v1→v3. Inserts = post-cutoff non-clicks (the append, minus what
+    * the delete later removed); deletes = pre-cutoff clicks. Only
+    * manifest-differing files are read (pinned in SnapshotTableSpec);
+    * the oracle recomputes both legs from the raw table.
+    */
+  def versionDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_diff")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < cutoff))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= cutoff))
+    SnapshotTable.deleteWhere(s, root, col("event_type") === "click")
+    SnapshotTable.changes(s, root, 1, 3)
+      .groupBy("change_type", "event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("change_type", "event_type")
+  }
+
+  val versionDiffOracle: String =
+    s"""SELECT 'insert' AS change_type, event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND event_type <> 'click'
+       |GROUP BY 2
+       |UNION ALL
+       |SELECT 'delete' AS change_type, event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE ts < TIMESTAMP '2024-01-15' AND event_type = 'click'
+       |GROUP BY 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Schema evolution beyond add-column: rename + widen through the
     * column-mapping layer. v1 files store `points:int`; the column is
     * renamed to `score` and widened to bigint (both metadata-only
@@ -468,6 +501,7 @@ object LakeOps {
     Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
     Q("lake_update", updateRows, Some(updateRowsOracle)),
+    Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
 }

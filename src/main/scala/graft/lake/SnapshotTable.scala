@@ -424,7 +424,15 @@ object SnapshotTable {
     */
   def read(s: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(s, root) else version
-    val files = dataFiles(s, root, v)
+    readFiles(s, root, v, dataFiles(s, root, v))
+  }
+
+  /** Read an explicit file subset through a version's column mapping +
+    * type overrides (physical names are stable across renames, so old
+    * files read correctly under a newer version's schema).
+    */
+  private def readFiles(
+      s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame = {
     val mapping = columnMapping(s, root, v)
     val types = columnTypes(s, root, v)
     val raw =
@@ -444,6 +452,41 @@ object SnapshotTable {
         s.read.schema(widened).parquet(files: _*)
       }
     logicalView(raw, mapping, types)
+  }
+
+  /** CDF-style row changes between two versions, Delta-CDF semantics
+    * without persisted change files: `change_type` is 'insert' or
+    * 'delete'; an UPDATE surfaces as its before-image delete plus
+    * after-image insert. Scale story: only data files whose manifest
+    * entries DIFFER between the versions are read (unchanged re-listed
+    * files never touch disk — check `df.inputFiles`), and the
+    * exceptAll that nets out rewritten-file overlap shuffles
+    * O(changed rows), not O(table). Both sides read through the
+    * to-version schema, so diffs span renames/widens.
+    */
+  def changes(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"changes requires fromV <= toV, got $fromV > $toV")
+    def norm(p: String) = new Path(p).toUri.getPath
+    val fromFiles = dataFiles(s, root, fromV)
+    val toFiles = dataFiles(s, root, toV)
+    val fromSet = fromFiles.map(norm).toSet
+    val toSet = toFiles.map(norm).toSet
+    val added = toFiles.filterNot(f => fromSet.contains(norm(f)))
+    val removed = fromFiles.filterNot(f => toSet.contains(norm(f)))
+    // empty-side frames need the to-version schema; derive it cheaply
+    // from the other side (at least one side is non-empty unless the
+    // versions are file-identical)
+    def readOr(files: Seq[String], other: Seq[String]): DataFrame =
+      if (files.nonEmpty) readFiles(s, root, toV, files)
+      else readFiles(s, root, toV, other).limit(0)
+    if (added.isEmpty && removed.isEmpty)
+      return read(s, root, toV).limit(0)
+        .withColumn("change_type", lit(""))
+    val after = readOr(added, removed)
+    val before = readOr(removed, added)
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
 
   def drop(s: SparkSession, root: String): Unit = {

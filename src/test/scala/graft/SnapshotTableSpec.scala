@@ -151,6 +151,31 @@ class SnapshotTableSpec extends SparkSpec {
       if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet === Set(Some(1), None, Some(0)))
   }
 
+  test("changes() diffs versions reading only manifest-differing files") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_changes"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x").repartition(1))   // v1
+    SnapshotTable.commit(spark, root, Seq(10, 11).toDF("x").repartition(1)) // v2 append
+    SnapshotTable.deleteWhere(spark, root, col("x") === 1)                  // v3 rewrite of v1's file
+    val diff = SnapshotTable.changes(spark, root, 1, 3)
+    val got = diff.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // net of the rewrite: x=2 survives in the rewritten file and cancels out
+    assert(got === Set((10, "insert"), (11, "insert"), (1, "delete")))
+    // the untouched v2 file IS part of the diff (it was added); but an
+    // unchanged re-listed file must never be scanned: diff v2→v3 only
+    // touches the rewritten file pair, not v2's append
+    val d23 = SnapshotTable.changes(spark, root, 2, 3)
+    assert(d23.collect().map(r => (r.getInt(0), r.getString(1))).toSet === Set((1, "delete")))
+    val v2Only = SnapshotTable.dataFiles(spark, root, 2).toSet
+      .intersect(SnapshotTable.dataFiles(spark, root, 3).toSet)
+    val scanned = d23.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    assert(v2Only.map(f => new java.net.URI(f).getPath).intersect(scanned).isEmpty,
+      "files re-listed unchanged across versions must not be read")
+    // identical versions → empty diff
+    assert(SnapshotTable.changes(spark, root, 3, 3).count() === 0)
+  }
+
   test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_delete_null"
