@@ -157,9 +157,64 @@ object Finance {
       |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Calendar gap-fill + last-observation-carried-forward: market
+    * holidays leave holes in the bar series; downstream models want a
+    * dense panel. Gaps are planted by dropping four known days from
+    * the tick stream, then a calendar spine (instrument × day cross
+    * join — cardinality instruments × days, tiny next to the ticks)
+    * left-joins the bars and LOCF fills the close. The window carries
+    * per instrument over days — bounded partitions, no global sort.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val holidays = Seq("2024-01-04", "2024-01-11", "2024-01-18", "2024-01-25")
+    val bars = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(!col("day").isin(holidays: _*))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+    val spine = bars.select("event_type").distinct()
+      .crossJoin(s.range(1)
+        .select(explode(sequence(
+          to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d"))
+        .select(col("d").cast("string").as("day")))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bars, Seq("event_type", "day"), "left")
+      .withColumn("close_filled", last("close", ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("close").isNull)
+      .select("event_type", "day", "close_filled", "is_gap")
+      .orderBy("event_type", "day")
+  }
+
+  val gapFillOracle: String =
+    """SELECT event_type, day,
+      | LAST_VALUE(close IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+      | (close IS NULL) AS is_gap
+      |FROM (
+      |  SELECT s.event_type, s.day, bars.close
+      |  FROM (SELECT et.event_type, CAST(d.day AS VARCHAR) AS day
+      |        FROM (SELECT DISTINCT event_type FROM events
+      |              WHERE CAST(CAST(ts AS DATE) AS VARCHAR) NOT IN
+      |                ('2024-01-04','2024-01-11','2024-01-18','2024-01-25')) et
+      |        CROSS JOIN (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) d) s
+      |  LEFT JOIN (
+      |    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |     MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |    FROM (SELECT *,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |     FROM events
+      |     WHERE CAST(CAST(ts AS DATE) AS VARCHAR) NOT IN
+      |       ('2024-01-04','2024-01-11','2024-01-18','2024-01-25')) x
+      |    GROUP BY 1, 2) bars
+      |   ON s.event_type = bars.event_type AND s.day = bars.day) panel
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("q_fin_ohlc_daily", ohlcDaily, Some(ohlcDailyOracle)),
     Q("q_fin_vwap", vwapMonthly, Some(vwapMonthlyOracle)),
     Q("q_fin_moving_avg", movingAvg, Some(movingAvgOracle)),
-    Q("q_fin_returns", dailyReturns, Some(dailyReturnsOracle)))
+    Q("q_fin_returns", dailyReturns, Some(dailyReturnsOracle)),
+    Q("q_fin_gapfill", gapFill, Some(gapFillOracle)))
 }

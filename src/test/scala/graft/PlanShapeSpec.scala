@@ -125,6 +125,18 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate generation must be a bucket equi-join:\n${p.take(2000)}")
   }
 
+  test("range join runs as a shuffle equi-join on the bin, never BNLJ") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q_range_join")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"interval join must be bin-bucketed, not O(NxM):\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on _graft_bin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("OHLC bars aggregate with a partial phase, no per-tick window sort") {
     val p = planOf("q_fin_ohlc_daily")
     assert(p.contains("partial_min") && p.contains("partial_max"),
