@@ -157,6 +157,101 @@ object Finance {
       |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Max drawdown per instrument: running peak of the close, then the
+    * worst peak-to-trough drop in bps. Windows run over daily bars
+    * (bounded partitions); the running max is deterministic, the
+    * close/peak ratio is IEEE-exact, ROUND pins the hash.
+    */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val bars = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("peak", max(col("close")).over(wRun))
+      .withColumn("dd_bps",
+        round((col("close") / col("peak") - 1) * 10000).cast("long"))
+      .groupBy("event_type")
+      .agg(min(col("dd_bps")).as("max_drawdown_bps"), count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  val drawdownOracle: String =
+    """SELECT event_type, MIN(dd_bps) AS max_drawdown_bps, COUNT(*) AS n_days
+      |FROM (
+      |  SELECT event_type,
+      |   CAST(ROUND((close / MAX(close) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) * 10000) AS BIGINT) AS dd_bps
+      |  FROM (
+      |    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |     MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |    FROM (SELECT *,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |     FROM events) x
+      |    GROUP BY 1, 2) bars) dd
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Pairwise return correlation between instruments. The naive
+    * `corr()` aggregate sums double products in partition order —
+    * non-deterministic under parallelism — so returns are first
+    * quantized to integer bps and the five correlation sums are EXACT
+    * BIGINTs; the Pearson formula turns float only at the final
+    * sqrt/divide, which is IEEE-identical in any engine. Self-join is
+    * on daily bars (dimension-bounded), not ticks.
+    */
+  def correlation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val ret = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+      .withColumn("prev", lag("close", 1).over(w))
+      .withColumn("r", round((col("close") / col("prev") - 1) * 10000).cast("long"))
+      .filter(col("r").isNotNull)
+      .select("event_type", "day", "r")
+    val a = ret.toDF("a_type", "day", "x")
+    val b = ret.toDF("b_type", "day", "y")
+    a.join(b, "day").filter(col("a_type") < col("b_type"))
+      .groupBy("a_type", "b_type")
+      .agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("a_type"), col("b_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_ret"))
+      .orderBy("a_type", "b_type")
+  }
+
+  val correlationOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) t GROUP BY 1, 2),
+      |ret AS (
+      |  SELECT event_type, day,
+      |   CAST(ROUND((close / LAG(close) OVER (PARTITION BY event_type ORDER BY day) - 1) * 10000) AS BIGINT) AS r
+      |  FROM bars QUALIFY r IS NOT NULL),
+      |sums AS (
+      |  SELECT a.event_type AS a_type, b.event_type AS b_type, COUNT(*) AS n,
+      |   SUM(a.r) AS sx, SUM(b.r) AS sy, SUM(a.r * b.r) AS sxy,
+      |   SUM(a.r * a.r) AS sxx, SUM(b.r * b.r) AS syy
+      |  FROM ret a JOIN ret b ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a_type, b_type, n,
+      | CAST(n * sxy - sx * sy AS DOUBLE) /
+      |  (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_ret
+      |FROM sums ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Calendar gap-fill + last-observation-carried-forward: market
     * holidays leave holes in the bar series; downstream models want a
     * dense panel. Gaps are planted by dropping four known days from
@@ -216,5 +311,7 @@ object Finance {
     Q("q_fin_vwap", vwapMonthly, Some(vwapMonthlyOracle)),
     Q("q_fin_moving_avg", movingAvg, Some(movingAvgOracle)),
     Q("q_fin_returns", dailyReturns, Some(dailyReturnsOracle)),
-    Q("q_fin_gapfill", gapFill, Some(gapFillOracle)))
+    Q("q_fin_gapfill", gapFill, Some(gapFillOracle)),
+    Q("q_fin_drawdown", drawdown, Some(drawdownOracle)),
+    Q("q_fin_correlation", correlation, Some(correlationOracle)))
 }

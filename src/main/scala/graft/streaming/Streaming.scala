@@ -120,6 +120,30 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------
+  /** Daily OHLC bars as a streaming transform — the same
+    * struct-min/max aggregation as Finance.ohlcDaily, grouped on a
+    * tumbling event-time window so it runs unchanged under
+    * `readStream` + watermark (state = one partial aggregate per
+    * (instrument, day), nothing per-tick). Live bars for the price
+    * lake's streaming ingest.
+    */
+  def ohlcBars(ticks: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"), col("value"))
+    ticks
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        min(ord).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(ord).getField("value").as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n_ticks"))
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("stream_window_agg", qWindowAgg, Some(windowAggOracle)),
     Q("stream_sessionize", qSessionize, Some(sessionizeOracle)))

@@ -32,6 +32,32 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 06:00:00", 1L, 4.0)))
   }
 
+  test("ohlcBars streams: open/close pick first/last tick across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val ticks = input.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = Streaming.ohlcBars(ticks)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 09:30:00"), 1L, "AAA", 100.0),
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "AAA", 95.0))
+    q.processAllAvailable()
+    // second micro-batch extends the same bar: later close, new high
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 16:00:00"), 3L, "AAA", 104.0),
+      (Timestamp.valueOf("2024-01-02 09:30:00"), 4L, "AAA", 101.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ohlc_out").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toSet
+    assert(rows === Set(
+      ("2024-01-01", 100.0, 104.0, 95.0, 104.0, 3L),
+      ("2024-01-02", 101.0, 101.0, 101.0, 101.0, 1L)))
+  }
+
   test("sessionizeStream closes sessions on gap and carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
