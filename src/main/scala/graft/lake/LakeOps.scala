@@ -168,6 +168,30 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Min/max stats skipping: the events are committed range-sorted on
+    * `value` with per-file stats, so the selective value predicate
+    * reads a few files, not the table (file-count pinned in
+    * SnapshotTableSpec). The oracle recomputes the same slice from
+    * the raw table — content equality proves skipping lost nothing.
+    */
+  def statsSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_stats")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "event_type", "value")
+    SnapshotTable.commit(s, root,
+      ev.repartitionByRange(8, col("value")), statsCols = Seq("value"))
+    SnapshotTable.readWhere(s, root, col("value") >= 150.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val statsSkippingOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE value >= 150.0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** CDF-style version diff: commit pre-cutoff events (v1), append the
     * rest (v2), DELETE clicks (v3), then ask for the net row changes
     * v1→v3. Inserts = post-cutoff non-clicks (the append, minus what
@@ -502,6 +526,7 @@ object LakeOps {
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
     Q("lake_update", updateRows, Some(updateRowsOracle)),
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
+    Q("lake_stats_skipping", statsSkipping, Some(statsSkippingOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
 }

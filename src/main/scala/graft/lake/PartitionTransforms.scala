@@ -74,4 +74,42 @@ object PartitionTransforms {
     (a ++ b).reduceOption((x, y) => if (x >= y) x else y)
   private def tighterHi(a: Option[String], b: Option[String]) =
     (a ++ b).reduceOption((x, y) => if (x <= y) x else y)
+
+  /** Evaluate a foldable expression to a numeric value. */
+  private def numOf(e: Expression): Option[Double] =
+    if (!e.foldable) None
+    else
+      try Option(e.eval()).collect {
+        case n: Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (lower, upper) numeric bounds implied by `e` for column `src` —
+    * inclusive at file granularity (strict < / > relax to <= / >=,
+    * which can only over-scan, never under-scan). Drives per-file
+    * min/max stats skipping; like [[dayBounds]], correctness never
+    * depends on it — the residual predicate always re-applies.
+    */
+  def numericBounds(e: Expression, src: String): (Option[Double], Option[Double]) = e match {
+    case And(l, r) =>
+      val (ll, lu) = numericBounds(l, src)
+      val (rl, ru) = numericBounds(r, src)
+      (maxOpt(ll, rl), minOpt(lu, ru))
+    case GreaterThanOrEqual(a, v) if isCol(a, src) => (numOf(v), None)
+    case GreaterThan(a, v) if isCol(a, src) => (numOf(v), None)
+    case LessThanOrEqual(a, v) if isCol(a, src) => (None, numOf(v))
+    case LessThan(a, v) if isCol(a, src) => (None, numOf(v))
+    case EqualTo(a, v) if isCol(a, src) => (numOf(v), numOf(v))
+    case GreaterThanOrEqual(v, a) if isCol(a, src) => (None, numOf(v))
+    case GreaterThan(v, a) if isCol(a, src) => (None, numOf(v))
+    case LessThanOrEqual(v, a) if isCol(a, src) => (numOf(v), None)
+    case LessThan(v, a) if isCol(a, src) => (numOf(v), None)
+    case EqualTo(v, a) if isCol(a, src) => (numOf(v), numOf(v))
+    case _ => (None, None)
+  }
+
+  private def maxOpt(a: Option[Double], b: Option[Double]): Option[Double] =
+    (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.max(x, y))
+  private def minOpt(a: Option[Double], b: Option[Double]): Option[Double] =
+    (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.min(x, y))
 }

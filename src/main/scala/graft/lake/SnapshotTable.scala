@@ -96,7 +96,8 @@ object SnapshotTable {
   def commit(
       s: SparkSession, root: String, df: DataFrame,
       append: Boolean = true, meta: Map[String, String] = Map.empty,
-      expectedVersion: Option[Int] = None): Int = {
+      expectedVersion: Option[Int] = None,
+      statsCols: Seq[String] = Seq.empty): Int = {
     val cur = currentVersion(s, root)
     val v = expectedVersion.getOrElse(cur + 1)
     if (v <= cur)
@@ -107,11 +108,60 @@ object SnapshotTable {
     // replacing the data does not undo a rename); incoming logical
     // column names are stored under their physical names
     val inherited = schemaMeta(s, root, cur)
-    val newFiles = writeDataFiles(s, root, v,
-      toPhysical(df, parsePairs(inherited.get(ColMapKey))))
-    val base = if (append && v > 1) dataFiles(s, root, v - 1) else Seq.empty
-    writeManifestAtomic(s, root, v, inherited ++ meta, base ++ newFiles)
+    val mapping = parsePairs(inherited.get(ColMapKey))
+    val newFiles = writeDataFiles(s, root, v, toPhysical(df, mapping))
+    val annotated =
+      if (statsCols.isEmpty) newFiles
+      else annotateStats(s, newFiles, statsCols.map(c => mapping.getOrElse(c, c)))
+    // raw prior lines (not dataFiles) so earlier stats/partition
+    // annotations survive the append
+    val base =
+      if (append && v > 1) manifestLines(s, root, v - 1).filterNot(_.startsWith("#"))
+      else Seq.empty
+    val statsMeta =
+      if (statsCols.isEmpty) Map.empty[String, String]
+      else Map(StatsKey -> statsCols.mkString(","))
+    writeManifestAtomic(s, root, v, inherited ++ statsMeta ++ meta, base ++ annotated)
     v
+  }
+
+  /** Per-file min/max column stats, Iceberg-style: one aggregate scan
+    * of the just-written files (grouped on `_metadata.file_path`)
+    * annotates each manifest line with `_min_<col>`/`_max_<col>`.
+    * Numeric columns only; at 100 TB this is what lets a selective
+    * value predicate read a handful of files instead of the table —
+    * pair with a z-order or range-partitioned write so files have
+    * tight disjoint ranges.
+    */
+  private def annotateStats(
+      s: SparkSession, files: Seq[String], cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val df = s.read.parquet(files: _*)
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"statsCols supports numeric columns only; $c is $dt")
+    }
+    val aggs = cols.flatMap(c => Seq(
+      fmin(col(c)).cast("double").as(s"_min_$c"),
+      fmax(col(c)).cast("double").as(s"_max_$c")))
+    val byFile = df
+      .groupBy(col("_metadata.file_path").as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val annots = cols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = r.get(1 + 2 * i)
+          val mx = r.get(2 + 2 * i)
+          if (mn == null || mx == null) Seq.empty // all-null file: no stats, never skipped
+          else Seq(s"_min_$c=$mn", s"_max_$c=$mx")
+        }
+        new Path(r.getString(0)).toUri.getPath -> annots.mkString("\t")
+      }.toMap
+    files.map { f =>
+      val key = new Path(f).toUri.getPath
+      byFile.get(key).filter(_.nonEmpty).map(a => s"$f\t$a").getOrElse(f)
+    }
   }
 
   /** Row-level DELETE, copy-on-write Iceberg-style. Planning finds the
@@ -192,6 +242,7 @@ object SnapshotTable {
   // ----- hidden partitioning: day(ts) transform --------------------
 
   private val PartitionKey = "partition" // "<source>" — table is day(<source>)-partitioned
+  private val StatsKey = "statscols"     // logical column names carrying per-file min/max
 
   /** Commit with HIDDEN day(`source`) partitioning (the reference's
     * `WITH (partitioning = ARRAY['day(ts)'])`, RUNBOOK.md:91). The
@@ -252,22 +303,44 @@ object SnapshotTable {
     def view(files: Seq[String]) =
       logicalView(s.read.parquet(files: _*), mapping, types).filter(predicate)
     val full = view(entries.map(_._1))
-    val pruned = commitMeta(s, root, v).get(PartitionKey) match {
-      case Some(source) =>
-        // pattern-match the ANALYZED filter condition (the unresolved
-        // Column wraps lazy ColumnNodes in Spark 4) — resolved
-        // comparisons with analyzer-set cast timezones
-        val cond = full.queryExecution.analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }
-        cond.map(PartitionTransforms.dayBounds(_, source)) match {
-          case Some((lo, hi)) if lo.nonEmpty || hi.nonEmpty => entries.collect {
-            case (f, annots) if annots.get("_graft_day").forall(d =>
-              lo.forall(d >= (_: String)) && hi.forall(d <= (_: String))) => f
+    val meta = commitMeta(s, root, v)
+    // pattern-match the ANALYZED filter condition (the unresolved
+    // Column wraps lazy ColumnNodes in Spark 4) — resolved
+    // comparisons with analyzer-set cast timezones
+    val cond = full.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val afterPartition = (meta.get(PartitionKey), cond) match {
+      case (Some(source), Some(c)) =>
+        PartitionTransforms.dayBounds(c, source) match {
+          case (lo, hi) if lo.nonEmpty || hi.nonEmpty => entries.filter {
+            case (_, annots) => annots.get("_graft_day").forall(d =>
+              lo.forall(d >= (_: String)) && hi.forall(d <= (_: String)))
           }
-          case _ => entries.map(_._1)
+          case _ => entries
         }
-      case None => entries.map(_._1)
+      case _ => entries
+    }
+    // per-file min/max stats skipping (annotations written by commit
+    // with statsCols): keep a file unless its [min,max] provably
+    // misses the predicate's bounds; files without stats always scan
+    val statCols = meta.get(StatsKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    val mappingForStats = columnMapping(s, root, v)
+    val pruned = cond match {
+      case Some(c) if statCols.nonEmpty =>
+        afterPartition.filter { case (_, annots) =>
+          statCols.forall { sc =>
+            val phys = mappingForStats.getOrElse(sc, sc)
+            val (lo, hi) = PartitionTransforms.numericBounds(c, sc)
+            (annots.get(s"_min_$phys").map(_.toDouble),
+              annots.get(s"_max_$phys").map(_.toDouble)) match {
+              case (Some(mn), Some(mx)) =>
+                lo.forall(_ <= mx) && hi.forall(_ >= mn)
+              case _ => true
+            }
+          }
+        }.map(_._1)
+      case _ => afterPartition.map(_._1)
     }
     if (pruned.isEmpty) full.filter(lit(false)) // nothing matched: keep schema, no rows
     else if (pruned.size == entries.size) full

@@ -151,6 +151,35 @@ class SnapshotTableSpec extends SparkSpec {
       if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet === Set(Some(1), None, Some(0)))
   }
 
+  test("per-file column stats skip files outside the predicate's value range") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_stats"
+    SnapshotTable.drop(spark, root)
+    // range-partitioned write → disjoint per-file value ranges
+    val df = spark.range(1000).toDF("v")
+      .repartitionByRange(4, col("v"))
+    SnapshotTable.commit(spark, root, df, statsCols = Seq("v"))
+    assert(SnapshotTable.dataFiles(spark, root, 1).size === 4)
+    val narrow = SnapshotTable.readWhere(spark, root, col("v") >= 990)
+    assert(narrow.collect().map(_.getLong(0)).sorted.toSeq === (990L to 999L))
+    assert(narrow.inputFiles.length === 1,
+      s"expected 1 file scanned, got ${narrow.inputFiles.length}")
+    // equality predicate
+    val eq = SnapshotTable.readWhere(spark, root, col("v") === 5)
+    assert(eq.count() === 1 && eq.inputFiles.length === 1)
+    // no matching file at all → empty result, zero scan
+    assert(SnapshotTable.readWhere(spark, root, col("v") > 5000).count() === 0)
+    // unprunable predicate shape still answers correctly (full scan)
+    assert(SnapshotTable.readWhere(spark, root, col("v") % 2 === 0).count() === 500)
+    // appends keep earlier stats annotations alive
+    SnapshotTable.commit(spark, root,
+      spark.range(2000, 2100).toDF("v").repartition(1), statsCols = Seq("v"))
+    val afterAppend = SnapshotTable.readWhere(spark, root, col("v") >= 990 && col("v") < 1000)
+    assert(afterAppend.count() === 10)
+    assert(afterAppend.inputFiles.length === 1,
+      "stats written before the append must still prune")
+  }
+
   test("changes() diffs versions reading only manifest-differing files") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_changes"
