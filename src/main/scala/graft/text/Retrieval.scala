@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Sparse text retrieval over the `documents` corpus: BM25 ranking —
+  * the lexical-search half of a training-data pipeline (quality
+  * filtering by query relevance, dedup-adjacent nearest-text lookup,
+  * eval-set contamination checks all start here).
+  *
+  * Scale shape: tokenize→explode is map-side; term frequencies are
+  * ONE shuffle on (doc_id, term); document lengths one on doc_id.
+  * Query-term document frequencies filter BEFORE aggregating (|Q|
+  * terms survive, not |vocab|) and broadcast back, as does the 1-row
+  * corpus-stats frame — no vocabulary-sized shuffle ever forms.
+  *
+  * Determinism for the oracle gate: each per-term partial score is a
+  * pure scalar expression (IEEE-identical in any engine) quantized to
+  * integer micro-units; the per-doc SUM is then exact, so parallel
+  * summation order cannot wiggle the hash (same trick as
+  * OracleSafe.sumMoney).
+  */
+object Retrieval {
+
+  private val QueryTerms = Seq("spark", "query", "join")
+  private val TopK = 20
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
+    val docToks = docs(s, dir).select(col("doc_id"), explode(toksCol).as("term"))
+    val tf = docToks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = docToks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tfq = tf.filter(col("term").isin(QueryTerms: _*))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    // textual formula kept identical to the oracle SQL so the IEEE
+    // evaluation order matches term-for-term
+    val idf = log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val partTerm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+    tfq
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("micro", round(idf * partTerm * lit(1000000)).cast("long"))
+      .groupBy("doc_id")
+      .agg((sum(col("micro")).cast("double") / lit(1000000.0)).as("bm25"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(TopK)
+  }
+
+  val bm25SearchOracle: String = {
+    val in = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> LEN(t) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |  COUNT(*) AS n_docs FROM dl),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN ($in) GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |   CAST(ROUND(LN(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |     ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))) * 1000000) AS BIGINT) AS micro
+       |  FROM tf JOIN dfq ON tf.term = dfq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+       |  WHERE tf.term IN ($in))
+       |SELECT doc_id, CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS bm25, COUNT(*) AS n_matched
+       |FROM scored GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** TF-IDF top terms per source: which words characterize each
+    * source bucket. Classic ltc weighting on the (source, term)
+    * matrix; same exact-integer quantization before ranking.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
+    val srcToks = docs(s, dir).select(col("source"), explode(toksCol).as("term"))
+    val tf = srcToks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val nSrc = tf.select("source").distinct().count() // tiny (handful of sources)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("micro"), col("term"))
+    tf.join(dfT, "term")
+      .withColumn("micro",
+        round((lit(1) + log(col("tf"))) * log(lit(nSrc.toDouble) / col("df")) * lit(1000000))
+          .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("term"),
+        (col("micro").cast("double") / lit(1000000.0)).as("tfidf"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("source", "rn")
+  }
+
+  val tfidfTopTermsOracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |n AS (SELECT COUNT(DISTINCT source) AS n_src FROM tf),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT source, tf.term,
+      |   CAST(ROUND((1 + LN(tf.tf)) * LN(CAST(n.n_src AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS micro
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT source, term, micro,
+      |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY micro DESC, term) AS rn
+      |  FROM scored)
+      |SELECT source, term, CAST(micro AS DOUBLE) / 1000000.0 AS tfidf, rn
+      |FROM ranked WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("text_bm25_search", bm25Search, Some(bm25SearchOracle)),
+    Q("text_tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsOracle)))
+}
