@@ -242,10 +242,38 @@ object Relational2 {
       | CAST(SUM(COALESCE(NULLIF(p_size, 1), 0)) AS BIGINT) AS sum_nontrivial_size
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Ordered-event funnel: consecutive view→click→purchase triples
+    * per user completing within seven days — the sessionized conversion
+    * count every product-analytics stack ships (MATCH_RECOGNIZE-lite
+    * via LEAD). One shuffle on user_id; dialect-neutral text.
+    */
+  val qFunnel: Q = sqlBoth("q_funnel",
+    """SELECT user_id, COUNT(*) AS n_conversions
+      |FROM (
+      |  SELECT user_id, ts, event_type,
+      |   LEAD(event_type, 1) OVER w AS e2,
+      |   LEAD(event_type, 2) OVER w AS e3,
+      |   LEAD(ts, 2) OVER w AS t3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
+      |WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      |  AND t3 <= ts + INTERVAL '7' DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  val qPercentRank: Q = sqlBoth("q_percent_rank",
+    """SELECT user_id, event_type,
+      | PERCENT_RANK() OVER w AS pr,
+      | CUME_DIST() OVER w AS cd,
+      | NTH_VALUE(user_id, 2) OVER (PARTITION BY event_type ORDER BY n DESC, user_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_heaviest
+      |FROM (SELECT user_id, event_type, COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2) t
+      |WINDOW w AS (PARTITION BY event_type ORDER BY n DESC, user_id)
+      |ORDER BY event_type, pr, user_id""".stripMargin)
+
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     qValuesJoin, qIntersectAll, qFirstLast, qLateral,
-    qExistsAgg, qSplitPart, qNullifCoalesce,
+    qExistsAgg, qSplitPart, qNullifCoalesce, qFunnel, qPercentRank,
     Q("q12_priority_shipping", q12PriorityShipping, Some(q12Oracle)),
     Q("q14_promo_revenue", q14PromoRevenue, Some(q14Oracle)),
     Q("q16_supplier_parts", q16SupplierParts, Some(q16Oracle)),
