@@ -562,6 +562,18 @@ object SnapshotTable {
         before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
 
+  /** Incremental CDC consumption: everything that changed after
+    * `lastSeen`, plus the version to checkpoint for the next call —
+    * the polling loop a downstream sync (search index, feature store,
+    * replica) runs against the table. Returns (changes, currentVersion);
+    * with no new commits the frame is empty and the checkpoint
+    * unchanged.
+    */
+  def changesSince(s: SparkSession, root: String, lastSeen: Int): (DataFrame, Int) = {
+    val cur = currentVersion(s, root)
+    (changes(s, root, lastSeen, cur), cur)
+  }
+
   def drop(s: SparkSession, root: String): Unit = {
     val p = new Path(root)
     val fs = fsOf(s, p)

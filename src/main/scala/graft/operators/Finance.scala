@@ -157,6 +157,108 @@ object Finance {
       |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Weekly resample of the daily bars: OHLC re-aggregates
+    * hierarchically (open = open of first day, close = close of last
+    * day, high/low = extrema) — the same struct-ordering trick one
+    * level up, so the weekly rollup reads bars, never ticks. Weeks
+    * bucket as Monday-aligned date_trunc.
+    */
+  def ohlcWeekly(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(tickOrder).getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(tickOrder).getField("value").as("close"),
+        count(lit(1)).as("n_ticks"))
+    daily
+      .withColumn("week",
+        date_format(date_trunc("week", col("day").cast("date")), "yyyy-MM-dd"))
+      .groupBy("event_type", "week")
+      .agg(
+        min(struct(col("day"), col("open"))).getField("open").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(struct(col("day"), col("close"))).getField("close").as("close"),
+        sum(col("n_ticks")).as("n_ticks"))
+      .orderBy("event_type", "week")
+  }
+
+  val ohlcWeeklyOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |   MAX(value) AS high, MIN(value) AS low,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |   COUNT(*) AS n_ticks
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) x GROUP BY 1, 2),
+      |weekly AS (
+      |  SELECT event_type,
+      |   CAST(date_trunc('week', CAST(day AS DATE)) AS VARCHAR) AS week, day,
+      |   open, high, low, close, n_ticks,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('week', CAST(day AS DATE)) ORDER BY day) AS rn_a,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('week', CAST(day AS DATE)) ORDER BY day DESC) AS rn_d
+      |  FROM daily)
+      |SELECT event_type, week,
+      | MAX(CASE WHEN rn_a = 1 THEN open END) AS open,
+      | MAX(high) AS high, MIN(low) AS low,
+      | MAX(CASE WHEN rn_d = 1 THEN close END) AS close,
+      | CAST(SUM(n_ticks) AS BIGINT) AS n_ticks
+      |FROM weekly GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** 7-day rolling volatility of daily returns, in bps: variance from
+    * the exact integer sums Σr and Σr² over the window frame (same
+    * order-independence argument as [[correlation]]); sqrt at the end.
+    * Sample variance over the frame's n observations.
+    */
+  def rollingVol(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy("event_type").orderBy("day")
+    val wRoll = wLag.rowsBetween(-6, 0)
+    t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+      .withColumn("r",
+        round((col("close") / lag("close", 1).over(wLag) - 1) * 10000).cast("long"))
+      .filter(col("r").isNotNull)
+      .withColumn("n", count(col("r")).over(wRoll))
+      .withColumn("sr", sum(col("r")).over(wRoll))
+      .withColumn("srr", sum(col("r") * col("r")).over(wRoll))
+      .filter(col("n") >= 2)
+      .select(col("event_type"), col("day"),
+        sqrt((col("n") * col("srr") - col("sr") * col("sr")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("vol_bps"),
+        col("n"))
+      .orderBy("event_type", "day")
+  }
+
+  val rollingVolOracle: String =
+    """SELECT event_type, day,
+      | SQRT(CAST(n * srr - sr * sr AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS vol_bps,
+      | n
+      |FROM (
+      |  SELECT event_type, day,
+      |   COUNT(r) OVER w AS n, SUM(r) OVER w AS sr, SUM(r * r) OVER w AS srr
+      |  FROM (
+      |    SELECT event_type, day,
+      |     CAST(ROUND((close / LAG(close) OVER (PARTITION BY event_type ORDER BY day) - 1) * 10000) AS BIGINT) AS r
+      |    FROM (
+      |      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |      FROM (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |       FROM events) x GROUP BY 1, 2) bars
+      |    QUALIFY r IS NOT NULL) rets
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) s
+      |WHERE n >= 2 ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Max drawdown per instrument: running peak of the close, then the
     * worst peak-to-trough drop in bps. Windows run over daily bars
     * (bounded partitions); the running max is deterministic, the
@@ -313,5 +415,7 @@ object Finance {
     Q("q_fin_returns", dailyReturns, Some(dailyReturnsOracle)),
     Q("q_fin_gapfill", gapFill, Some(gapFillOracle)),
     Q("q_fin_drawdown", drawdown, Some(drawdownOracle)),
-    Q("q_fin_correlation", correlation, Some(correlationOracle)))
+    Q("q_fin_correlation", correlation, Some(correlationOracle)),
+    Q("q_fin_ohlc_weekly", ohlcWeekly, Some(ohlcWeeklyOracle)),
+    Q("q_fin_rolling_vol", rollingVol, Some(rollingVolOracle)))
 }

@@ -203,6 +203,15 @@ class SnapshotTableSpec extends SparkSpec {
       "files re-listed unchanged across versions must not be read")
     // identical versions → empty diff
     assert(SnapshotTable.changes(spark, root, 3, 3).count() === 0)
+    // incremental consumption loop: checkpoint advances with commits
+    val (d1, cp1) = SnapshotTable.changesSince(spark, root, 2)
+    assert(cp1 === 3 && d1.count() === 1)
+    val (d2, cp2) = SnapshotTable.changesSince(spark, root, cp1)
+    assert(cp2 === 3 && d2.count() === 0)
+    SnapshotTable.commit(spark, root, Seq(77).toDF("x"))
+    val (d3, cp3) = SnapshotTable.changesSince(spark, root, cp2)
+    assert(cp3 === 4)
+    assert(d3.collect().map(r => (r.getInt(0), r.getString(1))).toSet === Set((77, "insert")))
   }
 
   test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
