@@ -122,7 +122,50 @@ object Retrieval {
       |SELECT source, term, CAST(micro AS DOUBLE) / 1000000.0 AS tfidf, rn
       |FROM ranked WHERE rn <= 5 ORDER BY source, rn""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Eval-set decontamination: flag training documents sharing any
+    * 5-gram with the held-out eval slice (doc_id % 10 == 0 plays the
+    * eval set). Catches the corpus's planted near-duplicates of eval
+    * docs — the leakage a benchmark score silently absorbs. Scale
+    * shape: the eval gram set is small by nature (eval sets are
+    * thousands of docs, not billions) → distinct + broadcast; the
+    * training side streams one exploded-gram pass, no gram×gram
+    * shuffle.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
+    val grams = docs(s, dir)
+      .select(col("doc_id"), toksCol.as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("g"))
+    val evalG = grams.filter(col("doc_id") % 10 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalG), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(desc("n_shared"), col("doc_id"))
+      .limit(50)
+  }
+
+  val contaminationOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0) AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, LEN(ts) - 4)) AS t(i)
+      |  WHERE LEN(ts) >= 5),
+      |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+      |SELECT grams.doc_id, CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_shared
+      |FROM grams JOIN eval_g ON grams.g = eval_g.g
+      |WHERE grams.doc_id % 10 <> 0
+      |GROUP BY 1 ORDER BY n_shared DESC, doc_id LIMIT 50""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("text_bm25_search", bm25Search, Some(bm25SearchOracle)),
-    Q("text_tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsOracle)))
+    Q("text_tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsOracle)),
+    Q("text_contamination", contamination, Some(contaminationOracle)))
 }

@@ -180,6 +180,32 @@ class SnapshotTableSpec extends SparkSpec {
       "stats written before the append must still prune")
   }
 
+  test("partition-spec evolution: unpartitioned files coexist with day-partitioned ones") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = "/tmp/graft_test/snap_part_evolve"
+    SnapshotTable.drop(spark, root)
+    def ev(day: Int, id: Int) =
+      (Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), id)
+    // v1: before the table adopted the day(ts) spec — files carry no
+    // partition annotations
+    SnapshotTable.commit(spark, root,
+      Seq(ev(1, 1), ev(2, 2)).toDF("ts", "id").repartition(1))
+    // v2: spec evolves; new files carry hidden day(ts) partition values
+    SnapshotTable.commitPartitionedByDay(spark, root,
+      Seq(ev(10, 10), ev(20, 20)).toDF("ts", "id"), "ts")
+    val res = SnapshotTable.readWhere(spark, root,
+      col("ts") >= lit("2024-01-15").cast("timestamp"))
+    assert(res.select("id").collect().map(_.getInt(0)).toSet === Set(20))
+    // pre-spec files can't prune (no annotations → always scanned,
+    // conservative); post-spec files DO prune: the jan-10 file is skipped
+    val scanned = res.inputFiles.toSet
+    assert(!scanned.exists(_.contains("2024-01-10")),
+      s"day-partitioned file outside the bound must be pruned: $scanned")
+    assert(scanned.size === 2, // v1's single file + the jan-20 file
+      s"expected v1 file + one partitioned file, got $scanned")
+  }
+
   test("changes() diffs versions reading only manifest-differing files") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_changes"
