@@ -35,6 +35,7 @@ object GraftFunctions {
     "graft_ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
     "graft_fingerprint" -> (es => RollingFingerprint(es(0), intArg(es(1), "k"))),
     "graft_topk" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
+    "graft_topk_str" -> (es => TopKStrings(es(0), es(1), intArg(es(2), "k"))),
     "graft_zvalue" -> (es => ZValue(es(0), es(1))))
 
   def names: Seq[String] = builders.map(_._1)

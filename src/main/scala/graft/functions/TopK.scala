@@ -103,3 +103,103 @@ case class TopKByScore(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(score = cs(0), id = cs(1))
 }
+
+/** Bounded top-k buffer with STRING payloads: k best (score desc,
+  * tag asc) pairs, O(k) memory.
+  */
+final class TopKStrBuffer(val k: Int) {
+  private[functions] val heap =
+    scala.collection.mutable.PriorityQueue.empty[(Double, String)](
+      Ordering.by[(Double, String), (Double, String)] { case (s, t) => (-s, t) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)))
+
+  private def worseThanHead(s: Double, t: String): Boolean = {
+    val (hs, ht) = heap.head
+    s < hs || (s == hs && t > ht)
+  }
+
+  def add(s: Double, t: String): Unit = {
+    if (heap.size < k) heap.enqueue((s, t))
+    else if (!worseThanHead(s, t)) { heap.dequeue(); heap.enqueue((s, t)) }
+  }
+
+  def sorted: Array[(Double, String)] =
+    heap.toArray.sortBy { case (s, t) => (-s, t) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+}
+
+/** Aggregate `graft_topk_str(score, tag, k)` →
+  * `array<struct<score,tag>>` best-first: heavy-hitters / top-terms
+  * per group WITHOUT a per-group window sort. Same partial-agg scale
+  * story as [[TopKByScore]] — each map task forwards ≤k pairs per
+  * group, where a row_number window shuffles and sorts every row of
+  * every group. Deterministic via total-order (score desc, tag asc)
+  * tie-breaking.
+  */
+case class TopKStrings(
+    score: Expression,
+    tag: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def prettyName: String = "graft_topk_str"
+  override def children: Seq[Expression] = Seq(score, tag)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("tag", StringType))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = score.eval(input)
+    val t = tag.eval(input)
+    if (s != null && t != null)
+      buf.add(s.asInstanceOf[Double], t.toString)
+    buf
+  }
+
+  override def merge(buf: TopKStrBuffer, other: TopKStrBuffer): TopKStrBuffer = {
+    other.heap.foreach { case (s, t) => buf.add(s, t) }
+    buf
+  }
+
+  override def eval(buf: TopKStrBuffer): Any =
+    new GenericArrayData(buf.sorted.map { case (s, t) =>
+      new GenericInternalRow(Array[Any](s, org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    })
+
+  override def serialize(buf: TopKStrBuffer): Array[Byte] = {
+    val items = buf.sorted
+    val enc = items.map { case (s, t) => (s, t.getBytes("UTF-8")) }
+    val bb = ByteBuffer.allocate(4 + enc.map(12 + _._2.length).sum)
+    bb.putInt(enc.length)
+    enc.foreach { case (s, tb) => bb.putDouble(s); bb.putInt(tb.length); bb.put(tb) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStrBuffer(k)
+    (0 until n).foreach { _ =>
+      val s = bb.getDouble
+      val len = bb.getInt
+      val tb = new Array[Byte](len)
+      bb.get(tb)
+      buf.add(s, new String(tb, "UTF-8"))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStrings =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStrings =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), tag = cs(1))
+}

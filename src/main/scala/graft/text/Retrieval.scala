@@ -85,22 +85,27 @@ object Retrieval {
     * matrix; same exact-integer quantization before ranking.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > lit(0))
     val srcToks = docs(s, dir).select(col("source"), explode(toksCol).as("term"))
     val tf = srcToks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
     val nSrc = tf.select("source").distinct().count() // tiny (handful of sources)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(desc("micro"), col("term"))
+    // top-5 per source via the partial-aggregable graft_topk_str: map
+    // tasks forward ≤5 (score, term) pairs per source — a row_number
+    // window would shuffle AND sort the whole (source, term) matrix.
+    // micro scores are integers (exact as doubles to 2^53), so the
+    // ranking ties break identically to the oracle's (micro, term).
     tf.join(dfT, "term")
       .withColumn("micro",
         round((lit(1) + log(col("tf"))) * log(lit(nSrc.toDouble) / col("df")) * lit(1000000))
-          .cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("source"), col("term"),
-        (col("micro").cast("double") / lit(1000000.0)).as("tfidf"),
-        col("rn").cast("long").as("rn"))
+          .cast("double"))
+      .groupBy("source")
+      .agg(expr("graft_topk_str(micro, term, 5)").as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("col.tag").as("term"),
+        (col("col.score") / lit(1000000.0)).as("tfidf"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy("source", "rn")
   }
 

@@ -86,4 +86,18 @@ class ExprSpec extends SparkSpec {
     val s32 = df32.agg(graft.operators.OracleSafe.sumMoney($"x")).collect()(0).getDouble(0)
     assert(s1 === s32)
   }
+
+  test("topk_str: best-first, tag tiebreak, partition-invariant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq((3.0, "c"), (1.0, "a"), (3.0, "b"), (2.0, "d"), (0.5, "e"))
+    def run(parts: Int) =
+      rows.toDF("s", "t").repartition(parts)
+        .agg(expr("graft_topk_str(s, t, 3)")).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getString(1)))
+    val expected = Seq((3.0, "b"), (3.0, "c"), (2.0, "d")) // score desc, tag asc
+    assert(run(1) === expected)
+    assert(run(7) === expected, "merge order must not change the result")
+  }
 }

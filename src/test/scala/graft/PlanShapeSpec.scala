@@ -137,6 +137,14 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("per-group top terms aggregate partially, no per-group window sort") {
+    val p = planOf("text_tfidf_topterms")
+    assert(p.contains("partial_graft_topk_str"),
+      s"map-side partial string top-k missing:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "top-terms must not rank the (source, term) matrix with a window")
+  }
+
   test("OHLC bars aggregate with a partial phase, no per-tick window sort") {
     val p = planOf("q_fin_ohlc_daily")
     assert(p.contains("partial_min") && p.contains("partial_max"),
