@@ -192,6 +192,28 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Bloom-filter skipping: event_id is hash-striped across files, so
+    * every file's [min,max] covers the whole id domain and min/max
+    * stats cannot prune a point lookup — the per-file bloom can
+    * (file-count pinned in SnapshotTableSpec). Content equality with
+    * the raw-table oracle proves the probe is sound.
+    */
+  def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_bloom")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root,
+      ev.repartition(8, col("event_id")), bloomCols = Seq("event_id"))
+    SnapshotTable.readWhere(s, root, col("event_id").isin(123L, 456L, 789L))
+      .orderBy("event_id")
+  }
+
+  val bloomSkippingOracle: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id IN (123, 456, 789)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** CDF-style version diff: commit pre-cutoff events (v1), append the
     * rest (v2), DELETE clicks (v3), then ask for the net row changes
     * v1→v3. Inserts = post-cutoff non-clicks (the append, minus what
@@ -527,6 +549,7 @@ object LakeOps {
     Q("lake_update", updateRows, Some(updateRowsOracle)),
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
     Q("lake_stats_skipping", statsSkipping, Some(statsSkippingOracle)),
+    Q("lake_bloom_skipping", bloomSkipping, Some(bloomSkippingOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
 }

@@ -112,4 +112,24 @@ object PartitionTransforms {
     (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.max(x, y))
   private def minOpt(a: Option[Double], b: Option[Double]): Option[Double] =
     (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.min(x, y))
+
+  /** Equality/IN literal values for column `src` in `e` (catalyst-
+    * internal representations with their types, ready for
+    * XxHash64Function). Any one conjunct's equality set is enough to
+    * drive bloom skipping — a file missing ALL of the values cannot
+    * satisfy that conjunct.
+    */
+  def equalityValues(e: Expression, src: String): Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = e match {
+    case And(l, r) => equalityValues(l, src).orElse(equalityValues(r, src))
+    case EqualTo(a, v) if isCol(a, src) && v.foldable =>
+      Option(v.eval()).map(x => Seq((x, v.dataType)))
+    case EqualTo(v, a) if isCol(a, src) && v.foldable =>
+      Option(v.eval()).map(x => Seq((x, v.dataType)))
+    case In(a, vs) if isCol(a, src) && vs.forall(_.foldable) =>
+      val evaled = vs.map(v => (v.eval(), v.dataType))
+      if (evaled.exists(_._1 == null)) None else Some(evaled)
+    case InSet(a, vs) if isCol(a, src) =>
+      if (vs.contains(null)) None else Some(vs.toSeq.map((_, a.dataType)))
+    case _ => None
+  }
 }

@@ -97,7 +97,8 @@ object SnapshotTable {
       s: SparkSession, root: String, df: DataFrame,
       append: Boolean = true, meta: Map[String, String] = Map.empty,
       expectedVersion: Option[Int] = None,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Int = {
     val cur = currentVersion(s, root)
     val v = expectedVersion.getOrElse(cur + 1)
     if (v <= cur)
@@ -110,19 +111,76 @@ object SnapshotTable {
     val inherited = schemaMeta(s, root, cur)
     val mapping = parsePairs(inherited.get(ColMapKey))
     val newFiles = writeDataFiles(s, root, v, toPhysical(df, mapping))
-    val annotated =
+    val withStats =
       if (statsCols.isEmpty) newFiles
       else annotateStats(s, newFiles, statsCols.map(c => mapping.getOrElse(c, c)))
+    val annotated =
+      if (bloomCols.isEmpty) withStats
+      else annotateBloom(s, withStats, bloomCols.map(c => mapping.getOrElse(c, c)))
     // raw prior lines (not dataFiles) so earlier stats/partition
     // annotations survive the append
     val base =
       if (append && v > 1) manifestLines(s, root, v - 1).filterNot(_.startsWith("#"))
       else Seq.empty
     val statsMeta =
-      if (statsCols.isEmpty) Map.empty[String, String]
-      else Map(StatsKey -> statsCols.mkString(","))
+      (if (statsCols.isEmpty) Map.empty[String, String]
+       else Map(StatsKey -> statsCols.mkString(","))) ++
+        (if (bloomCols.isEmpty) Map.empty[String, String]
+         else Map(BloomKey -> bloomCols.mkString(",")))
     writeManifestAtomic(s, root, v, inherited ++ statsMeta ++ meta, base ++ annotated)
     v
+  }
+
+  /** Per-file bloom filters for equality skipping on high-cardinality
+    * columns where min/max is useless (a uniformly-spread user_id
+    * spans every file's [min,max]). One scan of the new files builds
+    * a 2 KiB bitset per (file, column): positions
+    * `pmod(xxhash64(col, i), BloomBits)` for i < BloomHashes — the
+    * SAME expression the read-side probe replays via
+    * XxHash64Function, so commit and probe can never drift. Stored
+    * base64 in the manifest line (`_bloom_<col>=`); a point lookup
+    * then opens only files whose filter might contain the key.
+    */
+  private def annotateBloom(
+      s: SparkSession, lines: Seq[String], cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{array, collect_set, explode, pmod, xxhash64}
+    val files = lines.map(_.split('\t').head)
+    val df = s.read.parquet(files: _*)
+    val posByFileCol: Map[(String, String), Array[Int]] =
+      cols.flatMap { c =>
+        val positions = array((0 until BloomHashes).map(i =>
+          pmod(xxhash64(col(c), lit(i)), lit(BloomBits)).cast("int")): _*)
+        df.filter(col(c).isNotNull)
+          .select(col("_metadata.file_path").as("_file"), explode(positions).as("pos"))
+          .groupBy("_file")
+          .agg(collect_set(col("pos")).as("ps"))
+          .collect()
+          .map(r => (new Path(r.getString(0)).toUri.getPath, c) ->
+            r.getSeq[Int](1).toArray)
+      }.toMap
+    lines.map { line =>
+      val key = new Path(line.split('\t').head).toUri.getPath
+      val annots = cols.flatMap { c =>
+        posByFileCol.get((key, c)).map { ps =>
+          val bits = new java.util.BitSet(BloomBits)
+          ps.foreach(bits.set)
+          s"_bloom_$c=${java.util.Base64.getEncoder.encodeToString(bits.toByteArray)}"
+        }
+      }
+      if (annots.isEmpty) line else line + "\t" + annots.mkString("\t")
+    }
+  }
+
+  /** Read-side bloom probe: true = the file MIGHT contain the value. */
+  private def bloomMightContain(encoded: String, value: Any,
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val bits = java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(encoded))
+    (0 until BloomHashes).forall { i =>
+      val h1 = XxHash64Function.hash(value, dt, 42L)
+      val h2 = XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, h1)
+      bits.get((((h2 % BloomBits) + BloomBits) % BloomBits).toInt)
+    }
   }
 
   /** Per-file min/max column stats, Iceberg-style: one aggregate scan
@@ -243,6 +301,9 @@ object SnapshotTable {
 
   private val PartitionKey = "partition" // "<source>" — table is day(<source>)-partitioned
   private val StatsKey = "statscols"     // logical column names carrying per-file min/max
+  private val BloomKey = "bloomcols"     // logical column names carrying per-file bloom filters
+  private[lake] val BloomBits = 16384    // 2 KiB bitset per (file, column)
+  private[lake] val BloomHashes = 3
 
   /** Commit with HIDDEN day(`source`) partitioning (the reference's
     * `WITH (partitioning = ARRAY['day(ts)'])`, RUNBOOK.md:91). The
@@ -325,8 +386,9 @@ object SnapshotTable {
     // with statsCols): keep a file unless its [min,max] provably
     // misses the predicate's bounds; files without stats always scan
     val statCols = meta.get(StatsKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    val bloomCols = meta.get(BloomKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     val mappingForStats = columnMapping(s, root, v)
-    val pruned = cond match {
+    val afterStats = cond match {
       case Some(c) if statCols.nonEmpty =>
         afterPartition.filter { case (_, annots) =>
           statCols.forall { sc =>
@@ -339,8 +401,24 @@ object SnapshotTable {
               case _ => true
             }
           }
+        }
+      case _ => afterPartition
+    }
+    // bloom skipping: an equality/IN conjunct on a bloom column rules
+    // a file out when NONE of the sought values might be present
+    val pruned = cond match {
+      case Some(c) if bloomCols.nonEmpty =>
+        afterStats.filter { case (_, annots) =>
+          bloomCols.forall { bc =>
+            val phys = mappingForStats.getOrElse(bc, bc)
+            (annots.get(s"_bloom_$phys"), PartitionTransforms.equalityValues(c, bc)) match {
+              case (Some(enc), Some(values)) =>
+                values.exists { case (value, dt) => bloomMightContain(enc, value, dt) }
+              case _ => true
+            }
+          }
         }.map(_._1)
-      case _ => afterPartition.map(_._1)
+      case _ => afterStats.map(_._1)
     }
     if (pruned.isEmpty) full.filter(lit(false)) // nothing matched: keep schema, no rows
     else if (pruned.size == entries.size) full

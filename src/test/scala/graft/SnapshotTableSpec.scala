@@ -206,6 +206,38 @@ class SnapshotTableSpec extends SparkSpec {
       s"expected v1 file + one partitioned file, got $scanned")
   }
 
+  test("bloom filters skip files on equality where min/max cannot") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_bloom"
+    SnapshotTable.drop(spark, root)
+    // ids striped across 4 files: every file's [min,max] spans the
+    // whole domain, so stats skipping is useless — bloom is the only
+    // thing that can prune a point lookup
+    val df = spark.range(1000).toDF("id")
+      .repartition(4, col("id"))
+    SnapshotTable.commit(spark, root, df, bloomCols = Seq("id"))
+    assert(SnapshotTable.dataFiles(spark, root, 1).size === 4)
+    val hit = SnapshotTable.readWhere(spark, root, col("id") === 123L)
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(123L))
+    assert(hit.inputFiles.length < 4,
+      s"bloom should prune some of the 4 striped files, scanned ${hit.inputFiles.length}")
+    // IN-list: union of candidate files, still pruned
+    val in = SnapshotTable.readWhere(spark, root, col("id").isin(5L, 6L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 6L))
+    // absent key: typically zero files (allow bloom false positives)
+    val miss = SnapshotTable.readWhere(spark, root, col("id") === 999999L)
+    assert(miss.count() === 0)
+    // string bloom
+    val root2 = "/tmp/graft_test/snap_bloom_str"
+    SnapshotTable.drop(spark, root2)
+    SnapshotTable.commit(spark, root2,
+      spark.range(500).selectExpr("concat('u', id) AS name").repartition(4, col("name")),
+      bloomCols = Seq("name"))
+    val sh = SnapshotTable.readWhere(spark, root2, col("name") === "u42")
+    assert(sh.collect().map(_.getString(0)).toSeq === Seq("u42"))
+    assert(sh.inputFiles.length < 4)
+  }
+
   test("changes() diffs versions reading only manifest-differing files") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_changes"
