@@ -354,6 +354,61 @@ object Finance {
       |FROM sums ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Market beta per instrument: OLS slope of instrument returns on
+    * the equal-weight market return. The market is carried as the
+    * integer SUM of per-instrument bps returns (mean = sum / T
+    * instruments, so beta_vs_mean = T × beta_vs_sum — one exact
+    * integer rescale instead of a float mean); all five regression
+    * sums are exact BIGINTs, float only at the final ratio. Same
+    * order-independence argument as [[correlation]].
+    */
+  def beta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val ret = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+      .withColumn("r",
+        round((col("close") / lag("close", 1).over(w) - 1) * 10000).cast("long"))
+      .filter(col("r").isNotNull)
+      .select("event_type", "day", "r")
+    val nTypes = ret.select("event_type").distinct().count()
+    val market = ret.groupBy("day").agg(sum(col("r")).as("m"))
+    ret.join(market, "day")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"), sum(col("r")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("r") * col("m")).as("sxm"), sum(col("m") * col("m")).as("smm"))
+      .select(col("event_type"), col("n"),
+        (lit(nTypes.toDouble) *
+          ((col("n") * col("sxm") - col("sx") * col("sm")).cast("double") /
+            (col("n") * col("smm") - col("sm") * col("sm")).cast("double"))).as("beta"))
+      .orderBy("event_type")
+  }
+
+  val betaOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) t GROUP BY 1, 2),
+      |ret AS (
+      |  SELECT event_type, day,
+      |   CAST(ROUND((close / LAG(close) OVER (PARTITION BY event_type ORDER BY day) - 1) * 10000) AS BIGINT) AS r
+      |  FROM bars QUALIFY r IS NOT NULL),
+      |nt AS (SELECT COUNT(DISTINCT event_type) AS n_types FROM ret),
+      |mkt AS (SELECT day, SUM(r) AS m FROM ret GROUP BY 1),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(r) AS sx, SUM(m) AS sm,
+      |   SUM(r * m) AS sxm, SUM(m * m) AS smm
+      |  FROM ret JOIN mkt USING (day) GROUP BY 1)
+      |SELECT event_type, n,
+      | CAST(nt.n_types AS DOUBLE) *
+      |  (CAST(n * sxm - sx * sm AS DOUBLE) / CAST(n * smm - sm * sm AS DOUBLE)) AS beta
+      |FROM sums CROSS JOIN nt ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Calendar gap-fill + last-observation-carried-forward: market
     * holidays leave holes in the bar series; downstream models want a
     * dense panel. Gaps are planted by dropping four known days from
@@ -417,5 +472,6 @@ object Finance {
     Q("q_fin_drawdown", drawdown, Some(drawdownOracle)),
     Q("q_fin_correlation", correlation, Some(correlationOracle)),
     Q("q_fin_ohlc_weekly", ohlcWeekly, Some(ohlcWeeklyOracle)),
-    Q("q_fin_rolling_vol", rollingVol, Some(rollingVolOracle)))
+    Q("q_fin_rolling_vol", rollingVol, Some(rollingVolOracle)),
+    Q("q_fin_beta", beta, Some(betaOracle)))
 }
