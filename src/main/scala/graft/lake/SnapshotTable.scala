@@ -616,9 +616,12 @@ object SnapshotTable {
     * to-version schema, so diffs span renames/widens.
     */
   def changes(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
-    require(fromV <= toV, s"changes requires fromV <= toV, got $fromV > $toV")
+    require(fromV >= 0 && fromV <= toV,
+      s"changes requires 0 <= fromV <= toV, got ($fromV, $toV)")
     def norm(p: String) = new Path(p).toUri.getPath
-    val fromFiles = dataFiles(s, root, fromV)
+    // version 0 = the empty table before the first commit, so a
+    // changesSince(0) bootstrap replays everything as inserts
+    val fromFiles = if (fromV == 0) Seq.empty[String] else dataFiles(s, root, fromV)
     val toFiles = dataFiles(s, root, toV)
     val fromSet = fromFiles.map(norm).toSet
     val toSet = toFiles.map(norm).toSet

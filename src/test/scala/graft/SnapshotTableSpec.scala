@@ -272,6 +272,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(d3.collect().map(r => (r.getInt(0), r.getString(1))).toSet === Set((77, "insert")))
   }
 
+  test("CDC replica sync: applying changesSince converges the replica at every step") {
+    import org.apache.spark.sql.functions.col
+    val src = "/tmp/graft_test/snap_cdc_src"
+    val dst = "/tmp/graft_test/snap_cdc_dst"
+    SnapshotTable.drop(spark, src); SnapshotTable.drop(spark, dst)
+    SnapshotTable.commit(spark, src, Seq(1, 2, 3).toDF("x"))
+    var checkpoint = 0
+    def syncAndCheck(): Unit = {
+      val (diff, cp) = SnapshotTable.changesSince(spark, src, checkpoint)
+      val ins = diff.filter(col("change_type") === "insert").drop("change_type")
+      val del = diff.filter(col("change_type") === "delete").drop("change_type")
+      val cur =
+        if (SnapshotTable.currentVersion(spark, dst) == 0)
+          ins.limit(0)
+        else SnapshotTable.read(spark, dst)
+      SnapshotTable.commit(spark, dst,
+        cur.exceptAll(del).unionByName(ins), append = false)
+      checkpoint = cp
+      val want = SnapshotTable.read(spark, src).collect().map(_.getInt(0)).sorted.toSeq
+      val got = SnapshotTable.read(spark, dst).collect().map(_.getInt(0)).sorted.toSeq
+      assert(got === want, s"replica diverged: $got vs $want")
+    }
+    syncAndCheck()                                                        // initial load
+    SnapshotTable.commit(spark, src, Seq(4, 5).toDF("x"))                 // append
+    syncAndCheck()
+    SnapshotTable.deleteWhere(spark, src, col("x") === 2)                 // delete
+    SnapshotTable.updateWhere(spark, src, col("x") === 4,
+      Map("x" -> org.apache.spark.sql.functions.lit(40)))                 // update
+    syncAndCheck()
+    syncAndCheck()                                                        // idempotent no-op
+  }
+
   test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_delete_null"
