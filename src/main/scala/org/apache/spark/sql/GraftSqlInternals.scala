@@ -12,4 +12,16 @@ object GraftSqlInternals {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Re-wrap a batch DataFrame's physical RDD as an isStreaming=true
+    * plan — what a v1 streaming Source's getBatch must return (the
+    * engine asserts isStreaming; the same LogicalRDD door the
+    * built-in file/kafka v1 sources used).
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(spark, execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
+  }
 }

@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-02", 101.0, 101.0, 101.0, 101.0, 1L)))
   }
 
+  test("graft-snapshot source streams table commits as CDC micro-batches") {
+    import spark.implicits._
+    import graft.lake.SnapshotTable
+    val root = "/tmp/graft_test/snap_stream_src"
+    val ckpt = "/tmp/graft_test/snap_stream_ckpt"
+    SnapshotTable.drop(spark, root)
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))
+    val q = spark.readStream.format("graft-snapshot").option("path", root)
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("cdc_out").start()
+    q.processAllAvailable()
+    def got = spark.table("cdc_out").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((1, "insert"), (2, "insert")))
+    // new commits arrive as subsequent micro-batches
+    SnapshotTable.commit(spark, root, Seq(3).toDF("x"))
+    SnapshotTable.deleteWhere(spark, root, org.apache.spark.sql.functions.col("x") === 1)
+    q.processAllAvailable()
+    q.stop()
+    assert(got === Set((1, "insert"), (2, "insert"), (3, "insert"), (1, "delete")))
+  }
+
   test("sessionizeStream closes sessions on gap and carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
