@@ -44,4 +44,35 @@ object LakeSink {
 
   def start(stream: DataFrame, root: String, checkpoint: String): StreamingQuery =
     append(stream, root).option("checkpointLocation", checkpoint).start()
+
+  /** Table-to-table streaming replication: consume a CDC stream of
+    * insert/delete row images (the `graft-snapshot` source's output)
+    * and apply each micro-batch to a replica SnapshotTable as one
+    * overwrite commit — current content minus delete images plus
+    * insert images. Same manifest-stamped batch-id dedup as
+    * [[append]], so a replayed batch after restart is a no-op and the
+    * replica's contents are exactly-once. End-to-end: source table
+    * commits → readStream("graft-snapshot") → applyCdc → replica
+    * converges to the source at every version.
+    */
+  def applyCdc(cdcStream: DataFrame, root: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    cdcStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
+        val s = batch.sparkSession
+        val ins = batch.filter(col("change_type") === "insert").drop("change_type")
+        val del = batch.filter(col("change_type") === "delete").drop("change_type")
+        val cur =
+          if (SnapshotTable.currentVersion(s, root) == 0) ins.limit(0)
+          else SnapshotTable.read(s, root)
+        SnapshotTable.commit(s, root,
+          cur.exceptAll(del).unionByName(ins), append = false,
+          meta = Map("streaming_batch" -> batchId.toString))
+        ()
+      }
+    }
+  }
+
+  def startCdc(cdcStream: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    applyCdc(cdcStream, root).option("checkpointLocation", checkpoint).start()
 }

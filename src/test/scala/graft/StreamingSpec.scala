@@ -84,6 +84,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1, "insert"), (2, "insert"), (3, "insert"), (1, "delete")))
   }
 
+  test("end-to-end streaming replication: source table -> CDC stream -> replica table") {
+    import spark.implicits._
+    import graft.lake.{LakeSink, SnapshotTable}
+    import org.apache.spark.sql.functions.col
+    val src = "/tmp/graft_test/repl_src"
+    val dst = "/tmp/graft_test/repl_dst"
+    val ckpt = "/tmp/graft_test/repl_ckpt"
+    SnapshotTable.drop(spark, src); SnapshotTable.drop(spark, dst)
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    SnapshotTable.commit(spark, src, Seq(1, 2, 3).toDF("x"))
+    val cdc = spark.readStream.format("graft-snapshot").option("path", src).load()
+    val q = LakeSink.startCdc(cdc, dst, ckpt)
+    def contents(root: String) =
+      SnapshotTable.read(spark, root).collect().map(_.getInt(0)).sorted.toSeq
+    q.processAllAvailable()
+    assert(contents(dst) === contents(src))
+    SnapshotTable.commit(spark, src, Seq(4, 5).toDF("x"))
+    SnapshotTable.deleteWhere(spark, src, col("x") === 2)
+    SnapshotTable.updateWhere(spark, src, col("x") === 4,
+      Map("x" -> org.apache.spark.sql.functions.lit(40)))
+    q.processAllAvailable()
+    q.stop()
+    assert(contents(dst) === Seq(1, 3, 5, 40))
+    assert(contents(dst) === contents(src))
+  }
+
   test("sessionizeStream closes sessions on gap and carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
