@@ -18,7 +18,13 @@ object ZorderWriter {
 
   private val Buckets = 16
 
-  def write(df: DataFrame, dims: Seq[String], out: String, nPartitions: Int): Unit = {
+  /** The clustered (range-partitioned + z-sorted) frame, ready for
+    * any writer — [[write]] lands it as plain parquet;
+    * SnapshotTable.commit with `statsCols = dims` lands it as a
+    * snapshot whose per-file min/max are tight on BOTH dimensions,
+    * so 2-D box predicates skip through the manifest.
+    */
+  def clustered(df: DataFrame, dims: Seq[String], nPartitions: Int): DataFrame = {
     require(dims.size == 2, "ZorderWriter interleaves exactly 2 dimensions")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val stats = df.agg(
@@ -36,6 +42,8 @@ object ZorderWriter {
       .repartitionByRange(nPartitions, col("_zval"))
       .sortWithinPartitions("_zval")
       .drop("_b0", "_b1", "_zval", "min0", "max0", "min1", "max1")
-      .write.mode("overwrite").parquet(out)
   }
+
+  def write(df: DataFrame, dims: Seq[String], out: String, nPartitions: Int): Unit =
+    clustered(df, dims, nPartitions).write.mode("overwrite").parquet(out)
 }

@@ -206,6 +206,27 @@ class SnapshotTableSpec extends SparkSpec {
       s"expected v1 file + one partitioned file, got $scanned")
   }
 
+  test("z-order + per-file stats: 2-D box predicate skips through the manifest") {
+    import org.apache.spark.sql.functions.col
+    import graft.lake.ZorderWriter
+    val root = "/tmp/graft_test/snap_zstats"
+    SnapshotTable.drop(spark, root)
+    // 32×32 grid; z-clustered into 8 files → tight per-file boxes
+    val grid = spark.range(1024).selectExpr("id % 32 AS x", "id DIV 32 AS y")
+    SnapshotTable.commit(spark, root,
+      ZorderWriter.clustered(grid, Seq("x", "y"), 8), statsCols = Seq("x", "y"))
+    assert(SnapshotTable.dataFiles(spark, root, 1).size === 8)
+    val box = SnapshotTable.readWhere(spark, root,
+      col("x") >= 4 && col("x") <= 7 && col("y") >= 4 && col("y") <= 7)
+    assert(box.count() === 16)
+    assert(box.inputFiles.length < 8,
+      s"2-D box should skip z-clustered files, scanned ${box.inputFiles.length}")
+    // a 1-D slice also prunes (z-order keeps both dims selective)
+    val slice = SnapshotTable.readWhere(spark, root, col("y") === 0)
+    assert(slice.count() === 32)
+    assert(slice.inputFiles.length < 8)
+  }
+
   test("bloom filters skip files on equality where min/max cannot") {
     import org.apache.spark.sql.functions.col
     val root = "/tmp/graft_test/snap_bloom"
