@@ -110,7 +110,61 @@ object Multimodal {
       |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Stub perceptual hash: simhash over byte 4-grams — deterministic,
+    * locality-sensitive (small payload edits flip few bits), pure JVM.
+    * A real deployment swaps in pHash/dHash of decoded pixels behind
+    * the same per-partition seam; every downstream join keeps working.
+    */
+  private[graft] def bytePHash(payload: Array[Byte]): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i + 4 <= payload.length) {
+      var h = 0xcbf29ce484222325L // FNV-1a over the 4-gram
+      var j = i
+      while (j < i + 4) { h ^= payload(j) & 0xffL; h *= 0x100000001b3L; j += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Media near-duplicate pairs via perceptual-hash banding: 64-bit
+    * phash per payload (per-partition decode pass), 4×16-bit band
+    * equi-join for candidates (only same-band rows shuffle — never
+    * pairs all payloads), hamming verify ≤ 3 on candidates only. The
+    * same LSH-banding scale shape as text SimHash dedup, applied to
+    * the binary modality; finds the corpus's planted near-dups from
+    * bytes alone. Non-SQL-expressible → rows-only gate.
+    */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.load(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, bytePHash(bytes)) })
+      .toDF("doc_id", "phash")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("band_val", expr("(phash >> (band * 16)) & 65535"))
+    val a = banded.toDF("a_id", "a_hash", "band", "band_val")
+    val b = banded.toDF("b_id", "b_hash", "band", "band_val")
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hash", "b_hash").distinct()
+      .withColumn("hamming",
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
-    Q("mm_frame_sample", frameSample, Some(frameSampleOracle)))
+    Q("mm_frame_sample", frameSample, Some(frameSampleOracle)),
+    Q("mm_phash_neardup", phashNearDup, None))
 }

@@ -87,6 +87,22 @@ class ExprSpec extends SparkSpec {
     assert(s1 === s32)
   }
 
+  test("byte phash: locality-sensitive on small edits, far on different content") {
+    import graft.multimodal.Multimodal.bytePHash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // document-length payloads: a one-word edit is a small fraction
+    // of the 4-grams, like the corpus's planted near-dups
+    val para = Seq.fill(8)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val base = para.getBytes("UTF-8")
+    val edit = (para.take(20) + "cat" + para.drop(23)).getBytes("UTF-8")
+    val other = Seq.fill(8)("zebra xylophones quietly vex jumbled dwarf mobs").mkString(" ").getBytes("UTF-8")
+    assert(bytePHash(base) === bytePHash(base.clone())) // deterministic
+    assert(ham(bytePHash(base), bytePHash(edit)) <= 8,
+      "one-word edit must flip few bits")
+    assert(ham(bytePHash(base), bytePHash(other)) > 16,
+      "unrelated content must be far")
+  }
+
   test("topk_str: best-first, tag tiebreak, partition-invariant") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
