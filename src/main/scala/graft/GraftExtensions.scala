@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     // one shared builder list (GraftFunctions.builders) feeds both
     // registration paths, so the SQL surfaces cannot diverge
     GraftFunctions.builders.foreach { case (name, builder) =>

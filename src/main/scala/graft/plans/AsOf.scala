@@ -13,7 +13,7 @@ object AsOf {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     }
     val rules = spark.experimental.extraOptimizations
-    val missing = Seq(PruneAsOfJoinColumns, PushLimitThroughAsOfJoin).filterNot(rules.contains)
+    val missing = Seq(PruneAsOfJoinColumns, PushLimitThroughAsOfJoin, PushFilterThroughAsOfJoin).filterNot(rules.contains)
     if (missing.nonEmpty) {
       spark.experimental.extraOptimizations = rules ++ missing
     }

@@ -33,6 +33,37 @@ object PushLimitThroughAsOfJoin extends Rule[LogicalPlan] {
   }
 }
 
+/** Filter pushdown through AsOfJoin: the operator is left-preserving
+  * (one output row per left row, left columns pass through
+  * unchanged), so a Filter above it that references ONLY left-side
+  * attributes commutes with the join and can evaluate below — where
+  * it cascades into the left scan's PushedFilters instead of running
+  * after the merge. Predicates touching right-side (possibly NULL on
+  * no-match) columns stay above. Conjuncts split individually, same
+  * contract as Spark's PushPredicateThroughJoin for left outer joins.
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoin) =>
+      val (leftOnly, rest) = splitConjuncts(cond).partition { c =>
+        c.deterministic && c.references.subsetOf(a.left.outputSet)
+      }
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(leftOnly.reduce(And), a.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

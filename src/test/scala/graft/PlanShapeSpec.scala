@@ -137,6 +137,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("left-only filters push through the AsOfJoin; right-side ones stay above") {
+    val ev = sources.Tables.load(spark, sf(), "events")
+    val l = ev.select(col("user_id"), col("ts"), col("value").as("l_value"))
+    val r = ev.select(col("user_id").as("v_user_id"), col("ts").as("v_ts"),
+      col("value").as("r_value"))
+    val joined = plans.AsOf.join(l, r, "user_id", "v_user_id", "ts", "v_ts")
+      .filter(col("l_value") > 100 && col("r_value") > 50)
+    // semantics first: pushed plan matches the unoptimized reference
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    val asofIdx = optimized.indexOf("AsOfJoin")
+    assert(asofIdx >= 0)
+    val below = optimized.substring(asofIdx)
+    assert(below.contains("l_value") && below.contains("Filter"),
+      s"left-only conjunct must evaluate below the join:\n${optimized.take(2000)}")
+    assert(optimized.substring(0, asofIdx).contains("r_value"),
+      s"right-side conjunct must stay above the join:\n${optimized.take(2000)}")
+    // and the pushed conjunct reaches the left parquet scan
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100"),
+      s"pushed filter should reach the scan:\n${physical.take(2500)}")
+  }
+
   test("per-group top terms aggregate partially, no per-group window sort") {
     val p = planOf("text_tfidf_topterms")
     assert(p.contains("partial_graft_topk_str"),
