@@ -323,6 +323,43 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Composed table maintenance — the nightly job every lake runs:
+    * small-file appends accumulate (3 commits × 8 files), an
+    * OPTIMIZE-style overwrite commit rewrites the table compacted
+    * (old files stay readable for time travel), then expire() drops
+    * the pre-compaction versions and physically deletes their orphan
+    * files. Asserts files shrank and history was reclaimed; the
+    * oracle proves three ops composed lost nothing.
+    */
+  def maintenance(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_maint")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    (0 until 3).foreach { b =>
+      SnapshotTable.commit(s, root,
+        ev.filter(col("bucket") === b).drop("bucket").repartition(8))
+    }
+    val before = SnapshotTable.dataFiles(s, root, 3).size
+    SnapshotTable.commit(s, root,
+      SnapshotTable.read(s, root).coalesce(2), append = false,
+      meta = Map("op" -> "compact"))
+    val after = SnapshotTable.dataFiles(s, root, 4).size
+    require(after < before, s"compaction must shrink file count: $before -> $after")
+    val (expired, deleted) = SnapshotTable.expire(s, root, keepLast = 1)
+    require(expired == Seq(1, 2, 3) && deleted.size == before,
+      s"expire must reclaim all $before pre-compaction files, got ${deleted.size}")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val maintenanceOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Schema evolution: v1 files lack the `day` column, v2 files have
     * it; a mergeSchema read unions them (Iceberg add-column semantics).
     */
@@ -550,6 +587,7 @@ object LakeOps {
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
     Q("lake_stats_skipping", statsSkipping, Some(statsSkippingOracle)),
     Q("lake_bloom_skipping", bloomSkipping, Some(bloomSkippingOracle)),
+    Q("lake_maintenance", maintenance, Some(maintenanceOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
 }

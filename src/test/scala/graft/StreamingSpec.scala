@@ -84,6 +84,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1, "insert"), (2, "insert"), (3, "insert"), (1, "delete")))
   }
 
+  test("ohlcBars + watermark emit only FINALIZED bars in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val ticks = input.toDF().toDF("ts", "event_id", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+    val q = Streaming.ohlcBars(ticks)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_final").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 09:30:00"), 1L, "AAA", 100.0),
+      (Timestamp.valueOf("2024-01-01 16:00:00"), 2L, "AAA", 104.0))
+    q.processAllAvailable()
+    // bar still open: nothing emitted yet
+    assert(spark.table("ohlc_final").count() === 0)
+    // a tick far past the window + watermark closes day 1
+    input.addData((Timestamp.valueOf("2024-01-03 09:30:00"), 3L, "AAA", 101.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ohlc_final").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(5), r.getLong(6))).toSet
+    assert(rows === Set(("2024-01-01", 100.0, 104.0, 2L)),
+      "exactly the finalized day-1 bar, with its final open/close")
+  }
+
   test("end-to-end streaming replication: source table -> CDC stream -> replica table") {
     import spark.implicits._
     import graft.lake.{LakeSink, SnapshotTable}
