@@ -489,9 +489,12 @@ object LakeOps {
   def partitionPruning(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "curated_pruning")
     clean(s, out)
+    // (date, bounded salt) spread like ingestPartitioned: a hot date
+    // writes from 4 tasks, file count stays O(dates x 4)
     events(s, dir)
       .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("date"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("date"), pmod(xxhash64(col("event_id")), lit(4)))
       .write.mode("overwrite").partitionBy("date").parquet(out)
     // keep the partition column a plain string (no type inference) so
     // pruning compares strings exactly as the oracle does; schema

@@ -311,6 +311,8 @@ object Relational {
     val daily = t(s, dir, "orders")
       .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
       .groupBy("day").agg(sumMoney(col("o_totalprice")).as("rev"))
+    // unpartitioned window is safe here: input is pre-aggregated to
+    // one row per day (bounded cardinality), not a raw fact stream
     val w = Window.orderBy("day")
     daily
       .withColumn("delta", col("rev") - lag(col("rev"), 1).over(w))
