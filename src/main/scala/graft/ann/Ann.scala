@@ -46,6 +46,21 @@ object Ann {
     explodeTopK(scored, k)
   }
 
+  /** Exact L2 top-k (same shape as [[bruteForceKnn]]): ranking by
+    * negated squared distance so the bounded top-k aggregate applies
+    * unchanged. Ground truth for the L2-native IVF-PQ path.
+    */
+  def bruteForceL2Knn(s: SparkSession, corpus: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        expr("""-(graft_dot(q_emb, q_emb) - 2 * graft_dot(q_emb, embedding)
+          | + graft_dot(embedding, embedding))""".stripMargin).as("cos"))
+    explodeTopK(scored, k)
+  }
+
   // ---------------------------------------------------------------
   /** Brute-force top-5 cosine neighbors for every 50th vector. */
   def bruteForce(s: SparkSession, dir: String): DataFrame =
@@ -204,8 +219,119 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  /** IVF-PQ with residual encoding and L2 ADC — the full
+    * billion-vector compression path (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"). IVF alone cuts the
+    * scan SET; PQ cuts bytes-per-vector; encoding the RESIDUAL
+    * (x − coarse centroid) is what lets the m codes resolve
+    * within-cluster structure — PQ on raw vectors collapses every
+    * member of a cluster onto identical codes and cannot rank inside
+    * it. Distances decompose per subspace:
+    * |q − (c + r̂)|² = Σₘ |(q − c)ₘ − r̂ₘ|², so each query builds an
+    * m × ksub TABLE per probed list and corpus scoring is a
+    * code-lookup join — m byte-sized codes per vector instead of
+    * `dims` floats through the scan.
+    */
+  def pqKnn(
+      s: SparkSession, corpus: DataFrame, queryPred: Column,
+      k: Int, m: Int, ksub: Int, nLists: Int, nProbes: Int,
+      lloydIters: Int = 2): DataFrame = {
+    GraftFunctions.register(s)
+    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    // coarse quantizer (same k-means as ivfKnn) + residual vectors
+    val coarse = refineCentroids(corpus,
+      corpus.filter(col("vec_id") < nLists)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")),
+      iters = lloydIters)
+    def nearestList(df: DataFrame, idCol: String) = df
+      .join(broadcast(coarse))
+      .select(col(idCol), col("embedding"), col("cid"),
+        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+      .groupBy(idCol, "embedding")
+      .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
+      .select(col(idCol), col("embedding"), col("top")(0).getField("id").as("cid"))
+    val residuals = nearestList(corpus, "vec_id")
+      .join(broadcast(coarse), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(embedding, c_emb, (x, c) -> x - c)").as("res"))
+    def chunked(df: DataFrame, vecCol: String, outCol: String) = df
+      .withColumn("s", explode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"i -> struct(i AS sub_idx, slice($vecCol, i * $sub + 1, $sub) AS chunk))")))
+      .withColumn("sub_idx", col("s.sub_idx"))
+      .withColumn(outCol, col("s.chunk")).drop("s", vecCol)
+    val chunks = chunked(residuals.select("vec_id", "cid", "res"), "res", "chunk")
+    // per-subspace codebooks on RESIDUAL chunks; L2 Lloyd assignment
+    // argmin |r − c|² == argmax (dot(r, c) − |c|²/2); means via
+    // posexplode partial agg, vectors never collected
+    var books = chunks.filter(col("vec_id") < ksub)
+      .select(col("sub_idx"), col("vec_id").as("code"), col("chunk").as("c_chunk"))
+    def assignCode(in: DataFrame) = in
+      .join(broadcast(books), "sub_idx")
+      .withColumn("fit",
+        expr("graft_dot(chunk, c_chunk) - graft_dot(c_chunk, c_chunk) / 2"))
+      .groupBy("vec_id", "sub_idx", "chunk")
+      .agg(expr("graft_topk(fit, code, 1)").as("top"))
+      .select(col("vec_id"), col("sub_idx"), col("chunk"),
+        col("top")(0).getField("id").as("code"))
+    (1 to lloydIters).foreach { _ =>
+      books = assignCode(chunks)
+        .select(col("sub_idx"), col("code"), posexplode(col("chunk")))
+        .groupBy("sub_idx", "code", "pos")
+        .agg(avg(col("col")).as("mean"))
+        .groupBy("sub_idx", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> CAST(x.mean AS FLOAT))")
+          .as("c_chunk"))
+        .localCheckpoint()
+    }
+    // the compressed index: (vec_id, cid, m codes)
+    val codes = assignCode(chunks).select("vec_id", "sub_idx", "code")
+      .join(residuals.select("vec_id", "cid"), "vec_id")
+    // queries: residual against each PROBED list, chunked, then the
+    // per-(query, list) distance table |q_resₘ − cₘ|²
+    val qProbes = corpus.filter(queryPred)
+      .join(broadcast(coarse))
+      .select(col("vec_id").as("q_id"), col("embedding"), col("cid"),
+        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+      .groupBy("q_id", "embedding")
+      .agg(expr(s"graft_topk(c_cos, cid, $nProbes)").as("top"))
+      .select(col("q_id"), col("embedding"),
+        explode(expr("transform(top, t -> t.id)")).as("cid"))
+      .join(broadcast(coarse), "cid")
+      .select(col("q_id"), col("cid"),
+        expr("zip_with(embedding, c_emb, (x, c) -> x - c)").as("q_res"))
+    val table = chunked(qProbes.select("q_id", "cid", "q_res"), "q_res", "q_chunk")
+      .join(broadcast(books), "sub_idx")
+      .select(col("q_id"), col("cid"), col("sub_idx"), col("code"),
+        expr("""graft_dot(q_chunk, q_chunk)
+          | - 2 * graft_dot(q_chunk, c_chunk)
+          | + graft_dot(c_chunk, c_chunk)""".stripMargin).as("dist2"))
+    // score within probed lists only: negated L2, micro-quantized so
+    // the m-way sum is exact and merge order cannot wiggle ranking
+    val scored = codes.join(table, Seq("cid", "sub_idx", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(round(col("dist2") * lit(1000000)).cast("long")).as("d_micro"),
+        count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") === m)
+      .withColumn("cos", -col("d_micro").cast("double") / lit(1000000.0))
+      .withColumn("neighbor_id", col("vec_id"))
+    explodeTopK(scored, k)
+  }
+
+  /** Registry entry: 16 lists × 4 probes, m=4 × 16 codes over the
+    * 64-dim table. Approximate → rows-only. (`cos` column carries the
+    * negated L2 ADC distance — larger is closer, like the others.)
+    */
+  def pq(s: SparkSession, dir: String): DataFrame =
+    pqKnn(s, emb(s, dir), col("vec_id") % 50 === 0,
+      k = 3, m = 4, ksub = 16, nLists = 16, nProbes = 4)
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
     Q("ann_lsh", lsh, None),
-    Q("ann_ivf", ivf, None))
+    Q("ann_ivf", ivf, None),
+    Q("ann_pq", pq, None))
 }
