@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registry query against
@@ -11,11 +14,53 @@ import org.apache.spark.sql.SparkSession
   * reports the per-query MEDIAN — round-1 single runs carried
   * multi-second GC/JIT artifacts (a trivial codegen'd agg once
   * clocked 35 s cold vs 0.5 s warm), so one sample is not a gate.
-  * `spread` (max−min across reps) is emitted per query so the
-  * reader can judge stability; `value` is the sum of medians.
+  *
+  * The printed line must stay SHORT: the driver that consumes it
+  * keeps only the final ~2000 characters of process output, and in
+  * rounds 1–2 the full 122-query map blew past that window, so the
+  * line was truncated mid-JSON and never parsed. The line therefore
+  * carries the totals plus a HEADLINE subset of per-query medians
+  * (TPC-H sweep + one flagship per operator family) and is pinned
+  * under 1800 chars by BenchLineSpec; the complete per-query
+  * median/spread detail goes to bench_full.json next to the repo.
   */
 object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
+
+  /** Flagship per-family queries always included in the printed line
+    * (TPC-H q01..q22 are added by pattern). Order = keep priority when
+    * trimming to the length budget.
+    */
+  private val flagships = Seq(
+    "q_date_trunc_daily", "q_asof_join", "q_bucketed_join", "q_window_rank",
+    "q_percentiles", "q_range_join", "q_ntile",
+    "lake_merge_upsert", "lake_partition_pruning", "lake_zorder_cluster",
+    "lake_delete", "lake_incremental",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_ann",
+    "ann_bruteforce", "ann_ivf",
+    "text_quality", "text_bm25_search", "text_token_count",
+    "q_fin_ohlc_daily", "q_fin_vwap",
+    "mm_frame_sample", "stream_window_agg")
+
+  def buildLine(results: Seq[(String, Double)], reps: Int, sfDir: String,
+                budget: Int = 1800): String = {
+    val byName = results.toMap
+    val tpch = results.map(_._1).filter(_.matches("q\\d\\d_.*")).sorted
+    val picks = (tpch ++ flagships.filter(byName.contains)).distinct
+    val total = results.map(_._2).sum
+    def line(names: Seq[String]): String = {
+      val qs = names.map(n => "\"" + n + "\":" + fmt(byName(n))).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nq":${results.size},"queries":$qs,"full":"bench_full.json","sf":"$sfDir"}"""
+    }
+    // Trim lowest-priority flagships if ever over the driver's window.
+    var names = picks
+    var out = line(names)
+    while (out.length > budget && names.size > 1) {
+      names = names.dropRight(1)
+      out = line(names)
+    }
+    out
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,7 +95,9 @@ object Bench {
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    Files.write(Paths.get("bench_full.json"), full.getBytes(StandardCharsets.UTF_8))
+    println(buildLine(results.map(r => (r._1, r._2)), reps, sfDir))
     spark.stop()
   }
 }
