@@ -113,7 +113,80 @@ object Ann {
     lshKnn(s, emb(s, dir), col("vec_id") % 50 === 0, k = 3, nBits = 8, tables = Seq(1L, 2L))
 
   // ---------------------------------------------------------------
-  /** Lloyd refinement: reassign vectors to nearest centroid, then
+  // Quantizer TRAINING runs on the driver over a bounded sample —
+  // the standard large-scale split (FAISS trains codebooks on a
+  // reservoir sample, then assigns the full corpus distributed).
+  // Rounds 1–2 ran Lloyd as Spark jobs over the whole corpus: each
+  // iteration cost a join + two shuffles + a localCheckpoint, and at
+  // bench scale that fixed orchestration dominated the queries
+  // (ann_ivf/ann_pq were the two slowest entries at every SF). The
+  // centroid count is tiny (≤ a few hundred floats); only the
+  // ASSIGNMENT is data-sized, and that stays a broadcast join.
+
+  /** Deterministic bounded sample: the `cap` smallest vec_ids.
+    * Synthetic/test ids are dense from 0 and interleave cluster
+    * membership (see [[clusteredCorpus]]), so an id-prefix covers the
+    * space; at sample ≥ corpus this trains on everything.
+    */
+  private def collectSample(corpus: DataFrame, cap: Int): Array[(Long, Array[Float])] =
+    corpus.sort("vec_id").limit(cap).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double =
+    dotLocal(a, b) / (math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b)))
+
+  /** Driver-side Lloyd with the same semantics as the distributed
+    * version it replaced: assignment by max `fit` (ties → smallest
+    * cid, matching graft_topk's score-desc/id-asc order), centroids
+    * recomputed as per-dimension means, empty clusters dropped.
+    */
+  def lloydLocal(
+      vecs: Array[Array[Float]], seeds: Seq[(Long, Array[Float])], iters: Int,
+      fit: (Array[Float], Array[Float]) => Double): Seq[(Long, Array[Float])] = {
+    var cents = seeds
+    (1 to iters).foreach { _ =>
+      val members = scala.collection.mutable.Map.empty[Long, (Array[Double], Long)]
+      vecs.foreach { v =>
+        var bestCid = -1L; var bestFit = Double.NegativeInfinity
+        cents.foreach { case (cid, c) =>
+          val f = fit(v, c)
+          if (f > bestFit || (f == bestFit && cid < bestCid)) { bestFit = f; bestCid = cid }
+        }
+        val (sums, n) = members.getOrElseUpdate(bestCid, (new Array[Double](v.length), 0L))
+        var i = 0
+        while (i < v.length) { sums(i) += v(i); i += 1 }
+        members(bestCid) = (sums, n + 1)
+      }
+      cents = cents.collect { case (cid, _) if members.contains(cid) =>
+        val (sums, n) = members(cid)
+        (cid, sums.map(x => (x / n).toFloat))
+      }
+    }
+    cents
+  }
+
+  /** Sample-trained k-means coarse quantizer: first `nLists` ids seed,
+    * `iters` local Lloyd rounds by cosine fit. Returns (cid, c_emb)
+    * rows ready to broadcast into the distributed assignment.
+    */
+  def trainCoarseLocal(
+      s: SparkSession, corpus: DataFrame, nLists: Int, iters: Int,
+      sampleCap: Int = 4096): DataFrame = {
+    val sample = collectSample(corpus, sampleCap)
+    val seeds = sample.take(nLists).map { case (id, v) => (id, v) }.toSeq
+    val cents = lloydLocal(sample.map(_._2), seeds, iters, cosLocal)
+    import s.implicits._
+    cents.toDF("cid", "c_emb")
+  }
+
+  /** Legacy fully-distributed Lloyd refinement (kept for the dev
+    * probe tools): reassign vectors to nearest centroid, then
     * recompute each centroid as the per-dimension mean of its list.
     * Means are computed via posexplode → (cid, dim) partial-agg —
     * one shuffle of (cid, dim, sum, count) per round, never the
@@ -151,9 +224,7 @@ object Ann {
       s: SparkSession, corpus: DataFrame, queryPred: Column,
       k: Int, nLists: Int, nProbes: Int, lloydIters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
-    val seeds = corpus.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
-    val centroids = refineCentroids(corpus, seeds, iters = lloydIters)
+    val centroids = trainCoarseLocal(s, corpus, nLists, iters = lloydIters)
     // inverted lists: every vector → nearest centroid
     val assigned = corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
@@ -237,14 +308,41 @@ object Ann {
       k: Int, m: Int, ksub: Int, nLists: Int, nProbes: Int,
       lloydIters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
-    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
+    import s.implicits._
+    // Coarse quantizer AND per-subspace codebooks train on the driver
+    // over one bounded sample (see the training note above); the
+    // corpus only ever flows through broadcast-join assignments.
+    val sample = collectSample(corpus, 4096)
+    val dims = sample.head._2.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
     val sub = dims / m
-    // coarse quantizer (same k-means as ivfKnn) + residual vectors
-    val coarse = refineCentroids(corpus,
-      corpus.filter(col("vec_id") < nLists)
-        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")),
-      iters = lloydIters)
+    val coarseCents = lloydLocal(sample.map(_._2),
+      sample.take(nLists).toSeq, lloydIters, cosLocal)
+    val l2Fit = (r: Array[Float], c: Array[Float]) =>
+      dotLocal(r, c) - dotLocal(c, c) / 2
+    // local residual chunks of the sample train the m codebooks
+    val sampleChunks: Array[(Long, Int, Array[Float])] = sample.map { case (id, v) =>
+      var bestCid = -1L; var bestFit = Double.NegativeInfinity
+      coarseCents.foreach { case (cid, c) =>
+        val f = cosLocal(v, c)
+        if (f > bestFit || (f == bestFit && cid < bestCid)) { bestFit = f; bestCid = cid }
+      }
+      val cEmb = coarseCents.find(_._1 == bestCid).get._2
+      val res = Array.tabulate(dims)(i => v(i) - cEmb(i))
+      (id, res)
+    }.flatMap { case (id, res) =>
+      (0 until m).map(i => (id, i, res.slice(i * sub, (i + 1) * sub)))
+    }
+    val booksLocal = (0 until m).flatMap { subIdx =>
+      val chunks = sampleChunks.collect { case (_, si, c) if si == subIdx => c }
+      val seeds = sampleChunks.collect {
+        case (id, si, c) if si == subIdx && id < ksub => (id, c)
+      }.toSeq
+      lloydLocal(chunks, seeds, lloydIters, l2Fit)
+        .map { case (code, cChunk) => (subIdx, code, cChunk) }
+    }
+    val coarse = coarseCents.toDF("cid", "c_emb")
+    val books = booksLocal.toDF("sub_idx", "code", "c_chunk")
     def nearestList(df: DataFrame, idCol: String) = df
       .join(broadcast(coarse))
       .select(col(idCol), col("embedding"), col("cid"),
@@ -262,11 +360,7 @@ object Ann {
       .withColumn("sub_idx", col("s.sub_idx"))
       .withColumn(outCol, col("s.chunk")).drop("s", vecCol)
     val chunks = chunked(residuals.select("vec_id", "cid", "res"), "res", "chunk")
-    // per-subspace codebooks on RESIDUAL chunks; L2 Lloyd assignment
-    // argmin |r − c|² == argmax (dot(r, c) − |c|²/2); means via
-    // posexplode partial agg, vectors never collected
-    var books = chunks.filter(col("vec_id") < ksub)
-      .select(col("sub_idx"), col("vec_id").as("code"), col("chunk").as("c_chunk"))
+    // codebook assignment: argmin |r − c|² == argmax (dot(r, c) − |c|²/2)
     def assignCode(in: DataFrame) = in
       .join(broadcast(books), "sub_idx")
       .withColumn("fit",
@@ -275,16 +369,6 @@ object Ann {
       .agg(expr("graft_topk(fit, code, 1)").as("top"))
       .select(col("vec_id"), col("sub_idx"), col("chunk"),
         col("top")(0).getField("id").as("code"))
-    (1 to lloydIters).foreach { _ =>
-      books = assignCode(chunks)
-        .select(col("sub_idx"), col("code"), posexplode(col("chunk")))
-        .groupBy("sub_idx", "code", "pos")
-        .agg(avg(col("col")).as("mean"))
-        .groupBy("sub_idx", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> CAST(x.mean AS FLOAT))")
-          .as("c_chunk"))
-        .localCheckpoint()
-    }
     // the compressed index: (vec_id, cid, m codes)
     val codes = assignCode(chunks).select("vec_id", "sub_idx", "code")
       .join(residuals.select("vec_id", "cid"), "vec_id")

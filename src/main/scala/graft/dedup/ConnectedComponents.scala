@@ -1,5 +1,7 @@
 package graft.dedup
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,11 +12,19 @@ import org.apache.spark.sql.functions._
   * Each round propagates labels one hop through the edge graph and
   * then pointer-jumps through the label graph (adopt the label of
   * your label), doubling the effective distance → O(log diameter)
-  * rounds. `localCheckpoint` truncates the growing plan lineage each
-  * round — without it round i re-executes rounds 0..i-1 and the job
-  * goes quadratic. The convergence count is served from the
-  * checkpoint's cached blocks, so early termination costs one cheap
-  * job per round.
+  * rounds.
+  *
+  * The loop runs on co-partitioned RDDs, not DataFrames — the one
+  * place in this engine where dropping below Catalyst is the right
+  * call (GraphX makes the same choice). A DataFrame loop re-analyzes,
+  * re-optimizes, and re-codegens the 3-join round plan on every
+  * iteration and eagerly re-materializes it through localCheckpoint;
+  * at bench scale that fixed ~1 s/round of driver work dominated the
+  * query. Here the edge RDD and the label RDD share one
+  * HashPartitioner, so each round's edge⋈label join is NARROW (zero
+  * shuffle); only the two key-changing steps (neighbor-min
+  * reduceByKey, pointer-jump rekey) shuffle, and they ship bare
+  * (Long, Long) pairs.
   */
 object ConnectedComponents {
 
@@ -23,42 +33,76 @@ object ConnectedComponents {
     * @return (id, component) — component = min vertex id reachable
     *         within maxIter hops
     */
-  def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 8): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint() // edges are reused every round - materialize once
-    var labels = vertices.select(col("id"), col("id").as("component"))
+  def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 8,
+          verbose: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // ~500k labels per task; a small graph runs single-task rounds
+    // instead of paying session-width scheduling 2×/round.
+    val n = vertices.count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val part = new HashPartitioner(
+      math.max(1L, math.min(sessionParts, n / 500000L + 1L)).toInt)
+
+    // symmetric edge set keyed by ONE endpoint: because the set is
+    // symmetric, "keyed by src" and "keyed by dst" are the same RDD —
+    // one copy serves the label-of-neighbor lookup.
+    val sym: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .distinct(part.numPartitions)
+      .partitionBy(part)
+      .cache()
+
+    var labels: RDD[(Long, Long)] = vertices
+      .select(col("id").cast("long")).as[Long].rdd
+      .map(id => (id, id))
+      .partitionBy(part)
+
     var iter = 0
     var changed = 1L
+    var prevCache: RDD[(Long, (Long, Long))] = null
     while (iter < maxIter && changed > 0) {
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
-        .groupBy(col("src").as("nid"))
-        .agg(min("component").as("ncomp"))
-      val stepped = labels
-        .join(neighborMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
-          col("component").as("prev"))
-      // pointer jumping: also adopt the label OF the current label
-      // (component -> label[component]), doubling the effective hop
-      // distance per round -> O(log diameter) rounds instead of
-      // O(diameter)
-      val byId = stepped.select(col("id").as("cid"), col("component").as("ccomp"))
-      val updated = stepped
-        .join(byId, col("component") === col("cid"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ccomp"), col("component"))).as("component"),
-          col("prev"))
-        .localCheckpoint()
-      // the checkpoint materialized `updated`, so this count is served
-      // from cached blocks - one cheap job, and it doubles as the
-      // convergence test that stops diameter-short graphs early
-      changed = updated.filter(col("component") =!= col("prev")).count()
-      labels = updated.select("id", "component")
+      // min label among neighbors: sym is keyed by the neighbor-side
+      // endpoint, so the join is narrow; the rekey to the receiving
+      // vertex is shuffle #1.
+      val neighborMin = sym.join(labels)
+        .map { case (_, (receiver, neighborLabel)) => (receiver, neighborLabel) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val stepped = labels.leftOuterJoin(neighborMin)
+        .mapValues { case (c, nOpt) => (c, math.min(c, nOpt.getOrElse(c))) }
+      // pointer jumping: adopt the label OF the current label
+      // (component -> label[component]); the rekey by component is
+      // shuffle #2, the lookup join against `stepped` is narrow.
+      val byComp = stepped
+        .map { case (id, (prev, c)) => (c, (id, prev)) }
+        .partitionBy(part)
+      val updated = byComp
+        .leftOuterJoin(stepped.mapValues(_._2))
+        .map { case (c, ((id, prev), jumpOpt)) =>
+          (id, (prev, math.min(c, jumpOpt.getOrElse(c))))
+        }
+        .partitionBy(part)
+        .cache()
+      // one action per round: the count both materializes the cache
+      // and serves as the convergence test. Round 0 always changes
+      // labels when any edge joins two distinct ids, so only the
+      // materializing count runs there.
+      changed = if (iter == 0) { updated.count(); 1L }
+        else updated.filter { case (_, (prev, c)) => prev != c }.count()
+      if (prevCache != null) prevCache.unpersist(blocking = false)
+      prevCache = updated
+      labels = updated.mapValues(_._2)
+      if (verbose) println(s"[cc] round $iter changed=$changed")
       iter += 1
     }
-    labels
+    // the RDD lineage ends here; hand Catalyst a checkpointed scan so
+    // downstream plans don't re-run the loop, and release the round
+    // caches.
+    val out = labels.toDF("id", "component").localCheckpoint()
+    sym.unpersist(blocking = false)
+    if (prevCache != null) prevCache.unpersist(blocking = false)
+    out
   }
 }
