@@ -122,6 +122,40 @@ object Dedup {
       .orderBy("id_a")
   }
 
+  /** DuckDB oracle: Jaccard over distinct word-n-gram STRING sets.
+    * The Spark side intersects 64-bit shingle-hash sets; identical
+    * n-grams hash identically and distinct ones collide with
+    * probability ~2⁻⁶⁴, so the two formulations agree exactly on real
+    * data. Short docs (< n tokens) degrade to the single joined-token
+    * string on both sides; a cross token-count string collision is
+    * impossible (tokens cannot contain whitespace), matching the
+    * hash-side behavior of distinct hash functions never colliding.
+    */
+  val ngramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0) AS ts
+      |  FROM documents),
+      |g3 AS (
+      |  SELECT doc_id,
+      |   CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |        ELSE list_distinct(list_transform(generate_series(1, LEN(ts) - 2),
+      |          i -> array_to_string(ts[i:i+2], ' '))) END AS g
+      |  FROM toks),
+      |g1 AS (
+      |  SELECT doc_id,
+      |   CASE WHEN LEN(ts) < 1 THEN [array_to_string(ts, ' ')]
+      |        ELSE list_distinct(ts) END AS g
+      |  FROM toks)
+      |SELECT a3.doc_id AS id_a, b3.doc_id AS id_b,
+      | CAST(LEN(list_intersect(a3.g, b3.g)) AS DOUBLE)
+      |  / (LEN(a3.g) + LEN(b3.g) - LEN(list_intersect(a3.g, b3.g))) AS jaccard3,
+      | CAST(LEN(list_intersect(a1.g, b1.g)) AS DOUBLE)
+      |  / (LEN(a1.g) + LEN(b1.g) - LEN(list_intersect(a1.g, b1.g))) AS jaccard1
+      |FROM g3 a3 JOIN g3 b3 ON b3.doc_id = a3.doc_id + 1
+      |JOIN g1 a1 ON a1.doc_id = a3.doc_id
+      |JOIN g1 b1 ON b1.doc_id = b3.doc_id
+      |ORDER BY id_a""".stripMargin
+
   // ---------------------------------------------------------------
   /** Exact self-1NN over an embedding table WITHOUT broadcasting the
     * corpus: a fragment-and-replicate block grid. The corpus is hashed
@@ -275,14 +309,48 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** DuckDB oracle for [[ccClusters]]: the same exact-cosine 1-NN
+    * edge set as [[embeddingOracle]], then connected components as a
+    * recursive transitive-closure CTE (min reachable id = the label
+    * the pointer-jumping loop converges to). Feasible because the
+    * oracle runs at small SF where Σ|component|² is tiny.
+    */
+  val ccClustersOracle: String =
+    """WITH RECURSIVE pairs AS (
+      | SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+      |  list_sum(list_transform(range(1, LEN(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(range(1, LEN(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(range(1, LEN(b.embedding) + 1),
+      |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |nn AS (
+      | SELECT vec_id, nn_id FROM (
+      |  SELECT vec_id, nn_id,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rn
+      |  FROM pairs) t WHERE rn = 1),
+      |edges AS (
+      | SELECT vec_id AS src, nn_id AS dst FROM nn
+      | UNION SELECT nn_id AS src, vec_id AS dst FROM nn),
+      |reach AS (
+      | SELECT src AS id, src AS r FROM edges
+      | UNION
+      | SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+      |comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id),
+      |sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |SELECT c.vec_id, c.component, s.cluster_size
+      |FROM comp c JOIN sizes s ON c.component = s.component
+      |ORDER BY c.vec_id""".stripMargin
+
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("dedup_pipeline", dedupPipeline, None),
-    Q("dedup_cc_clusters", ccClusters, None),
+    Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),
     Q("dedup_exact", exact, Some(exactOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
     Q("dedup_simhash", simhash, None),
-    Q("dedup_ngram_jaccard", ngramJaccard, None),
+    Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_embedding", embedding, Some(embeddingOracle)),
     Q("dedup_embedding_ann", (s, d) => embeddingAnn(s, d), None))
 }

@@ -35,17 +35,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // Every local goes through ctx.freshName: two instances of this
+  // expression can land in ONE generated function (e.g. a predicate
+  // over two cosines), and fixed names made Janino reject the whole
+  // function ("Redefinition of local variable") — silently dropping
+  // the hot path to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -71,11 +80,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
-         |${ev.value} = dot;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -114,17 +125,24 @@ case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val hu = HashUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // the Scala object's class is `HashUtil$` with static MODULE$ —
+      // stripping the `$` pointed at the bare forwarder class and made
+      // Janino reject every generated function containing this
+      // expression (it ran interpreted since round 1)
+      val hu = HashUtil.getClass.getName + ".MODULE$"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val sig = ctx.freshName("sig")
+      val proj = ctx.freshName("proj")
       s"""
-         |int n = $a.numElements();
-         |long sig = 0L;
-         |for (int b = 0; b < $nBits; b++) {
-         |  double proj = 0.0;
-         |  for (int i = 0; i < n; i++)
-         |    proj += (double) $a.getFloat(i) * $hu.unitComponent(${seed}L, b, i);
-         |  if (proj >= 0) sig |= (1L << b);
+         |int $n = $a.numElements();
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) {
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++)
+         |    $proj += (double) $a.getFloat($i) * $hu.unitComponent(${seed}L, $b, $i);
+         |  if ($proj >= 0) $sig |= (1L << $b);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
 
