@@ -447,6 +447,84 @@ object LakeOps {
   }
 
   // ---------------------------------------------------------------
+  /** Snapshot rollback: three commits, roll back to v2, then read
+    * both the rolled-back current version and the pre-rollback v3 —
+    * rollback is a new commit, so nothing is lost and time travel
+    * still reaches the undone state. The rollback commit re-references
+    * v2's files (zero-copy), asserted via dataFiles equality.
+    */
+  def rollback(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_rollback")
+    clean(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < d11))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d11 && col("ts") < d21))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d21))
+    val v = SnapshotTable.rollback(s, root, toVersion = 2)
+    require(v == 4 && SnapshotTable.currentVersion(s, root) == 4,
+      s"rollback must create version 4, got $v")
+    require(SnapshotTable.dataFiles(s, root, 4) == SnapshotTable.dataFiles(s, root, 2),
+      "rollback must re-reference the target version's files verbatim")
+    Seq(3, 4).map { ver =>
+      SnapshotTable.read(s, root, ver)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("version", lit(ver))
+    }.reduce(_ unionByName _)
+      .select("version", "event_type", "n", "total_value")
+      .orderBy("version", "event_type")
+  }
+
+  val rollbackOracle: String = {
+    def v(n: Int, pred: String) =
+      s"""SELECT $n AS version, event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+         |FROM events WHERE $pred GROUP BY 1, 2""".stripMargin
+    v(3, "TRUE") + "\nUNION ALL\n" +
+      v(4, "ts < TIMESTAMP '2024-01-21'") + "\nORDER BY version, event_type"
+  }
+
+  // ---------------------------------------------------------------
+  /** Named refs: immutable tags pin versions (Iceberg `baseline` /
+    * `release` tags); reads address snapshots by name instead of
+    * version number, and re-tagging an existing name fails.
+    */
+  def tagsQuery(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_tags")
+    clean(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < d11))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d11))
+    SnapshotTable.tag(s, root, "baseline", 1)
+    SnapshotTable.tag(s, root, "release", 2)
+    require(SnapshotTable.tags(s, root) == Map("baseline" -> 1, "release" -> 2),
+      "tag listing must return both refs")
+    val clobbered =
+      try { SnapshotTable.tag(s, root, "baseline", 2); true }
+      catch { case _: IllegalStateException => false }
+    require(!clobbered, "tags are immutable: re-tagging must fail")
+    Seq("baseline", "release").map { name =>
+      SnapshotTable.readTag(s, root, name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("tag", lit(name))
+    }.reduce(_ unionByName _)
+      .select("tag", "event_type", "n", "total_value")
+      .orderBy("tag", "event_type")
+  }
+
+  val tagsOracle: String = {
+    def v(tag: String, pred: String) =
+      s"""SELECT '$tag' AS tag, event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+         |FROM events WHERE $pred GROUP BY 1, 2""".stripMargin
+    // v2 is an APPEND commit, so the `release` tag sees all events
+    v("baseline", "ts < TIMESTAMP '2024-01-11'") + "\nUNION ALL\n" +
+      v("release", "TRUE") + "\nORDER BY tag, event_type"
+  }
+
+  // ---------------------------------------------------------------
   /** Multi-format source/sink round-trip: the same batch lands as
     * parquet, ORC, JSON, and CSV and reads back identically (the lake
     * ingests whatever upstream emits; cf. the reference's
@@ -592,5 +670,7 @@ object LakeOps {
     Q("lake_bloom_skipping", bloomSkipping, Some(bloomSkippingOracle)),
     Q("lake_maintenance", maintenance, Some(maintenanceOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
-    Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)))
+    Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)),
+    Q("lake_rollback", rollback, Some(rollbackOracle)),
+    Q("lake_tags", tagsQuery, Some(tagsOracle)))
 }

@@ -476,6 +476,73 @@ object SnapshotTable {
         s"concurrent commit detected for $root version $v — manifest already exists")
   }
 
+  // ----- rollback and named refs (Iceberg tags) ---------------------
+
+  /** Iceberg-style rollback: re-publish an old snapshot as the NEW
+    * current version. Zero-copy — the new manifest re-references the
+    * target version's data files verbatim (stats/bloom/partition
+    * annotations included), nothing is rewritten — and
+    * non-destructive: intermediate versions remain readable, so the
+    * rollback itself can be rolled back. The target's full header is
+    * carried, so reading the new version behaves exactly like reading
+    * the target (schema history included).
+    */
+  def rollback(s: SparkSession, root: String, toVersion: Int): Int = {
+    val cur = currentVersion(s, root)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"cannot roll back $root to version $toVersion (current: $cur)")
+    val v = cur + 1
+    val lines = manifestLines(s, root, toVersion)
+    val header = commitMeta(s, root, toVersion)
+    writeManifestAtomic(s, root, v,
+      header ++ Map("op" -> "rollback", "rollback_of" -> toVersion.toString),
+      lines.filterNot(_.startsWith("#")))
+    v
+  }
+
+  private def tagsDir(root: String) = new Path(s"$root/_tags")
+
+  /** Create an IMMUTABLE named reference to a version (Iceberg tag).
+    * Immutability is enforced by create-with-overwrite=false — a
+    * second writer racing to the same name fails loudly.
+    */
+  def tag(s: SparkSession, root: String, name: String, version: Int): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"invalid tag name: $name")
+    val cur = currentVersion(s, root)
+    require(version >= 1 && version <= cur,
+      s"cannot tag version $version of $root (current: $cur)")
+    val p = new Path(tagsDir(root), name)
+    val fs = fsOf(s, p)
+    if (fs.exists(p))
+      throw new IllegalStateException(s"tag $name already exists on $root")
+    val out = fs.create(p, false)
+    try out.write(s"$version\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def tagVersion(s: SparkSession, root: String, name: String): Int = {
+    val p = new Path(tagsDir(root), name)
+    val fs = fsOf(s, p)
+    require(fs.exists(p), s"no tag $name on $root")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** All tags on the table, name → version. */
+  def tags(s: SparkSession, root: String): Map[String, Int] = {
+    val dir = tagsDir(root)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .map(n => n -> tagVersion(s, root, n)).toMap
+  }
+
+  /** Read the snapshot a tag points at. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    read(s, root, tagVersion(s, root, name))
+
   // ----- schema evolution: rename / widen via column mapping --------
   //
   // Delta-style "column mapping by name": data files keep their

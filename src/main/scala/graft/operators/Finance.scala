@@ -463,7 +463,100 @@ object Finance {
       |ORDER BY event_type, day""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Two-factor OLS per instrument: daily return regressed on the
+    * market factor (cross-sectional return sum) and a momentum factor
+    * (the lagged market return), with intercept — the multi-factor
+    * extension of [[beta]].
+    *
+    * Everything through the moment matrix is EXACT integer arithmetic
+    * (returns quantized to bps, sums/products of longs), so the
+    * moments are order-independent under any partitioning; the 3×3
+    * normal-equation solve (Cramer on centered moments) then runs in
+    * double on identical integers on both sides — deterministic IEEE,
+    * hash-safe. One shuffle for the bars, one for the per-instrument
+    * moments; the factor series (one row per day) broadcasts. The
+    * day-ordered lag window is over the bounded daily factor series
+    * (cardinality = days), not ticks.
+    */
+  def factorRegression(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val ret = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(max(tickOrder).getField("value").as("close"))
+      .withColumn("r",
+        round((col("close") / lag("close", 1).over(w) - 1) * 10000).cast("long"))
+      .filter(col("r").isNotNull)
+      .select("event_type", "day", "r")
+    val wd = Window.orderBy("day") // bounded: one row per trading day
+    val fac = ret.groupBy("day").agg(sum(col("r")).as("m"))
+      .withColumn("m1", lag("m", 1).over(wd))
+      .filter(col("m1").isNotNull)
+    val mom = ret.join(broadcast(fac), "day")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"), sum(col("r")).as("sy"),
+        sum(col("m")).as("s1"), sum(col("m1")).as("s2"),
+        sum(col("m") * col("m")).as("s11"), sum(col("m") * col("m1")).as("s12"),
+        sum(col("m1") * col("m1")).as("s22"),
+        sum(col("r") * col("m")).as("sy1"), sum(col("r") * col("m1")).as("sy2"))
+    val c11 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
+    val c12 = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+    val c22 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+    val cy1 = (col("n") * col("sy1") - col("sy") * col("s1")).cast("double")
+    val cy2 = (col("n") * col("sy2") - col("sy") * col("s2")).cast("double")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (cy1 * c22 - cy2 * c12) / det
+    val b2 = (cy2 * c11 - cy1 * c12) / det
+    mom.select(col("event_type"), col("n"),
+        round(b1, 8).as("beta_mkt"), round(b2, 8).as("beta_mom"),
+        round((col("sy").cast("double") - b1 * col("s1").cast("double")
+          - b2 * col("s2").cast("double")) / col("n").cast("double"), 8).as("alpha_bps"))
+      .orderBy("event_type")
+  }
+
+  val factorRegressionOracle: String =
+    """WITH bars AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) t GROUP BY 1, 2),
+      |ret AS (
+      |  SELECT event_type, day,
+      |   CAST(ROUND((close / LAG(close) OVER (PARTITION BY event_type ORDER BY day) - 1) * 10000) AS BIGINT) AS r
+      |  FROM bars QUALIFY r IS NOT NULL),
+      |fac AS (
+      |  SELECT day, m, m1 FROM (
+      |   SELECT day, m, LAG(m) OVER (ORDER BY day) AS m1
+      |   FROM (SELECT day, SUM(r) AS m FROM ret GROUP BY 1) dm) f
+      |  WHERE m1 IS NOT NULL),
+      |mom AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(r) AS sy,
+      |   SUM(m) AS s1, SUM(m1) AS s2,
+      |   SUM(m * m) AS s11, SUM(m * m1) AS s12, SUM(m1 * m1) AS s22,
+      |   SUM(r * m) AS sy1, SUM(r * m1) AS sy2
+      |  FROM ret JOIN fac USING (day) GROUP BY 1),
+      |solved AS (
+      |  SELECT event_type, n, sy, s1, s2,
+      |   CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+      |   CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+      |   CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+      |   CAST(n * sy1 - sy * s1 AS DOUBLE) AS cy1,
+      |   CAST(n * sy2 - sy * s2 AS DOUBLE) AS cy2
+      |  FROM mom)
+      |SELECT event_type, n,
+      | ROUND((cy1 * c22 - cy2 * c12) / (c11 * c22 - c12 * c12), 8) AS beta_mkt,
+      | ROUND((cy2 * c11 - cy1 * c12) / (c11 * c22 - c12 * c12), 8) AS beta_mom,
+      | ROUND((CAST(sy AS DOUBLE)
+      |   - ((cy1 * c22 - cy2 * c12) / (c11 * c22 - c12 * c12)) * CAST(s1 AS DOUBLE)
+      |   - ((cy2 * c11 - cy1 * c12) / (c11 * c22 - c12 * c12)) * CAST(s2 AS DOUBLE))
+      |  / CAST(n AS DOUBLE), 8) AS alpha_bps
+      |FROM solved ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("q_fin_factor_regression", factorRegression, Some(factorRegressionOracle)),
     Q("q_fin_ohlc_daily", ohlcDaily, Some(ohlcDailyOracle)),
     Q("q_fin_vwap", vwapMonthly, Some(vwapMonthlyOracle)),
     Q("q_fin_moving_avg", movingAvg, Some(movingAvgOracle)),
