@@ -22,16 +22,21 @@ import org.apache.spark.sql.functions._
   * at bench scale that fixed ~1 s/round of driver work dominated the
   * query. Here the edge RDD and the label RDD share one
   * HashPartitioner, so each round's edge⋈label join is NARROW (zero
-  * shuffle); only the two key-changing steps (neighbor-min
-  * reduceByKey, pointer-jump rekey) shuffle, and they ship bare
-  * (Long, Long) pairs.
+  * shuffle); only the three key-changing steps (neighbor-min
+  * reduceByKey, pointer-jump rekey, and the rekey back to vertex id)
+  * shuffle, and they ship bare (Long, Long) pairs.
   */
 object ConnectedComponents {
 
   /** @param edges    (src, dst) undirected edge list
     * @param vertices single `id` column
-    * @return (id, component) — component = min vertex id reachable
-    *         within maxIter hops
+    * @param maxIter  soft round target: pointer jumping converges in
+    *                 O(log diameter) rounds, so this is normally never
+    *                 reached — but if labels are still changing there
+    *                 the loop KEEPS GOING (with a warning) rather than
+    *                 silently returning wrong components (r3 advice),
+    *                 up to a 64-round hard stop.
+    * @return (id, component) — component = min reachable vertex id
     */
   def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 8,
           verbose: Boolean = false): DataFrame = {
@@ -60,21 +65,29 @@ object ConnectedComponents {
       .map(id => (id, id))
       .partitionBy(part)
 
+    val hardStop = math.max(maxIter, 64)
     var iter = 0
     var changed = 1L
     var prevCache: RDD[(Long, (Long, Long))] = null
-    while (iter < maxIter && changed > 0) {
+    while (iter < hardStop && changed > 0) {
+      if (iter == maxIter)
+        System.err.println(s"[graft-cc] labels still changing after soft target " +
+          s"maxIter=$maxIter rounds; continuing to convergence (hard stop $hardStop)")
       // min label among neighbors: sym is keyed by the neighbor-side
       // endpoint, so the join is narrow; the rekey to the receiving
       // vertex is shuffle #1.
       val neighborMin = sym.join(labels)
         .map { case (_, (receiver, neighborLabel)) => (receiver, neighborLabel) }
         .reduceByKey(part, math.min(_: Long, _: Long))
+      // stepped feeds both the pointer-jump rekey AND the label
+      // lookup below — cache it so its join isn't computed twice.
       val stepped = labels.leftOuterJoin(neighborMin)
         .mapValues { case (c, nOpt) => (c, math.min(c, nOpt.getOrElse(c))) }
+        .cache()
       // pointer jumping: adopt the label OF the current label
       // (component -> label[component]); the rekey by component is
-      // shuffle #2, the lookup join against `stepped` is narrow.
+      // shuffle #2, the lookup join against `stepped` is narrow, the
+      // rekey back to vertex id is shuffle #3.
       val byComp = stepped
         .map { case (id, (prev, c)) => (c, (id, prev)) }
         .partitionBy(part)
@@ -91,12 +104,16 @@ object ConnectedComponents {
       // materializing count runs there.
       changed = if (iter == 0) { updated.count(); 1L }
         else updated.filter { case (_, (prev, c)) => prev != c }.count()
+      stepped.unpersist(blocking = false)
       if (prevCache != null) prevCache.unpersist(blocking = false)
       prevCache = updated
       labels = updated.mapValues(_._2)
       if (verbose) println(s"[cc] round $iter changed=$changed")
       iter += 1
     }
+    if (changed > 0)
+      System.err.println(s"[graft-cc] WARNING: not converged after $hardStop rounds; " +
+        "components may be split (pathological diameter)")
     // the RDD lineage ends here; hand Catalyst a checkpointed scan so
     // downstream plans don't re-run the loop, and release the round
     // caches.

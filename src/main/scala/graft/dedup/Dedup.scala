@@ -17,14 +17,64 @@ import graft.sources.Tables
   *    (custom expression, no shingle explosion); only
   *    (band, bandKey, doc_id) tuples shuffle — 16 rows/doc. Candidate
   *    pairs join back to text for exact-Jaccard verification, so the
-  *    quadratic step touches candidates only.
+  *    quadratic step touches candidates only — and band buckets wider
+  *    than [[DefaultBucketCap]] (the boilerplate hot keys that are
+  *    quadratic on one skewed key at corpus scale) degrade to a
+  *    linear star via [[cappedPairs]].
   *  - SimHash: 64-bit signature per doc; 4×16-bit band exact-match
   *    generates candidates; popcount(xor) verifies Hamming ≤ 3.
   */
 object Dedup {
 
+  /** Band buckets wider than this emit a linear star instead of all
+    * pairs — see [[cappedPairs]]. 1000 members ≈ 500k pairs, the
+    * largest quadratic patch a single task should ever absorb.
+    */
+  val DefaultBucketCap: Int = 1000
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------
+  /** Candidate pairs from band buckets with BOUNDED width.
+    *
+    * `bands` must have columns (id, band, band_key) plus any payload
+    * columns to carry onto both sides of each pair. Buckets with at
+    * most `cap` members emit all intra-bucket pairs (the classic LSH
+    * candidate set). Buckets beyond `cap` — the boilerplate/empty-doc
+    * hot keys that make an uncapped band self-join quadratic on ONE
+    * skewed key at corpus scale — emit a linear STAR instead: every
+    * member paired with the bucket's minimum id. The star keeps the
+    * bucket connected (what the downstream rep/connected-components
+    * step needs) and its pairs still flow through the caller's
+    * verifier (Jaccard / Hamming / cosine), so the cap bounds the
+    * candidate count at O(members) per hot bucket without admitting
+    * false positives. Bucket sizing and the bucket-min row come from
+    * ONE window over (band, band_key) — the same hash partitioning
+    * the self-join needs, so the cap costs no extra exchange.
+    *
+    * Output: (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b,
+    * deduplicated across bands.
+    */
+  private[graft] def cappedPairs(bands: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val payload = bands.columns.toSeq.filterNot(Set("id", "band", "band_key"))
+    val w = Window.partitionBy("band", "band_key")
+    val sized = bands
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(struct((col("id") +: payload.map(col)): _*)).over(w))
+    val small = sized.filter(col("bsz") <= cap)
+    val allPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select((col("a.id").as("id_a") +: payload.map(c => col(s"a.$c").as(s"${c}_a"))) ++
+              (col("b.id").as("id_b") +: payload.map(c => col(s"b.$c").as(s"${c}_b"))): _*)
+    // hot bucket → star to the bucket-min row (bmin.id < id by
+    // construction, so the id_a < id_b invariant holds)
+    val starPairs = sized.filter(col("bsz") > cap && col("id") =!= col("bmin.id"))
+      .select((col("bmin.id").as("id_a") +: payload.map(c => col(s"bmin.$c").as(s"${c}_a"))) ++
+              (col("id").as("id_b") +: payload.map(c => col(c).as(s"${c}_b"))): _*)
+    allPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+  }
 
   // ---------------------------------------------------------------
   /** Exact dedup by content hash: every doc gets its group size and a
@@ -62,12 +112,8 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val d = docs(s, dir).select("doc_id", "text")
-    val bands = minhashBands(s, dir)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val bands = minhashBands(s, dir).withColumnRenamed("doc_id", "id")
+    val cand = cappedPairs(bands)
     val verified = cand
       .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
@@ -88,15 +134,10 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val sigs = docs(s, dir).select(col("doc_id"), expr("graft_simhash(text)").as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
+    val bands = sigs.select(col("doc_id").as("id"), col("sig"), posexplode(expr(
       "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("a.sig").as("sig_a"),
-        col("b.doc_id").as("id_b"), col("b.sig").as("sig_b"))
-      .distinct()
+    val cand = cappedPairs(bands)
       .filter(expr("bit_count(sig_a ^ sig_b) <= 3"))
     val reps = cand.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("rep_cand"))
     sigs.join(reps, Seq("doc_id"), "left")
@@ -222,15 +263,11 @@ object Dedup {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
     val bucketed = Seq(1L, 2L).map { seed =>
-      e.select(col("vec_id"), col("embedding"), lit(seed).as("tbl"),
-        expr(s"graft_lsh_bucket(embedding, 12, $seed)").as("bucket"))
+      e.select(col("vec_id").as("id"), col("embedding"), lit(seed).as("band"),
+        expr(s"graft_lsh_bucket(embedding, 12, $seed)").as("band_key"))
     }.reduce(_ unionByName _)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("a.embedding").as("emb_a"),
-        col("b.vec_id").as("id_b"), col("b.embedding").as("emb_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = cappedPairs(bucketed)
+      .withColumnRenamed("embedding_a", "emb_a").withColumnRenamed("embedding_b", "emb_b")
       .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -266,15 +303,11 @@ object Dedup {
     GraftFunctions.register(s)
     val d = docs.select("doc_id", "text")
     val bands = d
-      .select(col("doc_id"), expr("graft_minhash(text, 64, 3)").as("sig"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id").as("id"), expr("graft_minhash(text, 64, 3)").as("sig"))
+      .select(col("id"), posexplode(expr(
         "transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = cappedPairs(bands)
     val edges = cand
       .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))

@@ -40,8 +40,17 @@ object GraftFunctions {
 
   def names: Seq[String] = builders.map(_._1)
 
+  // one registration per session: createOrReplaceTempFunction logs a
+  // "replaced a previously registered function" warning on every
+  // re-registration, and the registry is called at the top of every
+  // query builder — a full bench run used to emit thousands of them
+  private val registered =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
-    }
+    if (registered.add(spark))
+      builders.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
 }

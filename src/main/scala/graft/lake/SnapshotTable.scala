@@ -516,7 +516,15 @@ object SnapshotTable {
     val fs = fsOf(s, p)
     if (fs.exists(p))
       throw new IllegalStateException(s"tag $name already exists on $root")
-    val out = fs.create(p, false)
+    // a racing writer past the exists() check surfaces as the FS's
+    // FileAlreadyExistsException — normalize to the same signal the
+    // non-raced path throws so callers see one immutability exception
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(s"tag $name already exists on $root")
+      }
     try out.write(s"$version\n".getBytes("UTF-8"))
     finally out.close()
   }

@@ -33,12 +33,14 @@ class AnnRecallSpec extends SparkSpec {
     assert(counts.forall(_.getLong(1) == K))
   }
 
-  test("LSH recall@10 >= 0.9 at 8 bits x 4 tables") {
-    val approx = Ann.lshKnn(spark, corpus, pred, k = K, nBits = 8,
-      tables = Seq(1L, 2L, 3L, 4L))
+  test("LSH recall@10 >= 0.9 at the REGISTRY configuration") {
+    // pin the exact config the ann_lsh registry entry ships with —
+    // not a hand-tuned variant (r3 verdict item 2)
+    val approx = Ann.lshKnn(spark, corpus, pred, k = K,
+      nBits = Ann.LshRegistryBits, tables = Ann.LshRegistryTables)
     val r = Ann.recallAt(truth, approx)
-    info(f"lsh recall@10 = $r%.3f (8 bits, 4 tables)")
-    assert(r >= 0.9, f"LSH recall $r%.3f below 0.9")
+    info(f"lsh recall@10 = $r%.3f (registry config: ${Ann.LshRegistryBits} bits, ${Ann.LshRegistryTables.size} tables)")
+    assert(r >= 0.9, f"LSH recall $r%.3f below 0.9 at the shipped registry config")
   }
 
   test("LSH recall improves with more tables") {
