@@ -96,10 +96,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
-    // anchor the detail artifact to an explicit dir (not the launch
-    // cwd) and never let an I/O failure there eat the summary line
+    // detail artifact lands in the launch cwd by default (portable),
+    // SPARK_GRAFT_OUT_DIR overrides; an I/O failure there must never
+    // eat the summary line
     val fullPath = Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "/root/repo"), "bench_full.json")
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir")), "bench_full.json")
     try Files.write(fullPath, full.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[graft-bench] could not write $fullPath: $e") }

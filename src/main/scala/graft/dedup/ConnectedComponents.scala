@@ -35,11 +35,15 @@ object ConnectedComponents {
     *                 reached — but if labels are still changing there
     *                 the loop KEEPS GOING (with a warning) rather than
     *                 silently returning wrong components (r3 advice),
-    *                 up to a 64-round hard stop.
+    *                 up to the `hardStop` round bound.
+    * @param hardStop hard cost bound on rounds (clamped to >= maxIter).
+    *                 Callers that used maxIter to bound latency can pin
+    *                 hardStop = maxIter to restore a strict budget; the
+    *                 default keeps convergence-over-budget semantics.
     * @return (id, component) — component = min reachable vertex id
     */
   def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 8,
-          verbose: Boolean = false): DataFrame = {
+          verbose: Boolean = false, hardStop: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // ~500k labels per task; a small graph runs single-task rounds
@@ -65,14 +69,14 @@ object ConnectedComponents {
       .map(id => (id, id))
       .partitionBy(part)
 
-    val hardStop = math.max(maxIter, 64)
+    val stopAt = math.max(maxIter, hardStop)
     var iter = 0
     var changed = 1L
     var prevCache: RDD[(Long, (Long, Long))] = null
-    while (iter < hardStop && changed > 0) {
-      if (iter == maxIter)
+    while (iter < stopAt && changed > 0) {
+      if (iter == maxIter && maxIter < stopAt)
         System.err.println(s"[graft-cc] labels still changing after soft target " +
-          s"maxIter=$maxIter rounds; continuing to convergence (hard stop $hardStop)")
+          s"maxIter=$maxIter rounds; continuing to convergence (hard stop $stopAt)")
       // min label among neighbors: sym is keyed by the neighbor-side
       // endpoint, so the join is narrow; the rekey to the receiving
       // vertex is shuffle #1.
@@ -112,7 +116,7 @@ object ConnectedComponents {
       iter += 1
     }
     if (changed > 0)
-      System.err.println(s"[graft-cc] WARNING: not converged after $hardStop rounds; " +
+      System.err.println(s"[graft-cc] WARNING: not converged after $stopAt rounds; " +
         "components may be split (pathological diameter)")
     // the RDD lineage ends here; hand Catalyst a checkpointed scan so
     // downstream plans don't re-run the loop, and release the round

@@ -43,37 +43,55 @@ object Dedup {
     * most `cap` members emit all intra-bucket pairs (the classic LSH
     * candidate set). Buckets beyond `cap` — the boilerplate/empty-doc
     * hot keys that make an uncapped band self-join quadratic on ONE
-    * skewed key at corpus scale — emit a linear STAR instead: every
-    * member paired with the bucket's minimum id. The star keeps the
-    * bucket connected (what the downstream rep/connected-components
-    * step needs) and its pairs still flow through the caller's
-    * verifier (Jaccard / Hamming / cosine), so the cap bounds the
-    * candidate count at O(members) per hot bucket without admitting
-    * false positives. Bucket sizing and the bucket-min row come from
-    * ONE window over (band, band_key) — the same hash partitioning
-    * the self-join needs, so the cap costs no extra exchange.
+    * skewed key at corpus scale — emit a linear STAR (every member
+    * paired with the bucket's minimum id) PLUS a linear CHAIN
+    * (consecutive members by id). Both keep the bucket connected for
+    * the downstream rep/connected-components step, and the chain means
+    * connectivity does not hinge on the single bucket-min row passing
+    * the caller's verifier: if the min is an outlier (a dissimilar doc
+    * that band-collided), adjacent members still link up. All pairs
+    * flow through the verifier (Jaccard / Hamming / cosine), so the
+    * cap bounds the candidate count at O(2·members) per hot bucket
+    * without admitting false positives. Bucket sizing, the bucket-min
+    * row, and the chain predecessor come from windows over one
+    * (band, band_key) partitioning — the same hash partitioning the
+    * self-join needs, so the cap costs no extra exchange.
+    *
+    * Rows with a NULL band or band_key are dropped up front — the
+    * uncapped self-join's null-unsafe equality never matched them, and
+    * a window would lump them into one giant fake bucket.
     *
     * Output: (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b,
     * deduplicated across bands.
     */
   private[graft] def cappedPairs(bands: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     val payload = bands.columns.toSeq.filterNot(Set("id", "band", "band_key"))
+    val keyed = bands.filter(col("band").isNotNull && col("band_key").isNotNull)
     val w = Window.partitionBy("band", "band_key")
-    val sized = bands
+    val row = struct((col("id") +: payload.map(col)): _*)
+    val sized = keyed
       .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min(struct((col("id") +: payload.map(col)): _*)).over(w))
+      .withColumn("bmin", min(row).over(w))
     val small = sized.filter(col("bsz") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select((col("a.id").as("id_a") +: payload.map(c => col(s"a.$c").as(s"${c}_a"))) ++
               (col("b.id").as("id_b") +: payload.map(c => col(s"b.$c").as(s"${c}_b"))): _*)
+    def pairsFrom(from: String) =
+      (col(s"$from.id").as("id_a") +: payload.map(c => col(s"$from.$c").as(s"${c}_a"))) ++
+        (col("id").as("id_b") +: payload.map(c => col(c).as(s"${c}_b")))
     // hot bucket → star to the bucket-min row (bmin.id < id by
-    // construction, so the id_a < id_b invariant holds)
-    val starPairs = sized.filter(col("bsz") > cap && col("id") =!= col("bmin.id"))
-      .select((col("bmin.id").as("id_a") +: payload.map(c => col(s"bmin.$c").as(s"${c}_a"))) ++
-              (col("id").as("id_b") +: payload.map(c => col(c).as(s"${c}_b"))): _*)
-    allPairs.unionByName(starPairs).dropDuplicates("id_a", "id_b")
+    // construction, so the id_a < id_b invariant holds) …
+    val hot = sized.filter(col("bsz") > cap)
+      .withColumn("prev", lag(row, 1).over(w.orderBy("id")))
+    val starPairs = hot.filter(col("id") =!= col("bmin.id"))
+      .select(pairsFrom("bmin"): _*)
+    // … plus the id-ordered chain (prev.id < id by the window order)
+    val chainPairs = hot.filter(col("prev").isNotNull)
+      .select(pairsFrom("prev"): _*)
+    allPairs.unionByName(starPairs).unionByName(chainPairs)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------

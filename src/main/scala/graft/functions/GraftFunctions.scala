@@ -43,14 +43,21 @@ object GraftFunctions {
   // one registration per session: createOrReplaceTempFunction logs a
   // "replaced a previously registered function" warning on every
   // re-registration, and the registry is called at the top of every
-  // query builder — a full bench run used to emit thousands of them
+  // query builder — a full bench run used to emit thousands of them.
+  // The whole body is synchronized so the set records COMPLETED
+  // registration: a check-then-act add() would let a second thread
+  // proceed mid-registration and hit "undefined function graft_*".
   private val registered =
-    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  def register(spark: SparkSession): Unit =
-    if (registered.add(spark))
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.contains(spark)) {
       builders.foreach { case (name, b) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
       }
+      registered.add(spark)
+      ()
+    }
+  }
 }

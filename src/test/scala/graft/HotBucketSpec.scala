@@ -13,7 +13,7 @@ import graft.dedup.Dedup
 class HotBucketSpec extends SparkSpec {
   import spark.implicits._
 
-  test("hot bucket emits a linear star, small buckets emit all pairs") {
+  test("hot bucket emits a linear star + chain, small buckets emit all pairs") {
     // one 1000-member bucket + one 4-member bucket, cap = 10
     val bands = ((0L until 1000L).map(i => (i, 0, 77L)) ++
         Seq(5000L, 5001L, 5002L, 5003L).map(i => (i, 1, 88L)))
@@ -22,10 +22,13 @@ class HotBucketSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val hot = pairs.filter(_._1 < 5000L)
     val small = pairs.filter(_._1 >= 5000L).toSet
-    // star: 999 pairs, all anchored at the bucket min — not 499500
-    assert(hot.length === 999)
-    assert(hot.forall(_._1 === 0L))
-    assert(hot.map(_._2).sorted.toSeq === (1L until 1000L))
+    // star (999 anchored at the min) + chain (999 consecutive), the
+    // shared (0,1) emitted once — still O(members), not 499500
+    assert(hot.length === 1997)
+    val star = hot.filter(_._1 === 0L)
+    assert(star.map(_._2).sorted.toSeq === (1L until 1000L))
+    // chain: consecutive ids link even if the min never verifies
+    assert(hot.count(p => p._2 === p._1 + 1) === 999)
     // small bucket keeps the exact all-pairs candidate set
     assert(small === Set((5000L, 5001L), (5000L, 5002L), (5000L, 5003L),
       (5001L, 5002L), (5001L, 5003L), (5002L, 5003L)))
@@ -38,10 +41,13 @@ class HotBucketSpec extends SparkSpec {
     val pairs = Dedup.cappedPairs(bands, cap = 5)
       .select("id_a", "sig_a", "id_b", "sig_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // hot bucket (20 > 5): star rows carry the min row's payload on _a
+    // hot bucket (20 > 5): 19 star + 19 chain pairs, (0,1) shared;
+    // every pair carries ITS row's payload on both sides
     val hot = pairs.filter(_._3 < 100L)
-    assert(hot.length === 19)
-    assert(hot.forall(p => p._1 === 0L && p._2 === 0L && p._4 === p._3 * 10))
+    assert(hot.length === 37)
+    assert(hot.forall(p => p._2 === p._1 * 10 && p._4 === p._3 * 10))
+    assert(hot.count(_._1 === 0L) === 19)
+    assert(hot.count(p => p._3 === p._1 + 1) === 19)
     // small bucket: payloads on both sides
     assert(pairs.filter(_._3 >= 100L).toSeq === Seq((100L, 7L, 101L, 8L)))
   }
@@ -57,6 +63,24 @@ class HotBucketSpec extends SparkSpec {
     assert(pairs.count(p => p == (0L, 1L)) === 1)
     // the small-bucket-only pair (1,29) survives alongside the star
     assert(pairs.contains((1L, 29L)))
+  }
+
+  test("rows with a null band_key never pair (old null-unsafe join semantics)") {
+    val bands = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 0, java.lang.Long.valueOf(7L)),
+        org.apache.spark.sql.Row(2L, 0, java.lang.Long.valueOf(7L)),
+        org.apache.spark.sql.Row(3L, 0, null),
+        org.apache.spark.sql.Row(4L, 0, null),
+        org.apache.spark.sql.Row(5L, 0, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("band_key", org.apache.spark.sql.types.LongType))))
+    val pairs = Dedup.cappedPairs(bands, cap = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 3 null-key rows would exceed cap=2 and star-pair if bucketed
+    assert(pairs.toSet === Set((1L, 2L)))
   }
 
   test("10k-doc identical-boilerplate corpus completes with bounded candidates and one cluster") {
