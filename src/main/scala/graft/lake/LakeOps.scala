@@ -525,6 +525,64 @@ object LakeOps {
   }
 
   // ---------------------------------------------------------------
+  /** Write-audit-publish: stage a batch on an `audit` branch, gate it
+    * with expectations, fast-forward main only on pass — the Iceberg
+    * WAP pattern that keeps bad data out of the serving table without
+    * blocking ingest. The query also proves the isolation negative
+    * path: a branch staging corrupted rows fails its audit, is
+    * dropped, and main never sees it.
+    */
+  def branchWap(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_wap")
+    clean(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < d11)) // main v1: served data
+    // stage the new batch on an audit branch — main must not see it
+    SnapshotTable.createBranch(s, root, "audit")
+    SnapshotTable.commitToBranch(s, root, "audit", ev.filter(col("ts") >= d11))
+    val staged = SnapshotTable.readBranch(s, root, "audit")
+    val auditFailures = staged.filter(
+      col("event_id").isNull || col("value").isNull || col("ts").isNull).count()
+    require(auditFailures == 0, s"audit gate: $auditFailures bad staged rows")
+    // WRITE-...-publish isolation: capture main's pre-publish state
+    val beforeAgg = SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .withColumn("phase", lit("staged"))
+    val v = SnapshotTable.publishBranch(s, root, "audit")
+    require(v == 2 && SnapshotTable.currentVersion(s, root) == 2,
+      s"publish must fast-forward main to version 2, got $v")
+    // negative path: corrupt batch fails its audit; dropping the
+    // branch leaves main bit-identical
+    SnapshotTable.createBranch(s, root, "bad")
+    SnapshotTable.commitToBranch(s, root, "bad",
+      ev.limit(50).withColumn("value", lit(-1.0)))
+    val badRows = SnapshotTable.readBranch(s, root, "bad")
+      .filter(col("value") < 0).count()
+    require(badRows > 0, "negative path must stage failing rows")
+    SnapshotTable.dropBranch(s, root, "bad")
+    require(SnapshotTable.currentVersion(s, root) == 2,
+      "dropping an unpublished branch must not move main")
+    val afterAgg = SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .withColumn("phase", lit("published"))
+    beforeAgg.unionByName(afterAgg)
+      .select("phase", "event_type", "n", "total_value")
+      .orderBy("phase", "event_type")
+  }
+
+  val branchWapOracle: String = {
+    def v(phase: String, pred: String) =
+      s"""SELECT '$phase' AS phase, event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+         |FROM events WHERE $pred GROUP BY 1, 2""".stripMargin
+    // pre-publish main = v1 only; post-publish = everything
+    v("published", "TRUE") + "\nUNION ALL\n" +
+      v("staged", "ts < TIMESTAMP '2024-01-11'") + "\nORDER BY phase, event_type"
+  }
+
+  // ---------------------------------------------------------------
   /** Multi-format source/sink round-trip: the same batch lands as
     * parquet, ORC, JSON, and CSV and reads back identically (the lake
     * ingests whatever upstream emits; cf. the reference's
@@ -672,5 +730,6 @@ object LakeOps {
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)),
     Q("lake_rollback", rollback, Some(rollbackOracle)),
-    Q("lake_tags", tagsQuery, Some(tagsOracle)))
+    Q("lake_tags", tagsQuery, Some(tagsOracle)),
+    Q("lake_branch_wap", branchWap, Some(branchWapOracle)))
 }

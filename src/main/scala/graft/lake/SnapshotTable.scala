@@ -38,14 +38,29 @@ object SnapshotTable {
       }.foldLeft(0)(math.max)
   }
 
-  private def manifestLines(s: SparkSession, root: String, version: Int): Seq[String] = {
-    val p = new Path(s"$root/_manifests/v$version.manifest")
+  private def manifestLines(s: SparkSession, root: String, version: Int): Seq[String] =
+    manifestLinesAt(s, root, s"v$version")
+
+  /** Manifest lines by stem — `v3` (main) or `audit.v2` (branch). */
+  private def manifestLinesAt(s: SparkSession, root: String, stem: String): Seq[String] = {
+    val p = new Path(s"$root/_manifests/$stem.manifest")
     val fs = fsOf(s, p)
     val in = fs.open(p)
     try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private def headerAt(s: SparkSession, root: String, stem: String): Map[String, String] =
+    manifestLinesAt(s, root, stem).takeWhile(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+
+  private def filesAt(s: SparkSession, root: String, stem: String): Seq[String] =
+    manifestLinesAt(s, root, stem).filterNot(_.startsWith("#")).map(_.split('\t').head)
 
   /** Data files visible at a version (metadata header lines excluded,
     * per-file partition annotations stripped).
@@ -68,12 +83,7 @@ object SnapshotTable {
 
   /** Metadata recorded with a commit (`#key=value` manifest header). */
   def commitMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
-    manifestLines(s, root, version).takeWhile(_.startsWith("#")).flatMap { l =>
-      l.drop(1).split("=", 2) match {
-        case Array(k, v) => Some(k -> v)
-        case _ => None
-      }
-    }.toMap
+    headerAt(s, root, s"v$version")
 
   /** Commit a new version. `append=true` keeps prior files visible;
     * `append=false` is an overwrite commit (old files stay on disk
@@ -443,7 +453,12 @@ object SnapshotTable {
     }.sorted.toSeq
     val (expired, live) = versions.splitAt(math.max(0, versions.size - keepLast))
     if (expired.isEmpty) return (Seq.empty, Seq.empty)
-    val liveFiles = live.flatMap(v => dataFiles(s, root, v)).toSet
+    // branch heads keep their referenced files live — a branch created
+    // from an expired main version must stay readable until published
+    // or dropped
+    val branchLive = branches(s, root).values
+      .flatMap(stem => filesAt(s, root, stem)).toSet
+    val liveFiles = live.flatMap(v => dataFiles(s, root, v)).toSet ++ branchLive
     val orphaned = expired.flatMap(v => dataFiles(s, root, v)).distinct
       .filterNot(liveFiles.contains)
     // delete manifests FIRST: a crash mid-expire must never leave a
@@ -453,8 +468,10 @@ object SnapshotTable {
     (expired, orphaned)
   }
 
-  private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] = {
-    val dataDir = s"$root/data/v$v"
+  private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] =
+    writeDataFilesAt(s, s"$root/data/v$v", df)
+
+  private def writeDataFilesAt(s: SparkSession, dataDir: String, df: DataFrame): Seq[String] = {
     df.write.mode("overwrite").parquet(dataDir)
     val dataPath = new Path(dataDir)
     fsOf(s, dataPath).listStatus(dataPath)
@@ -463,17 +480,22 @@ object SnapshotTable {
 
   private def writeManifestAtomic(
       s: SparkSession, root: String, v: Int,
+      meta: Map[String, String], files: Seq[String]): Unit =
+    writeManifestAtomicAt(s, root, s"v$v", meta, files)
+
+  private def writeManifestAtomicAt(
+      s: SparkSession, root: String, stem: String,
       meta: Map[String, String], files: Seq[String]): Unit = {
     val header = meta.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
-    val mp = new Path(s"$root/_manifests/v$v.manifest")
-    val tmp = new Path(s"$root/_manifests/.v$v.manifest.tmp")
+    val mp = new Path(s"$root/_manifests/$stem.manifest")
+    val tmp = new Path(s"$root/_manifests/.$stem.manifest.tmp")
     val fs = fsOf(s, mp)
     val out = fs.create(tmp, true)
     try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(mp) || !fs.rename(tmp, mp))
       throw new IllegalStateException(
-        s"concurrent commit detected for $root version $v — manifest already exists")
+        s"concurrent commit detected for $root at $stem — manifest already exists")
   }
 
   // ----- rollback and named refs (Iceberg tags) ---------------------
@@ -550,6 +572,126 @@ object SnapshotTable {
   /** Read the snapshot a tag points at. */
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     read(s, root, tagVersion(s, root, name))
+
+  // ----- writable branches + write-audit-publish --------------------
+  //
+  // Branches are the MUTABLE half of named refs (tags are immutable):
+  // stage commits on a branch, audit the staged state, then
+  // fast-forward main via [[publishBranch]] — the Iceberg
+  // write-audit-publish pattern on the reference's table layer
+  // (RUNBOOK.md:89). Branch commits write data files under
+  // data/<branch>/ and manifests as _manifests/<branch>.v{n}.manifest,
+  // a namespace [[currentVersion]]'s v{N} regex never matches — so
+  // staging is INVISIBLE to main readers until publish, and a dropped
+  // branch leaves main bit-identical. Refs are single-writer (the ref
+  // move is a small-file overwrite, not a CAS).
+
+  private def branchesDir(root: String) = new Path(s"$root/_branches")
+
+  private def writeRef(fs: FileSystem, p: Path, stem: String, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s"$stem\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Create a branch at a main version (default: current). */
+  def createBranch(s: SparkSession, root: String, name: String, fromVersion: Int = -1): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_-]+"),
+      s"invalid branch name: $name")
+    val cur = currentVersion(s, root)
+    val from = if (fromVersion < 0) cur else fromVersion
+    require(from >= 1 && from <= cur,
+      s"cannot branch $root from version $from (current: $cur)")
+    val p = new Path(branchesDir(root), name)
+    val fs = fsOf(s, p)
+    if (fs.exists(p))
+      throw new IllegalStateException(s"branch $name already exists on $root")
+    writeRef(fs, p, s"v$from", overwrite = false)
+  }
+
+  /** Manifest stem the branch ref points at (`v3` or `<name>.v2`). */
+  def branchHead(s: SparkSession, root: String, name: String): String = {
+    val p = new Path(branchesDir(root), name)
+    val fs = fsOf(s, p)
+    require(fs.exists(p), s"no branch $name on $root")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** All branches on the table, name → head manifest stem. */
+  def branches(s: SparkSession, root: String): Map[String, String] = {
+    val dir = branchesDir(root)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .map(n => n -> branchHead(s, root, n)).toMap
+  }
+
+  /** Commit to a branch: same append/overwrite semantics as [[commit]],
+    * inheriting the branch head's schema metadata; main is untouched.
+    * Returns the branch-local sequence number.
+    */
+  def commitToBranch(
+      s: SparkSession, root: String, name: String, df: DataFrame,
+      append: Boolean = true, meta: Map[String, String] = Map.empty): Int = {
+    val headStem = branchHead(s, root, name)
+    val inherited = headerAt(s, root, headStem)
+      .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey || kv._1 == PartitionKey)
+    val mapping = parsePairs(inherited.get(ColMapKey))
+    val mdir = manifestDir(root)
+    val fs = fsOf(s, mdir)
+    val seqRe = (java.util.regex.Pattern.quote(name) + "\\.v(\\d+)\\.manifest").r
+    val n = fs.listStatus(mdir).map(_.getPath.getName).collect {
+      case seqRe(v) => v.toInt
+    }.foldLeft(0)(math.max) + 1
+    val newFiles = writeDataFilesAt(s, s"$root/data/$name/v$n", toPhysical(df, mapping))
+    val base = if (append) manifestLinesAt(s, root, headStem).filterNot(_.startsWith("#"))
+               else Seq.empty
+    val stem = s"$name.v$n"
+    writeManifestAtomicAt(s, root, stem,
+      inherited ++ meta + ("branch" -> name), base ++ newFiles)
+    writeRef(fs, new Path(branchesDir(root), name), stem, overwrite = true)
+    n
+  }
+
+  /** Read a branch's current state (staged + inherited data). */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+    val stem = branchHead(s, root, name)
+    val header = headerAt(s, root, stem)
+    readWithSchema(s, filesAt(s, root, stem),
+      parsePairs(header.get(ColMapKey)), parsePairs(header.get(ColTypesKey)))
+  }
+
+  /** PUBLISH: fast-forward main to the branch head. Zero-copy — the
+    * new main manifest re-references the branch head's lines verbatim
+    * (annotations included) and carries its header, so reading main
+    * after publish is bit-identical to reading the audited branch.
+    * Returns the new main version.
+    */
+  def publishBranch(s: SparkSession, root: String, name: String): Int = {
+    val stem = branchHead(s, root, name)
+    val cur = currentVersion(s, root)
+    val v = cur + 1
+    val lines = manifestLinesAt(s, root, stem).filterNot(_.startsWith("#"))
+    writeManifestAtomic(s, root, v,
+      headerAt(s, root, stem) ++
+        Map("op" -> "publish", "published_from" -> stem),
+      lines)
+    v
+  }
+
+  /** Delete a branch ref. Main is untouched; the branch's unpublished
+    * data files become orphans (reclaimable by maintenance, exactly
+    * like aborted-write orphans).
+    */
+  def dropBranch(s: SparkSession, root: String, name: String): Unit = {
+    val p = new Path(branchesDir(root), name)
+    val fs = fsOf(s, p)
+    require(fs.exists(p), s"no branch $name on $root")
+    fs.delete(p, false)
+    ()
+  }
 
   // ----- schema evolution: rename / widen via column mapping --------
   //
@@ -658,9 +800,12 @@ object SnapshotTable {
     * files read correctly under a newer version's schema).
     */
   private def readFiles(
-      s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame = {
-    val mapping = columnMapping(s, root, v)
-    val types = columnTypes(s, root, v)
+      s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame =
+    readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v))
+
+  private def readWithSchema(
+      s: SparkSession, files: Seq[String],
+      mapping: Map[String, String], types: Map[String, String]): DataFrame = {
     val raw =
       if (types.isEmpty) s.read.parquet(files: _*)
       else {

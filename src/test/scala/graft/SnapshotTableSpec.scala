@@ -442,6 +442,73 @@ class SnapshotTableSpec extends SparkSpec {
     assert(odd.count() === 1000)
   }
 
+  test("branch staging is invisible to main; publish fast-forwards zero-copy") {
+    val root = "/tmp/graft_test/snap_branch"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2, 3).toDF("x"))
+    SnapshotTable.createBranch(spark, root, "audit")
+    SnapshotTable.commitToBranch(spark, root, "audit", Seq(4, 5).toDF("x"))
+    // staged rows visible on the branch, NOT on main
+    assert(SnapshotTable.readBranch(spark, root, "audit").count() === 5)
+    assert(SnapshotTable.read(spark, root).count() === 3)
+    assert(SnapshotTable.currentVersion(spark, root) === 1)
+    // a second staged commit moves the branch ref
+    SnapshotTable.commitToBranch(spark, root, "audit", Seq(6).toDF("x"))
+    assert(SnapshotTable.branchHead(spark, root, "audit") === "audit.v2")
+    assert(SnapshotTable.readBranch(spark, root, "audit").count() === 6)
+    // publish = zero-copy fast-forward: main's new manifest references
+    // the branch head's files verbatim
+    val v = SnapshotTable.publishBranch(spark, root, "audit")
+    assert(v === 2 && SnapshotTable.currentVersion(spark, root) === 2)
+    assert(SnapshotTable.read(spark, root).count() === 6)
+    assert(SnapshotTable.read(spark, root).collect().map(_.getInt(0)).toSet
+      === Set(1, 2, 3, 4, 5, 6))
+    // time travel to pre-publish main still works
+    assert(SnapshotTable.read(spark, root, 1).count() === 3)
+  }
+
+  test("dropping an unpublished branch leaves main bit-identical") {
+    val root = "/tmp/graft_test/snap_branch_drop"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))
+    val filesBefore = SnapshotTable.dataFiles(spark, root, 1)
+    SnapshotTable.createBranch(spark, root, "bad")
+    SnapshotTable.commitToBranch(spark, root, "bad", Seq(-1).toDF("x"))
+    SnapshotTable.dropBranch(spark, root, "bad")
+    assert(SnapshotTable.currentVersion(spark, root) === 1)
+    assert(SnapshotTable.dataFiles(spark, root, 1) === filesBefore)
+    assert(SnapshotTable.branches(spark, root) === Map.empty)
+    // re-creating the name after a drop is allowed (unlike tags)
+    SnapshotTable.createBranch(spark, root, "bad")
+    assert(SnapshotTable.branches(spark, root) === Map("bad" -> "v1"))
+  }
+
+  test("branch name collision and double-create fail loudly") {
+    val root = "/tmp/graft_test/snap_branch_dup"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1).toDF("x"))
+    SnapshotTable.createBranch(spark, root, "b1")
+    intercept[IllegalStateException] {
+      SnapshotTable.createBranch(spark, root, "b1")
+    }
+  }
+
+  test("expire keeps files referenced only by a live branch") {
+    val root = "/tmp/graft_test/snap_branch_expire"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))      // v1
+    SnapshotTable.createBranch(spark, root, "wip", fromVersion = 1)
+    SnapshotTable.commitToBranch(spark, root, "wip", Seq(3).toDF("x"))
+    // main moves on with an overwrite; v1's files are now referenced
+    // only by v1 and the branch
+    SnapshotTable.commit(spark, root, Seq(9).toDF("x"), append = false) // v2
+    SnapshotTable.commit(spark, root, Seq(10).toDF("x"), append = false) // v3
+    val (expired, deleted) = SnapshotTable.expire(spark, root, keepLast = 2)
+    assert(expired === Seq(1))
+    assert(deleted.isEmpty) // v1's files live on through the branch
+    assert(SnapshotTable.readBranch(spark, root, "wip").count() === 3)
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
