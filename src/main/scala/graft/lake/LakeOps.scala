@@ -583,6 +583,51 @@ object LakeOps {
   }
 
   // ---------------------------------------------------------------
+  /** End-to-end streaming replication: a source table takes three
+    * commits plus a row-level DELETE while a `graft-snapshot` CDC
+    * stream applies every change to a replica table via
+    * [[LakeSink.applyCdc]] (exactly-once per manifest-stamped batch
+    * id). The replica's final contents — not the mechanism — are the
+    * oracle: they must equal the source query run straight over raw
+    * events. This is the reference's continuously-fed-lake loop
+    * (Airflow appends → consumers read, RUNBOOK.md §5+§8) as one
+    * verifiable query.
+    */
+  def replicaSync(s: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "repl_src")
+    val dst = scratch(dir, "repl_dst")
+    val ckpt = scratch(dir, "repl_ckpt")
+    Seq(src, dst, ckpt).foreach(clean(s, _))
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
+    val cdc = s.readStream.format("graft-snapshot").option("path", src).load()
+    val q = LakeSink.startCdc(cdc, dst, ckpt)
+    try {
+      q.processAllAvailable()
+      SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
+      q.processAllAvailable()
+      SnapshotTable.commit(s, src, ev.filter(col("ts") >= d21))
+      SnapshotTable.deleteWhere(s, src, col("event_type") === "error")
+      q.processAllAvailable()
+    } finally q.stop()
+    val srcCount = SnapshotTable.read(s, src).count()
+    val dstCount = SnapshotTable.read(s, dst).count()
+    require(srcCount == dstCount,
+      s"replica diverged: source has $srcCount rows, replica $dstCount")
+    SnapshotTable.read(s, dst)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val replicaSyncOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_type <> 'error'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Multi-format source/sink round-trip: the same batch lands as
     * parquet, ORC, JSON, and CSV and reads back identically (the lake
     * ingests whatever upstream emits; cf. the reference's
@@ -731,5 +776,6 @@ object LakeOps {
     Q("lake_hidden_partitioning", hiddenPartitioning, Some(hiddenPartitioningOracle)),
     Q("lake_rollback", rollback, Some(rollbackOracle)),
     Q("lake_tags", tagsQuery, Some(tagsOracle)),
-    Q("lake_branch_wap", branchWap, Some(branchWapOracle)))
+    Q("lake_branch_wap", branchWap, Some(branchWapOracle)),
+    Q("lake_replica_sync", replicaSync, Some(replicaSyncOracle)))
 }
