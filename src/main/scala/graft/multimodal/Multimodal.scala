@@ -140,10 +140,19 @@ object Multimodal {
     * the binary modality; finds the corpus's planted near-dups from
     * bytes alone. Non-SQL-expressible → rows-only gate.
     */
-  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def phashNearDup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Banded pHash near-dup core over (doc_id, payload) — see
+    * [[phashNearDup]]; split out so specs can gate precision/recall
+    * on planted corpora.
+    */
+  private[graft] def phashPairs(payloads: DataFrame): DataFrame = {
+    val s = payloads.sparkSession
     import s.implicits._
-    val hashes = Tables.load(s, dir, "documents")
-      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+    val hashes = payloads
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, bytePHash(bytes)) })
       .toDF("doc_id", "phash")
