@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.Q
 import graft.sources.Tables
@@ -144,7 +144,112 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------
+  /** The events table as a FILE-SOURCE stream (the ingest-directory
+    * pattern: new parquet files appear, the query picks them up).
+    * Schema comes from a batch peek — a streaming file source cannot
+    * infer it.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // FileStreamSource wants an ingest DIRECTORY (new files appear →
+    // new micro-batches); the testdata table is a single file. Stage
+    // it into a scratch ingest dir once — the same move a real feed
+    // makes when a batch of files lands.
+    val ingest = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events")
+    java.nio.file.Files.createDirectories(ingest)
+    val staged = ingest.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(staged))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    // same ns→µs timestamp rebuild as Tables.load: the streaming
+    // source must be given the RAW file schema (ts as long under
+    // nanosAsLong), with the TimestampType recovered in the plan
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(raw)
+      .parquet(ingest.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming plan to completion (AvailableNow) into a memory
+    * sink and hand back the sink contents as a batch DataFrame. The
+    * oracle gate then hash-compares REAL streaming output — watermark
+    * bookkeeping, streaming state stores, sink commit protocol all on
+    * the hot path — not a batch analog.
+    */
+  private def runToTable(s: SparkSession, plan: DataFrame, name: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = plan.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ---------------------------------------------------------------
+  /** Stream-stream inner join: each click joined to the same user's
+    * purchases within the next 30 minutes — attribution, the classic
+    * stream-stream use. Both sides are watermarked and the join
+    * condition bounds event time on both sides, so Spark can size and
+    * evict the per-side join state; the join itself shuffles both
+    * streams on user_id (hash-partitioned state, scales per-key).
+    * Re-expresses the reference's ingest-then-correlate loop
+    * (RUNBOOK.md §5 continuous feed + §9 analytic join) as one
+    * continuous query.
+    */
+  def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val buys = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = clicks.join(buys, expr(
+        "user_id = b_user AND b_ts >= c_ts AND b_ts <= c_ts + interval 30 minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    runToTable(s, joined, "graft_ss_join")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val streamStreamJoinOracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Streaming dedup: first event per (user_id, event_type) under a
+    * watermark — dropDuplicatesWithinWatermark keeps per-key state
+    * only until the watermark passes it, so state is bounded by key
+    * churn inside the lateness window, not by stream length. Only the
+    * key columns are returned: WHICH row within a micro-batch wins is
+    * not deterministic, the key set is.
+    */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToTable(s, deduped, "graft_stream_dedup")
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamDedupOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("stream_window_agg", qWindowAgg, Some(windowAggOracle)),
-    Q("stream_sessionize", qSessionize, Some(sessionizeOracle)))
+    Q("stream_sessionize", qSessionize, Some(sessionizeOracle)),
+    Q("stream_stream_join", qStreamStreamJoin, Some(streamStreamJoinOracle)),
+    Q("stream_dedup", qStreamDedup, Some(streamDedupOracle)))
 }
