@@ -423,8 +423,86 @@ object Ann {
       k = 3, m = 4, ksub = 16, nLists = 16, nProbes = 4)
 
   // ---------------------------------------------------------------
+  /** Range search: ALL neighbors above a similarity threshold, not a
+    * fixed k — the retrieval mode dedup sweeps and radius queries use.
+    * Same scale shape as brute force (queries broadcast, corpus
+    * streams, codegen'd cosine) but the bound is a filter, so the
+    * result size is data-dependent; no top-k state at all. The
+    * threshold sits ≥6e-4 from every corpus cosine at the gated SF,
+    * orders of magnitude beyond any float-vs-double wiggle, so the
+    * inclusion set is stable across engines.
+    */
+  def rangeSearch(
+      s: SparkSession, corpus: DataFrame, queryPred: Column, minCos: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val q = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    corpus.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_cosine(q_emb, embedding)").as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
+  def rangeSearchEntry(s: SparkSession, dir: String): DataFrame =
+    rangeSearch(s, emb(s, dir), col("vec_id") % 50 === 0, minCos = 0.35)
+
+  val rangeSearchOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos FROM (
+      | SELECT q.q_id, e.vec_id AS neighbor_id,
+      |  list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(range(1, LEN(q.q_emb) + 1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+      | FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+      |WHERE cos >= 0.35
+      |ORDER BY q_id, neighbor_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Per-class centroids, element-wise — the distributed vector
+    * aggregation every clustering/kmeans round and class-prototype
+    * diagnostic is built from. posexplode flattens to (label, dim)
+    * keys → the mean is an ordinary partial-agg groupBy: each task
+    * combines its own rows first and the exchange carries one partial
+    * per (label, dim), NEVER whole vectors to one place. Sums go
+    * through fixed-point micro-units (float→double is exact, so both
+    * engines round the identical double) to stay order-independent.
+    * First 8 dims keep the gate output bounded; the plan is
+    * dimension-count agnostic.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .filter(col("pos") < 8)
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("col").cast("double") * lit(1000000)).cast("long")).cast("double")
+          / lit(1000000.0)).as("sum_fixed"))
+      .select(col("label").cast("long").as("label"), col("pos").cast("long").as("dim"),
+        col("n"), round(col("sum_fixed") / col("n"), 6).as("centroid"))
+      .orderBy("label", "dim")
+
+  val centroidsOracle: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
+      | COUNT(*) AS n,
+      | ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+      |   / 1000000.0 / COUNT(*), 6) AS centroid
+      |FROM (SELECT label, UNNEST(embedding) AS v,
+      |             UNNEST(range(1, LEN(embedding) + 1)) AS dim
+      |      FROM embeddings)
+      |WHERE dim <= 8
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
+    Q("ann_range_search", rangeSearchEntry, Some(rangeSearchOracle)),
+    Q("emb_centroids", centroids, Some(centroidsOracle)),
     Q("ann_lsh", lsh, None),
     Q("ann_ivf", ivf, None),
     Q("ann_pq", pq, None))

@@ -754,7 +754,92 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** MERGE with schema evolution: the update feed arrives with a NEW
+    * attribution column the table has never seen. The table's current
+    * schema is widened with a typed NULL (exactly what Iceberg/Delta
+    * `mergeSchema` MERGE does), then the same single-shuffle
+    * latest-wins upsert as lake_merge_upsert runs — evolution costs no
+    * extra exchange. Pre-merge rows read back with a NULL channel,
+    * updated rows carry the feed's value. Cf. reference Iceberg DDL
+    * (RUNBOOK.md §7) where columns are added without table rewrites.
+    */
+  def mergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "merge_evolve")
+    clean(s, root)
+    val ev = events(s, dir)
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val target = ev.filter(col("ts") < cutoff)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    SnapshotTable.commit(s, root, target, append = false)
+    val updates = ev.filter(col("ts") >= cutoff)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"),
+        concat(lit("ch_"), pmod(col("user_id"), lit(3))).as("channel"))
+    val widened = SnapshotTable.read(s, root)
+      .withColumn("channel", lit(null).cast("string"))
+    val merged = Merge.upsert(widened, updates, Seq("user_id"),
+      Seq(col("ts"), col("event_id")))
+    SnapshotTable.commit(s, root, merged.drop("ts"), append = false)
+    SnapshotTable.read(s, root)
+      .select("user_id", "event_id", "event_type", "value", "channel", "updated")
+      .orderBy("user_id")
+  }
+
+  val mergeEvolveOracle: String =
+    """WITH latest AS (
+      | SELECT user_id, event_id, event_type, value, ts,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |SELECT user_id, event_id, event_type, value,
+      | CASE WHEN ts >= TIMESTAMP '2024-01-15'
+      |  THEN 'ch_' || CAST(user_id % 3 AS VARCHAR) END AS channel,
+      | ts >= TIMESTAMP '2024-01-15' AS updated
+      |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Table history — the Iceberg `$history`/Trino `$snapshots`
+    * metadata surface: one row per committed version with its
+    * operation and visible row count. Reads only manifests plus a
+    * count per version (metadata-sized driver work, never data-sized
+    * collect).
+    */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch(dir, "history_meta")
+    clean(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < d11),
+      meta = Map("op" -> "append"))
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d11 && col("ts") < d21),
+      meta = Map("op" -> "append"))
+    SnapshotTable.deleteWhere(s, root, col("event_type") === "error")
+    val rows = (1 to SnapshotTable.currentVersion(s, root)).map { v =>
+      (v.toLong,
+        SnapshotTable.commitMeta(s, root, v).getOrElse("op", "unknown"),
+        SnapshotTable.read(s, root, v).count())
+    }
+    rows.toDF("version", "op", "n_rows").orderBy("version")
+  }
+
+  val historyOracle: String =
+    """SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+      | (SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-01-11') AS n_rows
+      |UNION ALL
+      |SELECT 2, 'append',
+      | (SELECT COUNT(*) FROM events WHERE ts < TIMESTAMP '2024-01-21')
+      |UNION ALL
+      |SELECT 3, 'delete',
+      | (SELECT COUNT(*) FROM events
+      |   WHERE ts < TIMESTAMP '2024-01-21' AND event_type <> 'error')
+      |ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_merge_evolve", mergeEvolve, Some(mergeEvolveOracle)),
+    Q("lake_history", history, Some(historyOracle)),
     Q("lake_materialized_agg", materializedAgg, Some(materializedAggOracle)),
     Q("lake_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),
     Q("lake_partition_pruning", partitionPruning, Some(partitionPruningOracle)),

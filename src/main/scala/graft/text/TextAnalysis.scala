@@ -188,8 +188,103 @@ object TextAnalysis {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "fraction
+    * of duplicate n-grams / most-common-word share") — the filters
+    * that kill boilerplate and spam before training. Word-level stats
+    * need the per-(doc, word) counts, so one explode + two partial
+    * aggregations keyed by doc_id; bigram duplication stays inside the
+    * row (zip_with + array_distinct, codegen'd, no shuffle at all).
+    * All ratios are exact-integer divisions done in the same IEEE
+    * order on both engines.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val perWord = docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val wordStats = perWord.groupBy("doc_id").agg(
+      sum("c").as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("top_c"))
+    val bigrams = docs(s, dir).select(
+      col("doc_id"),
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)).as("bs"))
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bs"))).cast("long").as("n_distinct_bigrams"))
+    wordStats.join(bigrams, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_ratio"),
+        round(col("top_c").cast("double") / col("n_words"), 6).as("top_word_ratio"),
+        when(col("n_bigrams") > 0,
+          round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6))
+          .as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionOracle: String =
+    """WITH ws AS (
+      |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0) AS ws
+      |  FROM documents),
+      |pw AS (
+      |  SELECT doc_id, w AS word, COUNT(*) AS c
+      |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM ws) GROUP BY 1, 2),
+      |wstats AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_c
+      |  FROM pw GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |   CAST(LEN(ws) - 1 AS BIGINT) AS n_bigrams,
+      |   CAST(LEN(list_distinct(list_transform(range(1, LEN(ws)), i -> ws[i] || ' ' || ws[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+      |  FROM ws)
+      |SELECT w.doc_id, w.n_words,
+      | ROUND(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_words, 6) AS dup_word_ratio,
+      | ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6) AS top_word_ratio,
+      | CASE WHEN b.n_bigrams > 0
+      |  THEN ROUND(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6) END AS dup_bigram_ratio
+      |FROM wstats w JOIN bg b ON w.doc_id = b.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Corpus-level top-20 bigrams — the n-gram frequency sweep behind
+    * contamination screens and n-gram LM stats. Explode is linear in
+    * corpus tokens; the count is a partial-agg groupBy keyed by gram
+    * (no skew beyond natural Zipf, which AQE handles); the top-k
+    * compiles to TakeOrderedAndProject (per-partition heap + driver
+    * merge of 20), never a global sort. Total order (n DESC, gram) so
+    * the cut is deterministic under ties.
+    */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("gram"))
+      .limit(20)
+
+  val ngramFreqOracle: String =
+    """WITH ws AS (
+      |  SELECT LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0) AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT UNNEST(list_transform(range(1, LEN(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      |  FROM ws)
+      |SELECT gram, COUNT(*) AS n FROM bg GROUP BY 1
+      |ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("text_redact", redact, Some(redactOracle)),
+    Q("text_repetition", repetition, Some(repetitionOracle)),
+    Q("text_ngram_freq", ngramFreq, Some(ngramFreqOracle)),
     Q("text_mix_sampling", sampling, Some(samplingOracle)),
     Q("text_token_count", tokenCount, Some(tokenCountOracle)),
     Q("text_quality", quality, Some(qualityOracle)),
