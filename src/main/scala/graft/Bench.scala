@@ -80,7 +80,12 @@ object Bench {
     // for JVM compilation of the whole scan/agg stack.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional dev filter: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the
+    // swept queries (unset → full registry, the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

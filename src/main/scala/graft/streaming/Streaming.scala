@@ -247,9 +247,41 @@ object Streaming {
       |ORDER BY user_id, event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Live OHLC bars under a REAL stream in APPEND mode: only bars the
+    * watermark has FINALIZED emit (a bar never changes once written —
+    * the contract downstream consumers need). The final watermark of
+    * the run is max(event time) − 1h, so exactly the windows ending at
+    * or before it appear; the oracle states that same rule in SQL.
+    * State = one partial aggregate per (event_type, day), nothing
+    * per-tick.
+    */
+  def qStreamOhlc(s: SparkSession, dir: String): DataFrame = {
+    val bars = ohlcBars(eventsStream(s, dir).withWatermark("ts", "1 hour"))
+    runToTable(s, bars, "graft_stream_ohlc")
+      .orderBy("event_type", "day")
+  }
+
+  val streamOhlcOracle: String =
+    """WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+      |SELECT day, event_type, open, high, low, close, n_ticks FROM (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |   MAX(value) AS high, MIN(value) AS low,
+      |   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |   COUNT(*) AS n_ticks
+      |  FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |   FROM events) x
+      |  GROUP BY 1, 2) bars
+      |WHERE CAST(day AS DATE) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("stream_window_agg", qWindowAgg, Some(windowAggOracle)),
     Q("stream_sessionize", qSessionize, Some(sessionizeOracle)),
     Q("stream_stream_join", qStreamStreamJoin, Some(streamStreamJoinOracle)),
-    Q("stream_dedup", qStreamDedup, Some(streamDedupOracle)))
+    Q("stream_dedup", qStreamDedup, Some(streamDedupOracle)),
+    Q("stream_ohlc_bars", qStreamOhlc, Some(streamOhlcOracle)))
 }
