@@ -235,13 +235,21 @@ object Dedup {
     * (score desc, id asc — guaranteed by the TopK buffer's total
     * order, independent of partitioning).
     */
-  def exactSelf1nn(s: SparkSession, e: DataFrame, blocks: Int = 8): DataFrame = {
+  def exactSelf1nn(s: SparkSession, e: DataFrame, blocks: Int = -1): DataFrame = {
     GraftFunctions.register(s)
+    // the equi-join distributes work by blk, so the number of DISTINCT
+    // blk values caps the usable parallelism: 8 blocks on a 32-slot
+    // session leaves 3/4 of the cluster idle while each task grinds
+    // N²/8 cosine evals (measured 4× wall-clock at sf1). Default to
+    // 2× the session's shuffle partitions — every slot gets ~2 blocks,
+    // probe replication stays N·B rows (tiny next to the N² evals).
+    val b = if (blocks > 0) blocks
+      else math.max(8, s.sessionState.conf.numShufflePartitions * 2)
     val corpus = e.select(
-      pmod(xxhash64(col("vec_id")), lit(blocks)).as("blk"),
+      pmod(xxhash64(col("vec_id")), lit(b)).as("blk"),
       col("vec_id"), col("embedding"))
     val probes = e.select(
-      explode(sequence(lit(0L), lit((blocks - 1).toLong))).as("blk"),
+      explode(sequence(lit(0L), lit((b - 1).toLong))).as("blk"),
       col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     probes.join(corpus, Seq("blk"))
       .filter(col("q_id") =!= col("vec_id"))

@@ -837,8 +837,45 @@ object LakeOps {
       |ORDER BY version""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Zero-copy shallow clone + divergence: clone the source at its
+    * head (manifest-only commit, no data bytes move), then commit new
+    * data ONLY to the clone. Source stays bit-identical; the clone
+    * sees shared history + its own fork — the dev/test-fork workflow
+    * Delta SHALLOW CLONE serves.
+    */
+  def cloneDiverge(s: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "clone_src")
+    val dst = scratch(dir, "clone_dst")
+    Seq(src, dst).foreach(clean(s, _))
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
+    SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
+    SnapshotTable.shallowClone(s, src, dst)
+    SnapshotTable.commit(s, dst, ev.filter(col("ts") >= d21))
+    val srcAgg = SnapshotTable.read(s, src)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("table", lit("source"))
+    val dstAgg = SnapshotTable.read(s, dst)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("table", lit("clone"))
+    srcAgg.unionByName(dstAgg)
+      .select("table", "event_type", "n")
+      .orderBy("table", "event_type")
+  }
+
+  val cloneDivergeOracle: String =
+    """SELECT 'source' AS "table", event_type, COUNT(*) AS n FROM events
+      |WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 2
+      |UNION ALL
+      |SELECT 'clone', event_type, COUNT(*) FROM events GROUP BY 2
+      |ORDER BY "table", event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("lake_merge_evolve", mergeEvolve, Some(mergeEvolveOracle)),
+    Q("lake_clone", cloneDiverge, Some(cloneDivergeOracle)),
     Q("lake_history", history, Some(historyOracle)),
     Q("lake_materialized_agg", materializedAgg, Some(materializedAggOracle)),
     Q("lake_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),

@@ -509,6 +509,27 @@ object SnapshotTable {
     * carried, so reading the new version behaves exactly like reading
     * the target (schema history included).
     */
+  /** Zero-copy SHALLOW CLONE (Delta-style): a NEW table whose v1
+    * manifest references the source's data files at `version` — no
+    * bytes move. The clone then evolves independently (its commits
+    * write under its own root). Caveat, same as Delta's: `expire` on
+    * the SOURCE can reclaim files a clone still references — clones
+    * are for dev/test forks and short-lived experiments, not for
+    * outliving their source's retention.
+    */
+  def shallowClone(s: SparkSession, srcRoot: String, destRoot: String,
+                   version: Int = -1): Int = {
+    val v = if (version < 0) currentVersion(s, srcRoot) else version
+    require(v >= 1, s"cannot clone $srcRoot: no committed version")
+    require(currentVersion(s, destRoot) == 0,
+      s"clone destination $destRoot already has commits")
+    val header = commitMeta(s, srcRoot, v) ++
+      Map("op" -> "clone", "clone_of" -> s"$srcRoot@v$v")
+    writeManifestAtomic(s, destRoot, 1, header,
+      manifestLines(s, srcRoot, v).filterNot(_.startsWith("#")))
+    1
+  }
+
   def rollback(s: SparkSession, root: String, toVersion: Int): Int = {
     val cur = currentVersion(s, root)
     require(toVersion >= 1 && toVersion <= cur,

@@ -77,7 +77,42 @@ object Relational5 {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Next-event transition matrix (first-order Markov over the event
+    * stream): P(next_type | type) per user journey. One window pass
+    * keyed by user_id produces the (type, next) pairs; the transition
+    * counts are an ordinary hash agg, and the row-normalizing
+    * probabilities divide by a window sum over the 5×5 matrix — the
+    * post-agg result, never the raw stream.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = t(s, dir, "events")
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy("event_type")
+    counts
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(wSrc), 6))
+      .orderBy("event_type", "next_type")
+  }
+
+  val transitionsOracle: String =
+    """WITH pairs AS (
+      | SELECT event_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      | FROM events),
+      |counts AS (
+      | SELECT event_type, next_type, COUNT(*) AS n FROM pairs
+      | WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      | ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+      |FROM counts ORDER BY event_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("q_retention_cohort", retentionCohort, Some(retentionCohortOracle)),
-    Q("q_histogram", histogram, Some(histogramOracle)))
+    Q("q_histogram", histogram, Some(histogramOracle)),
+    Q("q_transition_matrix", transitions, Some(transitionsOracle)))
 }

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.Q
@@ -157,9 +159,19 @@ object Streaming {
     val ingest = java.nio.file.Paths.get(
       s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events")
     java.nio.file.Files.createDirectories(ingest)
-    val staged = ingest.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(staged))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    // the table may be a single driver-written file OR a Spark-written
+    // directory of part files — stage the parquet leaves either way
+    val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val leaves: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(srcPath)) {
+        val s = java.nio.file.Files.list(srcPath)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      } else Seq(srcPath)
+    leaves.zipWithIndex.foreach { case (p, i) =>
+      val staged = ingest.resolve(f"part-$i%05d.parquet")
+      if (!java.nio.file.Files.exists(staged)) java.nio.file.Files.copy(p, staged)
+    }
     // same ns→µs timestamp rebuild as Tables.load: the streaming
     // source must be given the RAW file schema (ts as long under
     // nanosAsLong), with the TimestampType recovered in the plan

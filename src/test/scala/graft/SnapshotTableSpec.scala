@@ -509,6 +509,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.readBranch(spark, root, "wip").count() === 3)
   }
 
+  test("shallow clone is zero-copy and diverges independently") {
+    val src = "/tmp/graft_test/clone_src"
+    val dst = "/tmp/graft_test/clone_dst"
+    SnapshotTable.drop(spark, src)
+    SnapshotTable.drop(spark, dst)
+    SnapshotTable.commit(spark, src, Seq(1, 2, 3).toDF("x"))
+    SnapshotTable.commit(spark, src, Seq(4, 5).toDF("x"))
+    SnapshotTable.shallowClone(spark, src, dst)
+    // zero-copy: the clone's v1 references the SOURCE's physical files
+    assert(SnapshotTable.dataFiles(spark, dst, 1).toSet ===
+      SnapshotTable.dataFiles(spark, src, 2).toSet)
+    assert(SnapshotTable.read(spark, dst).count() === 5)
+    // divergence: commits to the clone never touch the source
+    SnapshotTable.commit(spark, dst, Seq(6).toDF("x"))
+    assert(SnapshotTable.read(spark, dst).count() === 6)
+    assert(SnapshotTable.currentVersion(spark, src) === 2)
+    assert(SnapshotTable.read(spark, src).count() === 5)
+    // a clone of an EMPTY table, or onto an existing table, fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.shallowClone(spark, src, dst)
+    }
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
