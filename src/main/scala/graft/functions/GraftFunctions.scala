@@ -56,6 +56,16 @@ object GraftFunctions {
       builders.foreach { case (name, b) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
       }
+      // graft_topk/graft_topk_str are TypedImperativeAggregates →
+      // ObjectHashAggregate, whose sort-based fallback triggers at a
+      // DEFAULT of 128 distinct keys per partition. Every bounded
+      // top-k here groups by query/doc id (thousands of keys), so the
+      // default silently turns the partial agg into a FULL SORT of the
+      // N·corpus candidate stream — measured 10×+ on the sf1 exact-kNN
+      // sweep. 4M buffers × ~100 B is still well inside an executor;
+      // spill safety stays with the sort fallback above that.
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
       registered.add(spark)
       ()
     }
