@@ -170,7 +170,15 @@ object Streaming {
       } else Seq(srcPath)
     leaves.zipWithIndex.foreach { case (p, i) =>
       val staged = ingest.resolve(f"part-$i%05d.parquet")
-      if (!java.nio.file.Files.exists(staged)) java.nio.file.Files.copy(p, staged)
+      if (!java.nio.file.Files.exists(staged)) {
+        // copy → atomic rename: a killed run must never leave a
+        // truncated parquet that a later exists() check trusts
+        val tmp = ingest.resolve(f"part-$i%05d.parquet.tmp")
+        java.nio.file.Files.copy(p, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp, staged,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     }
     // same ns→µs timestamp rebuild as Tables.load: the streaming
     // source must be given the RAW file schema (ts as long under
