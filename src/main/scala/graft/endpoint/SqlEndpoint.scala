@@ -1,6 +1,6 @@
 package graft.endpoint
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
 
 /** Multi-client SQL endpoint: the reference serves Metabase /
@@ -42,4 +42,82 @@ object SqlEndpoint {
     sc.setConf("hive.server2.enable.doAs", "false")
     HiveThriftServer2.startWithContext(sc)
   }
+
+  // HiveThriftServer2 is a JVM singleton — one bound endpoint serves
+  // every caller (specs, registry queries, bench reps). startOnce
+  // memoizes the port of the first successful start.
+  private var boundPort: Option[Int] = None
+
+  def startOnce(spark: SparkSession): Int = synchronized {
+    boundPort.getOrElse {
+      val ss = new java.net.ServerSocket(0)
+      val port = try ss.getLocalPort finally ss.close()
+      start(spark, port)
+      boundPort = Some(port)
+      port
+    }
+  }
+
+  /** Run one SQL statement the way a BI client does — over the wire
+    * via hive-jdbc — and return the rows. The endpoint fans the query
+    * out through the live session's executors; JDBC transports only
+    * the (small) result set. Retries briefly: the server binds
+    * asynchronously after startWithContext.
+    */
+  def jdbcQuery(spark: SparkSession, sql: String): (Seq[String], Seq[Seq[Any]]) = {
+    val port = startOnce(spark)
+    var last: Throwable = null
+    for (_ <- 1 to 30) {
+      try {
+        val conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "", "")
+        try {
+          val rs = conn.createStatement().executeQuery(sql)
+          val md = rs.getMetaData
+          val cols = (1 to md.getColumnCount).map(md.getColumnLabel)
+          val rows = Iterator.continually(rs).takeWhile(_.next())
+            .map(r => (1 to md.getColumnCount).map(r.getObject): Seq[Any]).toList
+          return (cols, rows)
+        } finally conn.close()
+      } catch { case t: Throwable => last = t; Thread.sleep(1000) }
+    }
+    throw last
+  }
+
+  // ---------------------------------------------------------------
+  /** §2H registry entry: the reference's BI loop (RUNBOOK.md §10 —
+    * Metabase/CloudBeaver over Trino JDBC) end-to-end: catalog tables
+    * registered, Thrift endpoint up, an aggregate submitted over the
+    * WIRE via hive-jdbc, executed by the session's executors, result
+    * set transported back — then gated against the DuckDB oracle like
+    * any other query. Only the 5-row aggregate crosses JDBC.
+    */
+  def endpointAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.register(s, dir)
+    val (_, rows) = jdbcQuery(s,
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM graft.events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val data = rows.map(r => org.apache.spark.sql.Row(
+      r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Number].longValue,
+      r(2).asInstanceOf[Number].doubleValue))
+    s.createDataFrame(data.asJava, schema).orderBy("event_type")
+  }
+
+  val endpointAggOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Seq[graft.Q] = Seq(
+    graft.Q("endpoint_sql_agg", endpointAgg, Some(endpointAggOracle)))
 }

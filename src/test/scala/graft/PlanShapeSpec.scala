@@ -174,4 +174,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "OHLC must not rank raw ticks with a window function")
   }
+
+  test("corpus n-gram top-k compiles to TakeOrderedAndProject, never a global sort") {
+    val p = planOf("text_ngram_freq")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 grams must be a per-partition heap + driver merge:\n${p.take(2000)}")
+  }
+
+  test("per-class centroids shuffle one partial per (label, dim), never whole vectors") {
+    val p = planOf("emb_centroids")
+    // textual top-down order pins the physical bottom-up order:
+    // Exchange(hash on label,pos) ← HashAggregate(partial) ← Generate,
+    // i.e. the explode and the map-side combine both run BELOW the
+    // exchange, so only (label, dim) partials ever cross the wire
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val pa = p.indexOf("partial_sum")
+    val ge = p.indexOf("Generate posexplode")
+    assert(ex >= 0 && pa > ex && ge > pa,
+      s"want Exchange(hash) over partial agg over posexplode:\n${p.take(2000)}")
+  }
+
+  test("exact 1-NN block count scales with session parallelism") {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = sources.Tables.load(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val df = dedup.Dedup.exactSelf1nn(spark, e)
+    val blkCount = e.select(
+      pmod(xxhash64(col("vec_id")), lit(math.max(8, parts * 2))).as("blk"))
+      .distinct().count()
+    assert(blkCount > parts.toLong,
+      s"block-grid must expose more join keys ($blkCount) than slots ($parts)")
+    assert(df.count() === e.count(), "every vector still gets its 1-NN")
+  }
+
+  test("repetition signals: bigram stats never shuffle, word stats key by doc") {
+    val p = planOf("text_repetition")
+    // dup_bigram_ratio is in-row (zip_with + array_distinct): the only
+    // exchanges allowed are the doc_id-keyed word aggs + final sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "repetition must stay linear")
+  }
 }

@@ -10,18 +10,14 @@ import graft.sources.Catalog
   */
 class SqlEndpointSpec extends SparkSpec {
 
+  // startOnce: the Thrift server is a JVM singleton, and QueriesSpec's
+  // endpoint_sql_agg smoke may have bound it already in this JVM
   private lazy val port: Int = {
-    val ss = new java.net.ServerSocket(0)
-    try ss.getLocalPort finally ss.close()
-  }
-
-  private lazy val server: Unit = {
     Catalog.register(spark, sf())
-    graft.endpoint.SqlEndpoint.start(spark, port)
+    graft.endpoint.SqlEndpoint.startOnce(spark)
   }
 
   private def connect(): java.sql.Connection = {
-    server // force start
     // the server binds asynchronously; retry briefly
     var last: Throwable = null
     for (_ <- 1 to 30) {
