@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.GraftFunctions
+import graft.lake.SnapshotTable
 import graft.sources.Tables
 
 /** §2D deduplication over the documents table.
@@ -403,8 +404,55 @@ object Dedup {
       |ORDER BY c.vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Incremental dedup under the gate: the corpus arrives as TWO
+    * batches, each appended through [[IncrementalIndex]] (signatures
+    * computed for the new batch ONLY — at 100 TB you never re-hash
+    * the corpus), then candidates come from the MAINTAINED index via
+    * the same capped bucket pairing as the one-shot path and are
+    * verified with exact n-gram Jaccard. The oracle is the from-
+    * scratch truth — ALL pairs above the threshold — so the gate
+    * proves the incremental index loses nothing vs a full rebuild.
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val stem = s"/tmp/graft_dedup_inc/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val (docsRoot, indexRoot) = (s"$stem/docs", s"$stem/index")
+    Seq(docsRoot, indexRoot).foreach(SnapshotTable.drop(s, _))
+    val d = docs(s, dir).select("doc_id", "text")
+    IncrementalIndex.append(s, docsRoot, indexRoot, d.filter(col("doc_id") % 2 === 0))
+    IncrementalIndex.append(s, docsRoot, indexRoot, d.filter(col("doc_id") % 2 === 1))
+    val idx = SnapshotTable.read(s, indexRoot).withColumnRenamed("doc_id", "id")
+    val cand = cappedPairs(idx)
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard3", expr("graft_ngram_jaccard(text_a, text_b, 3)"))
+      .filter(col("jaccard3") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard3"), 6).as("jaccard3"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val incrementalOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0) AS ts
+      |  FROM documents),
+      |g3 AS (
+      |  SELECT doc_id,
+      |   CASE WHEN LEN(ts) < 3 THEN [array_to_string(ts, ' ')]
+      |        ELSE list_distinct(list_transform(generate_series(1, LEN(ts) - 2),
+      |          i -> array_to_string(ts[i:i+2], ' '))) END AS g
+      |  FROM toks)
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard3 FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(LEN(list_intersect(a.g, b.g)) AS DOUBLE)
+      |   / (LEN(a.g) + LEN(b.g) - LEN(list_intersect(a.g, b.g))) AS j
+      | FROM g3 a JOIN g3 b ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("dedup_pipeline", dedupPipeline, None),
+    Q("dedup_incremental", incremental, Some(incrementalOracle)),
     Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),
     Q("dedup_exact", exact, Some(exactOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
