@@ -66,22 +66,27 @@ object SqlEndpoint {
     */
   def jdbcQuery(spark: SparkSession, sql: String): (Seq[String], Seq[Seq[Any]]) = {
     val port = startOnce(spark)
+    // retry only the CONNECTION (the server binds asynchronously after
+    // startWithContext); a failing statement must fail fast, not spin
+    // the retry budget
+    var conn: java.sql.Connection = null
     var last: Throwable = null
-    for (_ <- 1 to 30) {
-      try {
-        val conn = java.sql.DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/default", "", "")
-        try {
-          val rs = conn.createStatement().executeQuery(sql)
-          val md = rs.getMetaData
-          val cols = (1 to md.getColumnCount).map(md.getColumnLabel)
-          val rows = Iterator.continually(rs).takeWhile(_.next())
-            .map(r => (1 to md.getColumnCount).map(r.getObject): Seq[Any]).toList
-          return (cols, rows)
-        } finally conn.close()
-      } catch { case t: Throwable => last = t; Thread.sleep(1000) }
+    var attempts = 0
+    while (conn == null && attempts < 30) {
+      attempts += 1
+      try conn = java.sql.DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/default", "", "")
+      catch { case t: Throwable => last = t; Thread.sleep(1000) }
     }
-    throw last
+    if (conn == null) throw last
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      val md = rs.getMetaData
+      val cols = (1 to md.getColumnCount).map(md.getColumnLabel)
+      val rows = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (1 to md.getColumnCount).map(r.getObject): Seq[Any]).toList
+      (cols, rows)
+    } finally conn.close()
   }
 
   // ---------------------------------------------------------------
