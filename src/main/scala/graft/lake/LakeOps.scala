@@ -873,9 +873,54 @@ object LakeOps {
       |ORDER BY "table", event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Dynamic partition overwrite — `INSERT OVERWRITE` restatement of
+    * ONE day in a date-partitioned layout: with
+    * partitionOverwriteMode=dynamic, Spark replaces only the
+    * partitions present in the written data and leaves every other
+    * day's files untouched (the nightly-restatement workflow; static
+    * mode would wipe the whole table). The corrected day doubles its
+    * values; all other days must read back byte-identical.
+    */
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "curated_restate")
+    clean(s, out)
+    val curated = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), date_format(col("ts"), "yyyy-MM-dd").as("date"))
+    curated
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("date"), pmod(xxhash64(col("event_id")), lit(4)))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    // restate ONE day with corrected values; dynamic mode scopes the
+    // overwrite to that partition directory
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.get(confKey, "static")
+    try {
+      s.conf.set(confKey, "dynamic")
+      curated.filter(col("date") === "2024-01-15")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("date").parquet(out)
+    } finally s.conf.set(confKey, prev)
+    s.read.parquet(out)
+      .filter(col("date") >= "2024-01-14" && col("date") <= "2024-01-16")
+      .groupBy(col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("date")
+  }
+
+  val dynamicOverwriteOracle: String =
+    s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, COUNT(*) AS n,
+       | CAST(SUM(CAST(ROUND((CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+       |   THEN value * 2 ELSE value END) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-14' AND DATE '2024-01-16'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("lake_merge_evolve", mergeEvolve, Some(mergeEvolveOracle)),
     Q("lake_clone", cloneDiverge, Some(cloneDivergeOracle)),
+    Q("lake_dynamic_overwrite", dynamicOverwrite, Some(dynamicOverwriteOracle)),
     Q("lake_history", history, Some(historyOracle)),
     Q("lake_materialized_agg", materializedAgg, Some(materializedAggOracle)),
     Q("lake_zorder_cluster", zorderCluster, Some(zorderClusterOracle)),
