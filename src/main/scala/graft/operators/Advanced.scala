@@ -44,6 +44,39 @@ object Advanced {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Tolerance-bounded as-of: the predecessor view only counts when
+    * it happened within the last hour — the attribution-window rule
+    * every real as-of deployment carries. Exercises the custom exec's
+    * tolerance arithmetic under the oracle gate (previously spec-only);
+    * DuckDB has no ASOF tolerance, so the oracle states the rule as a
+    * correlated LATERAL top-1.
+    */
+  def qAsOfTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+        col("ts").as("v_ts"))
+    AsOf.join(purchases, views, "user_id", "v_user_id", "ts", "v_ts",
+        toleranceMicros = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("v_event_id"), col("v_event_id").isNotNull.as("matched"))
+      .orderBy("event_id")
+  }
+
+  val qAsOfToleranceOracle: String =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id, p.value AS value,
+      | v.event_id AS v_event_id, v.event_id IS NOT NULL AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      | SELECT event_id FROM events v
+      | WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+      | ORDER BY v.ts DESC LIMIT 1) v ON TRUE
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Forward as-of: attribute each purchase to the NEXT view at or
     * after it (follow-up behavior analysis).
     */
@@ -209,6 +242,7 @@ object Advanced {
     Q("q_asof_join", qAsOfJoin, Some(qAsOfJoinOracle)),
     Q("q_asof_forward", qAsOfForward, Some(qAsOfForwardOracle)),
     Q("q_asof_nearest", qAsOfNearest, Some(qAsOfNearestOracle)),
+    Q("q_asof_tolerance", qAsOfTolerance, Some(qAsOfToleranceOracle)),
     Q("q_json_extract", qJsonExtract, Some(qJsonExtractOracle)),
     Q("q_collect_agg", qCollectAgg, Some(qCollectAggOracle)),
     Q("q_bucketed_join", qBucketedJoin, Some(qBucketedJoinOracle)),
