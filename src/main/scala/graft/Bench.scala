@@ -37,10 +37,12 @@ object Bench {
     "lake_merge_upsert", "lake_partition_pruning", "lake_zorder_cluster",
     "lake_delete", "lake_incremental",
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_ann",
+    "dedup_incremental",
     "ann_bruteforce", "ann_ivf",
     "text_quality", "text_bm25_search", "text_token_count",
     "q_fin_ohlc_daily", "q_fin_vwap",
-    "mm_frame_sample", "stream_window_agg")
+    "mm_frame_sample", "stream_window_agg",
+    "stream_stream_join", "lake_replica_sync", "endpoint_sql_agg")
 
   def buildLine(results: Seq[(String, Double)], reps: Int, sfDir: String,
                 budget: Int = 1800): String = {

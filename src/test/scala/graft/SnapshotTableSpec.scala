@@ -532,6 +532,24 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("expire on the SOURCE can orphan a clone (documented caveat)") {
+    val src = "/tmp/graft_test/clone_exp_src"
+    val dst = "/tmp/graft_test/clone_exp_dst"
+    SnapshotTable.drop(spark, src)
+    SnapshotTable.drop(spark, dst)
+    SnapshotTable.commit(spark, src, Seq(1, 2).toDF("x"))
+    SnapshotTable.shallowClone(spark, src, dst)
+    // source rewrites then expires history: v1's files are reclaimed
+    SnapshotTable.commit(spark, src, Seq(9).toDF("x"), append = false)
+    SnapshotTable.expire(spark, src, keepLast = 1)
+    assert(SnapshotTable.read(spark, src).count() === 1) // source fine
+    // the clone still references the reclaimed v1 files → read fails;
+    // clones must not outlive their source's retention (scaladoc'd)
+    intercept[Exception] {
+      SnapshotTable.read(spark, dst).count()
+    }
+  }
+
   test("drop removes the table") {
     val root = "/tmp/graft_test/snap_drop"
     SnapshotTable.drop(spark, root)
