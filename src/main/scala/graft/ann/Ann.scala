@@ -483,15 +483,19 @@ object Ann {
         count(lit(1)).as("n"),
         (sum(round(col("col").cast("double") * lit(1000000)).cast("long")).cast("double")
           / lit(1000000.0)).as("sum_fixed"))
+      // NO final decimal rounding: the mean is the same IEEE division
+      // of the same exact integers on both engines, so it is already
+      // bit-identical — whereas round-to-6dp tripped a half-up vs
+      // float-rounding tie at sf0.1 (0.003213 vs 0.003214)
       .select(col("label").cast("long").as("label"), col("pos").cast("long").as("dim"),
-        col("n"), round(col("sum_fixed") / col("n"), 6).as("centroid"))
+        col("n"), (col("sum_fixed") / col("n")).as("centroid"))
       .orderBy("label", "dim")
 
   val centroidsOracle: String =
     """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
       | COUNT(*) AS n,
-      | ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-      |   / 1000000.0 / COUNT(*), 6) AS centroid
+      | CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+      |   / 1000000.0 / COUNT(*) AS centroid
       |FROM (SELECT label, UNNEST(embedding) AS v,
       |             UNNEST(range(1, LEN(embedding) + 1)) AS dim
       |      FROM embeddings)
