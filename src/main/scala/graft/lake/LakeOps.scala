@@ -917,9 +917,55 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Timestamp time travel (`FOR TIMESTAMP AS OF`): three commits,
+    * then reads pinned to the instants of commits 1 and 2 plus the
+    * current instant — each must see exactly the versions that
+    * existed then. Wall-clock stamps are nondeterministic but the
+    * CONTENTS as-of a captured instant are not, which is what the
+    * oracle checks. The 2 ms sleeps guarantee strictly increasing
+    * stamps (ms granularity) without making results time-dependent.
+    */
+  def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "tt_by_time")
+    clean(s, root)
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, root, ev.filter(col("ts") < d11))
+    Thread.sleep(2)
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d11 && col("ts") < d21))
+    Thread.sleep(2)
+    SnapshotTable.commit(s, root, ev.filter(col("ts") >= d21))
+    val t1 = SnapshotTable.committedAt(s, root, 1)
+    val t2 = SnapshotTable.committedAt(s, root, 2)
+    Seq(("v1", t1), ("v2", t2), ("head", System.currentTimeMillis))
+      .map { case (labelName, t) =>
+        SnapshotTable.readAsOf(s, root, t)
+          .groupBy().agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+          .withColumn("as_of", lit(labelName))
+      }
+      .reduce(_ unionByName _)
+      .select("as_of", "n", "total_value")
+      .orderBy("as_of")
+  }
+
+  val timeTravelTsOracle: String = {
+    def agg(where: String, label: String) =
+      s"""SELECT '$label' AS as_of, COUNT(*) AS n,
+         | ${sqlSumMoney("value", "total_value")}
+         |FROM events $where""".stripMargin
+    Seq(
+      agg("", "head"),
+      agg("WHERE ts < TIMESTAMP '2024-01-11'", "v1"),
+      agg("WHERE ts < TIMESTAMP '2024-01-21'", "v2")
+    ).mkString("\nUNION ALL\n") + "\nORDER BY as_of"
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("lake_merge_evolve", mergeEvolve, Some(mergeEvolveOracle)),
     Q("lake_clone", cloneDiverge, Some(cloneDivergeOracle)),
+    Q("lake_time_travel_ts", timeTravelTs, Some(timeTravelTsOracle)),
     Q("lake_dynamic_overwrite", dynamicOverwrite, Some(dynamicOverwriteOracle)),
     Q("lake_history", history, Some(historyOracle)),
     Q("lake_materialized_agg", materializedAgg, Some(materializedAggOracle)),

@@ -309,6 +309,7 @@ object SnapshotTable {
 
   // ----- hidden partitioning: day(ts) transform --------------------
 
+  private val CommittedAtKey = "committed_at" // epoch ms, stamped on every manifest
   private val PartitionKey = "partition" // "<source>" — table is day(<source>)-partitioned
   private val StatsKey = "statscols"     // logical column names carrying per-file min/max
   private val BloomKey = "bloomcols"     // logical column names carrying per-file bloom filters
@@ -486,7 +487,14 @@ object SnapshotTable {
   private def writeManifestAtomicAt(
       s: SparkSession, root: String, stem: String,
       meta: Map[String, String], files: Seq[String]): Unit = {
-    val header = meta.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
+    // every manifest carries its wall-clock commit instant (epoch ms)
+    // — the anchor for timestamp time travel ([[readAsOf]]). Always
+    // stamped fresh: rollback/clone copy an OLD header, but the
+    // commit EVENT happens now, and a stale stamp would make version
+    // order and stamp order disagree
+    val stamped = meta - CommittedAtKey +
+      (CommittedAtKey -> System.currentTimeMillis.toString)
+    val header = stamped.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
     val mp = new Path(s"$root/_manifests/$stem.manifest")
     val tmp = new Path(s"$root/_manifests/.$stem.manifest.tmp")
     val fs = fsOf(s, mp)
@@ -509,6 +517,27 @@ object SnapshotTable {
     * carried, so reading the new version behaves exactly like reading
     * the target (schema history included).
     */
+  /** Commit instant of a version (epoch ms). 0 for pre-stamp
+    * manifests (written before timestamp travel existed).
+    */
+  def committedAt(s: SparkSession, root: String, version: Int): Long =
+    commitMeta(s, root, version).get("committed_at").map(_.toLong).getOrElse(0L)
+
+  /** Timestamp time travel — Iceberg/Trino `FOR TIMESTAMP AS OF`:
+    * read the newest version whose commit instant is at or before
+    * `epochMillis`. Version numbers and commit instants are both
+    * monotonic (every manifest writer stamps at write time), so the
+    * scan is a metadata-only walk of the manifest headers.
+    */
+  def readAsOf(s: SparkSession, root: String, epochMillis: Long): DataFrame = {
+    val cur = currentVersion(s, root)
+    val v = (1 to cur).filter(committedAt(s, root, _) <= epochMillis)
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no version of $root committed at or before $epochMillis " +
+          s"(earliest: ${if (cur >= 1) committedAt(s, root, 1).toString else "none"})"))
+    read(s, root, v)
+  }
+
   /** Zero-copy SHALLOW CLONE (Delta-style): a NEW table whose v1
     * manifest references the source's data files at `version` — no
     * bytes move. The clone then evolves independently (its commits

@@ -48,8 +48,10 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.drop(spark, root)
     SnapshotTable.commit(spark, root, Seq(1).toDF("x"),
       meta = Map("streaming_batch" -> "7", "source" -> "spec"))
-    assert(SnapshotTable.commitMeta(spark, root, 1) ===
+    // committed_at is auto-stamped on every manifest (timestamp travel)
+    assert(SnapshotTable.commitMeta(spark, root, 1) - "committed_at" ===
       Map("streaming_batch" -> "7", "source" -> "spec"))
+    assert(SnapshotTable.committedAt(spark, root, 1) > 0L)
     assert(SnapshotTable.dataFiles(spark, root, 1).forall(_.endsWith(".parquet")))
     assert(SnapshotTable.read(spark, root).count() === 1)
   }
@@ -529,6 +531,24 @@ class SnapshotTableSpec extends SparkSpec {
     // a clone of an EMPTY table, or onto an existing table, fails loudly
     intercept[IllegalArgumentException] {
       SnapshotTable.shallowClone(spark, src, dst)
+    }
+  }
+
+  test("timestamp time travel reads the version current at that instant") {
+    val root = "/tmp/graft_test/tt_ts"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))
+    Thread.sleep(2)
+    SnapshotTable.commit(spark, root, Seq(3).toDF("x"))
+    val t1 = SnapshotTable.committedAt(spark, root, 1)
+    val t2 = SnapshotTable.committedAt(spark, root, 2)
+    assert(t2 > t1, "commit stamps must be strictly increasing")
+    assert(SnapshotTable.readAsOf(spark, root, t1).count() === 2)
+    assert(SnapshotTable.readAsOf(spark, root, t2 - 1).count() === 2) // between commits
+    assert(SnapshotTable.readAsOf(spark, root, t2).count() === 3)
+    assert(SnapshotTable.readAsOf(spark, root, System.currentTimeMillis).count() === 3)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, root, t1 - 1) // before the table existed
     }
   }
 
