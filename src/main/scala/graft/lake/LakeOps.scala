@@ -800,9 +800,12 @@ object LakeOps {
   // ---------------------------------------------------------------
   /** Table history — the Iceberg `$history`/Trino `$snapshots`
     * metadata surface: one row per committed version with its
-    * operation and visible row count. Reads only manifests plus a
-    * count per version (metadata-sized driver work, never data-sized
-    * collect).
+    * operation and visible row count. A pure manifest read: every
+    * commit stamps per-file `_rows` (Iceberg's `record_count`), so
+    * each version's count is a sum over its manifest lines — no data
+    * file is opened, regardless of table size or version count
+    * (SnapshotTableSpec pins this by computing history after the
+    * data directory has been renamed away).
     */
   def history(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -819,7 +822,7 @@ object LakeOps {
     val rows = (1 to SnapshotTable.currentVersion(s, root)).map { v =>
       (v.toLong,
         SnapshotTable.commitMeta(s, root, v).getOrElse("op", "unknown"),
-        SnapshotTable.read(s, root, v).count())
+        SnapshotTable.recordCount(s, root, v))
     }
     rows.toDF("version", "op", "n_rows").orderBy("version")
   }

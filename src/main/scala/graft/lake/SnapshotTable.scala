@@ -85,6 +85,67 @@ object SnapshotTable {
   def commitMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
     headerAt(s, root, s"v$version")
 
+  private val RowsAnnot = "_rows="
+
+  /** Stamp each manifest line with its file's row count
+    * (`_rows=<n>`), Iceberg's per-data-file `record_count`. One job
+    * over the just-written files with NO data columns materialized —
+    * the parquet reader answers a zero-column count from row-group
+    * metadata, so the cost is footer reads, not a data scan. This is
+    * what keeps [[recordCount]] (and `$history`) metadata-sized at
+    * any scale.
+    */
+  private def annotateRows(s: SparkSession, lines: Seq[String]): Seq[String] = {
+    if (lines.isEmpty) return lines
+    val files = lines.map(_.split('\t').head)
+    // small commits (streaming micro-batches): footer reads on the
+    // driver, no job-scheduling overhead. Large commits: one
+    // distributed zero-column count (footer work on executors).
+    val counts: Map[String, Long] =
+      if (files.size <= 64) {
+        val conf = s.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try new Path(f).toUri.getPath -> r.getRecordCount
+          finally r.close()
+        }.toMap
+      } else
+        s.read.parquet(files: _*)
+          .groupBy(col("_metadata.file_path")).count()
+          .collect()
+          .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+          .toMap
+    lines.map { line =>
+      val f = line.split('\t').head
+      // a file absent from the grouped counts produced zero row groups
+      val n = counts.getOrElse(new Path(f).toUri.getPath, 0L)
+      s"$line\t$RowsAnnot$n"
+    }
+  }
+
+  /** Total rows visible at `version`, summed from the `_rows`
+    * manifest annotations — a pure metadata read: no data file is
+    * opened. Lines missing the annotation (manifests written before
+    * row stamping existed) fall back to one count over just those
+    * files.
+    */
+  def recordCount(s: SparkSession, root: String, version: Int): Long = {
+    val parsed = manifestLines(s, root, version)
+      .filterNot(_.startsWith("#"))
+      .map { l =>
+        val parts = l.split('\t')
+        parts.head -> parts.tail.collectFirst {
+          case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
+        }
+      }
+    val known = parsed.collect { case (_, Some(n)) => n }.sum
+    val unknown = parsed.collect { case (f, None) => f }
+    if (unknown.isEmpty) known
+    else known + s.read.parquet(unknown: _*).count()
+  }
+
   /** Commit a new version. `append=true` keeps prior files visible;
     * `append=false` is an overwrite commit (old files stay on disk
     * for old-version readers — that's what makes time travel work).
@@ -124,9 +185,9 @@ object SnapshotTable {
     val withStats =
       if (statsCols.isEmpty) newFiles
       else annotateStats(s, newFiles, statsCols.map(c => mapping.getOrElse(c, c)))
-    val annotated =
+    val annotated = annotateRows(s,
       if (bloomCols.isEmpty) withStats
-      else annotateBloom(s, withStats, bloomCols.map(c => mapping.getOrElse(c, c)))
+      else annotateBloom(s, withStats, bloomCols.map(c => mapping.getOrElse(c, c))))
     // raw prior lines (not dataFiles) so earlier stats/partition
     // annotations survive the append
     val base =
@@ -293,17 +354,22 @@ object SnapshotTable {
       .filter(predicate)
       .select("_graft_file")
       .distinct().collect().map(r => norm(r.getString(0))).toSet
-    val (touched, untouched) = files.partition(f => affected.contains(norm(f)))
+    val touched = files.filter(f => affected.contains(norm(f)))
     if (touched.isEmpty) return cur
+    // untouched files keep their FULL manifest lines (stats/bloom/
+    // partition/_rows annotations stay valid — the files didn't change)
+    val untouchedLines = manifestLines(s, root, cur)
+      .filterNot(_.startsWith("#"))
+      .filterNot(l => affected.contains(norm(l.split('\t').head)))
     val v = cur + 1
     val rewritten = toPhysical(
       rewrite(viewWithFile(touched), predicate).drop("_graft_file"),
       mapping)
-    val newFiles = writeDataFiles(s, root, v, rewritten)
+    val newFiles = annotateRows(s, writeDataFiles(s, root, v, rewritten))
     writeManifestAtomic(s, root, v,
       schemaMeta(s, root, cur) ++
         Map("op" -> op, "rewrote" -> touched.size.toString),
-      untouched ++ newFiles)
+      untouchedLines ++ newFiles)
     v
   }
 
@@ -357,7 +423,7 @@ object SnapshotTable {
     val base = if (append && v > 1) manifestLines(s, root, cur).filterNot(_.startsWith("#")) else Seq.empty
     writeManifestAtomic(s, root, v,
       schemaMeta(s, root, cur) + (PartitionKey -> source),
-      base ++ annotated.sorted)
+      base ++ annotateRows(s, annotated.sorted.toSeq))
     v
   }
 
@@ -695,7 +761,8 @@ object SnapshotTable {
     val n = fs.listStatus(mdir).map(_.getPath.getName).collect {
       case seqRe(v) => v.toInt
     }.foldLeft(0)(math.max) + 1
-    val newFiles = writeDataFilesAt(s, s"$root/data/$name/v$n", toPhysical(df, mapping))
+    val newFiles = annotateRows(s,
+      writeDataFilesAt(s, s"$root/data/$name/v$n", toPhysical(df, mapping)))
     val base = if (append) manifestLinesAt(s, root, headStem).filterNot(_.startsWith("#"))
                else Seq.empty
     val stem = s"$name.v$n"
@@ -796,7 +863,10 @@ object SnapshotTable {
     val meta = Map("op" -> s"rename:$oldName->$newName", ColMapKey -> renderPairs(newMapping)) ++
       (if (newTypes.nonEmpty) Map(ColTypesKey -> renderPairs(newTypes)) else Map.empty)
     val v = cur + 1
-    writeManifestAtomic(s, root, v, meta, dataFiles(s, root, cur))
+    // full lines, not bare paths: a metadata-only commit must not
+    // strip the files' stats/bloom/_rows annotations
+    writeManifestAtomic(s, root, v, meta,
+      manifestLines(s, root, cur).filterNot(_.startsWith("#")))
     v
   }
 
@@ -813,7 +883,8 @@ object SnapshotTable {
     val meta = Map("op" -> s"widen:$name:$ddlType", ColTypesKey -> renderPairs(types)) ++
       (if (mapping.nonEmpty) Map(ColMapKey -> renderPairs(mapping)) else Map.empty)
     val v = cur + 1
-    writeManifestAtomic(s, root, v, meta, dataFiles(s, root, cur))
+    writeManifestAtomic(s, root, v, meta,
+      manifestLines(s, root, cur).filterNot(_.startsWith("#")))
     v
   }
 

@@ -577,4 +577,46 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.drop(spark, root)
     assert(SnapshotTable.currentVersion(spark, root) === 0)
   }
+
+  test("recordCount is metadata-only: correct with the data directory renamed away") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_rows_meta"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2, 3, 4).toDF("x"))           // v1: 4 rows
+    SnapshotTable.commit(spark, root, Seq(5, 6).toDF("x"))                 // v2: 6 rows
+    SnapshotTable.deleteWhere(spark, root, col("x") % 2 === 0)             // v3: 3 rows (1,3,5)
+    SnapshotTable.commit(spark, root, Seq(9).toDF("x"), append = false)    // v4: 1 row
+    // the pin: every data file becomes unreadable, counts must survive
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/data"),
+      new org.apache.hadoop.fs.Path(s"$root/data_hidden")))
+    try {
+      assert(SnapshotTable.recordCount(spark, root, 1) === 4L)
+      assert(SnapshotTable.recordCount(spark, root, 2) === 6L)
+      assert(SnapshotTable.recordCount(spark, root, 3) === 3L)
+      assert(SnapshotTable.recordCount(spark, root, 4) === 1L)
+    } finally fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/data_hidden"),
+      new org.apache.hadoop.fs.Path(s"$root/data"))
+  }
+
+  test("copy-on-write and metadata-only commits preserve per-file annotations") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_annot_keep"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "amount").repartition(3, $"k"),
+      statsCols = Seq("amount"))
+    SnapshotTable.deleteWhere(spark, root, col("k") === 1)
+    SnapshotTable.renameColumn(spark, root, "amount", "amt")
+    val cur = SnapshotTable.currentVersion(spark, root)
+    val withAnnots = SnapshotTable.dataFilesWithPartitions(spark, root, cur)
+    // untouched files carried their stats through the rewrite AND the
+    // rename; every line still has its _rows count
+    assert(withAnnots.nonEmpty)
+    assert(withAnnots.forall { case (_, a) => a.contains("_rows") })
+    assert(withAnnots.exists { case (_, a) => a.contains("_min_amount") })
+  }
 }
