@@ -423,14 +423,55 @@ object Relational {
   }
 
   // ---------------------------------------------------------------
-  def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+  /** Exact interpolated percentiles (QUANTILE_CONT semantics) with a
+    * BOUNDED aggregation state. Spark's exact `percentile()` is a
+    * TypedImperativeAggregate whose per-group buffer is a (value →
+    * count) map held in executor memory — unbounded on a continuous
+    * column at 100 TB. This formulation quantizes to fixed-point
+    * (exact for ≤`log10(scale)`-decimal data), hash-aggregates
+    * (key, value) counts — a spillable HashAggregate, never an
+    * in-memory map — then picks ranks off the cumulative count and
+    * interpolates exactly like `percentile` does: pos = p·(n−1),
+    * x_lo + (x_hi − x_lo)·frac. The rank window runs over DISTINCT
+    * values per group (count-sized), not rows.
+    */
+  private def exactPercentiles(
+      df: DataFrame, key: String, valueCol: Column, scale: Int,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val vc = df
+      .groupBy(col(key), round(valueCol * scale).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val byV = Window.partitionBy(key).orderBy("_v")
+    val whole = Window.partitionBy(key)
+    val cum = vc
+      .withColumn("_cum", sum("_c").over(byV))
+      .withColumn("_n", sum("_c").over(whole))
+    val aggs = ps.flatMap { case (p, name) =>
+      val loRank = floor(lit(p) * (col("_n") - 1)) + 1 // 1-based rank of x[floor(pos)]
+      Seq(
+        min(when(col("_cum") >= loRank, col("_v"))).as(s"_lo_$name"),
+        min(when(col("_cum") >= loRank + 1, col("_v"))).as(s"_hi_$name"))
+    } :+ max(col("_n")).as("_n")
+    val g = cum.groupBy(key).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(g) { case (d, (p, name)) =>
+      val pos = lit(p) * (col("_n") - 1)
+      val frac = pos - floor(pos)
+      val lo = col(s"_lo_$name") / scale.toDouble
+      val hi = coalesce(col(s"_hi_$name"), col(s"_lo_$name")) / scale.toDouble
+      d.withColumn(name, round(lo + (hi - lo) * frac, 4))
+    }.select(col(key) +: ps.map(p => col(p._2)): _*)
+  }
+
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qty = exactPercentiles(li, "l_returnflag", col("l_quantity"), 100,
+      Seq(0.5 -> "qty_p50", 0.9 -> "qty_p90"))
+    val price = exactPercentiles(li, "l_returnflag", col("l_extendedprice"), 100,
+      Seq(0.5 -> "price_p50"))
+    qty.join(price, "l_returnflag")
+      .select("l_returnflag", "qty_p50", "qty_p90", "price_p50")
       .orderBy("l_returnflag")
+  }
 
   val qPercentilesOracle: String =
     """SELECT l_returnflag,

@@ -215,4 +215,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "repetition must stay linear")
   }
+
+  test("percentiles run on bounded hash-agg state, no per-group value map") {
+    val p = planOf("q_percentiles")
+    // Spark's exact percentile() is a TypedImperativeAggregate whose
+    // per-group buffer holds every distinct value in executor memory
+    // (ObjectHashAggregate, unbounded on continuous columns). The
+    // bounded formulation must hash-aggregate (key, value) counts —
+    // spillable — and never plan the imperative aggregate.
+    assert(!p.contains("percentile"), s"exact percentile() in plan:\n${p.take(1500)}")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"unbounded ObjectHashAggregate in plan:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"), "expected spillable hash aggregation")
+  }
 }
