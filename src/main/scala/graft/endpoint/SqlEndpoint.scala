@@ -47,14 +47,27 @@ object SqlEndpoint {
   // every caller (specs, registry queries, bench reps). startOnce
   // memoizes the port of the first successful start.
   private var boundPort: Option[Int] = None
+  private var startFailure: Option[Throwable] = None
 
   def startOnce(spark: SparkSession): Int = synchronized {
+    // a failed start is memoized too: HiveThriftServer2 is a JVM
+    // singleton, so a half-initialized server would make every later
+    // attempt fail with a confusing secondary error — surface the
+    // ORIGINAL failure once, clearly, instead
+    startFailure.foreach(t => throw new IllegalStateException(
+      "Thrift endpoint failed to start earlier in this JVM", t))
     boundPort.getOrElse {
       val ss = new java.net.ServerSocket(0)
       val port = try ss.getLocalPort finally ss.close()
-      start(spark, port)
-      boundPort = Some(port)
-      port
+      // the probe socket is closed before HiveThriftServer2 binds, so
+      // another process could grab the port in the window; the
+      // connection retry in jdbcQuery absorbs transient losses, and a
+      // genuine bind failure surfaces via startFailure
+      try {
+        start(spark, port)
+        boundPort = Some(port)
+        port
+      } catch { case t: Throwable => startFailure = Some(t); throw t }
     }
   }
 
@@ -70,13 +83,25 @@ object SqlEndpoint {
     // startWithContext); a failing statement must fail fast, not spin
     // the retry budget
     var conn: java.sql.Connection = null
-    var last: Throwable = null
+    var last: java.sql.SQLException = null
     var attempts = 0
     while (conn == null && attempts < 30) {
       attempts += 1
+      // SQLException ONLY: fatal errors (OOM, linkage) must propagate,
+      // and an interrupt must not be swallowed by the retry sleep
       try conn = java.sql.DriverManager.getConnection(
         s"jdbc:hive2://localhost:$port/default", "", "")
-      catch { case t: Throwable => last = t; Thread.sleep(1000) }
+      catch {
+        case e: java.sql.SQLException =>
+          last = e
+          try Thread.sleep(1000)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw new RuntimeException(
+                "interrupted while waiting for the Thrift endpoint to bind", ie)
+          }
+      }
     }
     if (conn == null) throw last
     try {

@@ -556,10 +556,18 @@ object SnapshotTable {
     // every manifest carries its wall-clock commit instant (epoch ms)
     // — the anchor for timestamp time travel ([[readAsOf]]). Always
     // stamped fresh: rollback/clone copy an OLD header, but the
-    // commit EVENT happens now, and a stale stamp would make version
-    // order and stamp order disagree
-    val stamped = meta - CommittedAtKey +
-      (CommittedAtKey -> System.currentTimeMillis.toString)
+    // commit EVENT happens now. Stamps are forced STRICTLY increasing
+    // vs the previous main version (max(now, prev+1)): the wall clock
+    // can step backwards (NTP) and has ms granularity, and readAsOf's
+    // correctness rests on stamp order agreeing with version order.
+    val StemRe = "v(\\d+)".r
+    val prevStamp = stem match {
+      case StemRe(v) if v.toInt > 1 =>
+        try committedAt(s, root, v.toInt - 1) catch { case _: Exception => 0L }
+      case _ => 0L
+    }
+    val instant = math.max(System.currentTimeMillis, prevStamp + 1)
+    val stamped = meta - CommittedAtKey + (CommittedAtKey -> instant.toString)
     val header = stamped.toSeq.sorted.map { case (k, value) => s"#$k=$value" }
     val mp = new Path(s"$root/_manifests/$stem.manifest")
     val tmp = new Path(s"$root/_manifests/.$stem.manifest.tmp")
@@ -592,8 +600,10 @@ object SnapshotTable {
   /** Timestamp time travel — Iceberg/Trino `FOR TIMESTAMP AS OF`:
     * read the newest version whose commit instant is at or before
     * `epochMillis`. Version numbers and commit instants are both
-    * monotonic (every manifest writer stamps at write time), so the
-    * scan is a metadata-only walk of the manifest headers.
+    * monotonic — the writer ENFORCES strictly increasing stamps
+    * (max(now, prev+1)), so a backwards wall-clock step cannot make
+    * stamp order disagree with version order. The scan is a
+    * metadata-only walk of the manifest headers.
     */
   def readAsOf(s: SparkSession, root: String, epochMillis: Long): DataFrame = {
     val cur = currentVersion(s, root)

@@ -168,9 +168,26 @@ object Streaming {
         try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
         finally s.close()
       } else Seq(srcPath)
-    leaves.zipWithIndex.foreach { case (p, i) =>
-      val staged = ingest.resolve(f"part-$i%05d.parquet")
-      if (!java.nio.file.Files.exists(staged)) {
+    // staleness guard: a fingerprint of the SOURCE leaves (name, size,
+    // mtime) is stamped next to the staged files. Regenerated testdata
+    // (different content, or fewer part files leaving orphans) would
+    // otherwise be silently served from the stale staging dir and
+    // diverge from the batch oracle.
+    val fingerprint = leaves.map { p =>
+      s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("\n")
+    val marker = ingest.resolve("_staged_fingerprint")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fingerprint
+    if (!fresh) {
+      // wipe the staging dir (clears orphaned parts), restage, then
+      // stamp the marker LAST — a killed restage re-runs next time
+      val ls = java.nio.file.Files.list(ingest)
+      try ls.iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally ls.close()
+      leaves.zipWithIndex.foreach { case (p, i) =>
+        val staged = ingest.resolve(f"part-$i%05d.parquet")
         // copy → atomic rename: a killed run must never leave a
         // truncated parquet that a later exists() check trusts
         val tmp = ingest.resolve(f"part-$i%05d.parquet.tmp")
@@ -179,6 +196,10 @@ object Streaming {
         java.nio.file.Files.move(tmp, staged,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      val mtmp = ingest.resolve("_staged_fingerprint.tmp")
+      java.nio.file.Files.write(mtmp, fingerprint.getBytes("UTF-8"))
+      java.nio.file.Files.move(mtmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // same ns→µs timestamp rebuild as Tables.load: the streaming
     // source must be given the RAW file schema (ts as long under
@@ -197,7 +218,15 @@ object Streaming {
     * bookkeeping, streaming state stores, sink commit protocol all on
     * the hot path — not a batch analog.
     */
-  private def runToTable(s: SparkSession, plan: DataFrame, name: String): DataFrame = {
+  private def runToTable(s: SparkSession, plan: DataFrame, name: String): DataFrame =
+    runToTableCounting(s, plan, name)._1
+
+  /** As [[runToTable]], but also returns how many micro-batches
+    * carried input rows — for queries whose oracle semantics depend
+    * on the batching (see [[qStreamDedup]]).
+    */
+  private def runToTableCounting(
+      s: SparkSession, plan: DataFrame, name: String): (DataFrame, Int) = {
     s.catalog.dropTempView(name)
     val q = plan.writeStream
       .outputMode("append")
@@ -206,7 +235,8 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val fed = q.recentProgress.count(_.numInputRows > 0)
+    (s.table(name), fed)
   }
 
   // ---------------------------------------------------------------
@@ -258,8 +288,16 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type")
-    runToTable(s, deduped, "graft_stream_dedup")
-      .orderBy("user_id", "event_type")
+    val (out, fedBatches) = runToTableCounting(s, deduped, "graft_stream_dedup")
+    // the SELECT DISTINCT oracle matches dropDuplicatesWithinWatermark
+    // only while all input lands in ONE micro-batch: the data spans
+    // far more than the 1h watermark, so a multi-batch run could evict
+    // key state between batches and legitimately re-emit keys. Assert
+    // the assumption instead of failing the gate nondeterministically.
+    require(fedBatches <= 1,
+      s"stream_dedup oracle assumes single-batch ingest, saw $fedBatches " +
+        "fed micro-batches (maxFilesPerTrigger set, or staging split?)")
+    out.orderBy("user_id", "event_type")
   }
 
   val streamDedupOracle: String =

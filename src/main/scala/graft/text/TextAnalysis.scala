@@ -208,8 +208,8 @@ object TextAnalysis {
     val bigrams = docs(s, dir).select(
       col("doc_id"),
       zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)).as("bs"))
       .select(col("doc_id"),
         size(col("bs")).cast("long").as("n_bigrams"),
@@ -263,8 +263,8 @@ object TextAnalysis {
   def ngramFreq(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("gram"))
