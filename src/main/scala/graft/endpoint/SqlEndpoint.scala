@@ -71,6 +71,18 @@ object SqlEndpoint {
     }
   }
 
+  /** Fresh-JVM serving path: restore the durable catalog from
+    * `registryRoot` ([[graft.sources.PersistentCatalog]]) into this
+    * session, then expose it over Thrift — the reference's "Lakekeeper
+    * holds the catalog, Trino serves it" split (docker-compose.yaml),
+    * where no table depends on the process that registered it.
+    * Returns the bound port.
+    */
+  def serve(spark: SparkSession, registryRoot: String): Int = {
+    graft.sources.PersistentCatalog.restore(spark, registryRoot)
+    startOnce(spark)
+  }
+
   /** Run one SQL statement the way a BI client does — over the wire
     * via hive-jdbc — and return the rows. The endpoint fans the query
     * out through the live session's executors; JDBC transports only

@@ -47,6 +47,14 @@ object Catalog {
     */
   def tablesListing(s: SparkSession, dir: String): DataFrame = {
     register(s, dir)
+    listing(s)
+  }
+
+  /** The listing alone, from whatever is ALREADY registered in `$DB` —
+    * used by [[PersistentCatalog.roundtrip]] to prove a restored
+    * catalog serves the same tables without touching `register`.
+    */
+  def listing(s: SparkSession): DataFrame = {
     val names = s.sql(s"SHOW TABLES IN $DB")
       .where(!col("isTemporary"))
       .select("tableName").collect().map(_.getString(0)).sorted
@@ -89,6 +97,11 @@ object Catalog {
        | WHEN 'TIMESTAMP' THEN '$ts' WHEN 'FLOAT[]' THEN 'array<float>'
        | ELSE lower(type) END""".stripMargin.replace("\n", "")
   }
+
+  /** Shared with [[PersistentCatalog]]: a restored catalog must
+    * hash-match the very same oracle the live one does.
+    */
+  def tablesOracleSql: String = tablesOracle
 
   private def tablesOracle: String =
     Tables.all.sorted.map { n =>
