@@ -26,6 +26,24 @@ object SnapshotTable {
 
   private def manifestDir(root: String) = new Path(s"$root/_manifests")
 
+  /** Canonical, SCHEME-PRESERVING file identity. Manifest lines and
+    * `_metadata.file_path` spell the same file differently
+    * (`file:/x` vs `file:///x`), so comparisons need a normal form —
+    * but stripping to the bare path would collapse distinct
+    * stores/buckets (`s3a://a/x` == `s3a://b/x`), silently wrong the
+    * moment a table's files span authorities. Scheme-less inputs are
+    * qualified against their FileSystem first, so `/x` and
+    * `file:///x` still agree.
+    */
+  private[graft] def canon(s: SparkSession, p: String): String = {
+    val path = new Path(p)
+    val q =
+      if (path.toUri.getScheme == null) fsOf(s, path).makeQualified(path)
+      else path
+    val u = q.toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+
   private val ManifestRe = "v(\\d+)\\.manifest".r
 
   def currentVersion(s: SparkSession, root: String): Int = {
@@ -108,19 +126,19 @@ object SnapshotTable {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try new Path(f).toUri.getPath -> r.getRecordCount
+          try canon(s, f) -> r.getRecordCount
           finally r.close()
         }.toMap
       } else
         s.read.parquet(files: _*)
           .groupBy(col("_metadata.file_path")).count()
           .collect()
-          .map(r => new Path(r.getString(0)).toUri.getPath -> r.getLong(1))
+          .map(r => canon(s, r.getString(0)) -> r.getLong(1))
           .toMap
     lines.map { line =>
       val f = line.split('\t').head
       // a file absent from the grouped counts produced zero row groups
-      val n = counts.getOrElse(new Path(f).toUri.getPath, 0L)
+      val n = counts.getOrElse(canon(s, f), 0L)
       s"$line\t$RowsAnnot$n"
     }
   }
@@ -226,11 +244,11 @@ object SnapshotTable {
           .groupBy("_file")
           .agg(collect_set(col("pos")).as("ps"))
           .collect()
-          .map(r => (new Path(r.getString(0)).toUri.getPath, c) ->
+          .map(r => (canon(s, r.getString(0)), c) ->
             r.getSeq[Int](1).toArray)
       }.toMap
     lines.map { line =>
-      val key = new Path(line.split('\t').head).toUri.getPath
+      val key = canon(s, line.split('\t').head)
       val annots = cols.flatMap { c =>
         posByFileCol.get((key, c)).map { ps =>
           val bits = new java.util.BitSet(BloomBits)
@@ -285,10 +303,10 @@ object SnapshotTable {
           if (mn == null || mx == null) Seq.empty // all-null file: no stats, never skipped
           else Seq(s"_min_$c=$mn", s"_max_$c=$mx")
         }
-        new Path(r.getString(0)).toUri.getPath -> annots.mkString("\t")
+        canon(s, r.getString(0)) -> annots.mkString("\t")
       }.toMap
     files.map { f =>
-      val key = new Path(f).toUri.getPath
+      val key = canon(s, f)
       byFile.get(key).filter(_.nonEmpty).map(a => s"$f\t$a").getOrElse(f)
     }
   }
@@ -343,7 +361,7 @@ object SnapshotTable {
     val files = dataFiles(s, root, cur)
     val mapping = columnMapping(s, root, cur)
     val types = columnTypes(s, root, cur)
-    def norm(p: String) = new Path(p).toUri.getPath
+    def norm(p: String) = canon(s, p)
     // predicate is written against the LOGICAL schema; pin the file
     // path first, then apply the logical view over it
     def viewWithFile(paths: Seq[String]) = logicalView(
@@ -969,7 +987,7 @@ object SnapshotTable {
   def changes(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
     require(fromV >= 0 && fromV <= toV,
       s"changes requires 0 <= fromV <= toV, got ($fromV, $toV)")
-    def norm(p: String) = new Path(p).toUri.getPath
+    def norm(p: String) = canon(s, p)
     // version 0 = the empty table before the first commit, so a
     // changesSince(0) bootstrap replays everything as inserts
     val fromFiles = if (fromV == 0) Seq.empty[String] else dataFiles(s, root, fromV)
