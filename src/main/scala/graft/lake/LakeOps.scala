@@ -628,6 +628,54 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Replication surviving a RESTART: the CDC query consumes the first
+    * source commit and is then stopped — the "process dies". While the
+    * replica is down the source keeps moving (two more commits and a
+    * row-level DELETE). A NEW query resumes from the SAME checkpoint:
+    * Structured Streaming replays the `graft-snapshot` offset
+    * (= snapshot version) from the checkpoint log, so the restarted
+    * stream applies exactly the versions the first run never saw —
+    * nothing twice (manifest-stamped batch ids make a replayed batch a
+    * no-op), nothing skipped. The oracle is the from-scratch truth
+    * over raw events, same as [[replicaSync]]; a duplicated or lost
+    * batch cannot hash-match it.
+    */
+  def replicaRestart(s: SparkSession, dir: String): DataFrame = {
+    val src = scratch(dir, "replr_src")
+    val dst = scratch(dir, "replr_dst")
+    val ckpt = scratch(dir, "replr_ckpt")
+    Seq(src, dst, ckpt).foreach(clean(s, _))
+    val ev = events(s, dir)
+    val d11 = lit("2024-01-11").cast("timestamp")
+    val d21 = lit("2024-01-21").cast("timestamp")
+    SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
+    def cdc = s.readStream.format("graft-snapshot").option("path", src).load()
+    // run 1: applies version 1, then dies
+    val q1 = LakeSink.startCdc(cdc, dst, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterRun1 = SnapshotTable.read(s, dst).count()
+    require(afterRun1 == SnapshotTable.read(s, src).count(),
+      s"run 1 incomplete: replica $afterRun1 rows")
+    // downtime: source advances by two appends and a delete
+    SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
+    SnapshotTable.commit(s, src, ev.filter(col("ts") >= d21))
+    SnapshotTable.deleteWhere(s, src, col("event_type") === "error")
+    // run 2: resume from the checkpoint — catch up on versions 2..4 only
+    val q2 = LakeSink.startCdc(cdc, dst, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val srcCount = SnapshotTable.read(s, src).count()
+    val dstCount = SnapshotTable.read(s, dst).count()
+    require(srcCount == dstCount,
+      s"replica diverged across restart: source $srcCount rows, replica $dstCount")
+    SnapshotTable.read(s, dst)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val replicaRestartOracle: String = replicaSyncOracle
+
+  // ---------------------------------------------------------------
   /** Multi-format source/sink round-trip: the same batch lands as
     * parquet, ORC, JSON, and CSV and reads back identically (the lake
     * ingests whatever upstream emits; cf. the reference's
@@ -993,5 +1041,6 @@ object LakeOps {
     Q("lake_rollback", rollback, Some(rollbackOracle)),
     Q("lake_tags", tagsQuery, Some(tagsOracle)),
     Q("lake_branch_wap", branchWap, Some(branchWapOracle)),
-    Q("lake_replica_sync", replicaSync, Some(replicaSyncOracle)))
+    Q("lake_replica_sync", replicaSync, Some(replicaSyncOracle)),
+    Q("lake_replica_restart", replicaRestart, Some(replicaRestartOracle)))
 }

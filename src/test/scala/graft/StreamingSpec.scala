@@ -140,6 +140,39 @@ class StreamingSpec extends SparkSpec {
       "restart must apply exactly one delta commit, not replay history")
   }
 
+  test("crash between table commit and checkpoint commit: replayed batch is a no-op") {
+    import spark.implicits._
+    import graft.lake.SnapshotTable
+    val root = "/tmp/graft_test/crash_src"
+    val replica = "/tmp/graft_test/crash_dst"
+    val ckpt = "/tmp/graft_test/crash_ckpt"
+    Seq(root, replica, ckpt).foreach(SnapshotTable.drop(spark, _))
+    SnapshotTable.commit(spark, root, Seq(1, 2).toDF("x"))
+    def start() = graft.lake.LakeSink.startCdc(
+      spark.readStream.format("graft-snapshot").option("path", root).load(),
+      replica, ckpt)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // simulate dying AFTER the replica table commit but BEFORE the
+    // engine's checkpoint commit: erase the commit marker for the last
+    // batch, so the restarted query re-runs batch 0 with the same data
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false),
+      "expected a commit marker for batch 0")
+    val versionAfterRun1 = SnapshotTable.currentVersion(spark, replica)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // the replay hit applyCdc with batchId 0 again; the manifest-stamped
+    // batch id made it a no-op — same contents, NO new replica version
+    assert(SnapshotTable.currentVersion(spark, replica) === versionAfterRun1,
+      "replayed batch must not create a new replica version")
+    assert(SnapshotTable.read(spark, replica).collect().map(_.getInt(0)).sorted.toSeq
+      === Seq(1, 2))
+  }
+
   test("end-to-end streaming replication: source table -> CDC stream -> replica table") {
     import spark.implicits._
     import graft.lake.{LakeSink, SnapshotTable}
