@@ -167,6 +167,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact DuckDB mirror of the WHOLE simhash dedup — signature
+    * computation (FNV-1a+splitmix64 token hashes via
+    * [[graft.functions.OracleHashSql]], per-bit vote sums), 16-bit
+    * band bucketing, the capped pair generation ([[cappedPairs]]'s
+    * small-bucket all-pairs AND hot-bucket star+chain, replicated with
+    * window functions), hamming≤3 verification, and min-partner rep
+    * election. Everything is deterministic, so the entry is hash-gated
+    * end-to-end rather than rows-only.
+    */
+  val simhashOracle: String = {
+    import graft.functions.{OracleHashSql => H}
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(LIST_FILTER(regexp_split_to_array(text, '\\s+'),
+       |    t -> LEN(t) > 0)) AS tok
+       |  FROM documents
+       |), tb AS (
+       |  SELECT doc_id, hex(encode(tok)) AS hx,
+       |         CAST(octet_length(encode(tok)) AS INT) AS n
+       |  FROM toks
+       |), h0 AS (
+       |  SELECT doc_id, ${H.fnvFold(H.bytesList("hx", "n"))} AS z FROM tb
+       |)${H.mix64Ctes("h0", "h", "h", Seq("doc_id"))}
+       |, votes AS (
+       |  SELECT doc_id, bits.j AS j,
+       |    SUM(CASE WHEN (CAST(h AS UBIGINT) >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h4 CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS j) bits
+       |  GROUP BY 1, 2
+       |), sig0 AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END) AS usig
+       |  FROM votes GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT d.doc_id, CAST(COALESCE(s.usig, 0) AS HUGEINT) AS usig
+       |  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+       |), bands AS (
+       |  SELECT doc_id, usig, bb.b AS band,
+       |    CAST((CAST(usig AS UBIGINT) >> (16*bb.b)) & 65535 AS INT) AS band_key
+       |  FROM sigs CROSS JOIN (SELECT CAST(UNNEST(range(0, 4)) AS INT) AS b) bb
+       |), sized AS (
+       |  SELECT doc_id, band, band_key,
+       |    COUNT(*) OVER w AS bsz,
+       |    MIN(doc_id) OVER w AS bmin_id,
+       |    LAG(doc_id) OVER (w ORDER BY doc_id) AS prev_id
+       |  FROM bands
+       |  WINDOW w AS (PARTITION BY band, band_key)
+       |), small_pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  WHERE a.bsz <= $DefaultBucketCap
+       |), star_pairs AS (
+       |  SELECT bmin_id AS id_a, doc_id AS id_b FROM sized
+       |  WHERE bsz > $DefaultBucketCap AND doc_id <> bmin_id
+       |), chain_pairs AS (
+       |  SELECT prev_id AS id_a, doc_id AS id_b FROM sized
+       |  WHERE bsz > $DefaultBucketCap AND prev_id IS NOT NULL
+       |), cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT * FROM small_pairs UNION ALL
+       |    SELECT * FROM star_pairs UNION ALL
+       |    SELECT * FROM chain_pairs)
+       |), good AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b
+       |  WHERE bit_count(xor(CAST(sa.usig AS UBIGINT), CAST(sb.usig AS UBIGINT))) <= 3
+       |), reps AS (
+       |  SELECT id_b AS doc_id, MIN(id_a) AS rep_cand FROM good GROUP BY id_b
+       |)
+       |SELECT s.doc_id, ${H.toSigned("s.usig")} AS simhash,
+       |  COALESCE(r.rep_cand, s.doc_id) AS rep_id,
+       |  COALESCE(r.rep_cand <> s.doc_id, FALSE) AS is_dup
+       |FROM sigs s LEFT JOIN reps r USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   /** Exact n-gram Jaccard on a linear pair set (adjacent doc ids) —
     * exercises the verifier independently of LSH candidate recall.
@@ -456,7 +533,7 @@ object Dedup {
     Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),
     Q("dedup_exact", exact, Some(exactOracle)),
     Q("dedup_minhash_lsh", minhashLsh, None),
-    Q("dedup_simhash", simhash, None),
+    Q("dedup_simhash", simhash, Some(simhashOracle)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_embedding", embedding, Some(embeddingOracle)),
     Q("dedup_embedding_ann", (s, d) => embeddingAnn(s, d), None))

@@ -139,27 +139,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** (a*b) mod 2^64 in HUGEINT: 32-bit split keeps every intermediate
-    * under 2^97. */
-  private def mul64(a: String, b: String): String =
-    s"(((($a)%4294967296)*(($b)%4294967296) + (((($a)%4294967296)*(($b)//4294967296)" +
-      s" + (($a)//4294967296)*(($b)%4294967296)) % 4294967296) * 4294967296)" +
-      " % 18446744073709551616)"
-
-  /** x XOR (x >>> n) on a [0,2^64) HUGEINT, via UBIGINT bit ops. */
-  private def xorShift(x: String, n: Int): String =
-    s"CAST(xor(CAST(($x) AS UBIGINT), CAST(($x) AS UBIGINT) >> $n) AS HUGEINT)"
-
   val fingerprintOracle: String = {
-    val M = "18446744073709551616" // 2^64
+    import graft.functions.{OracleHashSql => H}
     s"""WITH raw AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |         CAST(octet_length(encode(text)) AS INT) AS n
        |  FROM documents
        |), byts AS (
-       |  SELECT doc_id, n, list_transform(range(0, n), i ->
-       |    CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
-       |       + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1) AS HUGEINT)) AS bs
+       |  SELECT doc_id, n, ${H.bytesList("hx", "n")} AS bs
        |  FROM raw
        |), wins0 AS (
        |  SELECT doc_id, n, bs,
@@ -167,29 +154,15 @@ object TextAnalysis {
        |  FROM byts
        |), wins AS (
        |  SELECT doc_id,
-       |    CASE WHEN n <= 8 THEN
-       |      list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
-       |        (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
-       |                   * 1099511628211) % $M)
-       |    ELSE
-       |      list_reduce(bs[j+1 : j+8],
-       |        (a, b) -> (a * 1099511628211 + b) % $M)
-       |    END AS w
+       |    CASE WHEN n <= 8 THEN ${H.fnvFold("bs")}
+       |    ELSE ${H.polyFold("bs[j+1 : j+8]")}
+       |    END AS z
        |  FROM wins0
-       |), s1 AS (
-       |  SELECT doc_id, (w + 11400714819323198485) % $M AS z FROM wins
-       |), s2 AS (
-       |  SELECT doc_id, ${mul64(xorShift("z", 30), "13787848793156543929")} AS z FROM s1
-       |), s3 AS (
-       |  SELECT doc_id, ${mul64(xorShift("z", 27), "10723151780598845931")} AS z FROM s2
-       |), s4 AS (
-       |  SELECT doc_id, ${xorShift("z", 31)} AS m FROM s3
-       |), fp AS (
+       |)${H.mix64Ctes("wins", "s", "m", Seq("doc_id"))}
+       |, fp AS (
        |  SELECT doc_id, MIN(m) AS u FROM s4 GROUP BY doc_id
        |)
-       |SELECT doc_id,
-       |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - $M ELSE u END AS BIGINT)
-       |  AS fingerprint
+       |SELECT doc_id, ${H.toSigned("u")} AS fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
   }
 
