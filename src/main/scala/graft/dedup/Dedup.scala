@@ -116,6 +116,16 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** LSH band key: the RAW 4-value signature slice (array<bigint>),
+    * not a hash of it — band equality is then exactly "all 4 minhash
+    * rows agree" with zero band-key collisions, and the whole pipeline
+    * stays mirrorable in the DuckDB oracle. Cost: a 32-byte shuffle
+    * key instead of 8 per (doc, band) row — noise next to the row
+    * itself.
+    */
+  private[dedup] val BandExpr =
+    "transform(sequence(0, 15), b -> slice(sig, b*4+1, 4))"
+
   /** (band, bandKey, doc_id) tuples: 16 bands × 4 rows over the k=64
     * MinHash signature.
     */
@@ -123,8 +133,7 @@ object Dedup {
     GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"), expr("graft_minhash(text, 64, 3)").as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))")))
+      .select(col("doc_id"), posexplode(expr(BandExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
@@ -165,6 +174,100 @@ object Dedup {
         coalesce(col("rep_cand"), col("doc_id")).as("rep_id"),
         coalesce(col("rep_cand") =!= col("doc_id"), lit(false)).as("is_dup"))
       .orderBy("doc_id")
+  }
+
+  /** Exact DuckDB mirror of the WHOLE MinHash-LSH dedup. Everything in
+    * the chain is deterministic, so the flagship near-dup entry is
+    * hash-gated end-to-end: word-3-gram shingle hashes (FNV-1a over
+    * each token's UTF-8 bytes, a space byte after every token, then
+    * splitmix64 — [[graft.functions.Tokenize.shingleHashes]]), the
+    * k=64 2-universal minhash (the 64 (a,b) constants are computed
+    * from the same mix64 and inlined as a VALUES table; unsigned min
+    * in [0,2^64) HUGEINT), raw-slice band keys (LIST equality),
+    * [[cappedPairs]]'s small-bucket all-pairs + hot-bucket star/chain
+    * via window functions, the exact shingle-set Jaccard ≥ 0.8
+    * verification, and min-partner rep election.
+    */
+  val minhashLshOracle: String = {
+    import graft.functions.{OracleHashSql => H}
+    import graft.functions.HashUtil
+    val consts = (0 until 64).map { j =>
+      val a = java.lang.Long.toUnsignedString(HashUtil.mix64(2L * j + 1) | 1L)
+      val b = java.lang.Long.toUnsignedString(HashUtil.mix64(2L * j))
+      s"($j, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+    }.mkString(",\n    |    ").replace("|", "")
+    s"""WITH consts(j, ca, cb) AS (VALUES
+       |    $consts
+       |), toksl AS (
+       |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\\s+'),
+       |    t -> LEN(t) > 0) AS tl
+       |  FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN LEN(tl) < 3 THEN [array_to_string(tl, ' ')]
+       |    ELSE list_transform(range(0, LEN(tl)-2),
+       |      i -> tl[i+1] || ' ' || tl[i+2] || ' ' || tl[i+3] || ' ')
+       |    END AS shingles
+       |  FROM toksl
+       |), shx AS (
+       |  SELECT doc_id, UNNEST(shingles) AS sg FROM sh0
+       |), sb AS (
+       |  SELECT doc_id, hex(encode(sg)) AS hx,
+       |         CAST(octet_length(encode(sg)) AS INT) AS n
+       |  FROM shx
+       |), g0 AS (
+       |  SELECT doc_id, ${H.fnvFold(H.bytesList("hx", "n"))} AS z FROM sb
+       |)${H.mix64Ctes("g0", "g", "h", Seq("doc_id"))}
+       |, dsets AS (
+       |  SELECT doc_id, list_distinct(list(h)) AS hset FROM g4 GROUP BY doc_id
+       |), mh AS (
+       |  SELECT doc_id, c.j AS j,
+       |    MIN((${H.mul64("c.ca", "h")} + c.cb) % ${H.M}) AS mv
+       |  FROM g4 CROSS JOIN consts c GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT doc_id, list(mv ORDER BY j) AS sig FROM mh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, bb.b AS band, sig[4*bb.b+1 : 4*bb.b+4] AS band_key
+       |  FROM sig CROSS JOIN (SELECT CAST(UNNEST(range(0, 16)) AS INT) AS b) bb
+       |), sized AS (
+       |  SELECT doc_id, band, band_key,
+       |    COUNT(*) OVER w AS bsz,
+       |    MIN(doc_id) OVER w AS bmin_id,
+       |    LAG(doc_id) OVER (w ORDER BY doc_id) AS prev_id
+       |  FROM bands
+       |  WINDOW w AS (PARTITION BY band, band_key)
+       |), small_pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  WHERE a.bsz <= $DefaultBucketCap
+       |), star_pairs AS (
+       |  SELECT bmin_id AS id_a, doc_id AS id_b FROM sized
+       |  WHERE bsz > $DefaultBucketCap AND doc_id <> bmin_id
+       |), chain_pairs AS (
+       |  SELECT prev_id AS id_a, doc_id AS id_b FROM sized
+       |  WHERE bsz > $DefaultBucketCap AND prev_id IS NOT NULL
+       |), cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT * FROM small_pairs UNION ALL
+       |    SELECT * FROM star_pairs UNION ALL
+       |    SELECT * FROM chain_pairs)
+       |), good AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN dsets da ON da.doc_id = c.id_a
+       |  JOIN dsets db ON db.doc_id = c.id_b
+       |  WHERE CASE WHEN LEN(list_distinct(list_concat(da.hset, db.hset))) = 0 THEN 1.0
+       |        ELSE CAST(LEN(list_intersect(da.hset, db.hset)) AS DOUBLE)
+       |           / LEN(list_distinct(list_concat(da.hset, db.hset))) END >= 0.8
+       |), reps AS (
+       |  SELECT id_b AS doc_id, MIN(id_a) AS rep_cand FROM good GROUP BY id_b
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(r.rep_cand, d.doc_id) AS rep_id,
+       |  COALESCE(r.rep_cand <> d.doc_id, FALSE) AS is_dup
+       |FROM documents d LEFT JOIN reps r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Exact DuckDB mirror of the WHOLE simhash dedup — signature
@@ -408,8 +511,7 @@ object Dedup {
     val d = docs.select("doc_id", "text")
     val bands = d
       .select(col("doc_id").as("id"), expr("graft_minhash(text, 64, 3)").as("sig"))
-      .select(col("id"), posexplode(expr(
-        "transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))")))
+      .select(col("id"), posexplode(expr(BandExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val cand = cappedPairs(bands)
     val edges = cand
@@ -532,7 +634,7 @@ object Dedup {
     Q("dedup_incremental", incremental, Some(incrementalOracle)),
     Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),
     Q("dedup_exact", exact, Some(exactOracle)),
-    Q("dedup_minhash_lsh", minhashLsh, None),
+    Q("dedup_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
     Q("dedup_simhash", simhash, Some(simhashOracle)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_embedding", embedding, Some(embeddingOracle)),

@@ -22,8 +22,7 @@ object IncrementalIndex {
   def bandsFor(batch: DataFrame): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
     batch.select(col("doc_id"), expr("graft_minhash(text, 64, 3)").as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))")))
+      .select(col("doc_id"), posexplode(expr(Dedup.BandExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
