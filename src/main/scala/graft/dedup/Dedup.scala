@@ -188,7 +188,13 @@ object Dedup {
     * via window functions, the exact shingle-set Jaccard ≥ 0.8
     * verification, and min-partner rep election.
     */
-  val minhashLshOracle: String = {
+  /** Shared oracle prefix: the deterministic MinHash-LSH chain from
+    * raw text to verified near-dup pairs (`good`), used by BOTH
+    * [[minhashLshOracle]] (rep election tail) and [[pipelineOracle]]
+    * (connected-components closure tail). Starts WITH RECURSIVE so
+    * the pipeline tail can append a recursive CTE.
+    */
+  private val minhashGoodPairsSql: String = {
     import graft.functions.{OracleHashSql => H}
     import graft.functions.HashUtil
     val consts = (0 until 64).map { j =>
@@ -196,7 +202,7 @@ object Dedup {
       val b = java.lang.Long.toUnsignedString(HashUtil.mix64(2L * j))
       s"($j, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
     }.mkString(",\n    |    ").replace("|", "")
-    s"""WITH consts(j, ca, cb) AS (VALUES
+    s"""WITH RECURSIVE consts(j, ca, cb) AS (VALUES
        |    $consts
        |), toksl AS (
        |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\\s+'),
@@ -260,15 +266,44 @@ object Dedup {
        |  WHERE CASE WHEN LEN(list_distinct(list_concat(da.hset, db.hset))) = 0 THEN 1.0
        |        ELSE CAST(LEN(list_intersect(da.hset, db.hset)) AS DOUBLE)
        |           / LEN(list_distinct(list_concat(da.hset, db.hset))) END >= 0.8
-       |), reps AS (
-       |  SELECT id_b AS doc_id, MIN(id_a) AS rep_cand FROM good GROUP BY id_b
-       |)
-       |SELECT d.doc_id,
-       |  COALESCE(r.rep_cand, d.doc_id) AS rep_id,
-       |  COALESCE(r.rep_cand <> d.doc_id, FALSE) AS is_dup
-       |FROM documents d LEFT JOIN reps r USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  val minhashLshOracle: String =
+    minhashGoodPairsSql +
+      """
+        |, reps AS (
+        |  SELECT id_b AS doc_id, MIN(id_a) AS rep_cand FROM good GROUP BY id_b
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(r.rep_cand, d.doc_id) AS rep_id,
+        |  COALESCE(r.rep_cand <> d.doc_id, FALSE) AS is_dup
+        |FROM documents d LEFT JOIN reps r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for the END-TO-END pipeline: same verified near-dup edges,
+    * then connected components as a recursive transitive closure (min
+    * reachable id = the label the distributed pointer-jumping loop
+    * converges to), keep = "I am my cluster's min". Feasible because
+    * the oracle runs at small SF where closures are tiny.
+    */
+  val pipelineOracle: String =
+    minhashGoodPairsSql +
+      """
+        |, edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM good
+        |  UNION SELECT id_b AS src, id_a AS dst FROM good
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+        |), comp AS (
+        |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+        |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS kept
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
 
   /** Exact DuckDB mirror of the WHOLE simhash dedup — signature
     * computation (FNV-1a+splitmix64 token hashes via
@@ -630,7 +665,7 @@ object Dedup {
       |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("dedup_pipeline", dedupPipeline, None),
+    Q("dedup_pipeline", dedupPipeline, Some(pipelineOracle)),
     Q("dedup_incremental", incremental, Some(incrementalOracle)),
     Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),
     Q("dedup_exact", exact, Some(exactOracle)),
