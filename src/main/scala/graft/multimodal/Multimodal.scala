@@ -138,7 +138,9 @@ object Multimodal {
     * pairs all payloads), hamming verify ≤ 3 on candidates only. The
     * same LSH-banding scale shape as text SimHash dedup, applied to
     * the binary modality; finds the corpus's planted near-dups from
-    * bytes alone. Non-SQL-expressible → rows-only gate.
+    * bytes alone. Fully oracled: the stub hash is pure integer
+    * arithmetic, so DuckDB re-derives it bit-for-bit (see
+    * [[phashNearDupOracle]]).
     */
   def phashNearDup(s: SparkSession, dir: String): DataFrame =
     phashPairs(Tables.load(s, dir, "documents")
@@ -171,9 +173,58 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
+  /** Exact DuckDB mirror of [[bytePHash]] + banding + hamming verify:
+    * FNV-1a over every byte 4-gram window (no finalizer — plain
+    * pre-mix FNV, which [[graft.functions.OracleHashSql.fnvFold]]
+    * emits), per-bit vote sums, sign signature, 16-bit band buckets,
+    * a_id<b_id candidate join, bit_count(xor) ≤ 3. Payloads shorter
+    * than 4 bytes vote nowhere → signature 0, same as the JVM loop.
+    */
+  val phashNearDupOracle: String = {
+    import graft.functions.{OracleHashSql => H}
+    s"""WITH raw AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS INT) AS n
+       |  FROM documents
+       |), byts AS (
+       |  SELECT doc_id, n, ${H.bytesList("hx", "n")} AS bs FROM raw
+       |), wins0 AS (
+       |  SELECT doc_id, bs, CAST(UNNEST(range(0, GREATEST(n-3, 0))) AS INT) AS i
+       |  FROM byts
+       |), wins AS (
+       |  SELECT doc_id, ${H.fnvFold("bs[i+1 : i+4]")} AS h FROM wins0
+       |), votes AS (
+       |  SELECT doc_id, bits.j AS j,
+       |    SUM(CASE WHEN (CAST(h AS UBIGINT) >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM wins CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS j) bits
+       |  GROUP BY 1, 2
+       |), sig0 AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END) AS usig
+       |  FROM votes GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT d.doc_id, CAST(COALESCE(s.usig, 0) AS HUGEINT) AS usig
+       |  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+       |), bands AS (
+       |  SELECT doc_id, usig, bb.b AS band,
+       |    CAST((CAST(usig AS UBIGINT) >> (16*bb.b)) & 65535 AS INT) AS band_val
+       |  FROM sigs CROSS JOIN (SELECT CAST(UNNEST(range(0, 4)) AS INT) AS b) bb
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.usig AS ua, b.usig AS ub
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
     Q("mm_frame_sample", frameSample, Some(frameSampleOracle)),
-    Q("mm_phash_neardup", phashNearDup, None))
+    Q("mm_phash_neardup", phashNearDup, Some(phashNearDupOracle)))
 }
