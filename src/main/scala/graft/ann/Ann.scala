@@ -110,14 +110,73 @@ object Ann {
 
   /** Registry entry: four 8-bit tables, top-3 — the configuration
     * AnnRecallSpec pins at recall@10 ≥ 0.9 (r3 verdict: the shipped
-    * default must be the measured one). Approximate → rows-only.
+    * default must be the measured one). Approximate in RECALL by
+    * design, but fully DETERMINISTIC in output: the hyperplanes are
+    * pseudo-random pure functions of (seed, plane, dim), so the whole
+    * bucketing + re-rank is mirrored exactly by [[lshOracle]].
     */
   val LshRegistryBits = 8
   val LshRegistryTables: Seq[Long] = Seq(1L, 2L, 3L, 4L)
+  private val LshRegistryK = 3
 
   def lsh(s: SparkSession, dir: String): DataFrame =
-    lshKnn(s, emb(s, dir), col("vec_id") % 50 === 0, k = 3,
+    lshKnn(s, emb(s, dir), col("vec_id") % 50 === 0, k = LshRegistryK,
       nBits = LshRegistryBits, tables = LshRegistryTables)
+
+  /** Exact DuckDB mirror of the LSH path. The 4×8 hyperplanes are
+    * inlined as 64-component DOUBLE list literals (computed from the
+    * same [[graft.functions.HashUtil.unitComponent]]; Double.toString
+    * shortest-repr round-trips bit-exactly through DuckDB's
+    * correctly-rounded parser). Projections and cosines accumulate
+    * left-to-right via list_reduce — the same IEEE operation sequence
+    * as the codegen'd expressions — so bucket signs, candidate sets,
+    * and the (cos DESC, id) top-3 match bit-for-bit.
+    */
+  val lshOracle: String = {
+    val dims = 64
+    val planes = LshRegistryTables.flatMap { seed =>
+      (0 until LshRegistryBits).map { b =>
+        val comps = (0 until dims)
+          .map(i => graft.functions.HashUtil.unitComponent(seed, b, i))
+          .mkString("[", ", ", "]")
+        s"($seed, $b, CAST($comps AS DOUBLE[]))"
+      }
+    }.mkString(",\n    ")
+    s"""WITH planes(tbl, b, comps) AS (VALUES
+       |    $planes
+       |), projs AS (
+       |  SELECT e.vec_id, p.tbl, p.b,
+       |    list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.comps[i]), (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |), buckets AS (
+       |  SELECT vec_id, tbl,
+       |    SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+       |  FROM projs GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+       |  FROM buckets c JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+       |), scored AS (
+       |  SELECT cand.q_id, cand.neighbor_id,
+       |    list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)), (a, x) -> a + x)
+       |    / (sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
+       |        i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)), (a, x) -> a + x))
+       |     * sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
+       |        i -> CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)), (a, x) -> a + x))) AS cos
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $LshRegistryK
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Quantizer TRAINING runs on the driver over a bounded sample —
@@ -507,7 +566,7 @@ object Ann {
     Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
     Q("ann_range_search", rangeSearchEntry, Some(rangeSearchOracle)),
     Q("emb_centroids", centroids, Some(centroidsOracle)),
-    Q("ann_lsh", lsh, None),
+    Q("ann_lsh", lsh, Some(lshOracle)),
     Q("ann_ivf", ivf, None),
     Q("ann_pq", pq, None))
 }

@@ -95,6 +95,81 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact DuckDB mirror of [[embeddingAnn]]: the 2×12 hyperplanes
+    * inlined as DOUBLE-list constants (same
+    * [[graft.functions.HashUtil.unitComponent]] values; shortest-repr
+    * doubles round-trip exactly), left-to-right list_reduce
+    * projections and cosines (the codegen'd expressions' IEEE
+    * operation order), capped pair generation via window functions,
+    * ROUND(cos,6) ≥ 0.45 verify, min-partner rep election.
+    */
+  val embeddingAnnOracle: String = {
+    val dims = 64
+    val planes = Seq(1L, 2L).flatMap { seed =>
+      (0 until 12).map { b =>
+        val comps = (0 until dims)
+          .map(i => graft.functions.HashUtil.unitComponent(seed, b, i))
+          .mkString("[", ", ", "]")
+        s"($seed, $b, CAST($comps AS DOUBLE[]))"
+      }
+    }.mkString(",\n    ")
+    s"""WITH planes(tbl, b, comps) AS (VALUES
+       |    $planes
+       |), projs AS (
+       |  SELECT e.vec_id, p.tbl, p.b,
+       |    list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.comps[i]), (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |), buckets AS (
+       |  SELECT vec_id, tbl AS band,
+       |    SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS band_key
+       |  FROM projs GROUP BY 1, 2
+       |), sized AS (
+       |  SELECT vec_id, band, band_key,
+       |    COUNT(*) OVER w AS bsz,
+       |    MIN(vec_id) OVER w AS bmin_id,
+       |    LAG(vec_id) OVER (w ORDER BY vec_id) AS prev_id
+       |  FROM buckets
+       |  WINDOW w AS (PARTITION BY band, band_key)
+       |), small_pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sized a JOIN sized b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+       |  WHERE a.bsz <= $DefaultBucketCap
+       |), star_pairs AS (
+       |  SELECT bmin_id AS id_a, vec_id AS id_b FROM sized
+       |  WHERE bsz > $DefaultBucketCap AND vec_id <> bmin_id
+       |), chain_pairs AS (
+       |  SELECT prev_id AS id_a, vec_id AS id_b FROM sized
+       |  WHERE bsz > $DefaultBucketCap AND prev_id IS NOT NULL
+       |), cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT * FROM small_pairs UNION ALL
+       |    SELECT * FROM star_pairs UNION ALL
+       |    SELECT * FROM chain_pairs)
+       |), good AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b
+       |  WHERE ROUND(
+       |    list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (a, x) -> a + x)
+       |    / (sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
+       |        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (a, x) -> a + x))
+       |     * sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
+       |        i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (a, x) -> a + x))), 6)
+       |    >= 0.45
+       |), reps AS (
+       |  SELECT id_b AS vec_id, MIN(id_a) AS rep_cand FROM good GROUP BY id_b
+       |)
+       |SELECT e.vec_id,
+       |  COALESCE(r.rep_cand, e.vec_id) AS rep_id,
+       |  COALESCE(r.rep_cand <> e.vec_id, FALSE) AS is_dup
+       |FROM embeddings e LEFT JOIN reps r USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   /** Exact dedup by content hash: every doc gets its group size and a
     * canonical keep flag (min doc_id wins).
@@ -673,5 +748,5 @@ object Dedup {
     Q("dedup_simhash", simhash, Some(simhashOracle)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_embedding", embedding, Some(embeddingOracle)),
-    Q("dedup_embedding_ann", (s, d) => embeddingAnn(s, d), None))
+    Q("dedup_embedding_ann", (s, d) => embeddingAnn(s, d), Some(embeddingAnnOracle)))
 }

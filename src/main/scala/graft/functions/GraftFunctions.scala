@@ -32,6 +32,7 @@ object GraftFunctions {
     "graft_lsh_bucket" -> (es => HyperplaneLsh(es(0), intArg(es(1), "nBits"), longArg(es(2), "seed"))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intArg(es(1), "k"), intArg(es(2), "shingle"))),
     "graft_simhash" -> (es => SimHash64(es(0))),
+    "graft_mix64" -> (es => Mix64(es(0))),
     "graft_ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
     "graft_fingerprint" -> (es => RollingFingerprint(es(0), intArg(es(1), "k"))),
     "graft_topk" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),

@@ -89,6 +89,25 @@ case class MinHashSignature(child: Expression, k: Int, shingle: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** splitmix64 finalizer as a SQL-callable scalar — the reproducible
+  * id hash behind deterministic train/valid/test splits
+  * ([[graft.text.TextAnalysis.trainSplit]]). A custom expression
+  * rather than Column arithmetic because the mixing multiplications
+  * deliberately wrap mod 2^64, which ANSI-mode Spark (4.x default)
+  * rejects as overflow in built-in operators.
+  */
+case class Mix64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.mix64(v.asInstanceOf[Number].longValue())
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums). */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {

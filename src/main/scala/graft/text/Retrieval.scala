@@ -169,8 +169,103 @@ object Retrieval {
       |WHERE grams.doc_id % 10 <> 0
       |GROUP BY 1 ORDER BY n_shared DESC, doc_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Hybrid retrieval: lexical BM25 and dense-cosine rankings fused by
+    * Reciprocal Rank Fusion (RRF, Cormack et al.) — the standard
+    * sparse+dense combination a retrieval-augmented pipeline runs.
+    * Both rankings are micro-quantized with pinned tie-breaks, and the
+    * fusion weights 1/(60+rank) are rounded to exact integer
+    * micro-units, so the whole hybrid ranking is hash-gated.
+    *
+    * Scale shape: the lexical side is [[bm25Search]]'s shuffle-lean
+    * plan; the dense side broadcasts ONE query vector over a corpus
+    * scan (codegen'd cosine) with a bounded TakeOrdered top-k; the
+    * fusion joins two ≤[[FuseDepth]]-row frames — constant-size work
+    * regardless of corpus size.
+    */
+  private val RrfK = 60
+  private val FuseDepth = 20
+  private val HybridTopK = 10
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    // ranks computed over the ALREADY top-FuseDepth frames: the
+    // single-partition window is k-sized by construction
+    val lex = bm25Search(s, dir)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.load(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_micro",
+        round(expr("graft_cosine(embedding, q_emb)") * lit(1000000)).cast("long"))
+      .orderBy(desc("cos_micro"), col("vec_id")).limit(FuseDepth)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(desc("cos_micro"), col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(round(lit(1000000.0) / (lit(RrfK) + col("lex_rank"))).cast("long"), lit(0L)) +
+          coalesce(round(lit(1000000.0) / (lit(RrfK) + col("dense_rank"))).cast("long"), lit(0L)))
+      .select(col("doc_id"), col("rrf_micro"),
+        col("lex_rank").isNotNull.as("in_lexical"),
+        col("dense_rank").isNotNull.as("in_dense"))
+      .orderBy(desc("rrf_micro"), col("doc_id")).limit(HybridTopK)
+  }
+
+  val hybridRrfOracle: String = {
+    val in = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> LEN(t) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |  COUNT(*) AS n_docs FROM dl),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN ($in) GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |   CAST(ROUND(LN(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |     ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))) * 1000000) AS BIGINT) AS micro
+       |  FROM tf JOIN dfq ON tf.term = dfq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+       |  WHERE tf.term IN ($in)),
+       |bm AS (SELECT doc_id, CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS bm25
+       |  FROM scored GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT $FuseDepth),
+       |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cosd AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    CAST(ROUND(
+       |      list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(range(1, LEN(qv.q_emb) + 1),
+       |          i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(qv.q_emb[i] AS DOUBLE)))))
+       |      * 1000000) AS BIGINT) AS cos_micro
+       |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+       |densetop AS (SELECT doc_id, cos_micro FROM cosd
+       |  ORDER BY cos_micro DESC, doc_id LIMIT $FuseDepth),
+       |dense AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (ORDER BY cos_micro DESC, doc_id) AS dense_rank FROM densetop),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(CAST(ROUND(1000000.0 / ($RrfK + l.lex_rank)) AS BIGINT), 0)
+       |      + COALESCE(CAST(ROUND(1000000.0 / ($RrfK + d.dense_rank)) AS BIGINT), 0) AS rrf_micro,
+       |    l.lex_rank IS NOT NULL AS in_lexical,
+       |    d.dense_rank IS NOT NULL AS in_dense
+       |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, rrf_micro, in_lexical, in_dense
+       |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT $HybridTopK""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("text_bm25_search", bm25Search, Some(bm25SearchOracle)),
     Q("text_tfidf_topterms", tfidfTopTerms, Some(tfidfTopTermsOracle)),
-    Q("text_contamination", contamination, Some(contaminationOracle)))
+    Q("text_contamination", contamination, Some(contaminationOracle)),
+    Q("text_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)))
 }

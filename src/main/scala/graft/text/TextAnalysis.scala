@@ -316,7 +316,93 @@ object TextAnalysis {
       |ORDER BY n DESC, gram LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Deterministic stratified train/valid/test split (80/10/10) via
+    * pure integer hashing of doc_id — no RNG, no sampling state:
+    * identical on any cluster, in the oracle, and under re-runs or
+    * retries (a reproducible split is a hard requirement for training
+    * data, and "which split was this doc in for run X" must be
+    * answerable from the doc id alone). splitmix64 decorrelates the
+    * bucket from dense id order; the top-shifted value mod 100 keeps
+    * the arithmetic in non-negative signed range so Spark and DuckDB
+    * agree without unsigned-mod gymnastics.
+    */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bucket = shiftrightunsigned(expr("graft_mix64(doc_id)"), 7) % 100
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val trainSplitOracle: String = {
+    import graft.functions.{OracleHashSql => H}
+    s"""WITH ids AS (
+       |  SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS z FROM documents
+       |)${H.mix64Ctes("ids", "m", "u", Seq("doc_id", "lang"))}
+       |, bucketed AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(u AS UBIGINT) >> 7) % 100 AS bucket
+       |  FROM m4
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM bucketed ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Sliding-window document chunking (size 64 tokens, stride 48 —
+    * 16-token overlap): the context-window preparation step between
+    * raw documents and sequence packing. Emits one row per chunk with
+    * its token count and boundary tokens as content witnesses; the
+    * whole explode is map-side (no shuffle before the presentation
+    * sort).
+    */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("tl"))
+      .filter(size(col("tl")) > 0)
+      .select(col("doc_id"), col("tl"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(size(tl) - $ChunkSize + $ChunkStride - 1, 0) div $ChunkStride), " +
+            s"c -> slice(tl, c * $ChunkStride + 1, $ChunkSize))")))
+      .filter(size(col("col")) > 0)
+      .select(
+        col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        element_at(col("col"), 1).as("first_tok"),
+        element_at(col("col"), -1).as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkWindowsOracle: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> LEN(t) > 0) AS tl
+       |  FROM documents
+       |), chunks0 AS (
+       |  SELECT doc_id, tl,
+       |    CAST(UNNEST(range(0, GREATEST((LEN(tl) - $ChunkSize + $ChunkStride - 1) // $ChunkStride, 0) + 1)) AS INT) AS c
+       |  FROM toksl WHERE LEN(tl) > 0
+       |), chunks AS (
+       |  SELECT doc_id, c AS chunk_id,
+       |    tl[c * $ChunkStride + 1 : c * $ChunkStride + $ChunkSize] AS w
+       |  FROM chunks0
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(LEN(w) AS BIGINT) AS n_tokens,
+       |  w[1] AS first_tok, w[LEN(w)] AS last_tok
+       |FROM chunks WHERE LEN(w) > 0
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("text_train_split", trainSplit, Some(trainSplitOracle)),
+    Q("text_chunk_windows", chunkWindows, Some(chunkWindowsOracle)),
     Q("text_redact", redact, Some(redactOracle)),
     Q("text_repetition", repetition, Some(repetitionOracle)),
     Q("text_ngram_freq", ngramFreq, Some(ngramFreqOracle)),
