@@ -562,10 +562,211 @@ object Ann {
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
   // ---------------------------------------------------------------
+  /** DuckDB mirror of graft_cosine over two embedding columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, LEN($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(range(1, LEN($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(range(1, LEN($b) + 1),
+       |    i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** Maximal Marginal Relevance diversity re-rank (Carbonell &
+    * Goldstein 1998) of the exact top-[[MmrCand]] candidates: greedy
+    * argmax of λ·rel − (1−λ)·max-sim-to-selected, λ=0.7, k=[[MmrK]].
+    * The retrieval step after ANN in a RAG / training-data-sampling
+    * stack — dedupes near-identical hits from the result page.
+    *
+    * Scale shape: candidate generation is the brute-force bounded
+    * top-k (distributed, ≤[[MmrCand]] rows per query cross the
+    * exchange) and pair similarities are a per-query self-join of
+    * that ≤20-row frame (codegen'd graft_cosine). The greedy
+    * selection itself is NOT k engine rounds: per query it touches at
+    * most [[MmrCand]]² sims and [[MmrK]]·[[MmrCand]] score updates,
+    * so candidates+sims collect per GROUP (never to the driver) and
+    * one bounded pass picks the k winners — data-parallel across
+    * queries, O(k·c²) per query, immune to the 2^k plan blowup an
+    * iterative-DataFrame formulation hits. Scores fuse in exact
+    * integer micro-units (rel and sims quantized to 1e-6, weights
+    * 7/3), so the ranking is engine-exact and the whole greedy
+    * trajectory is hash-gated by [[mmrOracle]]'s unrolled-CTE mirror.
+    */
+  private val MmrK = 5
+  private val MmrCand = 20
+
+  /** One selected result row of the bounded per-query greedy pass. */
+  case class MmrPick(neighbor_id: Long, rank: Long, rel_m: Long, mmr_m: Long)
+
+  /** Greedy MMR over ONE query's candidate set: `cands` rows are
+    * [neighbor_id, rel_m], `sims` rows are [na, nb, sim_m]. Exact
+    * integer scoring — same argmax/tie-break as the oracle's
+    * unrolled CTEs (mmr desc, neighbor_id asc).
+    */
+  private def mmrGreedy(cands: Seq[Seq[Long]], sims: Seq[Seq[Long]]): Seq[MmrPick] = {
+    val rel = cands.map(c => c(0) -> c(1)).toMap
+    val sim: Map[(Long, Long), Long] =
+      if (sims == null) Map.empty else sims.map(p => (p(0), p(1)) -> p(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    val remaining = scala.collection.mutable.SortedSet(rel.keySet.toSeq: _*)
+    var rank = 1L
+    while (rank <= MmrK && remaining.nonEmpty) {
+      var bestId = Long.MaxValue
+      var bestScore = Long.MinValue
+      remaining.foreach { id =>
+        val score =
+          if (selected.isEmpty) 7L * rel(id)
+          else 7L * rel(id) - 3L * selected.iterator
+            .map(p => sim((id, p.neighbor_id))).max
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestId = id; bestScore = score
+        }
+      }
+      selected += MmrPick(bestId, rank, rel(bestId), bestScore)
+      remaining -= bestId
+      rank += 1
+    }
+    selected.toSeq
+  }
+
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val corpus = emb(s, dir)
+    val q = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_cosine(q_emb, embedding)").as("cos"))
+    val top = scored.groupBy("q_id")
+      .agg(expr(s"graft_topk(cos, neighbor_id, $MmrCand)").as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("neighbor_id"),
+        round(col("c.score") * lit(1000000), 0).cast("long").as("rel_m"))
+    val withVec = top.join(corpus, col("neighbor_id") === col("vec_id"))
+      .select(col("q_id"), col("neighbor_id"), col("rel_m"), col("embedding"))
+    // `withVec` (≤MmrCand rows/query) feeds the pair self-join twice
+    // plus the candidate collect — pinned so the corpus-sized
+    // brute-force scan above it runs once, not three times.
+    withVec.persist().count()
+    val pair = withVec.as("a").join(withVec.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.q_id").as("q_id"),
+        array(col("a.neighbor_id"), col("b.neighbor_id"),
+          round(expr("graft_cosine(a.embedding, b.embedding)") * lit(1000000), 0)
+            .cast("long")).as("s3"))
+    val cands = withVec.groupBy("q_id")
+      .agg(collect_list(array(col("neighbor_id"), col("rel_m"))).as("cands"))
+    val sims = pair.groupBy("q_id").agg(collect_list(col("s3")).as("sims"))
+    val greedy = udf(mmrGreedy _)
+    cands.join(sims, Seq("q_id"), "left")
+      .select(col("q_id"), explode(greedy(col("cands"), col("sims"))).as("p"))
+      .select(col("q_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.rank").as("rank"), col("p.rel_m").as("rel_m"),
+        col("p.mmr_m").as("mmr_m"))
+      .orderBy("q_id", "rank")
+  }
+
+  val mmrOracle: String = {
+    val stages = (2 to MmrK).map { r =>
+      s""", pick$r AS (
+         |  SELECT q_id, neighbor_id, CAST($r AS BIGINT) AS rank, rel_m, mmr_m FROM (
+         |    SELECT t.q_id, t.neighbor_id, t.rel_m,
+         |      7 * t.rel_m - 3 * ms.maxsim_m AS mmr_m,
+         |      ROW_NUMBER() OVER (PARTITION BY t.q_id
+         |        ORDER BY (7 * t.rel_m - 3 * ms.maxsim_m) DESC, t.neighbor_id) AS rn
+         |    FROM top t
+         |    JOIN (SELECT p.q_id, p.na, MAX(p.sim_m) AS maxsim_m
+         |          FROM pair p JOIN cum${r - 1} c
+         |            ON p.q_id = c.q_id AND p.nb = c.neighbor_id
+         |          GROUP BY 1, 2) ms
+         |      ON t.q_id = ms.q_id AND t.neighbor_id = ms.na
+         |    WHERE NOT EXISTS (SELECT 1 FROM cum${r - 1} c2
+         |      WHERE c2.q_id = t.q_id AND c2.neighbor_id = t.neighbor_id))
+         |  WHERE rn = 1)
+         |, cum$r AS (SELECT * FROM cum${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }.mkString("\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+       |scored AS (
+       | SELECT q.q_id, e.vec_id AS neighbor_id,
+       |  ${cosSql("q.q_emb", "e.embedding")} AS cos
+       | FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+       |top AS (
+       |  SELECT q_id, neighbor_id, CAST(ROUND(cos * 1000000) AS BIGINT) AS rel_m
+       |  FROM (SELECT q_id, neighbor_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |        FROM scored) s
+       |  WHERE rn <= $MmrCand),
+       |topv AS (
+       |  SELECT t.q_id, t.neighbor_id, t.rel_m, e.embedding
+       |  FROM top t JOIN embeddings e ON t.neighbor_id = e.vec_id),
+       |pair AS (
+       | SELECT a.q_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+       |  CAST(ROUND((${cosSql("a.embedding", "b.embedding")}) * 1000000) AS BIGINT) AS sim_m
+       | FROM topv a JOIN topv b
+       |   ON a.q_id = b.q_id AND a.neighbor_id <> b.neighbor_id),
+       |cum1 AS (
+       |  SELECT q_id, neighbor_id, CAST(1 AS BIGINT) AS rank, rel_m, 7 * rel_m AS mmr_m
+       |  FROM (SELECT q_id, neighbor_id, rel_m,
+       |          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel_m DESC, neighbor_id) AS rn
+       |        FROM top) s
+       |  WHERE rn = 1)
+       |$stages
+       |SELECT q_id, rank, neighbor_id, rel_m, mmr_m
+       |FROM cum$MmrK ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Johnson–Lindenstrauss random projection 64 → [[RpDims]] dims via
+    * [[graft.functions.RandomProjection]] — the cheap first stage of
+    * a 100 TB embedding pipeline (project once, then cluster / LSH /
+    * shuffle 8 doubles instead of 64 floats). Entirely map-side: one
+    * codegen'd expression per row, zero shuffle before the
+    * presentation sort; the plane matrix is a pure function of
+    * (seed, plane, dim) — nothing is broadcast. The oracle inlines
+    * the identical plane constants (shortest-repr doubles round-trip
+    * exactly) and folds left-to-right, so raw projections match
+    * bit-for-bit before the 6-dp presentation rounding.
+    */
+  private val RpDims = 8
+  private val RpSeed = 7L
+
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    emb(s, dir)
+      .select(col("vec_id") +: (0 until RpDims).map(b =>
+        round(element_at(expr(s"graft_rand_proj(embedding, $RpDims, $RpSeed)"), b + 1), 6)
+          .as(s"p$b")): _*)
+      .orderBy("vec_id")
+  }
+
+  val randomProjectionOracle: String = {
+    val dims = 64
+    val planes = (0 until RpDims).map { b =>
+      val comps = (0 until dims)
+        .map(i => graft.functions.HashUtil.unitComponent(RpSeed, b, i))
+        .mkString("[", ", ", "]")
+      s"($b, CAST($comps AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""WITH planes(b, comps) AS (VALUES
+       |    $planes
+       |), projs AS (
+       |  SELECT e.vec_id, p.b,
+       |    list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * p.comps[i]), (a, x) -> a + x) AS proj
+       |  FROM embeddings e CROSS JOIN planes p
+       |)
+       |SELECT vec_id,
+       |  ${(0 until RpDims).map(b =>
+            s"MAX(CASE WHEN b = $b THEN ROUND(proj, 6) END) AS p$b").mkString(",\n  ")}
+       |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
     Q("ann_range_search", rangeSearchEntry, Some(rangeSearchOracle)),
+    Q("ann_mmr_rerank", mmrRerank, Some(mmrOracle)),
     Q("emb_centroids", centroids, Some(centroidsOracle)),
+    Q("emb_random_projection", randomProjection, Some(randomProjectionOracle)),
     Q("ann_lsh", lsh, Some(lshOracle)),
     Q("ann_ivf", ivf, None),
     Q("ann_pq", pq, None))

@@ -739,7 +739,101 @@ object Dedup {
       | FROM g3 a JOIN g3 b ON a.doc_id < b.doc_id)
       |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — ExactSubstr): any
+    * [[SpanW]]-token window occurring more than once in the corpus is
+    * boilerplate/copy and every token it covers is excised from every
+    * document, instead of dropping whole near-dup docs. The paper's
+    * single-machine tool builds a suffix array; the distributed
+    * re-expression is an n-gram inventory:
+    *
+    *  1. one map-side explode emits (doc, pos, hash64(window)) per
+    *     window — the 64-bit hash shuffles, NEVER the window text;
+    *  2. a partial-agg count by hash finds windows with ≥2
+    *     occurrences (linear; a skewed boilerplate hash partial-
+    *     aggregates map-side like any hot groupBy key);
+    *  3. duplicated occurrences join back (1:1 per occurrence, no
+    *     quadratic pair step anywhere), fan out to their ≤[[SpanW]]
+    *     covered positions, and an anti-join keeps uncovered tokens;
+    *  4. documents reassemble by position — per-doc state is bounded
+    *     by document length, the same bound the chunking/packing ops
+    *     carry.
+    *
+    * Output is the cleaned corpus plus per-doc accounting, hash-gated
+    * doc-for-doc; the oracle groups the raw window STRINGS, so the
+    * gate also certifies the 64-bit hash inventory collision-free on
+    * this corpus.
+    */
+  private val SpanW = 15
+
+  def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      filter(split(col("text"), "\\s+"), t => length(t) > lit(0)).as("tl"))
+    val occ = base.filter(size(col("tl")) >= SpanW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tl) - $SpanW), i -> concat_ws(' ', slice(tl, i + 1, $SpanW)))")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val dupOcc = occ.join(dup, "h").select("doc_id", "pos")
+    val covered = dupOcc
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + $SpanW - 1)")).as("p"))
+      .distinct()
+    val tokpos = base.select(col("doc_id"), posexplode(col("tl")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+    val kept = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok"))).as("clean_text"))
+    val spanCounts = dupOcc.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    base.select(col("doc_id"), size(col("tl")).cast("long").as("n_tokens"))
+      .join(spanCounts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val spanRemovalOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, LIST_FILTER(regexp_split_to_array(text, '\\s+'), t -> LEN(t) > 0) AS tl
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, CAST(UNNEST(range(0, LEN(tl) - $SpanW + 1)) AS INT) AS pos, tl
+       |  FROM base WHERE LEN(tl) >= $SpanW),
+       |sh AS (
+       |  SELECT doc_id, pos, array_to_string(tl[pos + 1 : pos + $SpanW], ' ') AS g FROM occ),
+       |dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+       |dupocc AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (g)),
+       |cov0 AS (SELECT doc_id, UNNEST(range(pos, pos + $SpanW)) AS p FROM dupocc),
+       |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+       |tokpos AS (
+       |  SELECT doc_id, CAST(UNNEST(range(0, LEN(tl))) AS INT) AS p, tl FROM base),
+       |tok AS (SELECT doc_id, p, tl[p + 1] AS tok FROM tokpos),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+       |rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |spans AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM dupocc GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(LEN(b.tl) AS BIGINT) AS n_tokens,
+       |  COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+       |  CAST(LEN(b.tl) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_removed,
+       |  COALESCE(r.clean_text, '') AS clean_text
+       |FROM base b
+       |LEFT JOIN spans s USING (doc_id)
+       |LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("dedup_span_removal", spanRemoval, Some(spanRemovalOracle)),
     Q("dedup_pipeline", dedupPipeline, Some(pipelineOracle)),
     Q("dedup_incremental", incremental, Some(incrementalOracle)),
     Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),

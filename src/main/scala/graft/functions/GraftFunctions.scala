@@ -30,6 +30,7 @@ object GraftFunctions {
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_lsh_bucket" -> (es => HyperplaneLsh(es(0), intArg(es(1), "nBits"), longArg(es(2), "seed"))),
+    "graft_rand_proj" -> (es => RandomProjection(es(0), intArg(es(1), "outDims"), longArg(es(2), "seed"))),
     "graft_minhash" -> (es => MinHashSignature(es(0), intArg(es(1), "k"), intArg(es(2), "shingle"))),
     "graft_simhash" -> (es => SimHash64(es(0))),
     "graft_mix64" -> (es => Mix64(es(0))),

@@ -94,6 +94,64 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-projection dimensionality reduction: projects an
+  * `array<float>` embedding onto `outDims` deterministic
+  * pseudo-random hyperplanes (the Johnson–Lindenstrauss map that
+  * makes downstream ANN/cluster passes cheaper at 100 TB — shuffle
+  * 8 doubles per vector instead of 64 floats). Plane component
+  * (b, i) is [[HashUtil.unitComponent]](seed, b, i) — the SAME
+  * family [[HyperplaneLsh]] signs — so the projection is a pure
+  * function of (seed, b, i): no RNG state, no matrix broadcast, and
+  * the DuckDB oracle inlines the identical constants. Accumulation
+  * is the sequential i-ascending double fold mirrored left-to-right
+  * by the oracle's list_reduce.
+  */
+case class RandomProjection(child: Expression, outDims: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_rand_proj"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](outDims)
+    var b = 0
+    while (b < outDims) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        proj += x.getFloat(i).toDouble * HashUtil.unitComponent(seed, b, i)
+        i += 1
+      }
+      out(b) = proj
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hu = HashUtil.getClass.getName + ".MODULE$"
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val out = ctx.freshName("out")
+      val proj = ctx.freshName("proj")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$outDims];
+         |for (int $b = 0; $b < $outDims; $b++) {
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++)
+         |    $proj += (double) $a.getFloat($i) * $hu.unitComponent(${seed}L, $b, $i);
+         |  $out[$b] = $proj;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH signature: `nBits` sign bits of projections
   * onto deterministic pseudo-random hyperplanes, packed into a long.
   * Hyperplane component (b, i) is derived from splitmix64(seed, b, i)

@@ -400,7 +400,58 @@ object TextAnalysis {
        |FROM chunks WHERE LEN(w) > 0
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Corpus-self unigram language-model score (the CCNet / RedPajama
+    * "perplexity bucket" quality signal, with the LM induced from the
+    * corpus itself): every token's negative log-probability under the
+    * corpus unigram distribution, averaged per document — boilerplate
+    * and keyword-stuffed docs score low (common tokens), rare-junk
+    * docs score high.
+    *
+    * Scale shape: one linear token explode; the vocabulary is a
+    * partial-agg groupBy (distinct-token sized — Heaps-law bounded in
+    * clean text but NOT broadcast here: web-scale corpora have
+    * unbounded typo/junk vocabularies, so scoring is a shuffle
+    * equi-join on the token key, whose natural Zipf skew is absorbed
+    * map-side by partial aggregation downstream and AQE skew
+    * handling). Per-token scores quantize to integer micro-nats
+    * (ROUND(LN·1e6) — the BM25/TF-IDF pattern) so per-doc sums are
+    * exact and the whole score is hash-gated; the final average is a
+    * single IEEE double division, bit-identical across engines.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = tok.groupBy().agg(count(lit(1)).as("n_total"))
+    val scored = tok.join(vocab, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n_total").cast("double") / col("cnt")) * lit(1000000))
+          .cast("long").as("nll_micro"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_micro").as("nll_total_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_total_micro"),
+        (col("nll_total_micro").cast("double") / col("n_tokens") / lit(1000000.0))
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogprobOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0)) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(LN(CAST(tot.n_total AS DOUBLE) / v.cnt) * 1000000) AS BIGINT) AS nll_micro
+      |  FROM tok t JOIN vocab v USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(nll_micro) AS BIGINT) AS nll_total_micro,
+      |  CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_nll
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
     Q("text_train_split", trainSplit, Some(trainSplitOracle)),
     Q("text_chunk_windows", chunkWindows, Some(chunkWindowsOracle)),
     Q("text_redact", redact, Some(redactOracle)),
