@@ -474,8 +474,9 @@ object Ann {
   }
 
   /** Registry entry: 16 lists × 4 probes, m=4 × 16 codes over the
-    * 64-dim table. Approximate → rows-only. (`cos` column carries the
-    * negated L2 ADC distance — larger is closer, like the others.)
+    * 64-dim table. Approximate in recall, deterministic in output —
+    * fully oracled by [[pqOracle]]. (`cos` carries the negated L2 ADC
+    * distance — larger is closer, like the others.)
     */
   def pq(s: SparkSession, dir: String): DataFrame =
     pqKnn(s, emb(s, dir), col("vec_id") % 50 === 0,
@@ -761,6 +762,196 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  /** Exact DuckDB mirror of [[ivf]] — the whole pipeline INCLUDING
+    * quantizer training, because every step is deterministic: the
+    * training sample is the 4096 smallest vec_ids (ORDER BY + LIMIT),
+    * seeds are its first 16 rows, and each of the 2 Lloyd rounds is
+    * (argmax-cosine assignment with fit-DESC/cid-ASC ties) + (per-dim
+    * mean accumulated in vec_id order, double→REAL cast) — exactly
+    * [[lloydLocal]]'s operation sequence, unrolled as CTE stages.
+    * list_sum/list_reduce fold left-to-right like the codegen'd
+    * cosine and the driver-side loops, so centroids, assignments,
+    * probes and final ranks all match bit-for-bit. [[pqOracle]]
+    * extends the same chain through the second (codebook) level.
+    */
+  private def lloydStageSql(prev: String, out: String): String =
+    s"""a_$out AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT s.vec_id, s.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cosSql("s.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM sample s CROSS JOIN $prev c) t
+       |  WHERE rn = 1),
+       |g_$out AS (
+       |  SELECT cid, LIST(embedding ORDER BY vec_id) AS es, COUNT(*) AS n
+       |  FROM a_$out GROUP BY cid),
+       |$out AS (
+       |  SELECT cid, list_transform(range(1, 65), i ->
+       |    CAST(list_reduce(list_transform(es, e -> CAST(e[i] AS DOUBLE)),
+       |      (a, x) -> a + x) / n AS REAL)) AS c_emb
+       |  FROM g_$out)""".stripMargin
+
+  val ivfOracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb FROM sample ORDER BY vec_id LIMIT 16),
+       |${lloydStageSql("seeds", "c1")},
+       |${lloydStageSql("c1", "c2")},
+       |lists AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, cid FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id % 50 = 0) t
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, l.vec_id AS neighbor_id,
+       |    ${cosSql("p.q_emb", "l.embedding")} AS cos
+       |  FROM probes p JOIN lists l USING (cid)
+       |  WHERE l.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Exact DuckDB mirror of [[pq]] — IVF-PQ with residual encoding,
+    * oracled END-TO-END including both quantizer levels. Determinism
+    * chain: coarse training re-uses [[ivfOracle]]'s unrolled Lloyd;
+    * residuals are float subtraction (double-computed, REAL-cast —
+    * IEEE double covers 2p+2 bits so the round-trip equals native
+    * float arithmetic); per-subspace codebooks seed positionally from
+    * the sorted sample and run 2 Lloyd rounds by the same
+    * dot(r,c)−|c|²/2 fit as the engine, data-parallel across
+    * sub_idx; ADC distance cells micro-quantize (ROUND·1e6 → BIGINT)
+    * so the m-way sums are exact integers on both engines.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, LEN($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  private def l2FitSql(x: String, c: String): String =
+    s"(${dotSql(x, c)} - ${dotSql(c, c)} / 2)"
+
+  private val PqSub = 16
+  private val PqM = 4
+  private val PqKsub = 16
+
+  private def cbLloydStageSql(prev: String, out: String): String =
+    s"""a_$out AS (
+       |  SELECT vec_id, sub_idx, chunk, code FROM (
+       |    SELECT s.vec_id, s.sub_idx, s.chunk, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_idx
+       |        ORDER BY ${l2FitSql("s.chunk", "b.c_chunk")} DESC, b.code) AS rn
+       |    FROM s_chunks s JOIN $prev b USING (sub_idx)) t
+       |  WHERE rn = 1),
+       |g_$out AS (
+       |  SELECT sub_idx, code, LIST(chunk ORDER BY vec_id) AS cs, COUNT(*) AS n
+       |  FROM a_$out GROUP BY sub_idx, code),
+       |$out AS (
+       |  SELECT sub_idx, code, list_transform(range(1, ${PqSub + 1}), i ->
+       |    CAST(list_reduce(list_transform(cs, e -> CAST(e[i] AS DOUBLE)),
+       |      (a, x) -> a + x) / n AS REAL)) AS c_chunk
+       |  FROM g_$out)""".stripMargin
+
+  val pqOracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb FROM sample ORDER BY vec_id LIMIT 16),
+       |${lloydStageSql("seeds", "c1")},
+       |${lloydStageSql("c1", "c2")},
+       |s_res AS (
+       |  SELECT a.vec_id, list_transform(range(1, 65), i ->
+       |      CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS REAL)) AS res
+       |  FROM (
+       |    SELECT vec_id, embedding, cid FROM (
+       |      SELECT s.vec_id, s.embedding, c.cid,
+       |        ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |          ORDER BY ${cosSql("s.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |      FROM sample s CROSS JOIN c2 c) t
+       |    WHERE rn = 1) a
+       |  JOIN c2 c USING (cid)),
+       |s_chunks AS (
+       |  SELECT vec_id, CAST(sub.i AS INT) AS sub_idx,
+       |    res[sub.i * $PqSub + 1 : sub.i * $PqSub + $PqSub] AS chunk
+       |  FROM s_res CROSS JOIN (SELECT UNNEST(range(0, $PqM)) AS i) sub),
+       |cb0 AS (
+       |  SELECT sub_idx, CAST(rn - 1 AS BIGINT) AS code, chunk AS c_chunk FROM (
+       |    SELECT sub_idx, chunk,
+       |      ROW_NUMBER() OVER (PARTITION BY sub_idx ORDER BY vec_id) AS rn
+       |    FROM s_chunks) t
+       |  WHERE rn <= $PqKsub),
+       |${cbLloydStageSql("cb0", "cb1")},
+       |${cbLloydStageSql("cb1", "cb2")},
+       |lists AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) t
+       |  WHERE rn = 1),
+       |v_res AS (
+       |  SELECT l.vec_id, l.cid, list_transform(range(1, 65), i ->
+       |      CAST(CAST(l.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS REAL)) AS res
+       |  FROM lists l JOIN c2 c USING (cid)),
+       |v_chunks AS (
+       |  SELECT vec_id, cid, CAST(sub.i AS INT) AS sub_idx,
+       |    res[sub.i * $PqSub + 1 : sub.i * $PqSub + $PqSub] AS chunk
+       |  FROM v_res CROSS JOIN (SELECT UNNEST(range(0, $PqM)) AS i) sub),
+       |codes AS (
+       |  SELECT vec_id, cid, sub_idx, code FROM (
+       |    SELECT v.vec_id, v.cid, v.sub_idx, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_idx
+       |        ORDER BY ${l2FitSql("v.chunk", "b.c_chunk")} DESC, b.code) AS rn
+       |    FROM v_chunks v JOIN cb2 b USING (sub_idx)) t
+       |  WHERE rn = 1),
+       |q_probes AS (
+       |  SELECT q_id, q_emb, cid FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id % 50 = 0) t
+       |  WHERE rn <= 4),
+       |q_res AS (
+       |  SELECT p.q_id, p.cid, list_transform(range(1, 65), i ->
+       |      CAST(CAST(p.q_emb[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS REAL)) AS res
+       |  FROM q_probes p JOIN c2 c USING (cid)),
+       |q_chunks AS (
+       |  SELECT q_id, cid, CAST(sub.i AS INT) AS sub_idx,
+       |    res[sub.i * $PqSub + 1 : sub.i * $PqSub + $PqSub] AS q_chunk
+       |  FROM q_res CROSS JOIN (SELECT UNNEST(range(0, $PqM)) AS i) sub),
+       |dtable AS (
+       |  SELECT q.q_id, q.cid, q.sub_idx, b.code,
+       |    ${dotSql("q.q_chunk", "q.q_chunk")} - 2 * ${dotSql("q.q_chunk", "b.c_chunk")}
+       |      + ${dotSql("b.c_chunk", "b.c_chunk")} AS dist2
+       |  FROM q_chunks q JOIN cb2 b USING (sub_idx)),
+       |scored AS (
+       |  SELECT t.q_id, v.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(ROUND(t.dist2 * 1000000) AS BIGINT)) AS BIGINT) AS d_micro,
+       |    COUNT(*) AS n_sub
+       |  FROM codes v JOIN dtable t
+       |    ON v.cid = t.cid AND v.sub_idx = t.sub_idx AND v.code = t.code
+       |  WHERE t.q_id <> v.vec_id
+       |  GROUP BY t.q_id, v.vec_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, -CAST(d_micro AS DOUBLE) / 1000000.0 AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY -CAST(d_micro AS DOUBLE) / 1000000.0 DESC, neighbor_id) AS rn
+       |  FROM scored WHERE n_sub = $PqM)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("ann_bruteforce", bruteForce, Some(bruteForceOracle)),
     Q("ann_range_search", rangeSearchEntry, Some(rangeSearchOracle)),
@@ -768,6 +959,6 @@ object Ann {
     Q("emb_centroids", centroids, Some(centroidsOracle)),
     Q("emb_random_projection", randomProjection, Some(randomProjectionOracle)),
     Q("ann_lsh", lsh, Some(lshOracle)),
-    Q("ann_ivf", ivf, None),
-    Q("ann_pq", pq, None))
+    Q("ann_ivf", ivf, Some(ivfOracle)),
+    Q("ann_pq", pq, Some(pqOracle)))
 }

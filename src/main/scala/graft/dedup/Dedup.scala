@@ -832,7 +832,60 @@ object Dedup {
        |LEFT JOIN rebuilt r USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Directional n-gram CONTAINMENT (Broder's resemblance companion):
+    * C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| — the asymmetric
+    * signal Jaccard misses. A short doc quoted inside a long one has
+    * low Jaccard (the union is big) but C(short→long) ≈ 1; pipelines
+    * drop the CONTAINED side, not a random member. Runs on the same
+    * linear verifier probe set as dedup_ngram_jaccard (consecutive-id
+    * pairs): candidate generation at scale is the LSH machinery; the
+    * verifier itself is what this entry certifies. Distinct 3-gram
+    * sets via builtin transform/array_distinct/array_intersect (all
+    * codegen'd, zero shuffle beyond the pair join); counts are exact
+    * integers, ratios single IEEE divisions — hash-gated.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    // slice-guard: Spark's sequence(0, n) DESCENDS when n < 0, so a
+    // sub-3-token doc would fabricate grams — the outer slice to
+    // greatest(size-2, 0) grams drops them (empty set, like the
+    // oracle's empty range)
+    val d = docs(s, dir).select(col("doc_id"),
+      filter(split(col("text"), "\\s+"), t => length(t) > lit(0)).as("tl"))
+      .select(col("doc_id"), array_distinct(expr(
+        """slice(transform(sequence(0, greatest(size(tl) - 3, 0)),
+          |  i -> concat_ws(' ', slice(tl, i + 1, 3))), 1, greatest(size(tl) - 2, 0))"""
+          .stripMargin)).as("grams"))
+    d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(col("a.grams")).cast("long").as("n_a"),
+        size(col("b.grams")).cast("long").as("n_b"),
+        size(array_intersect(col("a.grams"), col("b.grams"))).cast("long").as("n_inter"))
+      .withColumn("cont_ab", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_ba", col("n_inter").cast("double") / col("n_b"))
+      .orderBy("id_a")
+  }
+
+  val containmentOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, GREATEST(LEN(tl) - 2, 0) + 1),
+      |    i -> tl[i] || ' ' || tl[i + 1] || ' ' || tl[i + 2])) AS grams
+      |  FROM (SELECT doc_id,
+      |          LIST_FILTER(regexp_split_to_array(text, '\s+'), t -> LEN(t) > 0) AS tl
+      |        FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(LEN(a.grams) AS BIGINT) AS n_a,
+      |  CAST(LEN(b.grams) AS BIGINT) AS n_b,
+      |  CAST(LEN(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_inter,
+      |  CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE) / LEN(a.grams) AS cont_ab,
+      |  CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE) / LEN(b.grams) AS cont_ba
+      |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("dedup_containment", containment, Some(containmentOracle)),
     Q("dedup_span_removal", spanRemoval, Some(spanRemovalOracle)),
     Q("dedup_pipeline", dedupPipeline, Some(pipelineOracle)),
     Q("dedup_incremental", incremental, Some(incrementalOracle)),

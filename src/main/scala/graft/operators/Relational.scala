@@ -514,7 +514,11 @@ object Relational {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
-  /** HLL sketch distinct — rows-only check (approximate by design). */
+  /** HLL sketch distinct — approximate in value yet deterministic in
+    * computation, so fully oracled: [[graft.functions.HllOracleSql]]
+    * replays Spark's whole HyperLogLog++ (xxhash64 registers, linear
+    * counting, bias-table interpolation) in DuckDB arithmetic.
+    */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
@@ -545,5 +549,6 @@ object Relational {
     Q("q_percentiles", qPercentiles, Some(qPercentilesOracle)),
     Q("q_stats", qStats, Some(qStatsOracle)),
     Q("q_latest_per_key", qLatestPerKey, Some(qLatestPerKeyOracle)),
-    Q("q_approx_distinct", qApproxDistinct, None))
+    Q("q_approx_distinct", qApproxDistinct,
+      Some(graft.functions.HllOracleSql.approxDistinctOracle)))
 }
