@@ -1,0 +1,97 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The ATOMIC PUBLISH step of a snapshot commit, extracted behind an
+  * interface (VERDICT r6 item 6) because its correct implementation
+  * depends on the store:
+  *
+  *  - HDFS / POSIX-local: `rename` is atomic and (HDFS) refuses an
+  *    existing destination — rename IS the compare-and-swap.
+  *  - S3-class object stores (the reference's MinIO bucket,
+  *    docker-compose.yaml `minio` service): "rename" is copy+delete —
+  *    non-atomic, last-writer-wins — so TWO committers can both
+  *    believe they published the same version and one update is
+  *    silently lost. The reference delegates this exact problem to
+  *    Lakekeeper's REST catalog (create-default-warehouse.json); an
+  *    Iceberg Hadoop table has the same caveat and recommends a
+  *    metastore lock.
+  *
+  * `publish(fs, tmp, dst)` must make `tmp` visible at `dst` and return
+  * true iff THIS caller won — at most one caller may ever receive true
+  * per `dst` — and must never leave a partial `dst`. SnapshotTable
+  * turns a false into the loud concurrent-commit exception its
+  * optimistic-retry loop ([[SnapshotTable.commitAppend]]) rebases on.
+  *
+  * Selection: hadoop conf `graft.commit.arbiter` = `rename` (default)
+  * or `lockfile`. A production object-store deployment would plug a
+  * true external CAS (catalog swap, DynamoDB conditional write) behind
+  * this same interface.
+  */
+trait CommitArbiter {
+  def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean
+}
+
+object CommitArbiter {
+
+  val ConfKey = "graft.commit.arbiter"
+
+  /** Per-destination JVM lock: serializes same-JVM committers so the
+    * exists-check/publish pair is atomic within the process (local[*]
+    * and one driver per table — the common case). Cross-process
+    * exclusion is each arbiter's store-level concern.
+    */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[lake] def lockFor(dst: Path): Object =
+    locks.computeIfAbsent(dst.toString, _ => new Object)
+
+  def forConf(conf: org.apache.hadoop.conf.Configuration): CommitArbiter =
+    conf.get(ConfKey, "rename") match {
+      case "rename" => RenameCas
+      case "lockfile" => LockFileCas
+      case other => throw new IllegalArgumentException(
+        s"unknown $ConfKey: $other (rename | lockfile)")
+    }
+}
+
+/** Rename-as-CAS: correct where rename is atomic and the store refuses
+  * (HDFS) or the JVM lock prevents (same-process) an existing
+  * destination. NOT safe for multi-PROCESS writers on object stores or
+  * raw POSIX, where rename silently clobbers — use [[LockFileCas]] or
+  * an external catalog there.
+  */
+object RenameCas extends CommitArbiter {
+  override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    CommitArbiter.lockFor(dst).synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+}
+
+/** Object-store-safe arbiter: winners are decided by CREATE-EXCLUSIVE
+  * on a lock file (the conditional-PUT analog every real object store
+  * offers), never by rename. Under the lock the destination is checked
+  * and the manifest COPIED into place — copy+delete is fine once
+  * arbitration no longer rides on it. A committer that crashes inside
+  * `publish` leaks the lock file; maintenance may remove stale
+  * `.lock`s (same operational class as aborted-write orphans).
+  */
+object LockFileCas extends CommitArbiter {
+  override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    CommitArbiter.lockFor(dst).synchronized {
+      val lock = new Path(dst.getParent, s".${dst.getName}.lock")
+      val acquired =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!acquired) false
+      else try {
+        if (fs.exists(dst)) false
+        else {
+          org.apache.hadoop.fs.FileUtil.copy(fs, tmp, fs, dst,
+            true /* deleteSource */, true, fs.getConf)
+          true
+        }
+      } finally {
+        fs.delete(lock, false); ()
+      }
+    }
+}
