@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.SnapshotScanPruning)
     // one shared builder list (GraftFunctions.builders) feeds both
     // registration paths, so the SQL surfaces cannot diverge
     GraftFunctions.builders.foreach { case (name, builder) =>

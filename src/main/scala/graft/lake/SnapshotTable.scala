@@ -613,15 +613,36 @@ object SnapshotTable {
     def view(files: Seq[String]) =
       logicalView(s.read.parquet(files: _*), mapping, types).filter(predicate)
     val full = view(entries.map(_._1))
-    val meta = commitMeta(s, root, v)
     // pattern-match the ANALYZED filter condition (the unresolved
     // Column wraps lazy ColumnNodes in Spark 4) — resolved
     // comparisons with analyzer-set cast timezones
     val cond = full.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val afterPartition = (meta.get(PartitionKey), cond) match {
-      case (Some(source), Some(c)) =>
+    val pruned = cond match {
+      case Some(c) => pruneEntries(s, root, v, c)
+      case None => entries.map(_._1)
+    }
+    if (pruned.isEmpty) full.filter(lit(false)) // nothing matched: keep schema, no rows
+    else if (pruned.size == entries.size) full
+    else view(pruned)
+  }
+
+  /** The [[readWhere]] pruning core, reusable by the point-lookup
+    * optimizer rule (plans.SnapshotScanPruning): files of `version`
+    * that MIGHT satisfy `cond` per the manifest's partition/stats/
+    * bloom metadata — a metadata-only decision, no data file opened.
+    * `cond` names logical columns (physical == logical when the table
+    * has no rename history, which is how the rule sees scan filters).
+    */
+  private[graft] def pruneEntries(
+      s: SparkSession, root: String, version: Int,
+      c: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    val entries = dataFilesWithPartitions(s, root, version)
+    val meta = commitMeta(s, root, version)
+    val mapping = columnMapping(s, root, version)
+    val afterPartition = meta.get(PartitionKey) match {
+      case Some(source) =>
         PartitionTransforms.dayBounds(c, source) match {
           case (lo, hi) if lo.nonEmpty || hi.nonEmpty => entries.filter {
             case (_, annots) => annots.get("_graft_day").forall(d =>
@@ -636,42 +657,35 @@ object SnapshotTable {
     // misses the predicate's bounds; files without stats always scan
     val statCols = meta.get(StatsKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     val bloomCols = meta.get(BloomKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
-    val mappingForStats = columnMapping(s, root, v)
-    val afterStats = cond match {
-      case Some(c) if statCols.nonEmpty =>
-        afterPartition.filter { case (_, annots) =>
-          statCols.forall { sc =>
-            val phys = mappingForStats.getOrElse(sc, sc)
-            val (lo, hi) = PartitionTransforms.numericBounds(c, sc)
-            (annots.get(s"_min_$phys").map(_.toDouble),
-              annots.get(s"_max_$phys").map(_.toDouble)) match {
-              case (Some(mn), Some(mx)) =>
-                lo.forall(_ <= mx) && hi.forall(_ >= mn)
-              case _ => true
-            }
+    val afterStats =
+      if (statCols.isEmpty) afterPartition
+      else afterPartition.filter { case (_, annots) =>
+        statCols.forall { sc =>
+          val phys = mapping.getOrElse(sc, sc)
+          val (lo, hi) = PartitionTransforms.numericBounds(c, sc)
+          (annots.get(s"_min_$phys").map(_.toDouble),
+            annots.get(s"_max_$phys").map(_.toDouble)) match {
+            case (Some(mn), Some(mx)) =>
+              lo.forall(_ <= mx) && hi.forall(_ >= mn)
+            case _ => true
           }
         }
-      case _ => afterPartition
-    }
+      }
     // bloom skipping: an equality/IN conjunct on a bloom column rules
     // a file out when NONE of the sought values might be present
-    val pruned = cond match {
-      case Some(c) if bloomCols.nonEmpty =>
-        afterStats.filter { case (_, annots) =>
-          bloomCols.forall { bc =>
-            val phys = mappingForStats.getOrElse(bc, bc)
-            (annots.get(s"_bloom_$phys"), PartitionTransforms.equalityValues(c, bc)) match {
-              case (Some(enc), Some(values)) =>
-                values.exists { case (value, dt) => bloomMightContain(enc, value, dt) }
-              case _ => true
-            }
+    val pruned =
+      if (bloomCols.isEmpty) afterStats
+      else afterStats.filter { case (_, annots) =>
+        bloomCols.forall { bc =>
+          val phys = mapping.getOrElse(bc, bc)
+          (annots.get(s"_bloom_$phys"), PartitionTransforms.equalityValues(c, bc)) match {
+            case (Some(enc), Some(values)) =>
+              values.exists { case (value, dt) => bloomMightContain(enc, value, dt) }
+            case _ => true
           }
-        }.map(_._1)
-      case _ => afterStats.map(_._1)
-    }
-    if (pruned.isEmpty) full.filter(lit(false)) // nothing matched: keep schema, no rows
-    else if (pruned.size == entries.size) full
-    else view(pruned)
+        }
+      }
+    pruned.map(_._1)
   }
 
   /** Expire old snapshots (Iceberg `expire_snapshots`): keep the last
@@ -1116,15 +1130,23 @@ object SnapshotTable {
     * type overrides (physical names are stable across renames, so old
     * files read correctly under a newer version's schema).
     */
+  // scan tags: ride the parquet relation's options so the point-lookup
+  // optimizer rule (plans.SnapshotScanPruning) can recognize a snapshot
+  // scan and re-derive its manifest for metadata file pruning
+  private[graft] val ScanRootKey = "graft.snapshot.root"
+  private[graft] val ScanVersionKey = "graft.snapshot.version"
+
   private def readFiles(
       s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame =
-    readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v))
+    readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v),
+      Map(ScanRootKey -> root, ScanVersionKey -> v.toString))
 
   private def readWithSchema(
       s: SparkSession, files: Seq[String],
-      mapping: Map[String, String], types: Map[String, String]): DataFrame = {
+      mapping: Map[String, String], types: Map[String, String],
+      tags: Map[String, String] = Map.empty): DataFrame = {
     val raw =
-      if (types.isEmpty) s.read.parquet(files: _*)
+      if (types.isEmpty) s.read.options(tags).parquet(files: _*)
       else {
         // files written before a widen are physically narrow — hand the
         // scan an explicit widened schema (Spark 4's parquet reader
@@ -1137,7 +1159,7 @@ object SnapshotTable {
             .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
             .getOrElse(f)
         })
-        s.read.schema(widened).parquet(files: _*)
+        s.read.schema(widened).options(tags).parquet(files: _*)
       }
     logicalView(raw, mapping, types)
   }
