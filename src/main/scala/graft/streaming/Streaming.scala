@@ -236,6 +236,15 @@ object Streaming {
       .start()
     q.awaitTermination()
     val fed = q.recentProgress.count(_.numInputRows > 0)
+    // Run-to-completion hygiene (r6 bench stall hardening): every
+    // finished query leaves its state-store providers LOADED in the
+    // executor JVM, and the background maintenance thread keeps
+    // visiting them — against temp checkpoints that were deleted at
+    // query stop. Over a long sweep (157 queries × reps × 32-partition
+    // stores) that churn can stall a later query's store load for
+    // multi-second, nondeterministic pauses. Completed AvailableNow
+    // queries never reuse their stores, so unload them eagerly.
+    org.apache.spark.sql.GraftSqlInternals.unloadStateStores()
     (s.table(name), fed)
   }
 

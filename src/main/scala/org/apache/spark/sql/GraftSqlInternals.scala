@@ -13,6 +13,16 @@ object GraftSqlInternals {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Unload every loaded state-store provider (and leave the
+    * maintenance thread idle until the next stateful query loads one).
+    * Run-to-completion streaming harnesses call this after
+    * awaitTermination: completed AvailableNow queries never reuse
+    * their stores, and keeping hundreds of providers loaded makes the
+    * background maintenance churn on deleted temp checkpoints.
+    */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
+
   /** Re-wrap a batch DataFrame's physical RDD as an isStreaming=true
     * plan — what a v1 streaming Source's getBatch must return (the
     * engine asserts isStreaming; the same LogicalRDD door the
