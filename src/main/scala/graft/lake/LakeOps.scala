@@ -1137,7 +1137,51 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Scheduled ingestion with catchup/backfill + retry (the Airflow
+    * DAG surface, dags/yfinance_to_minio.py:96-106) driven end-to-end:
+    * a daily schedule over the events feed catches up in two scheduler
+    * passes ("now" advances between them), one interval's extract
+    * fails transiently and is retried, and a full third pass is all
+    * idempotent no-ops — then the gate hash-matches the ingested
+    * table against plain SQL over the raw feed, so exactly-once
+    * across re-runs is what's being certified.
+    */
+  def scheduledIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "sched_ingest")
+    clean(s, root)
+    val ev = events(s, dir)
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def extract(lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
+      // injected transient failure: the 01-12 interval's first attempt
+      // dies, exercising the bounded task retry
+      if (lo.toString.startsWith("2024-01-12") && !failedOnce.getAndSet(true))
+        throw new RuntimeException("transient extract failure (injected)")
+      ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+    }
+    // scheduler pass 1: now = Jan 13 → backfills 10, 11, 12
+    ScheduledIngest.catchUp(s, root, "2024-01-10", "2024-01-13", extract)
+    // scheduler pass 2: now advanced to Jan 15 → only 13, 14 run
+    val second = ScheduledIngest.catchUp(s, root, "2024-01-10", "2024-01-15", extract)
+    require(second.size == 2, s"pass 2 must plan only the new intervals, got $second")
+    // pass 3: nothing to do — every interval's stamp makes re-runs no-ops
+    val third = ScheduledIngest.catchUp(s, root, "2024-01-10", "2024-01-15", extract)
+    require(third.isEmpty, s"re-run must be idempotent, got $third")
+    SnapshotTable.read(s, root)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("day")
+  }
+
+  val scheduledIngestOracle: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       | ${sqlSumMoney("value", "total_value")}
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_scheduled_ingest", scheduledIngest, Some(scheduledIngestOracle)),
     Q("lake_export_delta_log", exportDeltaLog, Some(exportDeltaLogOracle)),
     Q("lake_import_delta_log", importDeltaLog, Some(importDeltaLogOracle)),
     Q("lake_write_constraints", writeConstraints, Some(writeConstraintsOracle)),
