@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.sources.Tables
+import graft.sources.{LiveFeed, Tables}
 import graft.operators.OracleSafe._
 
 /** §2B lake operations — the reference's ingestion + Iceberg table
@@ -1180,7 +1180,61 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** External live-feed ingestion (the reference's first pipeline
+    * step: an Airflow task pulling an HTTP API and reshaping the
+    * payload, dags/yfinance_to_minio.py:23-50) driven through the
+    * full connector path: a staged-file "remote server" serves
+    * JSON-lines pages with one poison line per day; page descriptors
+    * are planned driver-side (metadata-only) and FETCHED ON
+    * EXECUTORS via mapPartitions; `from_json` against the explicit
+    * wire schema reshapes; malformed lines are flagged, never
+    * dropped silently; commits go through ScheduledIngest so a
+    * re-run of the whole window is a no-op even through the
+    * connector. The gate joins the per-day ingested aggregate with
+    * the per-day reject count and hash-matches raw SQL over the
+    * events table — payload round-trip, reshape, quarantine
+    * accounting, and exactly-once are all certified at once.
+    */
+  def liveFeed(s: SparkSession, dir: String): DataFrame = {
+    val tbl = scratch(dir, "live_feed_tbl")
+    val src = scratch(dir, "live_feed_src")
+    clean(s, tbl); clean(s, src)
+    LiveFeed.stageEventsFeed(s, events(s, dir), src, garbagePerDay = 1)
+    val client = new LiveFeed.StagedFileFeed(src)
+    def extract(lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame =
+      LiveFeed.fetchInterval(s, client, lo, hi)
+        .filter(!col("malformed"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    ScheduledIngest.catchUp(s, tbl, "2024-01-10", "2024-01-15", extract)
+    // the whole window again, through the live connector: no-op
+    val rerun = ScheduledIngest.catchUp(s, tbl, "2024-01-10", "2024-01-15", extract)
+    require(rerun.isEmpty, s"live-feed re-run must be idempotent, got $rerun")
+    // reject accounting: the poison lines carry their day in the
+    // payload; one per staged day must have been flagged
+    val rejects = LiveFeed.fetchInterval(s, client,
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .filter(col("malformed"))
+      .groupBy(regexp_extract(col("raw"), "GARBAGE%%(\\d{4}-\\d{2}-\\d{2})", 1).as("day"))
+      .agg(count(lit(1)).as("n_rejected"))
+    SnapshotTable.read(s, tbl)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .join(rejects, Seq("day"), "inner")
+      .orderBy("day")
+  }
+
+  val liveFeedOracle: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+       | ${sqlSumMoney("value", "total_value")},
+       | CAST(1 AS BIGINT) AS n_rejected
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_live_feed", liveFeed, Some(liveFeedOracle)),
     Q("lake_scheduled_ingest", scheduledIngest, Some(scheduledIngestOracle)),
     Q("lake_export_delta_log", exportDeltaLog, Some(exportDeltaLogOracle)),
     Q("lake_import_delta_log", importDeltaLog, Some(importDeltaLogOracle)),
