@@ -216,6 +216,35 @@ class PlanShapeSpec extends SparkSpec {
       "repetition must stay linear")
   }
 
+  test("unpartitioned windows appear ONLY on the pinned bounded-input allowlist") {
+    // VERDICT r6 nit #5: the known-benign single-partition windows all
+    // sit on provably bounded inputs, but a NEW offender on a raw fact
+    // stream could hide among them in a log grep. Pin the exact set by
+    // traversing the optimized logical plan of every pure query (the
+    // relational/fin/text families, where windows live): a Window with
+    // an empty partitionSpec is allowed iff its query is listed here
+    // with its boundedness argument.
+    val allow = Map(
+      // pre-aggregated to one row per order day before the window
+      "q_window_lag" -> "orders day-cardinality (Relational.scala)",
+      "q_window_range" -> "orders day-cardinality (Relational2.scala)",
+      // market factor series: one row per trading day
+      "q_fin_factor_regression" -> "trading-day cardinality (Finance.scala)",
+      // ranks computed over already top-FuseDepth candidate frames
+      "text_hybrid_rrf" -> "k-sized by construction (Retrieval.scala)")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val swept = SparkEntry.queries.keys.filter(n =>
+      n.startsWith("q") || n.startsWith("text_")).toSeq.sorted
+    val offenders = swept.filter { name =>
+      SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty
+    }.toSet
+    assert(offenders.subsetOf(allow.keySet),
+      s"NEW unpartitioned window(s) outside the allowlist: ${offenders -- allow.keySet}")
+    assert(allow.keySet.subsetOf(offenders),
+      s"stale allowlist entries (fixed or renamed): ${allow.keySet -- offenders}")
+  }
+
   test("percentiles run on bounded hash-agg state, no per-group value map") {
     val p = planOf("q_percentiles")
     // Spark's exact percentile() is a TypedImperativeAggregate whose
