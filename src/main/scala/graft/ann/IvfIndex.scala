@@ -94,11 +94,26 @@ object IvfIndex {
   def serve(s: SparkSession, dir: String, corpus: DataFrame, queryPred: Column,
             k: Int, nLists: Int, nProbes: Int, lloydIters: Int = 2): DataFrame = {
     val root = ensure(s, dir, corpus, nLists, lloydIters)
+    probe(s, root,
+      corpus.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k, nProbes)
+  }
+
+  /** Serve one batch of queries (q_id, q_emb) from a stored index —
+    * the shared probe path for batch serving AND per-micro-batch
+    * streaming serving ([[graft.streaming.Streaming.qStreamAnnServe]]).
+    * Stateless given the index root, so any number of serving jobs can
+    * hit the same stored artifact concurrently.
+    */
+  def probe(s: SparkSession, root: String, queries: DataFrame,
+            k: Int, nProbes: Int): DataFrame = {
+    GraftFunctions.register(s)
     val centroids = SnapshotTable.read(s, s"$root/centroids")
-    val probes = corpus.filter(queryPred)
+    val probes = queries
       .join(broadcast(centroids))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"),
-        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+      .select(col("q_id"), col("q_emb"), col("cid"),
+        expr("graft_cosine(q_emb, c_emb)").as("c_cos"))
       .groupBy("q_id", "q_emb")
       .agg(expr(s"graft_topk(c_cos, cid, $nProbes)").as("top"))
       .select(col("q_id"), col("q_emb"),
