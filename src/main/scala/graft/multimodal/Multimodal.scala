@@ -223,7 +223,68 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  /** One resized frame descriptor. */
+  final case class ResizePlan(
+      doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, out_bytes: Long)
+
+  /** Aspect-fit into a box×box target: the integer arithmetic every
+    * image pipeline runs before the actual pixel pass. Pure, so the
+    * oracle mirrors it exactly; the pixel resample itself would sit in
+    * the same per-batch seam as the decode stub.
+    */
+  private[graft] def aspectFit(w: Long, h: Long, box: Long): (Long, Long) =
+    if (w >= h) (box, math.max(1L, h * box / w))
+    else (math.max(1L, w * box / h), box)
+
+  /** Batched media transform: decode metadata, then plan a 224-box
+    * aspect-fit resize for every payload IN FIXED-SIZE BATCHES inside
+    * each partition — the `mapInPandas` batch shape, Scala-native.
+    * Heavy vectorized codecs (and GPUs) want a bounded batch of rows
+    * per call, not row-at-a-time and not a whole partition in memory;
+    * `grouped(batchSize)` under `mapPartitions` gives exactly that
+    * seam: per-partition init, per-batch call, streamed output. The
+    * gate certifies the plan arithmetic; a real deployment swaps the
+    * batch body for the pixel pass without touching the plumbing.
+    */
+  def resizeBatch(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+    decodeMeta(payloads, FakeDecoder)
+      .mapPartitions { it =>
+        // per-partition: codec/GPU context init would go here
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch: ONE vectorized transform call over ≤batchSize rows
+          batch.map { m =>
+            val (ow, oh) = aspectFit(m.width.toLong, m.height.toLong, 224L)
+            ResizePlan(m.doc_id, m.width.toLong, m.height.toLong, ow, oh, ow * oh * 3L)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Mirrors [[FakeDecoder]]'s width/height arithmetic composed with
+    * [[aspectFit]] (integer floor division on both engines).
+    */
+  val resizeBatchOracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |   16 + (OCTET_LENGTH(ENCODE(text)) * 7 + ASCII(SUBSTRING(text, 1, 1))) % 240 AS w,
+      |   16 + (OCTET_LENGTH(ENCODE(text)) * 13 + ASCII(SUBSTRING(text, 1, 1))) % 240 AS h
+      |  FROM documents)
+      |SELECT doc_id, w AS width, h AS height,
+      | CASE WHEN w >= h THEN 224 ELSE GREATEST(1, w * 224 // h) END AS out_w,
+      | CASE WHEN w >= h THEN GREATEST(1, h * 224 // w) ELSE 224 END AS out_h,
+      | (CASE WHEN w >= h THEN 224 ELSE GREATEST(1, w * 224 // h) END) *
+      | (CASE WHEN w >= h THEN GREATEST(1, h * 224 // w) ELSE 224 END) * 3 AS out_bytes
+      |FROM dims ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("mm_resize_batch", resizeBatch(_, _), Some(resizeBatchOracle)),
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
     Q("mm_frame_sample", frameSample, Some(frameSampleOracle)),
     Q("mm_phash_neardup", phashNearDup, Some(phashNearDupOracle)))

@@ -116,4 +116,14 @@ class ExprSpec extends SparkSpec {
     assert(run(1) === expected)
     assert(run(7) === expected, "merge order must not change the result")
   }
+
+  test("aspectFit: box on the long side, floor on the short, never zero") {
+    import graft.multimodal.Multimodal.aspectFit
+    assert(aspectFit(640, 480, 224) === ((224L, 168L))) // landscape
+    assert(aspectFit(480, 640, 224) === ((168L, 224L))) // portrait
+    assert(aspectFit(100, 100, 224) === ((224L, 224L))) // square upscale
+    assert(aspectFit(10000, 16, 224) === ((224L, 1L))) // extreme ratio floors to 1, not 0
+    val (w, h) = aspectFit(1920, 1080, 224)
+    assert(w.max(h) === 224 && w > 0 && h > 0)
+  }
 }
