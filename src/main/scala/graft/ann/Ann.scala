@@ -843,6 +843,75 @@ object Ann {
   val ivfServedOracle: String = ivfOracleFor(25)
 
   // ---------------------------------------------------------------
+  /** Registry entry: INCREMENTAL index maintenance. Build on the even
+    * half of the corpus, append the odd half assigned with the STORED
+    * quantizer (IvfIndex.appendBatch — no retrain, no rewrite of
+    * existing list files, O(batch) work), then serve every 30th
+    * vector probe-only over the combined lists. The oracle replays
+    * the same chain: Lloyd trained on the even half only, ALL vectors
+    * assigned to those centroids. The append is pinned O(Δ): version
+    * 2's file set must strictly contain version 1's.
+    */
+  def ivfIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    graft.functions.GraftFunctions.register(s)
+    val corpus = emb(s, dir)
+    val root = s"/tmp/graft_ann_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_inc"
+    IvfIndex.buildAt(s, root, corpus.filter(col("vec_id") % 2 === 0),
+      nLists = 16, lloydIters = 2)
+    val v2 = IvfIndex.appendBatch(s, root, corpus.filter(col("vec_id") % 2 === 1))
+    require(v2 == 2, s"append must be one metadata commit, got version $v2")
+    val listRoot = s"$root/lists"
+    val before = SnapshotTable.dataFiles(s, listRoot, 1).toSet
+    val after = SnapshotTable.dataFiles(s, listRoot, 2).toSet
+    require(before.subsetOf(after) && after.size > before.size,
+      s"append must add files without rewriting: v1=${before.size} v2=${after.size}")
+    IvfIndex.probe(s, root,
+      corpus.filter(col("vec_id") % 30 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 3, nProbes = 4)
+  }
+
+  /** [[ivfOracleFor]] with the TRAINING corpus restricted to even
+    * vec_ids (the incremental entry's base half); lists/probes still
+    * run over the full corpus — exactly what stored-quantizer
+    * assignment of the appended half produces.
+    */
+  val ivfIncrementalOracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 4096),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb FROM sample ORDER BY vec_id LIMIT 16),
+       |${lloydStageSql("seeds", "c1")},
+       |${lloydStageSql("c1", "c2")},
+       |lists AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, cid FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id % 30 = 0) t
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, l.vec_id AS neighbor_id,
+       |    ${cosSql("p.q_emb", "l.embedding")} AS cos
+       |  FROM probes p JOIN lists l USING (cid)
+       |  WHERE l.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Exact DuckDB mirror of [[pq]] — IVF-PQ with residual encoding,
     * oracled END-TO-END including both quantizer levels. Determinism
     * chain: coarse training re-uses [[ivfOracle]]'s unrolled Lloyd;
@@ -979,5 +1048,6 @@ object Ann {
     Q("ann_lsh", lsh, Some(lshOracle)),
     Q("ann_ivf", ivf, Some(ivfOracle)),
     Q("ann_ivf_served", ivfServed, Some(ivfServedOracle)),
+    Q("ann_ivf_incremental", ivfIncremental, Some(ivfIncrementalOracle)),
     Q("ann_pq", pq, Some(pqOracle)))
 }

@@ -64,27 +64,62 @@ object IvfIndex {
     val fresh = SnapshotTable.currentVersion(s, centRoot) > 0 &&
       SnapshotTable.commitMeta(s, centRoot, SnapshotTable.currentVersion(s, centRoot))
         .get("corpus_fp").contains(fp)
-    if (!fresh) {
-      SnapshotTable.drop(s, centRoot)
-      SnapshotTable.drop(s, listRoot)
-      val centroids = Ann.trainCoarseLocal(s, corpus, nLists, iters = lloydIters)
-      val assigned = corpus.join(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-        .groupBy("vec_id")
-        .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
-        .select(col("vec_id"), col("top")(0).getField("id").as("cid"))
-        .join(corpus, Seq("vec_id"))
-        .select("cid", "vec_id", "embedding")
-      // range-cluster by cid so each file holds few whole lists; the
-      // bloom filter then serves as the inverted-list file locator
-      val meta = Map("corpus_fp" -> fp, "n_lists" -> nLists.toString)
-      SnapshotTable.commit(s, listRoot,
-        assigned.repartitionByRange(8, col("cid"), col("vec_id")),
-        meta = meta, bloomCols = Seq("cid"))
-      SnapshotTable.commit(s, centRoot, centroids, meta = Map("corpus_fp" -> fp))
-    }
+    if (!fresh) buildAt(s, root, corpus, nLists, lloydIters,
+      meta = Map("corpus_fp" -> fp))
     root
+  }
+
+  /** Assign vectors to their nearest stored centroid — shared by the
+    * initial build and incremental appends, so both produce the exact
+    * deterministic assignment the oracle replays.
+    */
+  private def assignToLists(centroids: DataFrame, vecs: DataFrame): DataFrame =
+    vecs.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+      .groupBy("vec_id")
+      .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
+      .select(col("vec_id"), col("top")(0).getField("id").as("cid"))
+      .join(vecs, Seq("vec_id"))
+      .select("cid", "vec_id", "embedding")
+
+  /** Train + persist an index at an explicit root from an explicit
+    * corpus (no fingerprint guard — callers own staleness).
+    */
+  def buildAt(s: SparkSession, root: String, corpus: DataFrame,
+              nLists: Int, lloydIters: Int,
+              meta: Map[String, String] = Map.empty): Unit = {
+    GraftFunctions.register(s)
+    val centRoot = s"$root/centroids"
+    val listRoot = s"$root/lists"
+    SnapshotTable.drop(s, centRoot)
+    SnapshotTable.drop(s, listRoot)
+    val centroids = Ann.trainCoarseLocal(s, corpus, nLists, iters = lloydIters)
+    // range-cluster by cid so each file holds few whole lists; the
+    // bloom filter then serves as the inverted-list file locator
+    SnapshotTable.commit(s, listRoot,
+      assignToLists(centroids, corpus).repartitionByRange(8, col("cid"), col("vec_id")),
+      meta = meta ++ Map("n_lists" -> nLists.toString), bloomCols = Seq("cid"))
+    SnapshotTable.commit(s, centRoot, centroids, meta = meta)
+  }
+
+  /** INCREMENTAL index maintenance: assign a new vector batch with
+    * the STORED quantizer (no retraining) and append it to the lists
+    * table as new cid-clustered, bloom-annotated files — O(batch)
+    * compute and I/O; existing list files are never rewritten (the
+    * manifest-list commit just re-references them). At 100 TB this is
+    * the difference between absorbing a daily embedding drop in
+    * minutes and rebuilding a corpus-sized index. Centroid drift under
+    * sustained appends is the declared trade — rebuild cadence is an
+    * offline policy decision, and [[buildAt]] is that rebuild.
+    */
+  def appendBatch(s: SparkSession, root: String, batch: DataFrame): Int = {
+    GraftFunctions.register(s)
+    val centroids = SnapshotTable.read(s, s"$root/centroids")
+    SnapshotTable.commit(s, s"$root/lists",
+      assignToLists(centroids, batch)
+        .repartitionByRange(4, col("cid"), col("vec_id")),
+      append = true, bloomCols = Seq("cid"))
   }
 
   /** Probe-only serving path: no training, centroids read from the
