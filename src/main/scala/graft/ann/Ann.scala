@@ -369,15 +369,17 @@ object Ann {
     * code-lookup join — m byte-sized codes per vector instead of
     * `dims` floats through the scan.
     */
-  def pqKnn(
-      s: SparkSession, corpus: DataFrame, queryPred: Column,
-      k: Int, m: Int, ksub: Int, nLists: Int, nProbes: Int,
-      lloydIters: Int = 2): DataFrame = {
+  /** Train the coarse quantizer + per-subspace codebooks on the
+    * driver over one bounded sample (see the training note above) —
+    * returns (coarse(cid, c_emb), books(sub_idx, code, c_chunk)).
+    * Extracted so the persisted-index build ([[PqIndex]]) runs the
+    * SAME deterministic chain the in-query path (and the oracle) does.
+    */
+  private[ann] def pqTrain(
+      s: SparkSession, corpus: DataFrame,
+      m: Int, ksub: Int, nLists: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     import s.implicits._
-    // Coarse quantizer AND per-subspace codebooks train on the driver
-    // over one bounded sample (see the training note above); the
-    // corpus only ever flows through broadcast-join assignments.
     val sample = collectSample(corpus, 4096)
     val dims = sample.head._2.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")
@@ -410,51 +412,82 @@ object Ann {
       lloydLocal(chunks, seeds, lloydIters, l2Fit)
         .map { case (code, cChunk) => (subIdx, code, cChunk) }
     }
-    val coarse = coarseCents.toDF("cid", "c_emb")
-    val books = booksLocal.toDF("sub_idx", "code", "c_chunk")
-    def nearestList(df: DataFrame, idCol: String) = df
+    (coarseCents.toDF("cid", "c_emb"), booksLocal.toDF("sub_idx", "code", "c_chunk"))
+  }
+
+  private[ann] def pqChunked(
+      df: DataFrame, vecCol: String, outCol: String, m: Int, sub: Int): DataFrame = df
+    .withColumn("s", explode(expr(s"transform(sequence(0, ${m - 1}), " +
+      s"i -> struct(i AS sub_idx, slice($vecCol, i * $sub + 1, $sub) AS chunk))")))
+    .withColumn("sub_idx", col("s.sub_idx"))
+    .withColumn(outCol, col("s.chunk")).drop("s", vecCol)
+
+  /** Encode the corpus against trained quantizers: residual vs the
+    * assigned coarse centroid, per-subspace nearest code — the
+    * compressed index (vec_id, cid, sub_idx, code).
+    */
+  private[ann] def pqEncode(
+      s: SparkSession, coarse: DataFrame, books: DataFrame,
+      corpus: DataFrame, m: Int, sub: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val residuals = corpus
       .join(broadcast(coarse))
-      .select(col(idCol), col("embedding"), col("cid"),
+      .select(col("vec_id"), col("embedding"), col("cid"),
         expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-      .groupBy(idCol, "embedding")
+      .groupBy("vec_id", "embedding")
       .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
-      .select(col(idCol), col("embedding"), col("top")(0).getField("id").as("cid"))
-    val residuals = nearestList(corpus, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("top")(0).getField("id").as("cid"))
       .join(broadcast(coarse), "cid")
       .select(col("vec_id"), col("cid"),
         expr("zip_with(embedding, c_emb, (x, c) -> x - c)").as("res"))
-    def chunked(df: DataFrame, vecCol: String, outCol: String) = df
-      .withColumn("s", explode(expr(s"transform(sequence(0, ${m - 1}), " +
-        s"i -> struct(i AS sub_idx, slice($vecCol, i * $sub + 1, $sub) AS chunk))")))
-      .withColumn("sub_idx", col("s.sub_idx"))
-      .withColumn(outCol, col("s.chunk")).drop("s", vecCol)
-    val chunks = chunked(residuals.select("vec_id", "cid", "res"), "res", "chunk")
+    val chunks = pqChunked(residuals.select("vec_id", "cid", "res"), "res", "chunk", m, sub)
     // codebook assignment: argmin |r − c|² == argmax (dot(r, c) − |c|²/2)
-    def assignCode(in: DataFrame) = in
+    chunks
       .join(broadcast(books), "sub_idx")
       .withColumn("fit",
         expr("graft_dot(chunk, c_chunk) - graft_dot(c_chunk, c_chunk) / 2"))
       .groupBy("vec_id", "sub_idx", "chunk")
       .agg(expr("graft_topk(fit, code, 1)").as("top"))
-      .select(col("vec_id"), col("sub_idx"), col("chunk"),
-        col("top")(0).getField("id").as("code"))
-    // the compressed index: (vec_id, cid, m codes)
-    val codes = assignCode(chunks).select("vec_id", "sub_idx", "code")
+      .select(col("vec_id"), col("sub_idx"), col("top")(0).getField("id").as("code"))
       .join(residuals.select("vec_id", "cid"), "vec_id")
+  }
+
+  def pqKnn(
+      s: SparkSession, corpus: DataFrame, queryPred: Column,
+      k: Int, m: Int, ksub: Int, nLists: Int, nProbes: Int,
+      lloydIters: Int = 2): DataFrame = {
+    GraftFunctions.register(s)
+    val dims = corpus.select(size(col("embedding"))).head.getInt(0)
+    val sub = dims / m
+    val (coarse, books) = pqTrain(s, corpus, m, ksub, nLists, lloydIters)
+    val codes = pqEncode(s, coarse, books, corpus, m, sub)
+    pqServe(s, coarse, books, codes,
+      corpus.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k, m, sub, nProbes)
+  }
+
+  /** ADC scoring of one query batch against an encoded corpus —
+    * shared by the in-query path and persisted-index serving.
+    */
+  private[ann] def pqServe(
+      s: SparkSession, coarse: DataFrame, books: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, m: Int, sub: Int, nProbes: Int): DataFrame = {
+    GraftFunctions.register(s)
     // queries: residual against each PROBED list, chunked, then the
     // per-(query, list) distance table |q_resₘ − cₘ|²
-    val qProbes = corpus.filter(queryPred)
+    val qProbes = queries
       .join(broadcast(coarse))
-      .select(col("vec_id").as("q_id"), col("embedding"), col("cid"),
-        expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-      .groupBy("q_id", "embedding")
+      .select(col("q_id"), col("q_emb"), col("cid"),
+        expr("graft_cosine(q_emb, c_emb)").as("c_cos"))
+      .groupBy("q_id", "q_emb")
       .agg(expr(s"graft_topk(c_cos, cid, $nProbes)").as("top"))
-      .select(col("q_id"), col("embedding"),
+      .select(col("q_id"), col("q_emb"),
         explode(expr("transform(top, t -> t.id)")).as("cid"))
       .join(broadcast(coarse), "cid")
       .select(col("q_id"), col("cid"),
-        expr("zip_with(embedding, c_emb, (x, c) -> x - c)").as("q_res"))
-    val table = chunked(qProbes.select("q_id", "cid", "q_res"), "q_res", "q_chunk")
+        expr("zip_with(q_emb, c_emb, (x, c) -> x - c)").as("q_res"))
+    val table = pqChunked(qProbes.select("q_id", "cid", "q_res"), "q_res", "q_chunk", m, sub)
       .join(broadcast(books), "sub_idx")
       .select(col("q_id"), col("cid"), col("sub_idx"), col("code"),
         expr("""graft_dot(q_chunk, q_chunk)
@@ -481,6 +514,24 @@ object Ann {
   def pq(s: SparkSession, dir: String): DataFrame =
     pqKnn(s, emb(s, dir), col("vec_id") % 50 === 0,
       k = 3, m = 4, ksub = 16, nLists = 16, nProbes = 4)
+
+  /** Registry entry: the SERVED IVF-PQ path — same two-level index as
+    * [[pq]] but persisted by [[PqIndex]] and probed for a different
+    * query set (every 40th vector), so the timed region after the
+    * first build is probe-only ADC over bloom-fetched code files.
+    */
+  def pqServed(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val root = PqIndex.ensure(s, dir, corpus, m = 4, ksub = 16, nLists = 16)
+    PqIndex.serve(s, root,
+      corpus.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 3, nProbes = 4)
+  }
+
+  // lazy: pqOracleFor interpolates the PqSub/PqM/PqKsub vals defined
+  // further down — eager init here would read them as 0
+  lazy val pqServedOracle: String = pqOracleFor(40)
 
   // ---------------------------------------------------------------
   /** Range search: ALL neighbors above a similarity threshold, not a
@@ -951,7 +1002,13 @@ object Ann {
        |      (a, x) -> a + x) / n AS REAL)) AS c_chunk
        |  FROM g_$out)""".stripMargin
 
-  val pqOracle: String =
+  val pqOracle: String = pqOracleFor(50)
+
+  /** [[pqOracle]] parameterized by the query-id modulus, so the
+    * served-index entry (same index, different query set) shares the
+    * whole two-level deterministic training chain.
+    */
+  def pqOracleFor(mod: Int): String =
     s"""WITH sample AS (
        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4096),
        |seeds AS (
@@ -1008,7 +1065,7 @@ object Ann {
        |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id % 50 = 0) t
+       |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id % $mod = 0) t
        |  WHERE rn <= 4),
        |q_res AS (
        |  SELECT p.q_id, p.cid, list_transform(range(1, 65), i ->
@@ -1049,5 +1106,6 @@ object Ann {
     Q("ann_ivf", ivf, Some(ivfOracle)),
     Q("ann_ivf_served", ivfServed, Some(ivfServedOracle)),
     Q("ann_ivf_incremental", ivfIncremental, Some(ivfIncrementalOracle)),
-    Q("ann_pq", pq, Some(pqOracle)))
+    Q("ann_pq", pq, Some(pqOracle)),
+    Q("ann_pq_served", pqServed, Some(pqServedOracle)))
 }

@@ -37,7 +37,7 @@ object IvfIndex {
   /** Source fingerprint: (leaf name, size, mtime) of the embeddings
     * table — same staleness guard as the streaming staging dir.
     */
-  private def fingerprint(dir: String): String = {
+  private[ann] def fingerprint(dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
     val leaves: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(src)) {
