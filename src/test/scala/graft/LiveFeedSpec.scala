@@ -33,9 +33,13 @@ class LiveFeedSpec extends SparkSpec {
       ts("2024-01-10 00:00:00"), ts("2024-01-13 00:00:00"))
     val good = parsed.filter(!col("malformed"))
     assert(good.count() === 30)
-    // typed round-trip is exact: microsecond timestamps, doubles, longs
-    val r = good.filter(col("event_id") === 7).select("ts", "user_id", "event_type", "value").head()
-    assert(r.getTimestamp(0) === ts("2024-01-11 07:00:00"))
+    // typed round-trip is exact: microsecond timestamps, doubles,
+    // longs. Compare ts as epoch micros — Row's timestamp class
+    // depends on the session's java8API flag, which other suites may
+    // have flipped on the shared session.
+    val r = good.filter(col("event_id") === 7)
+      .select(unix_micros(col("ts")), col("user_id"), col("event_type"), col("value")).head()
+    assert(r.getLong(0) === ts("2024-01-11 07:00:00").getTime * 1000L)
     assert(r.getLong(1) === 49L && r.getString(2) === "t3" && r.getDouble(3) === 10.5)
   }
 
