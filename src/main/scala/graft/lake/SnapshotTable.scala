@@ -91,11 +91,45 @@ object SnapshotTable {
     finally in.close()
   }
 
-  /** Lines of the manifest FILE itself — headers, fragment refs, and
-    * (legacy) inline data lines; no resolution.
+  /** Trailer marking a COMPLETELY written manifest. On stores whose
+    * publish is a non-atomic copy (the mock no-atomic-rename FS; any
+    * store without per-object atomic visibility), a reader — in
+    * particular a CONCURRENT COMMITTER re-reading head to rebase —
+    * can open the manifest mid-copy and see a truncated prefix. A
+    * line-oriented format makes that tear SILENT: the prefix parses
+    * fine, the tail fragment refs vanish, and the rebased commit
+    * drops the racing writer's rows (caught by
+    * CommitConcurrencySpec's lockfile round occasionally losing one
+    * append). The trailer turns truncation into something a reader
+    * can detect and wait out.
     */
-  private def rawManifestLines(s: SparkSession, root: String, stem: String): Seq[String] =
-    readSmallFile(s, new Path(s"$root/_manifests/$stem.manifest"))
+  private val EofMarker = "#graft.eof"
+
+  /** Lines of the manifest FILE itself — headers, fragment refs, and
+    * (legacy) inline data lines; no resolution. Retries until the
+    * [[EofMarker]] trailer is visible (manifest written after this
+    * round) or the content is stable across reads (legacy manifests,
+    * which predate the trailer and are already fully visible).
+    */
+  private def rawManifestLines(s: SparkSession, root: String, stem: String): Seq[String] = {
+    val p = new Path(s"$root/_manifests/$stem.manifest")
+    var prev: Seq[String] = null
+    var attempt = 0
+    while (true) {
+      val lines = readSmallFile(s, p)
+      if (lines.nonEmpty && lines.last == EofMarker) return lines.dropRight(1)
+      // a valid manifest always has header lines — empty means the
+      // publish copy hasn't flushed yet, never a legacy complete file
+      if (lines.nonEmpty && prev != null && prev == lines && attempt >= 3)
+        return lines // stable legacy file
+      prev = lines
+      attempt += 1
+      if (attempt > 200) throw new IllegalStateException(
+        s"manifest $p never became complete (torn publish?)")
+      Thread.sleep(5)
+    }
+    Seq.empty // unreachable
+  }
 
   /** Non-header body of a manifest list (fragment refs + legacy inline
     * lines) — what O(Δ) commits copy forward VERBATIM: re-referencing
@@ -770,7 +804,9 @@ object SnapshotTable {
       java.util.UUID.randomUUID.toString.take(8) + ".manifest.tmp")
     val fs = fsOf(s, mp)
     val out = fs.create(tmp, true)
-    try out.write(((header ++ files).mkString("\n") + "\n").getBytes("UTF-8"))
+    // EofMarker LAST: readers treat a manifest without it as possibly
+    // mid-publish and wait (see rawManifestLines)
+    try out.write(((header ++ files ++ Seq(EofMarker)).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // the atomic swap is the store-specific part — see CommitArbiter
     if (!CommitArbiter.forConf(s.sparkContext.hadoopConfiguration).publish(fs, tmp, mp)) {
