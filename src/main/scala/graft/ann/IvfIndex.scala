@@ -47,10 +47,13 @@ object IvfIndex {
           st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
         } finally st.close()
       } else Seq(src)
+    // "fmt2" prefix: bumped when the on-disk table format changes
+    // (e.g. the manifest EOF trailer) so stale persisted indexes
+    // rebuild instead of tripping the completeness check
     leaves.map { p =>
       s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
         s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-    }.mkString("|")
+    }.mkString("fmt2|", "|", "")
   }
 
   /** Build (or reuse) the stored index; returns its root. */
@@ -61,9 +64,13 @@ object IvfIndex {
     val centRoot = s"$root/centroids"
     val listRoot = s"$root/lists"
     val fp = fingerprint(dir)
-    val fresh = SnapshotTable.currentVersion(s, centRoot) > 0 &&
-      SnapshotTable.commitMeta(s, centRoot, SnapshotTable.currentVersion(s, centRoot))
-        .get("corpus_fp").contains(fp)
+    // an unreadable stored index (pre-trailer format, torn publish)
+    // is simply stale — rebuild, same as a corpus change
+    val fresh = try {
+      SnapshotTable.currentVersion(s, centRoot) > 0 &&
+        SnapshotTable.commitMeta(s, centRoot, SnapshotTable.currentVersion(s, centRoot))
+          .get("corpus_fp").contains(fp)
+    } catch { case _: IllegalStateException => false }
     if (!fresh) buildAt(s, root, corpus, nLists, lloydIters,
       meta = Map("corpus_fp" -> fp))
     root

@@ -39,9 +39,13 @@ object PqIndex {
     val root = indexRoot(dir)
     val coarseRoot = s"$root/coarse"
     val fp = IvfIndex.fingerprint(dir)
-    val fresh = SnapshotTable.currentVersion(s, coarseRoot) > 0 &&
-      SnapshotTable.commitMeta(s, coarseRoot, SnapshotTable.currentVersion(s, coarseRoot))
-        .get("corpus_fp").contains(fp)
+    // an unreadable stored index (pre-trailer format, torn publish)
+    // is simply stale — rebuild, same as a corpus change
+    val fresh = try {
+      SnapshotTable.currentVersion(s, coarseRoot) > 0 &&
+        SnapshotTable.commitMeta(s, coarseRoot, SnapshotTable.currentVersion(s, coarseRoot))
+          .get("corpus_fp").contains(fp)
+    } catch { case _: IllegalStateException => false }
     if (!fresh) buildAt(s, root, corpus, m, ksub, nLists, lloydIters,
       meta = Map("corpus_fp" -> fp))
     root

@@ -191,8 +191,12 @@ object SqlEndpoint {
         } finally st.close()
       } else s"${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
     val cur = SnapshotTable.currentVersion(s, root)
-    val fresh = cur > 0 &&
-      SnapshotTable.commitMeta(s, root, cur).get("source_fp").contains(fp)
+    // an unreadable memoized table (pre-trailer format, torn publish)
+    // is simply stale — rebuild, same as a source change
+    val fresh = try {
+      cur > 0 &&
+        SnapshotTable.commitMeta(s, root, cur).get("source_fp").contains(fp)
+    } catch { case _: IllegalStateException => false }
     if (!fresh) {
       SnapshotTable.drop(s, root)
       val ev = graft.sources.Tables.load(s, dir, "events")

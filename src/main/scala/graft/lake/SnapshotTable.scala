@@ -107,25 +107,23 @@ object SnapshotTable {
 
   /** Lines of the manifest FILE itself — headers, fragment refs, and
     * (legacy) inline data lines; no resolution. Retries until the
-    * [[EofMarker]] trailer is visible (manifest written after this
-    * round) or the content is stable across reads (legacy manifests,
-    * which predate the trailer and are already fully visible).
+    * [[EofMarker]] trailer is visible; a manifest that never shows it
+    * is CORRUPT (a publish that died mid-copy) and serving its prefix
+    * would silently drop rows — so this throws, loudly. Deliberately
+    * NO stable-content fallback: a stalled tear is byte-identical to
+    * a "complete" trailer-less file, and guessing wrong loses data
+    * (the torn-manifest spec pins the wait).
     */
   private def rawManifestLines(s: SparkSession, root: String, stem: String): Seq[String] = {
     val p = new Path(s"$root/_manifests/$stem.manifest")
-    var prev: Seq[String] = null
     var attempt = 0
     while (true) {
       val lines = readSmallFile(s, p)
       if (lines.nonEmpty && lines.last == EofMarker) return lines.dropRight(1)
-      // a valid manifest always has header lines — empty means the
-      // publish copy hasn't flushed yet, never a legacy complete file
-      if (lines.nonEmpty && prev != null && prev == lines && attempt >= 3)
-        return lines // stable legacy file
-      prev = lines
       attempt += 1
       if (attempt > 200) throw new IllegalStateException(
-        s"manifest $p never became complete (torn publish?)")
+        s"manifest $p is incomplete (no $EofMarker trailer) — a " +
+          "mid-publish tear, a crashed publish, or a pre-trailer file")
       Thread.sleep(5)
     }
     Seq.empty // unreachable

@@ -102,6 +102,46 @@ class CommitConcurrencySpec extends SparkSpec {
     assert(metas.distinct.size === 50)
   }
 
+  test("a reader blocks on a torn (mid-publish) manifest until it completes") {
+    // Deterministic replay of the race the lockfile round caught
+    // intermittently: during a non-atomic publish a rebasing committer
+    // could read a truncated manifest prefix and silently drop the
+    // tail fragment refs. The EOF trailer must make the reader WAIT.
+    val root = "/tmp/graft_test/torn_manifest"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq(1, 2, 3).toDF("x"))
+    val mdir = new java.io.File(s"$root/_manifests")
+    val v1 = new java.io.File(mdir, "v1.manifest")
+    val full = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    assert(full.trim.endsWith("#graft.eof"), "new manifests must carry the trailer")
+    // stage v2 as a TORN copy of v1: header+partial body, no trailer
+    val lines = full.linesIterator.toVector
+    val v2 = new java.io.File(mdir, "v2.manifest")
+    java.nio.file.Files.write(v2.toPath,
+      lines.dropRight(2).mkString("\n").getBytes("UTF-8"))
+    val completer = new Thread(() => {
+      Thread.sleep(150)
+      java.nio.file.Files.write(v2.toPath, full.getBytes("UTF-8"))
+    })
+    completer.start()
+    // the read must land AFTER completion: full file set, full rows
+    assert(SnapshotTable.dataFiles(spark, root, 2) ===
+      SnapshotTable.dataFiles(spark, root, 1))
+    assert(SnapshotTable.read(spark, root).count() === 3)
+    completer.join()
+    // and an EMPTY in-flight manifest is waited out the same way
+    val v3 = new java.io.File(mdir, "v3.manifest")
+    java.nio.file.Files.write(v3.toPath, Array.empty[Byte])
+    val completer3 = new Thread(() => {
+      Thread.sleep(150)
+      java.nio.file.Files.write(v3.toPath, full.getBytes("UTF-8"))
+    })
+    completer3.start()
+    assert(SnapshotTable.dataFiles(spark, root, 3) ===
+      SnapshotTable.dataFiles(spark, root, 1))
+    completer3.join()
+  }
+
   test("the lockfile arbiter also serializes multi-writer appends on the non-atomic store") {
     withArbiter("lockfile") {
       val root = "graftnar:///tmp/graft_test/nar_appends"
