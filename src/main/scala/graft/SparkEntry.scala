@@ -8,7 +8,7 @@ object SparkEntry {
   /** Every capability from SURVEY.md §2, one Q each. */
   def registry: Seq[Q] =
     operators.Relational.queries ++ operators.Relational2.queries ++ operators.Relational3.queries ++ operators.Relational4.queries ++ operators.Relational5.queries ++ operators.Advanced.queries ++ operators.Finance.queries ++ operators.RangeJoin.queries ++ lake.LakeOps.queries ++
-      text.TextAnalysis.queries ++ text.GopherRules.queries ++ text.Packing.queries ++ text.Retrieval.queries ++
+      text.TextAnalysis.queries ++ text.GopherRules.queries ++ text.Packing.queries ++ text.Retrieval.queries ++ text.CorpusPrep.queries ++
       dedup.Dedup.queries ++ ann.Ann.queries ++
       multimodal.Multimodal.queries ++ streaming.Streaming.queries ++
       quality.DataQuality.queries ++ sources.Catalog.queries ++ sources.PersistentCatalog.queries ++ endpoint.SqlEndpoint.queries
