@@ -142,6 +142,37 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Row-level DELETE, MERGE-ON-READ (Iceberg v2 positional deletes —
+    * what the reference's table layer does through
+    * etc/catalog/iceberg.properties): the same DELETE as [[deleteRows]]
+    * but via SnapshotTable.deleteWhereMor — the commit writes ONE small
+    * positional-delete file and re-references every data file verbatim
+    * (asserted in-entry), instead of copy-on-write rewriting each
+    * touched file. Same oracle as lake_delete: the two delete paths
+    * must be result-identical; write amplification O(1) vs O(touched)
+    * is pinned by MorDeleteSpec.
+    */
+  def deleteRowsMor(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_delete_mor")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    val before = SnapshotTable.dataFiles(s, root, 1).toSet
+    SnapshotTable.deleteWhereMor(s, root, col("event_type") === "click")
+    require(SnapshotTable.dataFiles(s, root, 2).toSet == before,
+      "merge-on-read delete must not add or rewrite data files")
+    require(SnapshotTable.deleteFiles(s, root, 2).nonEmpty,
+      "merge-on-read delete must reference a positional delete file")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val deleteRowsMorOracle: String = deleteRowsOracle
+
+  // ---------------------------------------------------------------
   /** Row-level UPDATE (copy-on-write, shared planner with DELETE):
     * errors get their value zeroed and are re-tagged 'error_voided'.
     * Only files containing error rows rewrite; the oracle recomputes
@@ -1256,6 +1287,7 @@ object LakeOps {
     Q("lake_snapshot_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelOracle)),
     Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
+    Q("lake_delete_mor", deleteRowsMor, Some(deleteRowsMorOracle)),
     Q("lake_update", updateRows, Some(updateRowsOracle)),
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
     Q("lake_stats_skipping", statsSkipping, Some(statsSkippingOracle)),

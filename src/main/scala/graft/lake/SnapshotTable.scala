@@ -178,18 +178,44 @@ object SnapshotTable {
   private def filesAt(s: SparkSession, root: String, stem: String): Seq[String] =
     manifestLinesAt(s, root, stem).filterNot(_.startsWith("#")).map(_.split('\t').head)
 
+  // ----- merge-on-read positional deletes ---------------------------
+  //
+  // Iceberg v2-style row-level deletes: a manifest line annotated
+  // `_kind=posdelete` references a POSITIONAL DELETE file — parquet
+  // rows of (file_path, pos) naming suppressed rows of live data
+  // files by (file, row ordinal). A MoR DELETE commit writes O(Δ)
+  // delete rows and re-references every data file verbatim; the read
+  // side anti-joins the (tiny, broadcast) delete set against
+  // `_metadata.file_path` / `_metadata.row_index`. This is the
+  // trickle-delete path (GDPR erasure at 100 TB): copy-on-write
+  // [[deleteWhere]] rewrites every touched file for a 1-row delete,
+  // merge-on-read writes one small file. [[compactDeletes]] folds
+  // accumulated deletes back into rewritten data files.
+
+  private[lake] val DeleteKindAnnot = "_kind=posdelete"
+
+  private def isDeleteLine(l: String): Boolean =
+    l.split('\t').drop(1).contains(DeleteKindAnnot)
+
   /** Data files visible at a version (metadata header lines excluded,
-    * per-file partition annotations stripped).
+    * positional delete files and per-file annotations stripped).
     */
   def dataFiles(s: SparkSession, root: String, version: Int): Seq[String] =
-    manifestLines(s, root, version).filterNot(_.startsWith("#")).map(_.split('\t').head)
+    manifestLines(s, root, version).filterNot(_.startsWith("#"))
+      .filterNot(isDeleteLine).map(_.split('\t').head)
+
+  /** Positional delete files visible at a version. */
+  def deleteFiles(s: SparkSession, root: String, version: Int): Seq[String] =
+    manifestLines(s, root, version).filterNot(_.startsWith("#"))
+      .filter(isDeleteLine).map(_.split('\t').head)
 
   /** Data files with their manifest-recorded partition values —
     * Iceberg-style: partition values live in table metadata, NOT in
     * the file content, which is what makes the partitioning hidden.
     */
   def dataFilesWithPartitions(s: SparkSession, root: String, version: Int): Seq[(String, Map[String, String])] =
-    manifestLines(s, root, version).filterNot(_.startsWith("#")).map { line =>
+    manifestLines(s, root, version).filterNot(_.startsWith("#"))
+      .filterNot(isDeleteLine).map { line =>
       val parts = line.split('\t')
       val annots = parts.drop(1).flatMap { a =>
         a.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
@@ -248,18 +274,48 @@ object SnapshotTable {
     * files.
     */
   def recordCount(s: SparkSession, root: String, version: Int): Long = {
-    val parsed = manifestLines(s, root, version)
-      .filterNot(_.startsWith("#"))
-      .map { l =>
-        val parts = l.split('\t')
-        parts.head -> parts.tail.collectFirst {
-          case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
-        }
+    val lines = manifestLines(s, root, version).filterNot(_.startsWith("#"))
+    def rowsOf(l: String): Option[Long] = l.split('\t').tail.collectFirst {
+      case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
+    }
+    def total(ls: Seq[String]): Long = {
+      val known = ls.flatMap(rowsOf).sum
+      val unknown = ls.filter(rowsOf(_).isEmpty).map(_.split('\t').head)
+      if (unknown.isEmpty) known else known + s.read.parquet(unknown: _*).count()
+    }
+    // each positional delete row suppresses exactly one live data row
+    // (deleteWhereMor plans against the already-delete-filtered view,
+    // so positions never duplicate) — net them out, still metadata-only
+    val (del, data) = lines.partition(isDeleteLine)
+    total(data) - total(del)
+  }
+
+  /** Anti-join a read against a version's positional delete files.
+    * The delete set is O(deleted rows) and broadcast; row identity is
+    * the scan's own (`_metadata.file_path`, `_metadata.row_index`), so
+    * both sides of the comparison come from the same source and can
+    * never drift in spelling. With no deletes (and no id columns
+    * requested) the input plan is returned untouched — non-MoR tables
+    * keep their exact pre-MoR plans.
+    */
+  private def applyDeletes(
+      s: SparkSession, raw: DataFrame, deletes: Seq[String],
+      keepRowId: Boolean = false): DataFrame = {
+    if (deletes.isEmpty && !keepRowId) return raw
+    val withId = raw
+      .withColumn("_graft_fp", col("_metadata.file_path"))
+      .withColumn("_graft_pos", col("_metadata.row_index"))
+    val live =
+      if (deletes.isEmpty) withId
+      else {
+        val d = org.apache.spark.sql.functions.broadcast(
+          s.read.parquet(deletes: _*).select(
+            col("file_path").as("_graft_del_fp"), col("pos").as("_graft_del_pos")))
+        withId.join(d,
+          col("_graft_fp") === col("_graft_del_fp") &&
+            col("_graft_pos") === col("_graft_del_pos"), "left_anti")
       }
-    val known = parsed.collect { case (_, Some(n)) => n }.sum
-    val unknown = parsed.collect { case (f, None) => f }
-    if (unknown.isEmpty) known
-    else known + s.read.parquet(unknown: _*).count()
+    if (keepRowId) live else live.drop("_graft_fp", "_graft_pos")
   }
 
   /** Commit a new version. `append=true` keeps prior files visible;
@@ -513,6 +569,114 @@ object SnapshotTable {
       }
     }
 
+  /** Row-level DELETE, MERGE-ON-READ Iceberg v2-style: instead of
+    * rewriting every file that contains a matching row (copy-on-write
+    * [[deleteWhere]] — O(touched files) write amplification), write a
+    * POSITIONAL DELETE file naming the matched (file_path, row
+    * ordinal) pairs and re-reference every data file verbatim. The
+    * commit writes O(matched rows) bytes — at 100 TB with trickle
+    * deletes (GDPR erasure) this is the difference between a
+    * megabyte and rewriting terabytes. Reads anti-join the broadcast
+    * delete set; [[compactDeletes]] is the scheduled major compaction
+    * that folds deletes back into data files. Planning runs against
+    * the already-delete-filtered view, so re-deleting a dead row is a
+    * no-op and positions never duplicate.
+    *
+    * SQL DELETE semantics ([[deleteWhere]] parity): TRUE rows go,
+    * NULL-predicate rows stay. Time travel preserved — old versions
+    * read the pre-delete content. Returns the new version (unchanged
+    * current version when nothing matched). Wide deletes (a predicate
+    * matching a large fraction of the table) should prefer the CoW
+    * path: MoR read cost grows with the accumulated delete set.
+    */
+  def deleteWhereMor(s: SparkSession, root: String, predicate: Column): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val files = dataFiles(s, root, cur)
+    val dels = deleteFiles(s, root, cur)
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    val v = cur + 1
+    // row identity pinned BEFORE the logical view (the view renames/
+    // casts but row positions are the scan's); predicate evaluates
+    // against logical columns with the predicate pushed to parquet
+    val live = applyDeletes(s, s.read.parquet(files: _*), dels, keepRowId = true)
+    val matches = logicalView(live, mapping, types)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
+      // repartition, not coalesce: coalesce(1) would collapse the
+      // whole predicate scan into one task — only the Δ rows shuffle
+      .repartition(1)
+    val delDir = s"$root/deletes/v$v"
+    matches.write.mode("overwrite").parquet(delDir)
+    val delPath = new Path(delDir)
+    val fs = fsOf(s, delPath)
+    val written = fs.listStatus(delPath).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    val delLines = annotateRows(s, written.map(f => s"$f\t$DeleteKindAnnot"))
+    val nDeleted = delLines.map { l =>
+      l.split('\t').collectFirst {
+        case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
+      }.getOrElse(0L)
+    }.sum
+    if (nDeleted == 0) { fs.delete(delPath, true); return cur }
+    val newRef = Seq(writeFragment(s, root, s"v$v-del", delLines))
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) ++
+        Map("op" -> "delete_mor", "delete_rows" -> nDeleted.toString),
+      listBody(s, root, s"v$cur") ++ newRef)
+    v
+  }
+
+  /** Major compaction of merge-on-read deletes (Iceberg
+    * `rewrite_position_delete_files` taken to completion): rewrite
+    * ONLY the data files that have pending positional deletes — minus
+    * their deleted rows — and drop every delete entry from the new
+    * manifest. Untouched fragments keep their refs verbatim, so
+    * metadata I/O is O(touched fragments). Read-back content is
+    * unchanged (spec-pinned); what changes is that subsequent reads
+    * pay zero anti-join cost. Time travel preserved.
+    */
+  def compactDeletes(s: SparkSession, root: String): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val dels = deleteFiles(s, root, cur)
+    if (dels.isEmpty) return cur
+    def norm(p: String) = canon(s, p)
+    val affected = s.read.parquet(dels: _*).select("file_path")
+      .distinct().collect().map(r => norm(r.getString(0))).toSet
+    val files = dataFiles(s, root, cur)
+    val touched = files.filter(f => affected.contains(norm(f)))
+    val v = cur + 1
+    // physical rewrite (no logical view): column names/types in the
+    // new files match the old bytes exactly, renames/widens stay
+    // metadata-only
+    val survivorsDf = applyDeletes(s, s.read.parquet(touched: _*), dels)
+    val newFiles = annotateRows(s, writeDataFiles(s, root, v, survivorsDf))
+    def gone(line: String) =
+      isDeleteLine(line) || affected.contains(norm(line.split('\t').head))
+    val keptRefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
+    listBody(s, root, s"v$cur").foreach { l =>
+      if (l.startsWith(RefPrefix)) {
+        val lines = readSmallFile(s, new Path(l.drop(1)))
+        if (lines.exists(gone)) survivors ++= lines.filterNot(gone)
+        else keptRefs += l
+      } else if (!gone(l)) survivors += l
+    }
+    val survivorRef =
+      if (survivors.isEmpty) Seq.empty
+      else Seq(writeFragment(s, root, s"v$v-keep", survivors.toSeq))
+    val newRef =
+      if (newFiles.isEmpty) Seq.empty
+      else Seq(writeFragment(s, root, s"v$v", newFiles))
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) ++
+        Map("op" -> "compact_deletes", "rewrote" -> touched.size.toString),
+      keptRefs.toSeq ++ survivorRef ++ newRef)
+    v
+  }
+
   /** Shared copy-on-write planner: find the data files that actually
     * contain predicate-matching rows (via `_metadata.file_path`, a
     * predicate-pushed metadata-scale scan), rewrite ONLY those through
@@ -524,14 +688,17 @@ object SnapshotTable {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
     val files = dataFiles(s, root, cur)
+    val dels = deleteFiles(s, root, cur)
     val mapping = columnMapping(s, root, cur)
     val types = columnTypes(s, root, cur)
     def norm(p: String) = canon(s, p)
     // predicate is written against the LOGICAL schema; pin the file
-    // path first, then apply the logical view over it
+    // path first, then apply the logical view over it. Pending MoR
+    // deletes are applied so a CoW rewrite can never resurrect a
+    // merge-on-read-deleted row into a rewritten file.
     def viewWithFile(paths: Seq[String]) = logicalView(
-      s.read.parquet(paths: _*)
-        .select(col("_metadata.file_path").as("_graft_file"), col("*")),
+      applyDeletes(s, s.read.parquet(paths: _*), dels, keepRowId = true)
+        .withColumnRenamed("_graft_fp", "_graft_file").drop("_graft_pos"),
       mapping, types)
     val affected = viewWithFile(files)
       .filter(predicate)
@@ -642,8 +809,10 @@ object SnapshotTable {
     val entries = dataFilesWithPartitions(s, root, v)
     val mapping = columnMapping(s, root, v)
     val types = columnTypes(s, root, v)
+    val dels = deleteFiles(s, root, v)
     def view(files: Seq[String]) =
-      logicalView(s.read.parquet(files: _*), mapping, types).filter(predicate)
+      logicalView(applyDeletes(s, s.read.parquet(files: _*), dels),
+        mapping, types).filter(predicate)
     val full = view(entries.map(_._1))
     // pattern-match the ANALYZED filter condition (the unresolved
     // Column wraps lazy ColumnNodes in Spark 4) — resolved
@@ -741,10 +910,12 @@ object SnapshotTable {
     // branch heads keep their referenced files live — a branch created
     // from an expired main version must stay readable until published
     // or dropped
+    // filesAt includes positional delete files — deletes referenced by
+    // a live version must survive, expired-only ones are reclaimed
     val branchStems = branches(s, root).values.toSeq
     val branchLive = branchStems.flatMap(stem => filesAt(s, root, stem)).toSet
-    val liveFiles = live.flatMap(v => dataFiles(s, root, v)).toSet ++ branchLive
-    val orphaned = expired.flatMap(v => dataFiles(s, root, v)).distinct
+    val liveFiles = live.flatMap(v => filesAt(s, root, s"v$v")).toSet ++ branchLive
+    val orphaned = expired.flatMap(v => filesAt(s, root, s"v$v")).distinct
       .filterNot(liveFiles.contains)
     // fragments referenced only by expired versions are reclaimed too
     // — manifest metadata must not outgrow the data it describes
@@ -1018,12 +1189,17 @@ object SnapshotTable {
     n
   }
 
-  /** Read a branch's current state (staged + inherited data). */
+  /** Read a branch's current state (staged + inherited data,
+    * inherited merge-on-read deletes applied).
+    */
   def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
     val stem = branchHead(s, root, name)
     val header = headerAt(s, root, stem)
-    readWithSchema(s, filesAt(s, root, stem),
-      parsePairs(header.get(ColMapKey)), parsePairs(header.get(ColTypesKey)))
+    val (del, data) = manifestLinesAt(s, root, stem)
+      .filterNot(_.startsWith("#")).partition(isDeleteLine)
+    readWithSchema(s, data.map(_.split('\t').head),
+      parsePairs(header.get(ColMapKey)), parsePairs(header.get(ColTypesKey)),
+      deletes = del.map(_.split('\t').head))
   }
 
   /** PUBLISH: fast-forward main to the branch head. Zero-copy — the
@@ -1172,13 +1348,19 @@ object SnapshotTable {
 
   private def readFiles(
       s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame =
+    readFilesWith(s, root, v, files, deleteFiles(s, root, v))
+
+  private def readFilesWith(
+      s: SparkSession, root: String, v: Int, files: Seq[String],
+      deletes: Seq[String]): DataFrame =
     readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v),
-      Map(ScanRootKey -> root, ScanVersionKey -> v.toString))
+      Map(ScanRootKey -> root, ScanVersionKey -> v.toString), deletes)
 
   private def readWithSchema(
       s: SparkSession, files: Seq[String],
       mapping: Map[String, String], types: Map[String, String],
-      tags: Map[String, String] = Map.empty): DataFrame = {
+      tags: Map[String, String] = Map.empty,
+      deletes: Seq[String] = Seq.empty): DataFrame = {
     val raw =
       if (types.isEmpty) s.read.options(tags).parquet(files: _*)
       else {
@@ -1195,7 +1377,7 @@ object SnapshotTable {
         })
         s.read.schema(widened).options(tags).parquet(files: _*)
       }
-    logicalView(raw, mapping, types)
+    logicalView(applyDeletes(s, raw, deletes), mapping, types)
   }
 
   /** CDF-style row changes between two versions, Delta-CDF semantics
@@ -1220,17 +1402,33 @@ object SnapshotTable {
     val toSet = toFiles.map(norm).toSet
     val added = toFiles.filterNot(f => fromSet.contains(norm(f)))
     val removed = fromFiles.filterNot(f => toSet.contains(norm(f)))
+    // merge-on-read deletes change rows WITHOUT changing data files:
+    // data files referenced by delete files new since fromV are read
+    // on both sides (before under fromV's delete set, after under
+    // toV's) so the suppressed rows net out as 'delete' — still
+    // O(affected files), never O(table)
+    val delFromFiles = if (fromV == 0) Seq.empty[String] else deleteFiles(s, root, fromV)
+    val delToFiles = deleteFiles(s, root, toV)
+    val delFromSet = delFromFiles.map(norm).toSet
+    val delAdded = delToFiles.filterNot(f => delFromSet.contains(norm(f)))
+    val affected =
+      if (delAdded.isEmpty) Seq.empty[String]
+      else {
+        val hit = s.read.parquet(delAdded: _*).select("file_path")
+          .distinct().collect().map(r => norm(r.getString(0))).toSet
+        toFiles.filter(f => fromSet.contains(norm(f)) && hit.contains(norm(f)))
+      }
     // empty-side frames need the to-version schema; derive it cheaply
     // from the other side (at least one side is non-empty unless the
     // versions are file-identical)
-    def readOr(files: Seq[String], other: Seq[String]): DataFrame =
-      if (files.nonEmpty) readFiles(s, root, toV, files)
-      else readFiles(s, root, toV, other).limit(0)
-    if (added.isEmpty && removed.isEmpty)
+    def readOr(files: Seq[String], deletes: Seq[String], other: Seq[String]): DataFrame =
+      if (files.nonEmpty) readFilesWith(s, root, toV, files, deletes)
+      else readFilesWith(s, root, toV, other, Seq.empty).limit(0)
+    if (added.isEmpty && removed.isEmpty && affected.isEmpty)
       return read(s, root, toV).limit(0)
         .withColumn("change_type", lit(""))
-    val after = readOr(added, removed)
-    val before = readOr(removed, added)
+    val after = readOr(added ++ affected, delToFiles, removed)
+    val before = readOr(removed ++ affected, delFromFiles, added)
     after.exceptAll(before).withColumn("change_type", lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("change_type", lit("delete")))
