@@ -45,14 +45,14 @@ object Bench {
     "stream_stream_join", "lake_replica_sync", "endpoint_sql_agg")
 
   def buildLine(results: Seq[(String, Double)], reps: Int, sfDir: String,
-                budget: Int = 1800): String = {
+                budget: Int = 1800, errors: Int = 0): String = {
     val byName = results.toMap
     val tpch = results.map(_._1).filter(_.matches("q\\d\\d_.*")).sorted
     val picks = (tpch ++ flagships.filter(byName.contains)).distinct
     val total = results.map(_._2).sum
     def line(names: Seq[String]): String = {
       val qs = names.map(n => "\"" + n + "\":" + fmt(byName(n))).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nq":${results.size},"queries":$qs,"full":"bench_full.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nq":${results.size},"errors":$errors,"queries":$qs,"full":"bench_full.json","sf":"$sfDir"}"""
     }
     // Trim lowest-priority flagships if ever over the driver's window.
     var names = picks
@@ -86,24 +86,54 @@ object Bench {
     // optional dev filter: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the
     // swept queries (unset → full registry, the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A query whose plan throws must surface as an ERROR, never as a
+    // fake sub-second "time to throw" (the round-8 sweep recorded 85
+    // broken entries at 0.06 s each and the committed artifact looked
+    // like a 2× speedup). First failing rep marks the query errored
+    // and skips its remaining reps.
+    val swept = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val median = times(times.length / 2)
-      (name, median, times.last - times.head)
-    }
+        var err: Option[String] = None
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var rep = 0
+        while (rep < reps && err.isEmpty) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times += (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("\\s+", " ").take(200))
+          }
+          rep += 1
+        }
+        err match {
+          case Some(m) =>
+            System.err.println(s"[graft-bench] $name FAILED: $m")
+            (name, Left(m): Either[String, (Double, Double)])
+          case None =>
+            val sortedT = times.sorted
+            (name, Right((sortedT(sortedT.length / 2), sortedT.last - sortedT.head))
+              : Either[String, (Double, Double)])
+        }
+      }
+    val results = swept.collect { case (k, Right((m, s))) => (k, m, s) }
+    val failed = swept.collect { case (k, Left(m)) => (k, m) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":${failed.size},"queries":$qs,"spread":$spreads,"errored":$errs,"sf":"$sfDir"}"""
     // detail artifact lands in the launch cwd by default (portable),
     // SPARK_GRAFT_OUT_DIR overrides; an I/O failure there must never
     // eat the summary line
@@ -112,7 +142,10 @@ object Bench {
     try Files.write(fullPath, full.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[graft-bench] could not write $fullPath: $e") }
-    println(buildLine(results.map(r => (r._1, r._2)), reps, sfDir))
+    println(buildLine(results.map(r => (r._1, r._2)), reps, sfDir,
+      errors = failed.size))
     spark.stop()
+    // A sweep with failures must be visible in the exit code too.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

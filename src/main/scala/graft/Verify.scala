@@ -19,15 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = 0
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failures > 0)
+      System.err.println(s"[verify] $failures quer${if (failures == 1) "y" else "ies"} FAILED (absent from $outDir → driver records them as failing)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

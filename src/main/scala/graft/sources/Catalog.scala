@@ -25,17 +25,20 @@ object Catalog {
     */
   def register(s: SparkSession, dir: String): Unit = {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $DB")
-    // events.parquet is TIMESTAMP(NANOS): expose a view rebuilding a
-    // proper TimestampType (values are µs-precision — lossless), so
+    // events.parquet's physical ts layout varies by driver run (nanos
+    // or micros): expose a view rebuilding a proper TimestampType, so
     // `graft.events` shows the same schema a DuckDB/Trino user sees.
+    // The expression must match what the raw file loads as — same
+    // normalization contract as Tables.load.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.all.filterNot(_ == "events").foreach { n =>
       s.sql(s"DROP TABLE IF EXISTS $DB.$n")
       s.catalog.createTable(s"$DB.$n", "parquet", Map("path" -> s"$dir/$n.parquet"))
     }
+    val rawTs = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     s.sql(
       s"""CREATE OR REPLACE VIEW $DB.events AS
-         |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+         |SELECT event_id, ${Tables.eventsTsSql(rawTs)} AS ts,
          |       user_id, event_type, value, props
          |FROM parquet.`$dir/events.parquet`""".stripMargin)
   }

@@ -17,15 +17,40 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver writes `events.ts` as parquet TIMESTAMP(NANOS), which
-    // vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    // and rebuild a proper TimestampType (values are µs-precision, so
-    // the ns→µs truncation is lossless).
+    // Driver runs have written `events.ts` under several physical
+    // layouts over time: parquet TIMESTAMP(NANOS) (which vanilla Spark
+    // rejects unless nanosAsLong surfaces it as a long of nanos) and
+    // TIMESTAMP(MICROS) (read natively as Timestamp or TimestampNTZ
+    // depending on isAdjustedToUTC). Branch on the type actually
+    // loaded so any of them normalizes to the same µs-precision
+    // session-TZ TimestampType column — the loader contract every
+    // downstream query and oracle assumes (pinned by TablesLoadSpec).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** SQL expression normalizing a raw `ts` column of the given loaded
+    * type to µs TimestampType (for SQL-text paths like the catalog
+    * view — must stay in lockstep with [[normalizeEventsTs]]).
+    */
+  def eventsTsSql(raw: org.apache.spark.sql.types.DataType): String = raw match {
+    case org.apache.spark.sql.types.LongType      => "timestamp_micros(ts div 1000)"
+    case org.apache.spark.sql.types.TimestampType => "ts"
+    case _                                        => "CAST(ts AS TIMESTAMP)"
+  }
+
+  /** Normalize an events frame's `ts` to µs TimestampType whatever the
+    * physical layout loaded as (long-of-nanos under nanosAsLong,
+    * TimestampNTZ from unadjusted TIMESTAMP(MICROS), or native
+    * Timestamp).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case t => df.withColumn("ts", expr(eventsTsSql(t)))
+    }
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */

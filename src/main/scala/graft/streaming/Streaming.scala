@@ -201,15 +201,16 @@ object Streaming {
       java.nio.file.Files.move(mtmp, marker,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    // same ns→µs timestamp rebuild as Tables.load: the streaming
-    // source must be given the RAW file schema (ts as long under
-    // nanosAsLong), with the TimestampType recovered in the plan
+    // same ts normalization as Tables.load: the streaming source must
+    // be given the RAW file schema (whatever physical layout the
+    // driver wrote — long-of-nanos under nanosAsLong, or µs
+    // timestamps), with the TimestampType recovered in the plan
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream
-      .schema(raw)
-      .parquet(ingest.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventsTs(
+      s.readStream
+        .schema(raw)
+        .parquet(ingest.toString))
   }
 
   /** Run a streaming plan to completion (AvailableNow) into a memory

@@ -25,6 +25,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(s""""nq":${names.size}"""))
   }
 
+  test("bench line surfaces the error count (failures must never look like speedups)") {
+    val results = Seq(("q01_a", 1.0))
+    val clean = Bench.buildLine(results, reps = 3, sfDir = "/tmp/sf")
+    assert(clean.contains(""""errors":0"""))
+    val broken = Bench.buildLine(results, reps = 3, sfDir = "/tmp/sf", errors = 85)
+    assert(broken.contains(""""errors":85"""))
+  }
+
   test("bench line is valid JSON shape (balanced braces, quoted keys)") {
     val results = Seq(("q01_a", 1.0), ("q_x", 0.25))
     val line = Bench.buildLine(results, reps = 3, sfDir = "/tmp/sf")
