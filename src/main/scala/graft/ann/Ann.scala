@@ -919,12 +919,19 @@ object Ann {
     val root = s"/tmp/graft_ann_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/ivf_inc"
     val listRoot = s"$root/lists"
     val fp = "inc|" + IvfIndex.fingerprint(dir)
+    // NonFatal, not just IllegalStateException: a rebuild that crashed
+    // between buildAt's drops can leave lists at v2 with centroids
+    // absent, where commitMeta throws FileNotFoundException from
+    // fs.open — ANY unreadable stored index must mean "stale, rebuild"
+    // rather than failing the entry. The centroids currentVersion
+    // guard avoids even attempting commitMeta on a missing table.
     val fresh = try {
       SnapshotTable.currentVersion(s, listRoot) == 2 &&
+        SnapshotTable.currentVersion(s, s"$root/centroids") > 0 &&
         SnapshotTable.commitMeta(s, s"$root/centroids",
             SnapshotTable.currentVersion(s, s"$root/centroids"))
           .get("corpus_fp").contains(fp)
-    } catch { case _: IllegalStateException => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
     if (!fresh) {
       IvfIndex.buildAt(s, root, corpus.filter(col("vec_id") % 2 === 0),
         nLists = 16, lloydIters = 2, meta = Map("corpus_fp" -> fp))

@@ -173,6 +173,36 @@ object LakeOps {
   val deleteRowsMorOracle: String = deleteRowsOracle
 
   // ---------------------------------------------------------------
+  /** Row-level UPDATE, MERGE-ON-READ (Iceberg v2 delete-plus-insert
+    * encoding): the same UPDATE as [[updateRows]] but via
+    * SnapshotTable.updateWhereMor — one commit writes a small
+    * positional-delete file for the old rows plus replacement data
+    * files, re-referencing every pre-existing data file verbatim
+    * (asserted in-entry; write amplification pinned by MorDeleteSpec
+    * (f)). Same oracle as lake_update: the two update paths must be
+    * result-identical.
+    */
+  def updateRowsMor(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_update_mor")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    val before = SnapshotTable.dataFiles(s, root, 1).toSet
+    SnapshotTable.updateWhereMor(s, root, col("event_type") === "error",
+      Map("value" -> lit(0.0), "event_type" -> lit("error_voided")))
+    val after = SnapshotTable.dataFiles(s, root, 2).toSet
+    require(before.subsetOf(after),
+      "merge-on-read update must re-reference every existing data file")
+    require(SnapshotTable.deleteFiles(s, root, 2).nonEmpty,
+      "merge-on-read update must reference a positional delete file")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
   /** Row-level UPDATE (copy-on-write, shared planner with DELETE):
     * errors get their value zeroed and are re-tagged 'error_voided'.
     * Only files containing error rows rewrite; the oracle recomputes
@@ -197,6 +227,10 @@ object LakeOps {
        | COUNT(*) AS n,
        | ${sqlSumMoney("CASE WHEN event_type = 'error' THEN 0.0 ELSE value END", "total_value")}
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // same oracle as lake_update — the MoR and CoW update paths must be
+  // result-identical (defined after updateRowsOracle: object-init order)
+  val updateRowsMorOracle: String = updateRowsOracle
 
   // ---------------------------------------------------------------
   /** Min/max stats skipping: the events are committed range-sorted on
@@ -354,13 +388,18 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Composed table maintenance — the nightly job every lake runs:
-    * small-file appends accumulate (3 commits × 8 files), an
-    * OPTIMIZE-style overwrite commit rewrites the table compacted
-    * (old files stay readable for time travel), then expire() drops
-    * the pre-compaction versions and physically deletes their orphan
-    * files. Asserts files shrank and history was reclaimed; the
-    * oracle proves three ops composed lost nothing.
+  /** Composed table maintenance — the nightly job every lake runs,
+    * WITH merge-on-read deletes in the loop: small-file appends
+    * accumulate (3 commits × 8 files), GDPR-style MoR deletes land as
+    * positional delete files, then the delete-aware policy
+    * ([[SnapshotTable.compactDeletesIfNeeded]]) folds them in ONLY
+    * where a file's pending-delete ratio exceeds the threshold —
+    * clicks are a fat slice of every file so the wide delete
+    * triggers, while a later 1-row trickle delete stays merge-on-read
+    * (no needless rewrite). An OPTIMIZE-style overwrite commit then
+    * rewrites the table compacted, and expire() drops pre-compaction
+    * versions, reclaiming their orphan data AND delete files. The
+    * oracle proves the composed chain lost nothing.
     */
   def maintenance(s: SparkSession, dir: String): DataFrame = {
     val root = scratch(dir, "snap_maint")
@@ -371,15 +410,37 @@ object LakeOps {
       SnapshotTable.commit(s, root,
         ev.filter(col("bucket") === b).drop("bucket").repartition(8))
     }
-    val before = SnapshotTable.dataFiles(s, root, 3).size
+    // v4: wide MoR delete (clicks ≈ a quarter of every file)
+    SnapshotTable.deleteWhereMor(s, root, col("event_type") === "click")
+    // v5: the ratio policy must fire and fold the deletes in
+    val v5 = SnapshotTable.compactDeletesIfNeeded(s, root, maxDeleteRatio = 0.05)
+    require(v5 == 5 && SnapshotTable.deleteFiles(s, root, v5).isEmpty,
+      "delete-compaction policy must trigger above the ratio threshold")
+    // v6: 1-row trickle delete (the lowest surviving event_id — a
+    // deterministic victim whatever the SF's type mix); below the
+    // threshold it must STAY merge-on-read
+    val victim = SnapshotTable.read(s, root).agg(min("event_id")).head.getLong(0)
+    SnapshotTable.deleteWhereMor(s, root, col("event_id") === victim)
+    val v6 = SnapshotTable.currentVersion(s, root)
+    require(SnapshotTable.compactDeletesIfNeeded(s, root, maxDeleteRatio = 0.05) == v6,
+      "a trickle delete below the ratio threshold must not trigger a rewrite")
+    val delFiles = SnapshotTable.deleteFiles(s, root, v6)
+    require(delFiles.nonEmpty, "trickle delete must still be pending")
+    val before = SnapshotTable.dataFiles(s, root, v6).size
+    // v7: OPTIMIZE — the logical read applies the pending delete, so
+    // the compacted files carry no deleted rows and no delete refs
     SnapshotTable.commit(s, root,
       SnapshotTable.read(s, root).coalesce(2), append = false,
       meta = Map("op" -> "compact"))
-    val after = SnapshotTable.dataFiles(s, root, 4).size
+    val v7 = SnapshotTable.currentVersion(s, root)
+    val after = SnapshotTable.dataFiles(s, root, v7).size
     require(after < before, s"compaction must shrink file count: $before -> $after")
+    require(SnapshotTable.deleteFiles(s, root, v7).isEmpty,
+      "optimize must leave no delete refs")
     val (expired, deleted) = SnapshotTable.expire(s, root, keepLast = 1)
-    require(expired == Seq(1, 2, 3) && deleted.size == before,
-      s"expire must reclaim all $before pre-compaction files, got ${deleted.size}")
+    require(expired == (1 until v7), s"expire must drop versions 1..${v7 - 1}, got $expired")
+    require(delFiles.forall(deleted.contains),
+      "expire must reclaim the now-unreferenced positional delete files")
     SnapshotTable.read(s, root)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
@@ -388,7 +449,9 @@ object LakeOps {
 
   val maintenanceOracle: String =
     s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
-       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM events WHERE event_type <> 'click'
+       | AND event_id <> (SELECT MIN(event_id) FROM events WHERE event_type <> 'click')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   /** Schema evolution: v1 files lack the `day` column, v2 files have
@@ -1289,6 +1352,7 @@ object LakeOps {
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
     Q("lake_delete_mor", deleteRowsMor, Some(deleteRowsMorOracle)),
     Q("lake_update", updateRows, Some(updateRowsOracle)),
+    Q("lake_update_mor", updateRowsMor, Some(updateRowsMorOracle)),
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
     Q("lake_stats_skipping", statsSkipping, Some(statsSkippingOracle)),
     Q("lake_bloom_skipping", bloomSkipping, Some(bloomSkippingOracle)),

@@ -599,14 +599,20 @@ object SnapshotTable {
     val v = cur + 1
     // row identity pinned BEFORE the logical view (the view renames/
     // casts but row positions are the scan's); predicate evaluates
-    // against logical columns with the predicate pushed to parquet
-    val live = applyDeletes(s, s.read.parquet(files: _*), dels, keepRowId = true)
+    // against logical columns with the predicate pushed to parquet.
+    // Widened-schema read: a post-widen mixed-width file set must
+    // plan, not throw.
+    val live = applyDeletes(s, rawWidenedRead(s, files, mapping, types),
+      dels, keepRowId = true)
     val matches = logicalView(live, mapping, types)
       .filter(coalesce(predicate, lit(false)))
       .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
-      // repartition, not coalesce: coalesce(1) would collapse the
-      // whole predicate scan into one task — only the Δ rows shuffle
-      .repartition(1)
+      // hash-shuffle on file_path, NOT repartition(1): only the Δ rows
+      // shuffle, and AQE's partition coalescing collapses a trickle
+      // delete to one small file while a wide delete spreads across
+      // tasks instead of choking one writer (wide deletes should still
+      // prefer CoW — read cost, not write cost, is their problem)
+      .repartition(col("file_path"))
     val delDir = s"$root/deletes/v$v"
     matches.write.mode("overwrite").parquet(delDir)
     val delPath = new Path(delDir)
@@ -626,6 +632,81 @@ object SnapshotTable {
         Map("op" -> "delete_mor", "delete_rows" -> nDeleted.toString),
       listBody(s, root, s"v$cur") ++ newRef)
     v
+  }
+
+  /** Row-level UPDATE, MERGE-ON-READ: positional-delete the matched
+    * rows AND append their updated replacements in ONE commit —
+    * Iceberg v2's delete-plus-insert UPDATE encoding, completing the
+    * v2 row-level write surface next to [[deleteWhereMor]]. The
+    * commit writes O(matched rows) bytes (one small positional-delete
+    * file plus replacement data files) and re-references every
+    * existing data file verbatim — copy-on-write [[updateWhere]]
+    * rewrites whole touched files, which at 100 TB turns a
+    * GDPR-trickle UPDATE into terabytes of rewrite. recordCount is
+    * net-unchanged (+Δ replacements −Δ delete rows); reads see the
+    * replacement rows and anti-join away the originals;
+    * [[compactDeletes]] folds the delete side back in.
+    *
+    * SQL UPDATE semantics ([[updateWhere]] parity): TRUE rows update,
+    * NULL-predicate rows keep their values; assignments cast to the
+    * column's existing logical type so the schema never drifts. Time
+    * travel preserved. Returns the new version (unchanged when
+    * nothing matched). Wide updates should prefer the CoW path — MoR
+    * read cost grows with the accumulated delete set.
+    */
+  def updateWhereMor(
+      s: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column]): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val files = dataFiles(s, root, cur)
+    val dels = deleteFiles(s, root, cur)
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    val v = cur + 1
+    // row identity pinned pre-logical-view, predicate on logical
+    // columns, planning against the delete-filtered view (re-updating
+    // a dead row is a no-op, positions never duplicate) — the same
+    // planning pass as deleteWhereMor
+    val live = applyDeletes(s, rawWidenedRead(s, files, mapping, types),
+      dels, keepRowId = true)
+    val matched = logicalView(live, mapping, types)
+      .filter(coalesce(predicate, lit(false)))
+      .persist() // two consumers: the position write and the replacement write
+    try {
+      val delDir = s"$root/deletes/v$v"
+      matched
+        .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
+        .repartition(col("file_path"))
+        .write.mode("overwrite").parquet(delDir)
+      val delPath = new Path(delDir)
+      val fs = fsOf(s, delPath)
+      val written = fs.listStatus(delPath).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+      val delLines = annotateRows(s, written.map(f => s"$f\t$DeleteKindAnnot"))
+      val nUpdated = delLines.map { l =>
+        l.split('\t').collectFirst {
+          case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
+        }.getOrElse(0L)
+      }.sum
+      if (nUpdated == 0) { fs.delete(delPath, true); return cur }
+      val replacements = toPhysical(
+        set.foldLeft(matched) { case (d, (name, value)) =>
+          require(d.columns.contains(name), s"unknown SET column $name")
+          d.withColumn(name, value.cast(d.schema(name).dataType))
+        }.drop("_graft_fp", "_graft_pos"),
+        mapping)
+      val newFiles = annotateRows(s, writeDataFiles(s, root, v, replacements))
+      val delRef = Seq(writeFragment(s, root, s"v$v-del", delLines))
+      val dataRef =
+        if (newFiles.isEmpty) Seq.empty
+        else Seq(writeFragment(s, root, s"v$v", newFiles))
+      writeManifestAtomic(s, root, v,
+        schemaMeta(s, root, cur) ++
+          Map("op" -> "update_mor", "delete_rows" -> nUpdated.toString),
+        listBody(s, root, s"v$cur") ++ delRef ++ dataRef)
+      v
+    } finally { matched.unpersist(); () }
   }
 
   /** Major compaction of merge-on-read deletes (Iceberg
@@ -648,10 +729,15 @@ object SnapshotTable {
     val files = dataFiles(s, root, cur)
     val touched = files.filter(f => affected.contains(norm(f)))
     val v = cur + 1
-    // physical rewrite (no logical view): column names/types in the
-    // new files match the old bytes exactly, renames/widens stay
-    // metadata-only
-    val survivorsDf = applyDeletes(s, s.read.parquet(touched: _*), dels)
+    // physical rewrite (no logical view): column NAMES in the new
+    // files match the old bytes (renames stay metadata-only), and the
+    // scan goes through the widened-schema read so a post-widen
+    // mixed-width file set (int32 pre-widen + int64 post-widen) reads
+    // as one type — new files land at the current widened physical
+    // width, same as any post-widen commit writes
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    val survivorsDf = applyDeletes(s, rawWidenedRead(s, touched, mapping, types), dels)
     val newFiles = annotateRows(s, writeDataFiles(s, root, v, survivorsDf))
     def gone(line: String) =
       isDeleteLine(line) || affected.contains(norm(line.split('\t').head))
@@ -675,6 +761,39 @@ object SnapshotTable {
         Map("op" -> "compact_deletes", "rewrote" -> touched.size.toString),
       keptRefs.toSeq ++ survivorRef ++ newRef)
     v
+  }
+
+  /** Delete-aware maintenance policy (the WHEN for [[compactDeletes]]
+    * — Iceberg's `rewrite_position_delete_files` trigger): compact
+    * when any data file's pending-delete ratio exceeds
+    * `maxDeleteRatio`. The decision is cheap — per-file delete counts
+    * are an O(delete rows) scan of the (small) positional files, and
+    * per-file row counts come free from the `_rows` manifest
+    * annotations — so a nightly maintenance job can call this
+    * unconditionally: below the threshold deletes stay merge-on-read
+    * (no needless rewrite amplification), above it the read-side
+    * anti-join cost has outgrown the one-time rewrite. Returns the
+    * new version (unchanged when below threshold or no deletes).
+    */
+  def compactDeletesIfNeeded(
+      s: SparkSession, root: String, maxDeleteRatio: Double = 0.05): Int = {
+    val cur = currentVersion(s, root)
+    val dels = deleteFiles(s, root, cur)
+    if (dels.isEmpty) return cur
+    val delCounts: Map[String, Long] = s.read.parquet(dels: _*)
+      .groupBy("file_path").count().collect()
+      .map(r => canon(s, r.getString(0)) -> r.getLong(1)).toMap
+    val trigger = manifestLines(s, root, cur)
+      .filterNot(_.startsWith("#")).filterNot(isDeleteLine)
+      .exists { l =>
+        val parts = l.split('\t')
+        val rows = parts.tail.collectFirst {
+          case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
+        }
+        delCounts.get(canon(s, parts.head)).exists(d =>
+          rows.exists(r => r > 0 && d.toDouble / r > maxDeleteRatio))
+      }
+    if (trigger) compactDeletes(s, root) else cur
   }
 
   /** Shared copy-on-write planner: find the data files that actually
@@ -707,6 +826,43 @@ object SnapshotTable {
     val touched = files.filter(f => affected.contains(norm(f)))
     if (touched.isEmpty) return cur
     val v = cur + 1
+    // Pending MoR delete files that reference a rewritten data file
+    // must themselves be rewritten: the rewrite APPLIES those deletes
+    // to the new bytes, so carrying their rows forward would subtract
+    // them a second time from recordCount (the data row is already
+    // absent from the new file). Rows pointing at untouched files
+    // survive into a fresh delete file; a stale delete file whose
+    // every row is covered by the rewrite is dropped. All
+    // metadata-scale: distinct (delete file, data file) pairs.
+    val delRefPairs =
+      if (dels.isEmpty) Array.empty[(String, String)]
+      else s.read.parquet(dels: _*)
+        .select(col("_metadata.file_path").as("_del_file"), col("file_path"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    val staleDels: Set[String] = delRefPairs
+      .filter { case (_, data) => affected.contains(norm(data)) }
+      .map { case (del, _) => norm(del) }.toSet
+    val delKeepLines: Seq[String] =
+      if (staleDels.isEmpty) Seq.empty
+      else {
+        val keepRaw = delRefPairs
+          .filter { case (del, data) =>
+            staleDels.contains(norm(del)) && !affected.contains(norm(data)) }
+          .map(_._2).distinct
+        if (keepRaw.isEmpty) Seq.empty
+        else {
+          val staleFiles = dels.filter(f => staleDels.contains(norm(f)))
+          val delDir = s"$root/deletes/v$v-cow"
+          s.read.parquet(staleFiles: _*)
+            .filter(col("file_path").isin(keepRaw.toIndexedSeq: _*))
+            .repartition(1).write.mode("overwrite").parquet(delDir)
+          val delPath = new Path(delDir)
+          val written = fsOf(s, delPath).listStatus(delPath)
+            .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+          annotateRows(s, written.map(f => s"$f\t$DeleteKindAnnot"))
+        }
+      }
     // Iceberg-style partial rewrite: fragments with NO affected file
     // keep their ref line verbatim; only fragments that contain
     // affected files have their surviving lines rewritten (into one
@@ -714,7 +870,11 @@ object SnapshotTable {
     // (stats/bloom/partition/_rows annotations stay valid — the files
     // didn't change). Metadata I/O is O(touched fragments), not
     // O(table).
-    def hits(line: String) = affected.contains(norm(line.split('\t').head))
+    def hits(line: String) = {
+      val path = line.split('\t').head
+      if (isDeleteLine(line)) staleDels.contains(norm(path))
+      else affected.contains(norm(path))
+    }
     val keptRefs = scala.collection.mutable.ArrayBuffer.empty[String]
     val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
     listBody(s, root, s"v$cur").foreach { l =>
@@ -732,8 +892,8 @@ object SnapshotTable {
       mapping)
     val newFiles = annotateRows(s, writeDataFiles(s, root, v, rewritten))
     val newRef =
-      if (newFiles.isEmpty) Seq.empty
-      else Seq(writeFragment(s, root, s"v$v", newFiles))
+      if (newFiles.isEmpty && delKeepLines.isEmpty) Seq.empty
+      else Seq(writeFragment(s, root, s"v$v", newFiles ++ delKeepLines))
     writeManifestAtomic(s, root, v,
       schemaMeta(s, root, cur) ++
         Map("op" -> op, "rewrote" -> touched.size.toString),
@@ -1360,25 +1520,36 @@ object SnapshotTable {
       s: SparkSession, files: Seq[String],
       mapping: Map[String, String], types: Map[String, String],
       tags: Map[String, String] = Map.empty,
-      deletes: Seq[String] = Seq.empty): DataFrame = {
-    val raw =
-      if (types.isEmpty) s.read.options(tags).parquet(files: _*)
-      else {
-        // files written before a widen are physically narrow — hand the
-        // scan an explicit widened schema (Spark 4's parquet reader
-        // upcasts int32→bigint / float→double in place) so mixed-width
-        // file sets read as one type
-        val physTypes = types.map { case (l, t) => mapping.getOrElse(l, l) -> t }
-        val inferred = s.read.parquet(files: _*).schema
-        val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
-          physTypes.get(f.name)
-            .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
-            .getOrElse(f)
-        })
-        s.read.schema(widened).options(tags).parquet(files: _*)
-      }
-    logicalView(applyDeletes(s, raw, deletes), mapping, types)
-  }
+      deletes: Seq[String] = Seq.empty): DataFrame =
+    logicalView(
+      applyDeletes(s, rawWidenedRead(s, files, mapping, types, tags), deletes),
+      mapping, types)
+
+  /** Physical-schema scan of a file set under a version's widening
+    * metadata, NO logical view applied: files written before a widen
+    * are physically narrow, so the scan gets an explicit widened
+    * schema (Spark 4's parquet reader upcasts int32→bigint /
+    * float→double in place) and mixed-width file sets read as one
+    * type. Physical column NAMES are untouched — renames stay
+    * metadata-only. Used by both the logical read path and physical
+    * rewrites (compaction), which would otherwise fail on a
+    * post-widen mixed-width file set.
+    */
+  private def rawWidenedRead(
+      s: SparkSession, files: Seq[String],
+      mapping: Map[String, String], types: Map[String, String],
+      tags: Map[String, String] = Map.empty): DataFrame =
+    if (types.isEmpty) s.read.options(tags).parquet(files: _*)
+    else {
+      val physTypes = types.map { case (l, t) => mapping.getOrElse(l, l) -> t }
+      val inferred = s.read.parquet(files: _*).schema
+      val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
+        physTypes.get(f.name)
+          .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+          .getOrElse(f)
+      })
+      s.read.schema(widened).options(tags).parquet(files: _*)
+    }
 
   /** CDF-style row changes between two versions, Delta-CDF semantics
     * without persisted change files: `change_type` is 'insert' or
@@ -1403,18 +1574,25 @@ object SnapshotTable {
     val added = toFiles.filterNot(f => fromSet.contains(norm(f)))
     val removed = fromFiles.filterNot(f => toSet.contains(norm(f)))
     // merge-on-read deletes change rows WITHOUT changing data files:
-    // data files referenced by delete files new since fromV are read
-    // on both sides (before under fromV's delete set, after under
-    // toV's) so the suppressed rows net out as 'delete' — still
-    // O(affected files), never O(table)
+    // data files whose delete coverage DIFFERS between the versions
+    // are read on both sides (before under fromV's delete set, after
+    // under toV's) so suppressed rows net out as 'delete' — and
+    // symmetrically, delete files present at fromV but gone at toV
+    // with the data file unchanged (rollback past a MoR delete, which
+    // re-references the pre-delete body zero-copy) surface the
+    // RESURRECTED rows as 'insert'. Still O(affected files), never
+    // O(table).
     val delFromFiles = if (fromV == 0) Seq.empty[String] else deleteFiles(s, root, fromV)
     val delToFiles = deleteFiles(s, root, toV)
     val delFromSet = delFromFiles.map(norm).toSet
+    val delToSet = delToFiles.map(norm).toSet
     val delAdded = delToFiles.filterNot(f => delFromSet.contains(norm(f)))
+    val delRemoved = delFromFiles.filterNot(f => delToSet.contains(norm(f)))
+    val delChanged = delAdded ++ delRemoved
     val affected =
-      if (delAdded.isEmpty) Seq.empty[String]
+      if (delChanged.isEmpty) Seq.empty[String]
       else {
-        val hit = s.read.parquet(delAdded: _*).select("file_path")
+        val hit = s.read.parquet(delChanged: _*).select("file_path")
           .distinct().collect().map(r => norm(r.getString(0))).toSet
         toFiles.filter(f => fromSet.contains(norm(f)) && hit.contains(norm(f)))
       }
