@@ -173,6 +173,92 @@ object LakeOps {
   val deleteRowsMorOracle: String = deleteRowsOracle
 
   // ---------------------------------------------------------------
+  /** Row-level DELETE by KEY, EQUALITY-delete encoding (Iceberg v2's
+    * second delete kind, completing the v2 surface next to positional
+    * [[deleteRowsMor]]): GDPR-style user erasure — every event of
+    * every user on the erasure list is suppressed by ONE
+    * equality-delete file of user_ids, written with NO table scan
+    * (asserted in-entry: data files untouched). At 100 TB this is
+    * the only delete shape a
+    * streaming erasure queue can afford; read-side cost is one
+    * broadcast anti-join until maintenance folds it. Sequencing,
+    * compaction, and CDC are pinned by EqDeleteSpec.
+    */
+  def deleteRowsEq(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_delete_eq")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    // the erasure queue: a tenth of the user base (every user clicked
+    // at some SFs, so "users who clicked" would erase the whole table
+    // — a degenerate gate)
+    val erasureKeys = ev.filter(pmod(col("user_id"), lit(10)) === 3)
+      .select("user_id").distinct()
+    val before = SnapshotTable.dataFiles(s, root, 1).toSet
+    SnapshotTable.deleteWhereEq(s, root, Seq("user_id"), erasureKeys)
+    require(SnapshotTable.dataFiles(s, root, 2).toSet == before,
+      "equality delete must not read or rewrite data files")
+    require(SnapshotTable.eqDeleteEntries(s, root, 2).nonEmpty,
+      "equality delete must reference an equality-delete file")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val deleteRowsEqOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE user_id % 10 <> 3
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Streaming UPSERT via equality deletes (Iceberg v2 upsert mode,
+    * the Flink-CDC writer pattern): ONE O(batch) commit replaces all
+    * error events with voided copies AND inserts a brand-new synthetic
+    * event — no table read, no MERGE shuffle, every pre-existing data
+    * file re-referenced verbatim (asserted in-entry). The 100 TB
+    * story: per-micro-batch SCD1 maintenance costs two small files,
+    * vs the MERGE path's matched-file rewrite. The oracle recomputes
+    * latest-state semantics: old rows of upserted keys replaced,
+    * new key appended.
+    */
+  def upsertRowsEq(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_upsert_eq")
+    clean(s, root)
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    val batch = ev.filter(col("event_type") === "error")
+      .withColumn("event_type", lit("error_voided"))
+      .withColumn("value", lit(0.0))
+      .unionByName(
+        s.range(1).select(
+          lit(-1L).as("event_id"), lit(0L).as("user_id"),
+          lit("synthetic").as("event_type"), lit(1.0).as("value")))
+    val before = SnapshotTable.dataFiles(s, root, 1).toSet
+    SnapshotTable.upsertEq(s, root, Seq("event_id"), batch)
+    require(before.subsetOf(SnapshotTable.dataFiles(s, root, 2).toSet),
+      "upsert must re-reference every existing data file")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val upsertRowsEqOracle: String =
+    s"""WITH latest AS (
+       |  SELECT event_id, user_id,
+       |    CASE WHEN event_type = 'error' THEN 'error_voided' ELSE event_type END AS event_type,
+       |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT -1 AS event_id, 0 AS user_id, 'synthetic' AS event_type, 1.0 AS value
+       |)
+       |SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Row-level UPDATE, MERGE-ON-READ (Iceberg v2 delete-plus-insert
     * encoding): the same UPDATE as [[updateRows]] but via
     * SnapshotTable.updateWhereMor — one commit writes a small
@@ -1351,6 +1437,8 @@ object LakeOps {
     Q("lake_merge_delete", mergeDelete, Some(mergeDeleteOracle)),
     Q("lake_delete", deleteRows, Some(deleteRowsOracle)),
     Q("lake_delete_mor", deleteRowsMor, Some(deleteRowsMorOracle)),
+    Q("lake_delete_eq", deleteRowsEq, Some(deleteRowsEqOracle)),
+    Q("lake_upsert_eq", upsertRowsEq, Some(upsertRowsEqOracle)),
     Q("lake_update", updateRows, Some(updateRowsOracle)),
     Q("lake_update_mor", updateRowsMor, Some(updateRowsMorOracle)),
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),

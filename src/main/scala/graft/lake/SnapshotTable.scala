@@ -193,16 +193,97 @@ object SnapshotTable {
   // accumulated deletes back into rewritten data files.
 
   private[lake] val DeleteKindAnnot = "_kind=posdelete"
+  private[lake] val EqDeleteKindAnnot = "_kind=eqdelete"
+  private val EqColsAnnot = "_eqcols="
+  private val EqSeqAnnot = "_eqseq="
+  private val SeqAnnot = "_seq="
 
   private def isDeleteLine(l: String): Boolean =
     l.split('\t').drop(1).contains(DeleteKindAnnot)
 
+  private def isEqDeleteLine(l: String): Boolean =
+    l.split('\t').drop(1).contains(EqDeleteKindAnnot)
+
+  /** Any row-suppression line (positional or equality delete file). */
+  private def isSuppressionLine(l: String): Boolean =
+    isDeleteLine(l) || isEqDeleteLine(l)
+
+  // ----- equality deletes + data sequence numbers -------------------
+  //
+  // Iceberg v2 EQUALITY deletes: a delete file of key VALUES (not
+  // positions) suppressing every matching row of data files OLDER
+  // than the delete. "Older" is decided by per-commit sequence
+  // numbers (`_seq=` on data lines, `_eqseq=` on delete lines), so a
+  // row re-inserted AFTER the delete survives — that ordering is what
+  // makes a CDC upsert stream (delete k, insert k) converge. Unlike
+  // positional deletes, writing one requires NO table read or
+  // planning scan at all: the O(batch) streaming-writer delete path.
+
+  /** An equality-delete file: parquet of key values, the PHYSICAL key
+    * column names it matches on, and the sequence number it was
+    * committed at (suppresses rows of files with seq strictly below).
+    */
+  private[lake] final case class EqDelete(path: String, cols: Seq[String], seq: Long)
+
+  private def eqDeletesOf(lines: Seq[String]): Seq[EqDelete] =
+    lines.filterNot(_.startsWith("#")).filter(isEqDeleteLine).map { l =>
+      val parts = l.split('\t')
+      EqDelete(
+        parts.head,
+        parts.tail.collectFirst {
+          case a if a.startsWith(EqColsAnnot) =>
+            a.stripPrefix(EqColsAnnot).split(",").toSeq
+        }.getOrElse(Seq.empty),
+        parts.tail.collectFirst {
+          case a if a.startsWith(EqSeqAnnot) => a.stripPrefix(EqSeqAnnot).toLong
+        }.getOrElse(Long.MaxValue))
+    }
+
+  /** Equality-delete files visible at a version. */
+  def eqDeleteEntries(s: SparkSession, root: String, version: Int): Seq[EqDelete] =
+    eqDeletesOf(manifestLines(s, root, version))
+
+  private def seqOfLine(l: String): Long =
+    l.split('\t').tail.collectFirst {
+      case a if a.startsWith(SeqAnnot) => a.stripPrefix(SeqAnnot).toLong
+    }.getOrElse(0L)
+
+  private def maxSeqOf(lines: Seq[String]): Long =
+    lines.filterNot(_.startsWith("#")).map { l =>
+      val parts = l.split('\t').tail
+      parts.collectFirst { case a if a.startsWith(SeqAnnot) => a.stripPrefix(SeqAnnot).toLong }
+        .orElse(parts.collectFirst {
+          case a if a.startsWith(EqSeqAnnot) => a.stripPrefix(EqSeqAnnot).toLong })
+        .getOrElse(0L)
+    }.maxOption.getOrElse(0L)
+
+  /** Sequence number the NEXT commit on top of `cur` should stamp.
+    * Pre-seq manifests (every line unstamped) yield 1; data lines
+    * without `_seq` read as 0, i.e. "older than every eq delete" —
+    * the conservative direction.
+    */
+  private def nextSeqAt(s: SparkSession, root: String, cur: Int): Long =
+    if (cur < 1) 1L else maxSeqOf(manifestLinesAt(s, root, s"v$cur")) + 1
+
+  private def stampSeq(lines: Seq[String], seq: Long): Seq[String] =
+    lines.map(l => s"$l\t$SeqAnnot$seq")
+
+  /** canon(data file) → its commit sequence number, from a resolved
+    * line set. Metadata-sized.
+    */
+  private def fileSeqFn(s: SparkSession, lines: Seq[String]): String => Long = {
+    val m = lines.filterNot(_.startsWith("#")).filterNot(isSuppressionLine)
+      .map(l => canon(s, l.split('\t').head) -> seqOfLine(l)).toMap
+    f => m.getOrElse(canon(s, f), 0L)
+  }
+
   /** Data files visible at a version (metadata header lines excluded,
-    * positional delete files and per-file annotations stripped).
+    * positional/equality delete files and per-file annotations
+    * stripped).
     */
   def dataFiles(s: SparkSession, root: String, version: Int): Seq[String] =
     manifestLines(s, root, version).filterNot(_.startsWith("#"))
-      .filterNot(isDeleteLine).map(_.split('\t').head)
+      .filterNot(isSuppressionLine).map(_.split('\t').head)
 
   /** Positional delete files visible at a version. */
   def deleteFiles(s: SparkSession, root: String, version: Int): Seq[String] =
@@ -215,7 +296,7 @@ object SnapshotTable {
     */
   def dataFilesWithPartitions(s: SparkSession, root: String, version: Int): Seq[(String, Map[String, String])] =
     manifestLines(s, root, version).filterNot(_.startsWith("#"))
-      .filterNot(isDeleteLine).map { line =>
+      .filterNot(isSuppressionLine).map { line =>
       val parts = line.split('\t')
       val annots = parts.drop(1).flatMap { a =>
         a.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
@@ -275,6 +356,12 @@ object SnapshotTable {
     */
   def recordCount(s: SparkSession, root: String, version: Int): Long = {
     val lines = manifestLines(s, root, version).filterNot(_.startsWith("#"))
+    // equality deletes suppress an unknowable-from-metadata number of
+    // rows (their `_rows` is key rows, not matches) — fall back to an
+    // exact read-side count; exactness beats speed here, and
+    // maintenance (compactDeletesIfNeeded) folds eq deletes promptly
+    // so the metadata-only fast path is the steady state
+    if (lines.exists(isEqDeleteLine)) return read(s, root, version).count()
     def rowsOf(l: String): Option[Long] = l.split('\t').tail.collectFirst {
       case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
     }
@@ -318,6 +405,38 @@ object SnapshotTable {
     if (keepRowId) live else live.drop("_graft_fp", "_graft_pos")
   }
 
+  /** Full delete application — positional AND equality — over an
+    * explicit file set. Equality deletes only suppress rows of files
+    * with sequence number strictly BELOW the delete's, so the file
+    * set is partitioned into classes by applicable-delete subset
+    * (subsets are nested in the file's seq, so at most
+    * |eq deletes|+1 classes — and eq deletes are folded by
+    * maintenance, so usually zero or a handful), each class scanned
+    * separately with its broadcast key anti-joins, results unioned.
+    * With no eq deletes this is exactly the single-scan positional
+    * path — non-eq tables keep their pre-eq plans. Null keys follow
+    * SQL join semantics: a null never matches, the row survives.
+    */
+  private def applyAllDeletes(
+      s: SparkSession, files: Seq[String], scan: Seq[String] => DataFrame,
+      posDels: Seq[String], eqDels: Seq[EqDelete], fileSeq: String => Long,
+      keepRowId: Boolean = false): DataFrame = {
+    if (eqDels.isEmpty || files.isEmpty)
+      return applyDeletes(s, scan(files), posDels, keepRowId)
+    files.groupBy(f => eqDels.count(_.seq > fileSeq(f))).map { case (_, fs) =>
+      val applicable = eqDels.filter(_.seq > fileSeq(fs.head))
+      var df = applyDeletes(s, scan(fs), posDels, keepRowId)
+      val order = df.columns // using-columns joins put keys first; keep the scan order
+      applicable.groupBy(_.cols).foreach { case (cols, grp) =>
+        val keys = grp.map(g => s.read.parquet(g.path)).reduce(_ unionByName _)
+          .select(cols.map(col): _*).distinct()
+        df = df.join(org.apache.spark.sql.functions.broadcast(keys),
+          cols, "left_anti")
+      }
+      df.select(order.map(col).toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Commit a new version. `append=true` keeps prior files visible;
     * `append=false` is an overwrite commit (old files stay on disk
     * for old-version readers — that's what makes time travel work).
@@ -357,9 +476,10 @@ object SnapshotTable {
     val withStats =
       if (statsCols.isEmpty) newFiles
       else annotateStats(s, newFiles, statsCols.map(c => mapping.getOrElse(c, c)))
-    val annotated = annotateRows(s,
+    val annotated = stampSeq(annotateRows(s,
       if (bloomCols.isEmpty) withStats
-      else annotateBloom(s, withStats, bloomCols.map(c => mapping.getOrElse(c, c))))
+      else annotateBloom(s, withStats, bloomCols.map(c => mapping.getOrElse(c, c)))),
+      nextSeqAt(s, root, cur))
     // prior FRAGMENT REFS copied verbatim (earlier stats/partition
     // annotations live inside the untouched fragments) — this line is
     // what makes the append O(files touched), not O(table)
@@ -390,7 +510,8 @@ object SnapshotTable {
       append: Boolean = true, meta: Map[String, String] = Map.empty): Int = {
     val cur = currentVersion(s, root)
     val v = cur + 1
-    val annotated = annotateRows(s, files.map(f => canon(s, f)))
+    val annotated = stampSeq(annotateRows(s, files.map(f => canon(s, f))),
+      nextSeqAt(s, root, cur))
     val base = if (append && v > 1) listBody(s, root, s"v${v - 1}") else Seq.empty
     val newRef =
       if (annotated.isEmpty) Seq.empty
@@ -415,8 +536,13 @@ object SnapshotTable {
       s: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty, maxAttempts: Int = 50): Int = {
     val stage = java.util.UUID.randomUUID.toString.take(8)
-    val newFiles = annotateRows(s,
-      writeDataFilesAt(s, s"$root/data/c-$stage", df))
+    // seq decided against the pre-CAS head: a rebase only races other
+    // APPENDS (deletes conflict fail-loud), and appends never add eq
+    // deletes, so the staged seq stays >= every eq delete in the
+    // manifest this commit finally lands on
+    val newFiles = stampSeq(annotateRows(s,
+      writeDataFilesAt(s, s"$root/data/c-$stage", df)),
+      nextSeqAt(s, root, currentVersion(s, root)))
     val newRef =
       if (newFiles.isEmpty) Seq.empty
       else Seq(writeFragment(s, root, s"c-$stage", newFiles))
@@ -592,6 +718,7 @@ object SnapshotTable {
   def deleteWhereMor(s: SparkSession, root: String, predicate: Column): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
+    val curLines = manifestLines(s, root, cur)
     val files = dataFiles(s, root, cur)
     val dels = deleteFiles(s, root, cur)
     val mapping = columnMapping(s, root, cur)
@@ -601,9 +728,11 @@ object SnapshotTable {
     // casts but row positions are the scan's); predicate evaluates
     // against logical columns with the predicate pushed to parquet.
     // Widened-schema read: a post-widen mixed-width file set must
-    // plan, not throw.
-    val live = applyDeletes(s, rawWidenedRead(s, files, mapping, types),
-      dels, keepRowId = true)
+    // plan, not throw. All pending deletes (positional and equality)
+    // are pre-applied so a dead row never earns a position.
+    val live = applyAllDeletes(s, files,
+      fs => rawWidenedRead(s, fs, mapping, types),
+      dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true)
     val matches = logicalView(live, mapping, types)
       .filter(coalesce(predicate, lit(false)))
       .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
@@ -659,17 +788,19 @@ object SnapshotTable {
       set: Map[String, Column]): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
+    val curLines = manifestLines(s, root, cur)
     val files = dataFiles(s, root, cur)
     val dels = deleteFiles(s, root, cur)
     val mapping = columnMapping(s, root, cur)
     val types = columnTypes(s, root, cur)
     val v = cur + 1
     // row identity pinned pre-logical-view, predicate on logical
-    // columns, planning against the delete-filtered view (re-updating
-    // a dead row is a no-op, positions never duplicate) — the same
-    // planning pass as deleteWhereMor
-    val live = applyDeletes(s, rawWidenedRead(s, files, mapping, types),
-      dels, keepRowId = true)
+    // columns, planning against the fully-delete-filtered view
+    // (re-updating a dead row is a no-op, positions never duplicate)
+    // — the same planning pass as deleteWhereMor
+    val live = applyAllDeletes(s, files,
+      fs => rawWidenedRead(s, fs, mapping, types),
+      dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true)
     val matched = logicalView(live, mapping, types)
       .filter(coalesce(predicate, lit(false)))
       .persist() // two consumers: the position write and the replacement write
@@ -696,7 +827,11 @@ object SnapshotTable {
           d.withColumn(name, value.cast(d.schema(name).dataType))
         }.drop("_graft_fp", "_graft_pos"),
         mapping)
-      val newFiles = annotateRows(s, writeDataFiles(s, root, v, replacements))
+      // replacements stamped with the next sequence number so pending
+      // eq deletes never re-suppress them
+      val newFiles = stampSeq(
+        annotateRows(s, writeDataFiles(s, root, v, replacements)),
+        nextSeqAt(s, root, cur))
       val delRef = Seq(writeFragment(s, root, s"v$v-del", delLines))
       val dataRef =
         if (newFiles.isEmpty) Seq.empty
@@ -707,6 +842,93 @@ object SnapshotTable {
         listBody(s, root, s"v$cur") ++ delRef ++ dataRef)
       v
     } finally { matched.unpersist(); () }
+  }
+
+  /** Row-level DELETE by KEY, equality-delete encoding (Iceberg v2
+    * equality delete files): suppress every row whose key columns
+    * match a row of `keys` — with NO table read, NO planning scan,
+    * O(keys) total work. This is the streaming-CDC delete path (a
+    * Flink/Kafka upsert writer can't afford a table scan per batch):
+    * positional MoR ([[deleteWhereMor]]) still scans to find
+    * positions; equality MoR doesn't even do that. Read-side cost is
+    * one broadcast anti-join per pending eq-delete commit, bounded by
+    * folding them in maintenance ([[compactDeletesIfNeeded]] treats
+    * any pending eq delete as a trigger).
+    *
+    * Sequence semantics (Iceberg's): the delete suppresses rows of
+    * data files committed STRICTLY BEFORE it; rows with the same key
+    * appended later survive. `keyCols` are logical names. Returns the
+    * new version.
+    */
+  def deleteWhereEq(
+      s: SparkSession, root: String, keyCols: Seq[String], keys: DataFrame): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    require(keyCols.nonEmpty, "equality delete requires at least one key column")
+    val mapping = columnMapping(s, root, cur)
+    val v = cur + 1
+    val eqLines = writeEqDeleteFile(s, root, v,
+      keys.select(keyCols.map(col): _*), keyCols, mapping,
+      nextSeqAt(s, root, cur))
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) ++
+        Map("op" -> "delete_eq", "eq_cols" -> keyCols.mkString(",")),
+      listBody(s, root, s"v$cur") ++
+        Seq(writeFragment(s, root, s"v$v-eqdel", eqLines)))
+    v
+  }
+
+  /** Streaming UPSERT, Iceberg v2 upsert mode (the Flink CDC writer
+    * pattern): ONE commit appends the batch's rows AND
+    * equality-deletes the batch's keys from all OLDER files. Total
+    * work is O(batch) — no table read, no shuffle of existing data —
+    * which is what makes per-micro-batch SCD1 maintenance viable on a
+    * 100 TB table (the MERGE-based [[graft.operators.*]] upsert
+    * rewrites matched files; this writes two small files). Batch rows
+    * and the delete share one sequence number; the strict `<`
+    * comparison keeps the batch's own rows alive. Later duplicates of
+    * a key within one batch are the caller's problem (Iceberg
+    * semantics: dedupe upstream). Returns the new version.
+    */
+  def upsertEq(
+      s: SparkSession, root: String, keyCols: Seq[String], batch: DataFrame): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val mapping = columnMapping(s, root, cur)
+    val seq = nextSeqAt(s, root, cur)
+    val v = cur + 1
+    val eqLines = writeEqDeleteFile(s, root, v,
+      batch.select(keyCols.map(col): _*), keyCols, mapping, seq)
+    val newFiles = stampSeq(
+      annotateRows(s, writeDataFiles(s, root, v, toPhysical(batch, mapping))), seq)
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) ++
+        Map("op" -> "upsert_eq", "eq_cols" -> keyCols.mkString(",")),
+      listBody(s, root, s"v$cur") ++
+        Seq(writeFragment(s, root, s"v$v-eqdel", eqLines)) ++
+        (if (newFiles.isEmpty) Seq.empty
+         else Seq(writeFragment(s, root, s"v$v", newFiles))))
+    v
+  }
+
+  /** Write the distinct key rows as an equality-delete parquet file
+    * set and return its annotated manifest lines (kind + physical key
+    * columns + sequence number + key-row count).
+    */
+  private def writeEqDeleteFile(
+      s: SparkSession, root: String, v: Int, keyRows: DataFrame,
+      keyCols: Seq[String], mapping: Map[String, String], seq: Long): Seq[String] = {
+    val physCols = keyCols.map(c => mapping.getOrElse(c, c))
+    val delDir = s"$root/deletes/v$v-eq"
+    toPhysical(keyRows, mapping).distinct()
+      .repartition(1) // key sets are O(batch) small; one file beats 32 shards
+      .write.mode("overwrite").parquet(delDir)
+    val delPath = new Path(delDir)
+    val written = fsOf(s, delPath).listStatus(delPath)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    annotateRows(s, written.map(f =>
+      s"$f\t$EqDeleteKindAnnot\t$EqColsAnnot${physCols.mkString(",")}\t$EqSeqAnnot$seq"))
   }
 
   /** Major compaction of merge-on-read deletes (Iceberg
@@ -721,12 +943,45 @@ object SnapshotTable {
   def compactDeletes(s: SparkSession, root: String): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
+    val lines = manifestLines(s, root, cur)
     val dels = deleteFiles(s, root, cur)
-    if (dels.isEmpty) return cur
+    val eqs = eqDeletesOf(lines)
+    if (dels.isEmpty && eqs.isEmpty) return cur
     def norm(p: String) = canon(s, p)
-    val affected = s.read.parquet(dels: _*).select("file_path")
-      .distinct().collect().map(r => norm(r.getString(0))).toSet
     val files = dataFiles(s, root, cur)
+    val fileSeq = fileSeqFn(s, lines)
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    // positionally-affected files: named directly by the delete rows
+    val posAffected: Set[String] =
+      if (dels.isEmpty) Set.empty
+      else s.read.parquet(dels: _*).select("file_path")
+        .distinct().collect().map(r => norm(r.getString(0))).toSet
+    // equality-affected files: candidates by sequence, then a
+    // broadcast semi-join finds which actually CONTAIN a matching key
+    // (files without matches keep their bytes — rewrite only what
+    // must change). Grouped by applicable-delete class like the read.
+    val eqAffected: Set[String] = {
+      val candidates = files.filter(f => eqs.exists(_.seq > fileSeq(f)))
+      if (candidates.isEmpty) Set.empty
+      else candidates.groupBy(f => eqs.count(_.seq > fileSeq(f)))
+        .flatMap { case (_, fs) =>
+          val applicable = eqs.filter(_.seq > fileSeq(fs.head))
+          applicable.groupBy(_.cols).toSeq.flatMap { case (cols, grp) =>
+            val keys = grp.map(g => s.read.parquet(g.path)).reduce(_ unionByName _)
+              .select(cols.map(col): _*).distinct()
+            // `_metadata` resolves only on the scan itself — pin the
+            // file path into a real column before the join
+            rawWidenedRead(s, fs, mapping, types)
+              .select((cols.map(col) :+
+                col("_metadata.file_path").as("_graft_hit_fp")): _*)
+              .join(org.apache.spark.sql.functions.broadcast(keys), cols, "left_semi")
+              .select("_graft_hit_fp").distinct()
+              .collect().map(r => norm(r.getString(0)))
+          }
+        }.toSet
+    }
+    val affected = posAffected ++ eqAffected
     val touched = files.filter(f => affected.contains(norm(f)))
     val v = cur + 1
     // physical rewrite (no logical view): column NAMES in the new
@@ -735,12 +990,19 @@ object SnapshotTable {
     // mixed-width file set (int32 pre-widen + int64 post-widen) reads
     // as one type — new files land at the current widened physical
     // width, same as any post-widen commit writes
-    val mapping = columnMapping(s, root, cur)
-    val types = columnTypes(s, root, cur)
-    val survivorsDf = applyDeletes(s, rawWidenedRead(s, touched, mapping, types), dels)
-    val newFiles = annotateRows(s, writeDataFiles(s, root, v, survivorsDf))
+    // touched can be empty when pending eq deletes matched nothing —
+    // the commit is then metadata-only (just drops the spent refs)
+    val newFiles =
+      if (touched.isEmpty) Seq.empty[String]
+      else stampSeq(
+        annotateRows(s, writeDataFiles(s, root, v,
+          applyAllDeletes(s, touched,
+            fs => rawWidenedRead(s, fs, mapping, types), dels, eqs, fileSeq))),
+        nextSeqAt(s, root, cur))
+    // every delete line goes (eq deletes with no matching rows are
+    // spent: the semi-join proved no surviving row matches them)
     def gone(line: String) =
-      isDeleteLine(line) || affected.contains(norm(line.split('\t').head))
+      isSuppressionLine(line) || affected.contains(norm(line.split('\t').head))
     val keptRefs = scala.collection.mutable.ArrayBuffer.empty[String]
     val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
     listBody(s, root, s"v$cur").foreach { l =>
@@ -779,6 +1041,11 @@ object SnapshotTable {
       s: SparkSession, root: String, maxDeleteRatio: Double = 0.05): Int = {
     val cur = currentVersion(s, root)
     val dels = deleteFiles(s, root, cur)
+    // any pending EQUALITY delete triggers: its selectivity is
+    // unknowable from metadata (could suppress half the table), every
+    // pending one costs an anti-join per scan, and folding restores
+    // the metadata-only recordCount fast path
+    if (eqDeleteEntries(s, root, cur).nonEmpty) return compactDeletes(s, root)
     if (dels.isEmpty) return cur
     val delCounts: Map[String, Long] = s.read.parquet(dels: _*)
       .groupBy("file_path").count().collect()
@@ -806,17 +1073,23 @@ object SnapshotTable {
       rewrite: (DataFrame, Column) => DataFrame): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
+    val curLines = manifestLines(s, root, cur)
     val files = dataFiles(s, root, cur)
     val dels = deleteFiles(s, root, cur)
+    val eqs = eqDeletesOf(curLines)
+    val curFileSeq = fileSeqFn(s, curLines)
     val mapping = columnMapping(s, root, cur)
     val types = columnTypes(s, root, cur)
     def norm(p: String) = canon(s, p)
     // predicate is written against the LOGICAL schema; pin the file
     // path first, then apply the logical view over it. Pending MoR
-    // deletes are applied so a CoW rewrite can never resurrect a
-    // merge-on-read-deleted row into a rewritten file.
+    // deletes — positional AND equality — are applied so a CoW
+    // rewrite can never resurrect a merge-on-read-deleted row into a
+    // rewritten file; the widened-schema read keeps post-widen
+    // mixed-width file sets plannable.
     def viewWithFile(paths: Seq[String]) = logicalView(
-      applyDeletes(s, s.read.parquet(paths: _*), dels, keepRowId = true)
+      applyAllDeletes(s, paths, fs => rawWidenedRead(s, fs, mapping, types),
+        dels, eqs, curFileSeq, keepRowId = true)
         .withColumnRenamed("_graft_fp", "_graft_file").drop("_graft_pos"),
       mapping, types)
     val affected = viewWithFile(files)
@@ -890,7 +1163,11 @@ object SnapshotTable {
     val rewritten = toPhysical(
       rewrite(viewWithFile(touched), predicate).drop("_graft_file"),
       mapping)
-    val newFiles = annotateRows(s, writeDataFiles(s, root, v, rewritten))
+    // rewritten files get the next sequence number: pending eq
+    // deletes (already applied to their content) stop matching them
+    val newFiles = stampSeq(
+      annotateRows(s, writeDataFiles(s, root, v, rewritten)),
+      nextSeqAt(s, root, cur))
     val newRef =
       if (newFiles.isEmpty && delKeepLines.isEmpty) Seq.empty
       else Seq(writeFragment(s, root, s"v$v", newFiles ++ delKeepLines))
@@ -949,7 +1226,8 @@ object SnapshotTable {
       }
     }
     val base = if (append && v > 1) listBody(s, root, s"v$cur") else Seq.empty
-    val lines = annotateRows(s, annotated.sorted.toSeq)
+    val lines = stampSeq(annotateRows(s, annotated.sorted.toSeq),
+      nextSeqAt(s, root, cur))
     val newRef =
       if (lines.isEmpty) Seq.empty else Seq(writeFragment(s, root, s"v$v", lines))
     writeManifestAtomic(s, root, v,
@@ -969,9 +1247,14 @@ object SnapshotTable {
     val entries = dataFilesWithPartitions(s, root, v)
     val mapping = columnMapping(s, root, v)
     val types = columnTypes(s, root, v)
+    val lines = manifestLines(s, root, v)
     val dels = deleteFiles(s, root, v)
+    val eqs = eqDeletesOf(lines)
+    val fileSeq = fileSeqFn(s, lines)
     def view(files: Seq[String]) =
-      logicalView(applyDeletes(s, s.read.parquet(files: _*), dels),
+      logicalView(
+        applyAllDeletes(s, files, fs => rawWidenedRead(s, fs, mapping, types),
+          dels, eqs, fileSeq),
         mapping, types).filter(predicate)
     val full = view(entries.map(_._1))
     // pattern-match the ANALYZED filter condition (the unresolved
@@ -1336,8 +1619,9 @@ object SnapshotTable {
     val n = fs.listStatus(mdir).map(_.getPath.getName).collect {
       case seqRe(v) => v.toInt
     }.foldLeft(0)(math.max) + 1
-    val newFiles = annotateRows(s,
-      writeDataFilesAt(s, s"$root/data/$name/v$n", toPhysical(df, mapping)))
+    val newFiles = stampSeq(annotateRows(s,
+      writeDataFilesAt(s, s"$root/data/$name/v$n", toPhysical(df, mapping))),
+      maxSeqOf(manifestLinesAt(s, root, headStem)) + 1)
     val base = if (append) listBody(s, root, headStem) else Seq.empty
     val stem = s"$name.v$n"
     val newRef =
@@ -1355,11 +1639,12 @@ object SnapshotTable {
   def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
     val stem = branchHead(s, root, name)
     val header = headerAt(s, root, stem)
-    val (del, data) = manifestLinesAt(s, root, stem)
-      .filterNot(_.startsWith("#")).partition(isDeleteLine)
-    readWithSchema(s, data.map(_.split('\t').head),
+    val lines = manifestLinesAt(s, root, stem).filterNot(_.startsWith("#"))
+    readWithSchema(s,
+      lines.filterNot(isSuppressionLine).map(_.split('\t').head),
       parsePairs(header.get(ColMapKey)), parsePairs(header.get(ColTypesKey)),
-      deletes = del.map(_.split('\t').head))
+      deletes = lines.filter(isDeleteLine).map(_.split('\t').head),
+      eqDels = eqDeletesOf(lines), fileSeq = fileSeqFn(s, lines))
   }
 
   /** PUBLISH: fast-forward main to the branch head. Zero-copy — the
@@ -1507,22 +1792,31 @@ object SnapshotTable {
   private[graft] val ScanVersionKey = "graft.snapshot.version"
 
   private def readFiles(
-      s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame =
-    readFilesWith(s, root, v, files, deleteFiles(s, root, v))
+      s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame = {
+    val lines = manifestLines(s, root, v)
+    readFilesWith(s, root, v, files, deleteFiles(s, root, v),
+      eqDeletesOf(lines), fileSeqFn(s, lines))
+  }
 
   private def readFilesWith(
       s: SparkSession, root: String, v: Int, files: Seq[String],
-      deletes: Seq[String]): DataFrame =
+      deletes: Seq[String],
+      eqDels: Seq[EqDelete] = Seq.empty,
+      fileSeq: String => Long = _ => 0L): DataFrame =
     readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v),
-      Map(ScanRootKey -> root, ScanVersionKey -> v.toString), deletes)
+      Map(ScanRootKey -> root, ScanVersionKey -> v.toString), deletes,
+      eqDels, fileSeq)
 
   private def readWithSchema(
       s: SparkSession, files: Seq[String],
       mapping: Map[String, String], types: Map[String, String],
       tags: Map[String, String] = Map.empty,
-      deletes: Seq[String] = Seq.empty): DataFrame =
+      deletes: Seq[String] = Seq.empty,
+      eqDels: Seq[EqDelete] = Seq.empty,
+      fileSeq: String => Long = _ => 0L): DataFrame =
     logicalView(
-      applyDeletes(s, rawWidenedRead(s, files, mapping, types, tags), deletes),
+      applyAllDeletes(s, files, fs => rawWidenedRead(s, fs, mapping, types, tags),
+        deletes, eqDels, fileSeq),
       mapping, types)
 
   /** Physical-schema scan of a file set under a version's widening
@@ -1589,24 +1883,49 @@ object SnapshotTable {
     val delAdded = delToFiles.filterNot(f => delFromSet.contains(norm(f)))
     val delRemoved = delFromFiles.filterNot(f => delToSet.contains(norm(f)))
     val delChanged = delAdded ++ delRemoved
-    val affected =
+    val posAffected =
       if (delChanged.isEmpty) Seq.empty[String]
       else {
         val hit = s.read.parquet(delChanged: _*).select("file_path")
           .distinct().collect().map(r => norm(r.getString(0))).toSet
         toFiles.filter(f => fromSet.contains(norm(f)) && hit.contains(norm(f)))
       }
+    // equality deletes: a both-sides data file whose APPLICABLE
+    // eq-delete subset differs between the versions may have rows
+    // suppressed (or resurrected) — read it on both sides and let
+    // exceptAll net the unchanged rows out. File-accurate but
+    // key-conservative: a candidate file with no matching keys reads
+    // and nets to zero (Iceberg CDC pays the same scan).
+    val fromLines = if (fromV == 0) Seq.empty[String] else manifestLines(s, root, fromV)
+    val toLines = manifestLines(s, root, toV)
+    val eqFrom = eqDeletesOf(fromLines)
+    val eqTo = eqDeletesOf(toLines)
+    val eqAffected =
+      if (eqFrom.isEmpty && eqTo.isEmpty) Seq.empty[String]
+      else {
+        val fsFrom = fileSeqFn(s, fromLines)
+        val fsTo = fileSeqFn(s, toLines)
+        toFiles.filter { f =>
+          fromSet.contains(norm(f)) &&
+            eqFrom.filter(_.seq > fsFrom(f)).map(e => norm(e.path)).toSet !=
+              eqTo.filter(_.seq > fsTo(f)).map(e => norm(e.path)).toSet
+        }
+      }
+    val affected = (posAffected ++ eqAffected).distinct
+    val fileSeqFrom = fileSeqFn(s, fromLines)
+    val fileSeqTo = fileSeqFn(s, toLines)
     // empty-side frames need the to-version schema; derive it cheaply
     // from the other side (at least one side is non-empty unless the
     // versions are file-identical)
-    def readOr(files: Seq[String], deletes: Seq[String], other: Seq[String]): DataFrame =
-      if (files.nonEmpty) readFilesWith(s, root, toV, files, deletes)
+    def readOr(files: Seq[String], deletes: Seq[String], eqDels: Seq[EqDelete],
+               fileSeq: String => Long, other: Seq[String]): DataFrame =
+      if (files.nonEmpty) readFilesWith(s, root, toV, files, deletes, eqDels, fileSeq)
       else readFilesWith(s, root, toV, other, Seq.empty).limit(0)
     if (added.isEmpty && removed.isEmpty && affected.isEmpty)
       return read(s, root, toV).limit(0)
         .withColumn("change_type", lit(""))
-    val after = readOr(added ++ affected, delToFiles, removed)
-    val before = readOr(removed ++ affected, delFromFiles, added)
+    val after = readOr(added ++ affected, delToFiles, eqTo, fileSeqTo, removed)
+    val before = readOr(removed ++ affected, delFromFiles, eqFrom, fileSeqFrom, added)
     after.exceptAll(before).withColumn("change_type", lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("change_type", lit("delete")))

@@ -89,6 +89,33 @@ class SchemeMatrixSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, 1).count() == 20)
   }
 
+  test("merge-on-read delete/update/compaction resolve identities under the foreign scheme") {
+    // positional delete rows store the scan's `_metadata.file_path`
+    // spelling while manifests store the writer's — compactDeletes and
+    // the CoW stale-delete rewrite compare them through canon(), which
+    // must carry scheme+authority here or silently match nothing
+    val root = freshRoot("snap_mor")
+    SnapshotTable.commit(spark, root,
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2))
+    val files = SnapshotTable.dataFiles(spark, root, 1).toSet
+    val v2 = SnapshotTable.deleteWhereMor(spark, root, col("id") <= 5)
+    assert(v2 == 2)
+    assert(SnapshotTable.dataFiles(spark, root, 2).toSet == files,
+      "MoR delete must re-reference every data file verbatim")
+    assert(SnapshotTable.read(spark, root).count() == 15)
+    assert(SnapshotTable.recordCount(spark, root, 2) == 15)
+    val v3 = SnapshotTable.updateWhereMor(spark, root, col("id") === 6,
+      Map("v" -> lit("updated")))
+    assert(v3 == 3)
+    assert(SnapshotTable.read(spark, root)
+      .where(col("id") === 6).select("v").as[String].collect().toSeq == Seq("updated"))
+    val v4 = SnapshotTable.compactDeletes(spark, root)
+    assert(SnapshotTable.deleteFiles(spark, root, v4).isEmpty,
+      "compaction must fold every delete ref across the scheme-full canon compare")
+    assert(SnapshotTable.read(spark, root).count() == 15)
+    assert(SnapshotTable.read(spark, root, 1).count() == 20) // time travel intact
+  }
+
   test("CDF changes() diff file identities under the foreign scheme") {
     val root = freshRoot("snap_cdf")
     SnapshotTable.commit(spark, root, (1 to 10).map(_.toLong).toDF("id"))

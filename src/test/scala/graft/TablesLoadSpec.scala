@@ -1,7 +1,5 @@
 package graft
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
@@ -27,12 +25,14 @@ class TablesLoadSpec extends SparkSpec {
           "The driver likely regenerated /root/testdata with a new physical ts type — " +
           "extend the match in Tables.load, not the 85 queries downstream.")
       // Sanity: values are real (non-null, within a plausible decade).
+      // Bounds collected as ISO strings so the assertion is immune to
+      // the session's java8API datetime setting (other suites flip it).
       val r = df.agg(
         count(when(col("ts").isNull, 1)).as("nulls"),
-        min("ts").as("lo"), max("ts").as("hi")).head()
+        date_format(min("ts"), "yyyy-MM-dd").as("lo"),
+        date_format(max("ts"), "yyyy-MM-dd").as("hi")).head()
       assert(r.getLong(0) == 0L, "events.ts must be non-null")
-      val lo = r.getAs[Timestamp]("lo").toInstant.toString
-      val hi = r.getAs[Timestamp]("hi").toInstant.toString
+      val (lo, hi) = (r.getString(1), r.getString(2))
       assert(lo >= "2000-01-01" && hi <= "2100-01-01",
         s"events.ts range [$lo, $hi] implausible — unit mismatch in the loader?")
     }
