@@ -47,13 +47,18 @@ object LakeSink {
 
   /** Table-to-table streaming replication: consume a CDC stream of
     * insert/delete row images (the `graft-snapshot` source's output)
-    * and apply each micro-batch to a replica SnapshotTable as one
-    * overwrite commit — current content minus delete images plus
-    * insert images. Same manifest-stamped batch-id dedup as
-    * [[append]], so a replayed batch after restart is a no-op and the
-    * replica's contents are exactly-once. End-to-end: source table
-    * commits → readStream("graft-snapshot") → applyCdc → replica
-    * converges to the source at every version.
+    * and apply each micro-batch to a replica SnapshotTable as ONE
+    * merge-on-read commit ([[SnapshotTable.applyChangesMor]]):
+    * delete images become a positional-delete file (multiset
+    * semantics, exceptAll parity), inserts are appended — the replica
+    * pays O(Δ) write per batch instead of the previous
+    * rewrite-the-whole-replica overwrite, which at 100 TB is the
+    * difference between a replication lag measured in seconds and one
+    * measured in full-table rewrites. Same manifest-stamped batch-id
+    * dedup as [[append]], so a replayed batch after restart is a
+    * no-op and the replica's contents are exactly-once. End-to-end:
+    * source table commits → readStream("graft-snapshot") → applyCdc →
+    * replica converges to the source at every version.
     */
   def applyCdc(cdcStream: DataFrame, root: String): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.col
@@ -62,12 +67,11 @@ object LakeSink {
         val s = batch.sparkSession
         val ins = batch.filter(col("change_type") === "insert").drop("change_type")
         val del = batch.filter(col("change_type") === "delete").drop("change_type")
-        val cur =
-          if (SnapshotTable.currentVersion(s, root) == 0) ins.limit(0)
-          else SnapshotTable.read(s, root)
-        SnapshotTable.commit(s, root,
-          cur.exceptAll(del).unionByName(ins), append = false,
-          meta = Map("streaming_batch" -> batchId.toString))
+        val meta = Map("streaming_batch" -> batchId.toString)
+        if (SnapshotTable.currentVersion(s, root) == 0)
+          SnapshotTable.commit(s, root, ins, append = true, meta = meta)
+        else
+          SnapshotTable.applyChangesMor(s, root, ins, del, meta)
         ()
       }
     }

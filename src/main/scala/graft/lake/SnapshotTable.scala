@@ -844,6 +844,85 @@ object SnapshotTable {
     } finally { matched.unpersist(); () }
   }
 
+  /** Apply a CDC batch — full-row DELETE images plus INSERT rows — as
+    * ONE merge-on-read commit: a positional-delete file suppressing
+    * the imaged rows and appended data files for the inserts. This is
+    * the replica-side apply for [[LakeSink.applyCdc]]: the previous
+    * formulation recomputed `state.exceptAll(del).union(ins)` and
+    * OVERWROTE the whole replica per micro-batch — O(table) rewrite
+    * per batch, the exact write amplification MoR exists to kill.
+    * Now a batch costs one planning scan (read-only, pruned to the
+    * delete images' hash via the broadcast join) plus O(Δ) bytes
+    * written; a delete-free batch skips the scan entirely.
+    *
+    * MULTISET semantics (exceptAll parity): each delete image removes
+    * exactly ONE matching live instance — a replica holding duplicate
+    * rows keeps the surplus copies. Matching is null-safe on every
+    * column. Returns the new version.
+    */
+  def applyChangesMor(
+      s: SparkSession, root: String, inserts: DataFrame,
+      deleteImages: DataFrame, meta: Map[String, String] = Map.empty): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root (bootstrap with commit)")
+    val curLines = manifestLines(s, root, cur)
+    val files = dataFiles(s, root, cur)
+    val dels = deleteFiles(s, root, cur)
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    val v = cur + 1
+    val delLines: Seq[String] =
+      if (deleteImages.isEmpty) Seq.empty
+      else {
+        val live = logicalView(
+          applyAllDeletes(s, files, fs => rawWidenedRead(s, fs, mapping, types),
+            dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true),
+          mapping, types)
+        val cols = deleteImages.columns.toSeq
+        // image multiplicities broadcast; null-safe equality on every
+        // column; rank per image group caps removals at multiplicity
+        val imgs = org.apache.spark.sql.functions.broadcast(
+          deleteImages.groupBy(cols.map(c => col(c).as(s"_img_$c")): _*)
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("_img_m")))
+        val joinCond = cols.map(c => col(c) <=> col(s"_img_$c")).reduce(_ && _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(cols.map(c => col(s"_img_$c")): _*)
+          .orderBy(col("_graft_fp"), col("_graft_pos"))
+        val matches = live.join(imgs, joinCond)
+          .withColumn("_graft_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_graft_rn") <= col("_img_m"))
+          .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
+          .repartition(col("file_path"))
+        val delDir = s"$root/deletes/v$v"
+        matches.write.mode("overwrite").parquet(delDir)
+        val delPath = new Path(delDir)
+        val fsys = fsOf(s, delPath)
+        val written = fsys.listStatus(delPath).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).sorted.toSeq
+        val lines = annotateRows(s, written.map(f => s"$f\t$DeleteKindAnnot"))
+        val n = lines.map { l =>
+          l.split('\t').collectFirst {
+            case a if a.startsWith(RowsAnnot) => a.stripPrefix(RowsAnnot).toLong
+          }.getOrElse(0L)
+        }.sum
+        if (n == 0) { fsys.delete(delPath, true); Seq.empty } else lines
+      }
+    val newFiles =
+      if (inserts.isEmpty) Seq.empty[String]
+      else stampSeq(
+        annotateRows(s, writeDataFiles(s, root, v, toPhysical(inserts, mapping))),
+        nextSeqAt(s, root, cur))
+    if (delLines.isEmpty && newFiles.isEmpty) return cur
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) ++ meta + ("op" -> "cdc_apply"),
+      listBody(s, root, s"v$cur") ++
+        (if (delLines.isEmpty) Seq.empty
+         else Seq(writeFragment(s, root, s"v$v-del", delLines))) ++
+        (if (newFiles.isEmpty) Seq.empty
+         else Seq(writeFragment(s, root, s"v$v", newFiles))))
+    v
+  }
+
   /** Row-level DELETE by KEY, equality-delete encoding (Iceberg v2
     * equality delete files): suppress every row whose key columns
     * match a row of `keys` — with NO table read, NO planning scan,

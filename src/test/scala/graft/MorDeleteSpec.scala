@@ -221,6 +221,36 @@ class MorDeleteSpec extends SparkSpec {
     assert(ch.toSeq === Seq(("insert", 11L)))
   }
 
+  test("(i) applyChangesMor: CDC batch = one O(Δ) commit with exceptAll multiset parity") {
+    val root = "/tmp/graft_test/mor_cdc_apply"
+    SnapshotTable.drop(spark, root)
+    // replica holds DUPLICATE rows: (1,"a") twice — a delete image
+    // must remove exactly ONE instance (exceptAll semantics)
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+        .toDF("id", "v").coalesce(1))
+    val dataBefore = SnapshotTable.dataFiles(spark, root, 1).toSet
+    val v = SnapshotTable.applyChangesMor(spark, root,
+      inserts = Seq((4L, "d")).toDF("id", "v"),
+      deleteImages = Seq((1L, "a"), (3L, null.asInstanceOf[String])).toDF("id", "v"))
+    assert(v === 2)
+    // O(Δ): every pre-existing data file re-referenced, not rewritten
+    assert(dataBefore.subsetOf(SnapshotTable.dataFiles(spark, root, 2).toSet))
+    assert(SnapshotTable.deleteFiles(spark, root, 2).nonEmpty)
+    val got = SnapshotTable.read(spark, root).orderBy("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // one (1,a) survives; the null-keyed image matched null-safely
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    assert(SnapshotTable.recordCount(spark, root, 2) === 3)
+    // delete-free batch: append-only commit, no planning scan needed
+    SnapshotTable.applyChangesMor(spark, root,
+      inserts = Seq((5L, "e")).toDF("id", "v"),
+      deleteImages = Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(SnapshotTable.read(spark, root).count() === 4)
+    assert(SnapshotTable.deleteFiles(spark, root, 3).size ===
+      SnapshotTable.deleteFiles(spark, root, 2).size)
+  }
+
   test("(h) MoR delete and compaction work across a widened column (mixed-width files)") {
     val root = "/tmp/graft_test/mor_widen"
     SnapshotTable.drop(spark, root)

@@ -257,4 +257,42 @@ class PlanShapeSpec extends SparkSpec {
       s"unbounded ObjectHashAggregate in plan:\n${p.take(1500)}")
     assert(p.contains("HashAggregate"), "expected spillable hash aggregation")
   }
+
+  test("merge-on-read reads broadcast the delete set and never shuffle the table") {
+    import graft.lake.SnapshotTable
+    val root = "/tmp/graft_test/plan_mor"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      spark.range(1000).select(col("id"), (col("id") % 7).as("grp")).repartition(2))
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 5L)
+    val p = SnapshotTable.read(spark, root).queryExecution.executedPlan.toString
+    // the positional anti-join must be a broadcast of the Δ-row
+    // delete set against the streaming scan — at 100 TB a sort-merge
+    // here would shuffle the whole table to drop one row
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"positional deletes must broadcast-anti-join:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"table-wide shuffle in the MoR read:\n${p.take(1500)}")
+  }
+
+  test("equality-delete reads broadcast keys; compaction restores the plain scan") {
+    import graft.lake.SnapshotTable
+    val root = "/tmp/graft_test/plan_eq"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      spark.range(1000).select(col("id"), (col("id") % 7).as("grp")).repartition(2))
+    SnapshotTable.deleteWhereEq(spark, root, Seq("grp"),
+      spark.range(1).select(lit(3L).as("grp")))
+    val p = SnapshotTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"equality deletes must broadcast-anti-join on the key:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"table-wide shuffle in the eq read:\n${p.take(1500)}")
+    // folding the deletes must return the table to a join-free scan —
+    // the pre-MoR plan, byte for byte of shape
+    SnapshotTable.compactDeletes(spark, root)
+    val p2 = SnapshotTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(!p2.contains("Join"),
+      s"compacted table must read as a plain scan:\n${p2.take(1500)}")
+  }
 }
