@@ -170,6 +170,26 @@ class EqDeleteSpec extends SparkSpec {
       s"upsert CDC must show the before-image delete + after-image insert, got ${ch2.toSeq}")
   }
 
+  test("(i) eq delete written pre-widen still matches after the widen (type coercion)") {
+    val root = "/tmp/graft_test/eq_widen"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      spark.range(10).select(col("id"), col("id").cast("int").as("k")).coalesce(1))
+    // delete file stores k at the narrow physical type (int32)
+    SnapshotTable.deleteWhereEq(spark, root, Seq("k"),
+      spark.range(1).select(lit(3).cast("int").as("k")))
+    SnapshotTable.widenColumn(spark, root, "k", "bigint")
+    // post-widen scan reads k as int64; the anti-join against the
+    // int32 delete keys must coerce, not miss
+    val ks = SnapshotTable.read(spark, root).select("k").collect().map(_.getLong(0))
+    assert(ks.length === 9 && !ks.contains(3L))
+    // and compaction folds it across the width mismatch
+    SnapshotTable.compactDeletes(spark, root)
+    assert(SnapshotTable.eqDeleteEntries(spark, root,
+      SnapshotTable.currentVersion(spark, root)).isEmpty)
+    assert(SnapshotTable.read(spark, root).count() === 9)
+  }
+
   test("(h) expire reclaims expired-only eq-delete files, branch reads honor eq deletes") {
     val root = "/tmp/graft_test/eq_expire"
     mk(root, n = 10)
