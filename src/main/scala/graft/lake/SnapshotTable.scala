@@ -486,11 +486,17 @@ object SnapshotTable {
     val base =
       if (append && v > 1) listBody(s, root, s"v${v - 1}")
       else Seq.empty
+    // merge newly-registered stats/bloom columns with the inherited
+    // set: a commit stamping stats on `value` must not forget that
+    // older fragments carry valid stats on `id`
+    def mergeCols(key: String, added: Seq[String]): String =
+      (inherited.get(key).toSeq.flatMap(_.split(",")) ++ added)
+        .filter(_.nonEmpty).distinct.mkString(",")
     val statsMeta =
       (if (statsCols.isEmpty) Map.empty[String, String]
-       else Map(StatsKey -> statsCols.mkString(","))) ++
+       else Map(StatsKey -> mergeCols(StatsKey, statsCols))) ++
         (if (bloomCols.isEmpty) Map.empty[String, String]
-         else Map(BloomKey -> bloomCols.mkString(",")))
+         else Map(BloomKey -> mergeCols(BloomKey, bloomCols)))
     val newRef =
       if (annotated.isEmpty) Seq.empty
       else Seq(writeFragment(s, root, s"v$v", annotated))
@@ -729,8 +735,16 @@ object SnapshotTable {
     // against logical columns with the predicate pushed to parquet.
     // Widened-schema read: a post-widen mixed-width file set must
     // plan, not throw. All pending deletes (positional and equality)
-    // are pre-applied so a dead row never earns a position.
-    val live = applyAllDeletes(s, files,
+    // are pre-applied so a dead row never earns a position. The
+    // planning scan is manifest-pruned: on a stats/partition-
+    // annotated table a trickle delete reads candidate files only
+    // (the bare predicate drives pruning — NULL rows aren't deleted,
+    // so files that can't hold a TRUE row can't hold a position).
+    val probe = logicalView(rawWidenedRead(s, files, mapping, types),
+      mapping, types).filter(predicate)
+    val candidates = planningCandidates(s, root, cur, probe, files)
+    if (candidates.isEmpty) return cur // metadata proves zero matches
+    val live = applyAllDeletes(s, candidates,
       fs => rawWidenedRead(s, fs, mapping, types),
       dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true)
     val matches = logicalView(live, mapping, types)
@@ -797,8 +811,12 @@ object SnapshotTable {
     // row identity pinned pre-logical-view, predicate on logical
     // columns, planning against the fully-delete-filtered view
     // (re-updating a dead row is a no-op, positions never duplicate)
-    // — the same planning pass as deleteWhereMor
-    val live = applyAllDeletes(s, files,
+    // — the same manifest-pruned planning pass as deleteWhereMor
+    val probe = logicalView(rawWidenedRead(s, files, mapping, types),
+      mapping, types).filter(predicate)
+    val candidates = planningCandidates(s, root, cur, probe, files)
+    if (candidates.isEmpty) return cur // metadata proves zero matches
+    val live = applyAllDeletes(s, candidates,
       fs => rawWidenedRead(s, fs, mapping, types),
       dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true)
     val matched = logicalView(live, mapping, types)
@@ -1171,8 +1189,13 @@ object SnapshotTable {
         dels, eqs, curFileSeq, keepRowId = true)
         .withColumnRenamed("_graft_fp", "_graft_file").drop("_graft_pos"),
       mapping, types)
-    val affected = viewWithFile(files)
-      .filter(predicate)
+    // manifest-prune the planning scan: a selective predicate on a
+    // stats/partition-annotated table reads candidate files only
+    val probe = viewWithFile(files).filter(predicate)
+    val candidates = planningCandidates(s, root, cur, probe, files)
+    if (candidates.isEmpty) return cur // metadata proves zero matches
+    val affected = (if (candidates.size == files.size) probe
+                    else viewWithFile(candidates).filter(predicate))
       .select("_graft_file")
       .distinct().collect().map(r => norm(r.getString(0))).toSet
     val touched = files.filter(f => affected.contains(norm(f)))
@@ -1349,6 +1372,26 @@ object SnapshotTable {
     if (pruned.isEmpty) full.filter(lit(false)) // nothing matched: keep schema, no rows
     else if (pruned.size == entries.size) full
     else view(pruned)
+  }
+
+  /** Manifest-prune the candidate files for a PLANNING scan: the
+    * files of `version` that might contain rows matching the filter
+    * of `filtered` (per partition/stats/bloom metadata). Row-level
+    * writes (copy-on-write and MoR position planning) call this so a
+    * selective DELETE/UPDATE on a stats- or partition-annotated table
+    * plans against a handful of files instead of scanning 100 TB —
+    * the same conservative metadata decision [[readWhere]] serves
+    * reads with; files pruned here provably contain no match, so the
+    * skipped scan can never change which files are touched.
+    * Unprunable predicate shapes fall back to every file.
+    */
+  private def planningCandidates(
+      s: SparkSession, root: String, version: Int,
+      filtered: DataFrame, all: Seq[String]): Seq[String] = {
+    val cond = filtered.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    cond.map(c => pruneEntries(s, root, version, c)).getOrElse(all)
   }
 
   /** The [[readWhere]] pruning core, reusable by the point-lookup
@@ -1690,7 +1733,8 @@ object SnapshotTable {
       append: Boolean = true, meta: Map[String, String] = Map.empty): Int = {
     val headStem = branchHead(s, root, name)
     val inherited = headerAt(s, root, headStem)
-      .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey || kv._1 == PartitionKey)
+      .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey ||
+        kv._1 == PartitionKey || kv._1 == StatsKey || kv._1 == BloomKey)
     val mapping = parsePairs(inherited.get(ColMapKey))
     val mdir = manifestDir(root)
     val fs = fsOf(s, mdir)
@@ -1784,10 +1828,17 @@ object SnapshotTable {
   def columnTypes(s: SparkSession, root: String, version: Int): Map[String, String] =
     parsePairs(commitMeta(s, root, version).get(ColTypesKey))
 
+  // statscols/bloomcols ride along with the schema headers: the
+  // per-file min/max and bloom annotations live in the (immutable,
+  // re-referenced) fragments, so dropping the header on a later
+  // commit would silently disable skip pruning for every old file
+  // whose stats are still perfectly valid. Files without annotations
+  // always scan, so inheriting the registration is never wrong.
   private def schemaMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
     if (version < 1) Map.empty
     else commitMeta(s, root, version)
-      .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey || kv._1 == "partition")
+      .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey ||
+        kv._1 == "partition" || kv._1 == StatsKey || kv._1 == BloomKey)
 
   /** Rename a column — metadata-only commit (no files touched). New
     * files keep writing the ORIGINAL physical name; readers see the

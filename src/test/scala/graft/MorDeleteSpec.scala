@@ -221,6 +221,54 @@ class MorDeleteSpec extends SparkSpec {
     assert(ch.toSeq === Seq(("insert", 11L)))
   }
 
+  test("(j) stats file-skipping composes with pending MoR deletes") {
+    val root = "/tmp/graft_test/mor_skip"
+    SnapshotTable.drop(spark, root)
+    // range-sorted commit with per-file stats: 8 files, disjoint id ranges
+    SnapshotTable.commit(spark, root,
+      spark.range(800).select(col("id"), (col("id") % 10).as("grp"))
+        .repartitionByRange(8, col("id")),
+      statsCols = Seq("id"))
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 42L)
+    val all = SnapshotTable.dataFiles(spark, root, 2)
+    val df = SnapshotTable.readWhere(spark, root, col("id") < 100L)
+    // pruning must still engage on the delete-bearing table...
+    assert(df.inputFiles.count(f => all.exists(a => f.endsWith(a.split('/').last))) < all.size,
+      s"expected file skipping; read ${df.inputFiles.length} of ${all.size}")
+    // ...and the pruned read still honors the positional delete
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length === 99 && !ids.contains(42L))
+  }
+
+  test("(k) delete/update planning scans are manifest-pruned on stats tables") {
+    val root = "/tmp/graft_test/mor_plan_prune"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      spark.range(800).select(col("id"), (col("id") * 2).cast("int").as("v"))
+        .repartitionByRange(8, col("id")),
+      statsCols = Seq("id"))
+    // a predicate outside every file's [min,max] is decided from
+    // METADATA alone: no scan, no commit, version unchanged
+    assert(SnapshotTable.deleteWhereMor(spark, root, col("id") === 99999L) === 1)
+    assert(SnapshotTable.deleteWhere(spark, root, col("id") === 99999L) === 1)
+    assert(SnapshotTable.updateWhereMor(spark, root, col("id") === 99999L,
+      Map("v" -> lit(0))) === 1)
+    // an in-bounds trickle delete through the pruned planning path
+    // still lands exactly one position
+    val v2 = SnapshotTable.deleteWhereMor(spark, root, col("id") === 42L)
+    assert(v2 === 2)
+    assert(spark.read.parquet(SnapshotTable.deleteFiles(spark, root, 2): _*).count() === 1)
+    assert(SnapshotTable.read(spark, root).count() === 799)
+    // pruned CoW update: only the one candidate file rewrites
+    val before = SnapshotTable.dataFiles(spark, root, 2).toSet
+    SnapshotTable.updateWhere(spark, root, col("id") === 7L, Map("v" -> lit(-1)))
+    val after = SnapshotTable.dataFiles(spark, root, 3).toSet
+    assert((before -- after).size === 1,
+      s"exactly one file must be rewritten, lost ${(before -- after).size}")
+    assert(SnapshotTable.read(spark, root).where(col("id") === 7L)
+      .select("v").collect().map(_.getInt(0)).toSeq === Seq(-1))
+  }
+
   test("(i) applyChangesMor: CDC batch = one O(Δ) commit with exceptAll multiset parity") {
     val root = "/tmp/graft_test/mor_cdc_apply"
     SnapshotTable.drop(spark, root)
