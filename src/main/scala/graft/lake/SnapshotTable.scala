@@ -740,7 +740,7 @@ object SnapshotTable {
     // annotated table a trickle delete reads candidate files only
     // (the bare predicate drives pruning — NULL rows aren't deleted,
     // so files that can't hold a TRUE row can't hold a position).
-    val probe = logicalView(rawWidenedRead(s, files, mapping, types),
+    lazy val probe = logicalView(rawWidenedRead(s, files, mapping, types),
       mapping, types).filter(predicate)
     val candidates = planningCandidates(s, root, cur, probe, files)
     if (candidates.isEmpty) return cur // metadata proves zero matches
@@ -812,7 +812,7 @@ object SnapshotTable {
     // columns, planning against the fully-delete-filtered view
     // (re-updating a dead row is a no-op, positions never duplicate)
     // — the same manifest-pruned planning pass as deleteWhereMor
-    val probe = logicalView(rawWidenedRead(s, files, mapping, types),
+    lazy val probe = logicalView(rawWidenedRead(s, files, mapping, types),
       mapping, types).filter(predicate)
     val candidates = planningCandidates(s, root, cur, probe, files)
     if (candidates.isEmpty) return cur // metadata proves zero matches
@@ -1387,11 +1387,21 @@ object SnapshotTable {
     */
   private def planningCandidates(
       s: SparkSession, root: String, version: Int,
-      filtered: DataFrame, all: Seq[String]): Seq[String] = {
+      filtered: => DataFrame, all: Seq[String]): Seq[String] = {
+    // without partition/stats/bloom registrations nothing can prune —
+    // skip even BUILDING the probe plan (its relation re-lists files
+    // and reads a schema footer, measurable per-op overhead on plain
+    // tables, which are the common case)
+    if (!hasPruningMeta(s, root, version)) return all
     val cond = filtered.queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
     cond.map(c => pruneEntries(s, root, version, c)).getOrElse(all)
+  }
+
+  private def hasPruningMeta(s: SparkSession, root: String, version: Int): Boolean = {
+    val m = commitMeta(s, root, version)
+    m.contains(PartitionKey) || m.contains(StatsKey) || m.contains(BloomKey)
   }
 
   /** The [[readWhere]] pruning core, reusable by the point-lookup
