@@ -415,7 +415,10 @@ object SnapshotTable {
     * separately with its broadcast key anti-joins, results unioned.
     * With no eq deletes this is exactly the single-scan positional
     * path — non-eq tables keep their pre-eq plans. Null keys follow
-    * SQL join semantics: a null never matches, the row survives.
+    * Iceberg v2 equality-delete semantics: null EQUALS null (the
+    * anti-join is null-safe, `<=>`), so a CDC delete image carrying a
+    * null key column suppresses the null-keyed rows — NOT SQL join
+    * semantics, where a null never matches.
     */
   private def applyAllDeletes(
       s: SparkSession, files: Seq[String], scan: Seq[String] => DataFrame,
@@ -426,12 +429,13 @@ object SnapshotTable {
     files.groupBy(f => eqDels.count(_.seq > fileSeq(f))).map { case (_, fs) =>
       val applicable = eqDels.filter(_.seq > fileSeq(fs.head))
       var df = applyDeletes(s, scan(fs), posDels, keepRowId)
-      val order = df.columns // using-columns joins put keys first; keep the scan order
+      val order = df.columns // pin the scan's column order across the joins
       applicable.groupBy(_.cols).foreach { case (cols, grp) =>
         val keys = grp.map(g => s.read.parquet(g.path)).reduce(_ unionByName _)
-          .select(cols.map(col): _*).distinct()
-        df = df.join(org.apache.spark.sql.functions.broadcast(keys),
-          cols, "left_anti")
+          .select(cols.map(c => col(c).as(s"_graft_eqk_$c")): _*).distinct()
+        // null-safe equality per key column (Iceberg v2: null == null)
+        val cond = cols.map(c => col(c) <=> col(s"_graft_eqk_$c")).reduce(_ && _)
+        df = df.join(org.apache.spark.sql.functions.broadcast(keys), cond, "left_anti")
       }
       df.select(order.map(col).toIndexedSeq: _*)
     }.reduce(_ unionByName _)
@@ -533,29 +537,45 @@ object SnapshotTable {
     * only the cheap metadata CAS retries. On a lost CAS the commit is
     * REBASED: re-read the new head, re-list its fragment refs (an
     * O(#fragments) read — this is where manifest-list commits pay
-    * off), and publish against the next version. Appends never
-    * logically conflict with other appends, so rebase needs no
-    * validation; copy-on-write commits (delete/update) do conflict on
+    * off), re-stamp the staged fragment's data sequence number against
+    * the new head (Iceberg commit-time sequence assignment — see the
+    * inline comment), and publish against the next version. An append
+    * never logically conflicts with ANY intervening op: other appends
+    * are disjoint by construction, and row-level deletes (positional
+    * or equality) committed in between order strictly BEFORE this
+    * commit's re-stamped sequence number, so they can never suppress
+    * its rows. Copy-on-write commits (delete/update) do conflict on
     * overlapping file rewrites and intentionally stay fail-loud.
     */
   def commitAppend(
       s: SparkSession, root: String, df: DataFrame,
       meta: Map[String, String] = Map.empty, maxAttempts: Int = 50): Int = {
     val stage = java.util.UUID.randomUUID.toString.take(8)
-    // seq decided against the pre-CAS head: a rebase only races other
-    // APPENDS (deletes conflict fail-loud), and appends never add eq
-    // deletes, so the staged seq stays >= every eq delete in the
-    // manifest this commit finally lands on
-    val newFiles = stampSeq(annotateRows(s,
-      writeDataFilesAt(s, s"$root/data/c-$stage", df)),
-      nextSeqAt(s, root, currentVersion(s, root)))
-    val newRef =
-      if (newFiles.isEmpty) Seq.empty
-      else Seq(writeFragment(s, root, s"c-$stage", newFiles))
+    // data files are written ONCE; only their manifest lines are
+    // (cheaply) re-stamped on a rebase
+    val baseLines = annotateRows(s, writeDataFilesAt(s, s"$root/data/c-$stage", df))
+    // Iceberg commit-time sequence assignment: the data sequence number
+    // is decided against the head this commit actually lands on, so it
+    // is re-derived on EVERY CAS attempt. Stamping once against the
+    // pre-CAS head would be a row-loss bug: if an intervening commit is
+    // an eq delete (or bumps max seq before one), the rebased append's
+    // rows would carry a stale lower _seq and be suppressed by a delete
+    // issued before they were ever visible. Re-stamping makes rebase
+    // safe over ANY intervening op, not just other appends. The
+    // re-stamp rewrites only the O(#files-in-commit) fragment lines —
+    // the staged data bytes are untouched; a superseded fragment is
+    // orphan metadata debris, same as a crashed commit's.
+    var stagedSeq = Long.MinValue
+    var newRef: Seq[String] = Seq.empty
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(s, root)
       val v = cur + 1
+      val seq = nextSeqAt(s, root, cur)
+      if (baseLines.nonEmpty && seq != stagedSeq) {
+        newRef = Seq(writeFragment(s, root, s"c-$stage-s$seq", stampSeq(baseLines, seq)))
+        stagedSeq = seq
+      }
       val inherited = schemaMeta(s, root, cur)
       val base = if (cur >= 1) listBody(s, root, s"v$cur") else Seq.empty
       try {
@@ -869,9 +889,15 @@ object SnapshotTable {
     * formulation recomputed `state.exceptAll(del).union(ins)` and
     * OVERWROTE the whole replica per micro-batch — O(table) rewrite
     * per batch, the exact write amplification MoR exists to kill.
-    * Now a batch costs one planning scan (read-only, pruned to the
-    * delete images' hash via the broadcast join) plus O(Δ) bytes
-    * written; a delete-free batch skips the scan entirely.
+    * Now a batch WRITES only O(Δ) bytes. The read side is one
+    * planning scan to locate the imaged rows' positions: when the
+    * replica has stats/partition registrations, the candidate file
+    * set is pruned by the images' per-column min/max against the
+    * manifest metadata (a metadata-only decision feeding
+    * [[planningCandidates]]); without registrations it reads every
+    * data file — register stats on the CDC key columns to keep the
+    * replica apply O(candidate files). A delete-free batch skips the
+    * scan entirely.
     *
     * MULTISET semantics (exceptAll parity): each delete image removes
     * exactly ONE matching live instance — a replica holding duplicate
@@ -892,8 +918,14 @@ object SnapshotTable {
     val delLines: Seq[String] =
       if (deleteImages.isEmpty) Seq.empty
       else {
+        // prune the planning scan by the images' min/max on any
+        // stats/partition-registered column (sound: stats pruning only
+        // drops files that provably contain no matching value, and a
+        // column with null image values is skipped — <=> matches null
+        // rows that min/max can't bound)
+        val planFiles = cdcPlanningCandidates(s, root, cur, deleteImages, files)
         val live = logicalView(
-          applyAllDeletes(s, files, fs => rawWidenedRead(s, fs, mapping, types),
+          applyAllDeletes(s, planFiles, fs => rawWidenedRead(s, fs, mapping, types),
             dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true),
           mapping, types)
         val cols = deleteImages.columns.toSeq
@@ -962,6 +994,7 @@ object SnapshotTable {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
     require(keyCols.nonEmpty, "equality delete requires at least one key column")
+    requireKeyColsInSchema(s, root, cur, keyCols)
     val mapping = columnMapping(s, root, cur)
     val v = cur + 1
     val eqLines = writeEqDeleteFile(s, root, v,
@@ -992,6 +1025,7 @@ object SnapshotTable {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
     require(keyCols.nonEmpty, "upsert requires at least one key column")
+    requireKeyColsInSchema(s, root, cur, keyCols)
     val mapping = columnMapping(s, root, cur)
     val seq = nextSeqAt(s, root, cur)
     val v = cur + 1
@@ -1007,6 +1041,27 @@ object SnapshotTable {
         (if (newFiles.isEmpty) Seq.empty
          else Seq(writeFragment(s, root, s"v$v", newFiles))))
     v
+  }
+
+  /** Validate equality-delete key columns against the table's LOGICAL
+    * schema before committing — mirrors updateWhereMor's "unknown SET
+    * column" check. Without it a typo'd key column commits fine (the
+    * keys frame just needs the column) and then poisons every
+    * subsequent read/compaction with an unresolved-column error until
+    * a manual rollback. Cost: one parquet footer read (driver-side),
+    * nothing at all on an empty table.
+    */
+  private def requireKeyColsInSchema(
+      s: SparkSession, root: String, cur: Int, keyCols: Seq[String]): Unit = {
+    val files = dataFiles(s, root, cur)
+    if (files.isEmpty) return
+    val physical = s.read.parquet(files.head).schema.fieldNames.toSeq
+    val reverse = columnMapping(s, root, cur).map(_.swap)
+    val logical = physical.map(p => reverse.getOrElse(p, p))
+    val missing = keyCols.filterNot(logical.contains)
+    require(missing.isEmpty,
+      s"unknown key column(s) ${missing.mkString(", ")} for $root — " +
+        s"table columns: ${logical.mkString(", ")}")
   }
 
   /** Write the distinct key rows as an equality-delete parquet file
@@ -1066,13 +1121,17 @@ object SnapshotTable {
           val applicable = eqs.filter(_.seq > fileSeq(fs.head))
           applicable.groupBy(_.cols).toSeq.flatMap { case (cols, grp) =>
             val keys = grp.map(g => s.read.parquet(g.path)).reduce(_ unionByName _)
-              .select(cols.map(col): _*).distinct()
+              .select(cols.map(c => col(c).as(s"_graft_eqk_$c")): _*).distinct()
             // `_metadata` resolves only on the scan itself — pin the
-            // file path into a real column before the join
+            // file path into a real column before the join; null-safe
+            // equality so the affected-file probe sees the same match
+            // set the read-side anti-join suppresses (null == null)
             rawWidenedRead(s, fs, mapping, types)
               .select((cols.map(col) :+
                 col("_metadata.file_path").as("_graft_hit_fp")): _*)
-              .join(org.apache.spark.sql.functions.broadcast(keys), cols, "left_semi")
+              .join(org.apache.spark.sql.functions.broadcast(keys),
+                cols.map(c => col(c) <=> col(s"_graft_eqk_$c")).reduce(_ && _),
+                "left_semi")
               .select("_graft_hit_fp").distinct()
               .collect().map(r => norm(r.getString(0)))
           }
@@ -1402,6 +1461,40 @@ object SnapshotTable {
   private def hasPruningMeta(s: SparkSession, root: String, version: Int): Boolean = {
     val m = commitMeta(s, root, version)
     m.contains(PartitionKey) || m.contains(StatsKey) || m.contains(BloomKey)
+  }
+
+  /** Candidate data files for a CDC delete-image batch: derive a
+    * per-column `BETWEEN images.min AND images.max` predicate over
+    * every stats/partition-registered column the images carry, and
+    * feed it to the same manifest pruning [[readWhere]] uses. One
+    * O(Δ) aggregate over the (small) image batch buys a metadata-only
+    * file skip. Columns with any null image value are excluded — the
+    * null-safe match can hit rows that file min/max (null-blind by
+    * parquet convention) cannot bound. Falls back to `all` whenever
+    * nothing can prune.
+    */
+  private[graft] def cdcPlanningCandidates(
+      s: SparkSession, root: String, version: Int,
+      images: DataFrame, all: Seq[String]): Seq[String] = {
+    if (!hasPruningMeta(s, root, version)) return all
+    val meta = commitMeta(s, root, version)
+    val pruneCols =
+      (meta.get(StatsKey).toSeq.flatMap(_.split(",")) ++ meta.get(PartitionKey))
+        .filter(_.nonEmpty).distinct.filter(images.columns.contains)
+    if (pruneCols.isEmpty) return all
+    import org.apache.spark.sql.functions.{count, max => fmax, min => fmin, when}
+    val aggs = pruneCols.flatMap(c => Seq(
+      fmin(col(c)).as(s"_mn_$c"), fmax(col(c)).as(s"_mx_$c"),
+      count(when(col(c).isNull, 1)).as(s"_nulls_$c")))
+    val r = images.agg(aggs.head, aggs.tail: _*).collect().head
+    val preds = pruneCols.flatMap { c =>
+      val mn = r.getAs[Any](s"_mn_$c")
+      if (r.getAs[Long](s"_nulls_$c") > 0 || mn == null) None
+      else Some(col(c) >= lit(mn) && col(c) <= lit(r.getAs[Any](s"_mx_$c")))
+    }
+    if (preds.isEmpty) all
+    else planningCandidates(s, root, version,
+      read(s, root, version).filter(preds.reduce(_ && _)), all)
   }
 
   /** The [[readWhere]] pruning core, reusable by the point-lookup

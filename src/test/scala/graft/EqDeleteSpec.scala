@@ -206,4 +206,77 @@ class EqDeleteSpec extends SparkSpec {
       s"expired-only eq delete file must be reclaimed: $reclaimed")
     assert(SnapshotTable.read(spark, root).count() === 9)
   }
+
+  test("(j) a typo'd key column fails fast and never poisons the table") {
+    val root = "/tmp/graft_test/eq_badcol"
+    mk(root)
+    // ADVICE r9: without validation this COMMITS (the keys frame has
+    // the column) and every later read throws unresolved-column
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.deleteWhereEq(spark, root, Seq("grpp"), Seq(2L).toDF("grpp"))
+    }
+    assert(e1.getMessage.contains("grpp") && e1.getMessage.contains("table columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.upsertEq(spark, root, Seq("idd"),
+        Seq((1L, 0L, "x")).toDF("idd", "grp", "v"))
+    }
+    assert(e2.getMessage.contains("idd"))
+    // nothing committed, table fully readable
+    assert(SnapshotTable.currentVersion(spark, root) === 1)
+    assert(SnapshotTable.read(spark, root).count() === 30)
+    // renamed (logical) key columns still validate
+    SnapshotTable.renameColumn(spark, root, "grp", "bucket")
+    val v = SnapshotTable.deleteWhereEq(spark, root, Seq("bucket"), Seq(2L).toDF("bucket"))
+    assert(SnapshotTable.read(spark, root, v).count() === 24)
+  }
+
+  test("(k) null keys: eq delete null-safely suppresses null-keyed rows (Iceberg v2)") {
+    val root = "/tmp/graft_test/eq_nullkey"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq((Some(1L), "a"), (None, "nullrow1"), (None, "nullrow2"), (Some(2L), "b"))
+        .toDF("k", "v"))
+    // a CDC delete image with a null key column must suppress the
+    // null-keyed rows — SQL join semantics would silently keep them
+    val keys = Seq[Option[Long]](None, Some(2L)).toDF("k")
+    SnapshotTable.deleteWhereEq(spark, root, Seq("k"), keys)
+    val live = SnapshotTable.read(spark, root).select("v").as[String].collect().sorted
+    assert(live.toSeq === Seq("a"), s"null == null for equality deletes, got ${live.mkString(",")}")
+    // compaction folds the null-keyed suppression identically
+    val vc = SnapshotTable.compactDeletes(spark, root)
+    assert(SnapshotTable.eqDeleteEntries(spark, root, vc).isEmpty)
+    val afterCompact = SnapshotTable.read(spark, root).select("v").as[String].collect().sorted
+    assert(afterCompact.toSeq === Seq("a"))
+    // and a later null-keyed row still survives the old delete (seq ordering)
+    SnapshotTable.commit(spark, root, Seq((Option.empty[Long], "nullreborn")).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, root).count() === 2)
+  }
+
+  test("(l) CDC planning candidates prune by image min/max against file stats") {
+    val root = "/tmp/graft_test/eq_cdcprune"
+    SnapshotTable.drop(spark, root)
+    // two commits with disjoint id ranges, stats registered on id
+    SnapshotTable.commit(spark, root,
+      spark.range(0, 100).select(col("id"), lit("lo").as("v")).repartition(2),
+      statsCols = Seq("id"))
+    SnapshotTable.commit(spark, root,
+      spark.range(1000, 1100).select(col("id"), lit("hi").as("v")).repartition(2),
+      statsCols = Seq("id"))
+    val all = SnapshotTable.dataFiles(spark, root, 2)
+    val loImages = spark.range(10, 20).select(col("id"), lit("lo").as("v"))
+    val cands = SnapshotTable.cdcPlanningCandidates(spark, root, 2, loImages, all)
+    assert(cands.nonEmpty && cands.size < all.size,
+      s"images bounded to [10,20) must prune the 1000+ files: ${cands.size}/${all.size}")
+    // a null image value on the stats column disables pruning (sound:
+    // min/max is null-blind, <=> can match null rows)
+    val withNull = loImages.unionByName(
+      Seq((Option.empty[Long], "x")).toDF("id", "v"))
+    assert(SnapshotTable.cdcPlanningCandidates(spark, root, 2, withNull, all) === all)
+    // end-to-end: applyChangesMor over the pruned plan stays exact
+    val vA = SnapshotTable.applyChangesMor(spark, root,
+      inserts = Seq((15L, "new")).toDF("id", "v"),
+      deleteImages = spark.range(10, 20).select(col("id"), lit("lo").as("v")))
+    assert(SnapshotTable.read(spark, root, vA).count() === 200 - 10 + 1)
+    assert(SnapshotTable.read(spark, root, vA).where(col("id") === 15).count() === 1)
+  }
 }
