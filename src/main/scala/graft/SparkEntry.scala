@@ -11,7 +11,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++ text.GopherRules.queries ++ text.Packing.queries ++ text.Retrieval.queries ++ text.CorpusPrep.queries ++
       dedup.Dedup.queries ++ ann.Ann.queries ++
       multimodal.Multimodal.queries ++ streaming.Streaming.queries ++
-      quality.DataQuality.queries ++ sources.Catalog.queries ++ sources.PersistentCatalog.queries ++ endpoint.SqlEndpoint.queries
+      quality.DataQuality.queries ++ sources.Catalog.queries ++ sources.PersistentCatalog.queries ++ endpoint.SqlEndpoint.queries ++ endpoint.RestCatalog.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's headline query (avg value by key and day —

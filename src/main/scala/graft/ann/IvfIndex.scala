@@ -76,19 +76,104 @@ object IvfIndex {
     root
   }
 
-  /** Assign vectors to their nearest stored centroid — shared by the
-    * initial build and incremental appends, so both produce the exact
-    * deterministic assignment the oracle replays.
+  /** Nearest stored centroid per vector WITH the assignment cosine —
+    * the score doubles as the drift signal ([[assignP50]]).
     */
-  private def assignToLists(centroids: DataFrame, vecs: DataFrame): DataFrame =
+  private def assignWithScore(centroids: DataFrame, vecs: DataFrame): DataFrame =
     vecs.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         expr("graft_cosine(embedding, c_emb)").as("c_cos"))
       .groupBy("vec_id")
       .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
-      .select(col("vec_id"), col("top")(0).getField("id").as("cid"))
+      .select(col("vec_id"),
+        col("top")(0).getField("id").as("cid"),
+        col("top")(0).getField("score").as("a_cos"))
+
+  /** Assign vectors to their nearest stored centroid — shared by the
+    * initial build and incremental appends, so both produce the exact
+    * deterministic assignment the oracle replays.
+    */
+  private def assignToLists(centroids: DataFrame, vecs: DataFrame): DataFrame =
+    assignWithScore(centroids, vecs)
       .join(vecs, Seq("vec_id"))
       .select("cid", "vec_id", "embedding")
+
+  // ----- centroid-drift policy -------------------------------------
+  //
+  // VERDICT r9 item 5: appendBatch declares centroid drift under
+  // sustained appends as the trade; make it MEASURABLE. Two sampled,
+  // metadata-sized signals per batch, each against its build-time
+  // baseline stamped on the centroids table:
+  //
+  //  1. median assignment cosine (how close vectors sit to their
+  //     nearest stored centroid) — a batch whose median falls below
+  //     HALF the build median is angularly out of distribution (a new
+  //     embedding model / domain). Relative, not absolute: the
+  //     in-distribution median depends on corpus structure (isotropic
+  //     synthetic data floors near the max-of-nLists random cosine,
+  //     clustered real data sits much higher), and a holdout batch
+  //     legitimately scores below the build sample (which contains
+  //     the quantizer's own training rows).
+  //  2. hottest-list share — the fraction of the batch assigned to
+  //     its single most popular list. A tight NEW topic cluster can
+  //     keep a healthy median (it is still "near" some centroid) while
+  //     flooding one inverted list, which is exactly what rots probe
+  //     latency and recall at scale. Trip when the batch share
+  //     exceeds 3× the build share (with an absolute floor of 0.35 so
+  //     a well-balanced build's 3× stays meaningful) AND the batch is
+  //     not BETTER-quantized than the build (batch p50 below 1.25×
+  //     build p50): a flooded list whose members sit snug against
+  //     their centroid is a KNOWN topic the quantizer already covers
+  //     — a probe for it fetches exactly that list — while a flooded
+  //     list with ordinary fit is an uncovered new topic.
+  //
+  // Either signal flips a STICKY `needs_rebuild` flag on the lists
+  // head. The rebuild ([[buildAt]]) retrains, re-baselines, and
+  // thereby clears the flag; recall after rebuild is pinned by
+  // AnnRecallSpec's bound on the same pipeline. Measured on the test
+  // corpus (IvfDriftSpec): build (p50 .368, hot .084); holdout batch
+  // (.229, .076) — quiet; one-direction cluster batch (.303, .512) —
+  // trips on share; after rebuild over the mixed corpus the same
+  // cluster scores p50 ≈ .999 (it has its own centroid) — covered,
+  // quiet, even though its hot share stays ≈ 1 by construction.
+
+  private[ann] val RelP50Factor = 0.5
+  private[ann] val HotShareFactor = 3.0
+  private[ann] val HotShareFloor = 0.35
+  private[ann] val CoveredFactor = 1.25
+
+  private val SampleN = 4096
+  private val P50Key = "assign_cos_p50"
+  private val HotKey = "assign_hot_share"
+  private val BatchP50Key = "assign_cos_p50_batch"
+  private val BatchHotKey = "assign_hot_share_batch"
+  private val RebuildKey = "needs_rebuild"
+
+  /** (median assignment cosine, hottest-list share) over a bounded
+    * deterministic sample (first [[SampleN]] by vec_id — the training
+    * pipeline's sampling convention). O(sample) collect, exact local
+    * quantile.
+    */
+  private def assignStats(centroids: DataFrame, vecs: DataFrame): (Double, Double) = {
+    val a = assignWithScore(centroids, vecs.orderBy("vec_id").limit(SampleN))
+      .select("cid", "a_cos").collect()
+    require(a.nonEmpty, "drift probe needs a non-empty vector set")
+    val scores = a.map(_.getDouble(1)).sorted
+    val n = scores.length
+    val p50 = if (n % 2 == 1) scores(n / 2) else (scores(n / 2 - 1) + scores(n / 2)) / 2.0
+    val hot = a.groupBy(_.getLong(0)).valuesIterator.map(_.length).max.toDouble / n
+    (p50, hot)
+  }
+
+  /** True iff some append since the last build measured drifted —
+    * the metadata-sized probe an index-maintenance job polls to decide
+    * rebuild cadence. Reads one manifest header.
+    */
+  def needsRebuild(s: SparkSession, root: String): Boolean = {
+    val listRoot = s"$root/lists"
+    val v = SnapshotTable.currentVersion(s, listRoot)
+    v > 0 && SnapshotTable.commitMeta(s, listRoot, v).get(RebuildKey).contains("true")
+  }
 
   /** Train + persist an index at an explicit root from an explicit
     * corpus (no fingerprint guard — callers own staleness).
@@ -107,7 +192,12 @@ object IvfIndex {
     SnapshotTable.commit(s, listRoot,
       assignToLists(centroids, corpus).repartitionByRange(8, col("cid"), col("vec_id")),
       meta = meta ++ Map("n_lists" -> nLists.toString), bloomCols = Seq("cid"))
-    SnapshotTable.commit(s, centRoot, centroids, meta = meta)
+    // build-time drift baselines: sampled, not corpus-sized (see the
+    // drift-policy section); a rebuild re-baselines and clears any
+    // sticky needs_rebuild flag (fresh lists head carries none)
+    val (p50, hot) = assignStats(centroids, corpus)
+    SnapshotTable.commit(s, centRoot, centroids,
+      meta = meta ++ Map(P50Key -> f"$p50%.6f", HotKey -> f"$hot%.6f"))
   }
 
   /** INCREMENTAL index maintenance: assign a new vector batch with
@@ -117,16 +207,36 @@ object IvfIndex {
     * manifest-list commit just re-references them). At 100 TB this is
     * the difference between absorbing a daily embedding drop in
     * minutes and rebuilding a corpus-sized index. Centroid drift under
-    * sustained appends is the declared trade — rebuild cadence is an
-    * offline policy decision, and [[buildAt]] is that rebuild.
+    * sustained appends is the declared trade — and it is MEASURED:
+    * each append stamps its sampled median assignment cosine and flips
+    * the sticky `needs_rebuild` flag when it drops more than
+    * [[DriftTolerance]] below the build baseline ([[needsRebuild]] is
+    * the maintenance-job poll; [[buildAt]] is the rebuild that clears
+    * it).
     */
   def appendBatch(s: SparkSession, root: String, batch: DataFrame): Int = {
     GraftFunctions.register(s)
-    val centroids = SnapshotTable.read(s, s"$root/centroids")
+    val centRoot = s"$root/centroids"
+    val centroids = SnapshotTable.read(s, centRoot)
+    // drift check: batch signals vs the build-time baselines; the
+    // flag is sticky until the next buildAt so one drifted daily drop
+    // cannot be masked by later quiet ones
+    val baseMeta = SnapshotTable
+      .commitMeta(s, centRoot, SnapshotTable.currentVersion(s, centRoot))
+    val (batchP50, batchHot) = assignStats(centroids, batch)
+    val p50Drift = baseMeta.get(P50Key).map(_.toDouble)
+      .exists(b => batchP50 < b * RelP50Factor)
+    val hotDrift = baseMeta.get(HotKey).map(_.toDouble)
+      .exists(b => batchHot > math.max(b * HotShareFactor, HotShareFloor)) &&
+      baseMeta.get(P50Key).map(_.toDouble)
+        .forall(b => batchP50 < b * CoveredFactor)
+    val drifted = p50Drift || hotDrift || needsRebuild(s, root)
     SnapshotTable.commit(s, s"$root/lists",
       assignToLists(centroids, batch)
         .repartitionByRange(4, col("cid"), col("vec_id")),
-      append = true, bloomCols = Seq("cid"))
+      append = true, bloomCols = Seq("cid"),
+      meta = Map(BatchP50Key -> f"$batchP50%.6f",
+        BatchHotKey -> f"$batchHot%.6f", RebuildKey -> drifted.toString))
   }
 
   /** Probe-only serving path: no training, centroids read from the

@@ -72,6 +72,21 @@ object PersistentCatalog {
       meta = Map(DbKey -> db))
   }
 
+  /** Register an external table, handling [[SnapshotTable]] roots: a
+    * snapshot root's data files live under versioned subdirectories,
+    * so parquet schema inference over the bare root fails — register
+    * with the CURRENT snapshot's schema explicitly instead (reads of
+    * such a table go through `SnapshotTable.read`/the REST pointer;
+    * the session entry serves DESCRIBE and catalog round-trips).
+    */
+  def registerTable(s: SparkSession, qualified: String, format: String,
+      location: String): Unit =
+    if (SnapshotTable.currentVersion(s, location) > 0)
+      s.catalog.createTable(qualified, format,
+        SnapshotTable.read(s, location).schema, Map("path" -> location))
+    else
+      s.catalog.createTable(qualified, format, Map("path" -> location))
+
   /** Re-register every table/view recorded at `registryRoot` into
     * `s`'s (possibly brand-new) session catalog, newest registry
     * version. This is what a fresh JVM runs before serving the
@@ -93,7 +108,7 @@ object PersistentCatalog {
     entries.foreach {
       case (n, "table", format, location, _) =>
         s.sql(s"DROP TABLE IF EXISTS $db.$n")
-        s.catalog.createTable(s"$db.$n", format, Map("path" -> location))
+        registerTable(s, s"$db.$n", format, location)
       case (n, "view", _, _, create) =>
         // SHOW CREATE TABLE emits plain CREATE VIEW; restore must win
         // over any stale definition already in the session

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.endpoint.RestCatalog
+import graft.lake.SnapshotTable
+import graft.sources.{Catalog, PersistentCatalog}
+
+/** Drives the HTTP REST catalog the way the reference stack drives
+  * Lakekeeper (RUNBOOK.md §4: curl against the catalog service) — two
+  * concurrent HTTP clients going list → describe → create → read,
+  * plus pointer resolution for snapshot tables and the DDL
+  * durability loop.
+  */
+class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // the spec's DDL lands in the shared `graft` database; drop the
+  // spec-created tables so suites asserting the exact lake listing
+  // (CatalogSpec, PersistentCatalogSpec) see a clean catalog
+  override def afterAll(): Unit = {
+    spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getAs[String]("tableName"))
+      .filter(_.startsWith("rest_spec_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft.$n"))
+    super.afterAll()
+  }
+
+  private val registryRoot = "/tmp/graft_rest_spec_registry"
+  private val tableArea = "/tmp/graft_rest_spec_tables"
+
+  private lazy val port: Int = {
+    // fresh registry + table area per JVM: stale versions from a prior
+    // run would otherwise restore tables whose locations are gone
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(registryRoot, tableArea).foreach { d =>
+      val p = new Path(d); p.getFileSystem(conf).delete(p, true)
+    }
+    Catalog.register(spark, sf())
+    PersistentCatalog.save(spark, registryRoot)
+    RestCatalog.serve(spark, registryRoot)
+  }
+
+  test("config, namespaces and listing serve the registry") {
+    val (c1, cfg) = RestCatalog.get(port, "/v1/config")
+    assert(c1 == 200 && cfg.contains("\"database\":\"graft\""), cfg)
+    val (c2, ns) = RestCatalog.get(port, "/v1/namespaces")
+    assert(c2 == 200 && ns.contains("\"graft\""), ns)
+    val (c3, listing) = RestCatalog.get(port, "/v1/tables")
+    assert(c3 == 200)
+    val names = RestCatalog.jfieldAll(listing, "name").toSet
+    assert(Set("lineitem", "orders", "events", "documents").subsetOf(names), names.toString)
+  }
+
+  test("describe returns DESCRIBE-spelled columns over the wire") {
+    val (code, body) = RestCatalog.get(port, "/v1/tables/lineitem")
+    assert(code == 200, body)
+    val cols = RestCatalog.jfieldAll(body, "name").drop(1) // first "name" is the table's
+    val types = RestCatalog.jfieldAll(body, "type")
+    val byName = cols.zip(types).toMap
+    assert(byName.get("l_orderkey").contains("bigint"), byName.toString)
+    assert(byName.get("l_returnflag").contains("string"), byName.toString)
+  }
+
+  test("stats match the engine's own counts") {
+    val (code, body) = RestCatalog.get(port, "/v1/tables/region/stats")
+    assert(code == 200, body)
+    assert(RestCatalog.jlong(body, "row_count").contains(
+      spark.table("graft.region").count()), body)
+    assert(RestCatalog.jlong(body, "n_cols").contains(
+      spark.table("graft.region").schema.size.toLong), body)
+  }
+
+  test("POST create + pointer resolution + durable registry round-trip") {
+    // a real snapshot table as the created table's storage
+    val loc = s"$tableArea/created"
+    import spark.implicits._
+    SnapshotTable.commit(spark, loc,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    SnapshotTable.commitAppend(spark, loc, Seq((4L, "d")).toDF("id", "v"))
+
+    val (code, resp) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_created","format":"parquet","location":"$loc"}""")
+    assert(code == 201, resp)
+
+    // visible in the listing, readable via stats — the snapshot root
+    // itself is not directly a parquet dir, so register the CURRENT
+    // data files' parent is not the point here: the catalog stores the
+    // location verbatim; pointer is the snapshot-aware surface
+    val (_, listing) = RestCatalog.get(port, "/v1/tables")
+    assert(RestCatalog.jfieldAll(listing, "name").contains("rest_spec_created"))
+
+    val (c2, ptr) = RestCatalog.get(port, "/v1/tables/rest_spec_created/pointer")
+    assert(c2 == 200, ptr)
+    val v = SnapshotTable.currentVersion(spark, loc)
+    assert(RestCatalog.jlong(ptr, "snapshot_version").contains(v.toLong), ptr)
+    assert(ptr.contains(s"_manifests/v$v.manifest"), ptr)
+
+    // durability: the registry table's LATEST version records the DDL —
+    // what a fresh JVM would restore from
+    val reg = SnapshotTable.read(spark, registryRoot)
+      .where(org.apache.spark.sql.functions.col("table_name") === "rest_spec_created")
+      .collect()
+    // DESCRIBE qualifies the path (file:/tmp/...) — compare path parts
+    assert(reg.length == 1 &&
+      reg(0).getAs[String]("location").stripPrefix("file:") == loc)
+
+    // a non-snapshot table 404s on pointer
+    val (c3, _) = RestCatalog.get(port, "/v1/tables/region/pointer")
+    assert(c3 == 404)
+  }
+
+  test("two concurrent clients: reader loop while a writer issues DDL") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+
+    val reader = Future {
+      (1 to 25).map { _ =>
+        val (c, listing) = RestCatalog.get(port, "/v1/tables")
+        assert(c == 200, listing)
+        val names = RestCatalog.jfieldAll(listing, "name")
+        assert(names.contains("lineitem"))
+        val (c2, d) = RestCatalog.get(port, "/v1/tables/orders")
+        assert(c2 == 200 && d.contains("o_orderkey"), d)
+        names.size
+      }.last
+    }
+    val writer = Future {
+      (1 to 3).foreach { i =>
+        val loc = s"$tableArea/conc_$i"
+        SnapshotTable.commit(spark, loc, Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        val (c, resp) = RestCatalog.post(port, "/v1/tables",
+          s"""{"name":"rest_spec_conc_$i","format":"parquet","location":"$loc"}""")
+        assert(c == 201, resp)
+        val (c2, stats) = RestCatalog.get(port, s"/v1/tables/rest_spec_conc_$i/stats")
+        assert(c2 == 200 && RestCatalog.jlong(stats, "row_count").contains(1L), stats)
+      }
+    }
+    Await.result(writer, 120.seconds)
+    val lastSeen = Await.result(reader, 120.seconds)
+    assert(lastSeen >= 3) // sanity: listings stayed parseable throughout
+    val (_, fin) = RestCatalog.get(port, "/v1/tables")
+    val names = RestCatalog.jfieldAll(fin, "name")
+    (1 to 3).foreach(i => assert(names.contains(s"rest_spec_conc_$i"), names.toString))
+  }
+
+  test("error surfaces: unknown table 404, malformed create 400") {
+    val (c1, _) = RestCatalog.get(port, "/v1/tables/no_such_table")
+    assert(c1 == 404)
+    val (c2, _) = RestCatalog.get(port, "/v1/tables/no_such_table/stats")
+    assert(c2 == 404)
+    val (c3, b3) = RestCatalog.post(port, "/v1/tables", """{"format":"parquet"}""")
+    assert(c3 == 400, b3)
+    val (c4, b4) = RestCatalog.post(port, "/v1/tables",
+      """{"name":"bad name!","location":"/tmp/x"}""")
+    assert(c4 == 400, b4)
+    val (c5, _) = RestCatalog.delete(port, "/v1/tables/no_such_table")
+    assert(c5 == 404)
+  }
+
+  test("DELETE drops from session and registry") {
+    import spark.implicits._
+    val loc = s"$tableArea/dropme"
+    SnapshotTable.commit(spark, loc, Seq((1L, "x")).toDF("id", "v"))
+    val (c, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_dropme","format":"parquet","location":"$loc"}""")
+    assert(c == 201)
+    val (c2, resp) = RestCatalog.delete(port, "/v1/tables/rest_spec_dropme")
+    assert(c2 == 200, resp)
+    val (_, listing) = RestCatalog.get(port, "/v1/tables")
+    assert(!RestCatalog.jfieldAll(listing, "name").contains("rest_spec_dropme"))
+    assert(!spark.catalog.tableExists("graft.rest_spec_dropme"))
+  }
+}
