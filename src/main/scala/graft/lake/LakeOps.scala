@@ -1363,10 +1363,13 @@ object LakeOps {
   /** External live-feed ingestion (the reference's first pipeline
     * step: an Airflow task pulling an HTTP API and reshaping the
     * payload, dags/yfinance_to_minio.py:23-50) driven through the
-    * full connector path: a staged-file "remote server" serves
-    * JSON-lines pages with one poison line per day; page descriptors
-    * are planned driver-side (metadata-only) and FETCHED ON
-    * EXECUTORS via mapPartitions; `from_json` against the explicit
+    * full connector path OVER REAL HTTP: an in-process feed server
+    * (LiveFeed.FeedServer over the staged files) serves JSON-lines
+    * pages with one poison line per day; the driver plans page
+    * descriptors with one metadata GET and executors FETCH THEIR OWN
+    * PAGES over sockets via mapPartitions (LiveFeed.HttpFeed — the
+    * production client, base URL being the only difference);
+    * `from_json` against the explicit
     * wire schema reshapes; malformed lines are flagged, never
     * dropped silently; commits go through ScheduledIngest so a
     * re-run of the whole window is a no-op even through the
@@ -1380,7 +1383,8 @@ object LakeOps {
     val src = scratch(dir, "live_feed_src")
     clean(s, tbl); clean(s, src)
     LiveFeed.stageEventsFeed(s, events(s, dir), src, garbagePerDay = 1)
-    val client = new LiveFeed.StagedFileFeed(src)
+    val port = LiveFeed.FeedServer.serve(src, new LiveFeed.StagedFileFeed(src))
+    val client = new LiveFeed.HttpFeed(s"http://localhost:$port")
     def extract(lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame =
       LiveFeed.fetchInterval(s, client, lo, hi)
         .filter(!col("malformed"))
