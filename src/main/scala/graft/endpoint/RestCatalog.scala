@@ -32,9 +32,11 @@ import graft.sources.{Catalog, PersistentCatalog}
   *   - `GET  /v1/tables/{name}`          describe: columns from the live session catalog
   *   - `GET  /v1/tables/{name}/stats`    row_count + n_cols (computed engine-side)
   *   - `GET  /v1/tables/{name}/pointer`  SnapshotTable current version + manifest path
-  *   - `POST /v1/tables`                 DDL create `{"name","format","location"}` →
-  *                                        registers in the session AND commits a new
-  *                                        registry version (durable across JVMs)
+  *   - `POST /v1/tables`                 DDL create `{"name","format","location"}`
+  *                                        (external table) or `{"name","view_sql"}`
+  *                                        (view) → registers in the session AND
+  *                                        commits a new registry version (durable
+  *                                        across JVMs)
   *   - `DELETE /v1/tables/{name}`        drop from session + registry
   *
   * Consistency: reads are served from the live session catalog (which
@@ -230,15 +232,27 @@ object RestCatalog {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val name = jfield(body, "name").getOrElse(
             throw new IllegalArgumentException("missing field: name"))
-          val format = jfield(body, "format").getOrElse("parquet")
-          val location = jfield(body, "location").getOrElse(
-            throw new IllegalArgumentException("missing field: location"))
           if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
             throw new IllegalArgumentException(s"invalid table name: $name")
-          val v = ddlLock.synchronized {
-            spark.sql(s"DROP TABLE IF EXISTS $db.$name")
-            PersistentCatalog.registerTable(spark, s"$db.$name", format, location)
-            PersistentCatalog.save(spark, registryRoot, db)
+          val v = jfield(body, "view_sql") match {
+            case Some(sql) =>
+              // CREATE VIEW: the body is the defining query; the
+              // registry round-trips it via SHOW CREATE TABLE like
+              // any other view
+              ddlLock.synchronized {
+                spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
+                PersistentCatalog.save(spark, registryRoot, db)
+              }
+            case None =>
+              val format = jfield(body, "format").getOrElse("parquet")
+              val location = jfield(body, "location").getOrElse(
+                throw new IllegalArgumentException(
+                  "missing field: location (or view_sql for a view)"))
+              ddlLock.synchronized {
+                spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+                PersistentCatalog.registerTable(spark, s"$db.$name", format, location)
+                PersistentCatalog.save(spark, registryRoot, db)
+              }
           }
           send(ex, 201, jobj("registered" -> jstr(name),
             "registry_version" -> v.toString))

@@ -222,6 +222,27 @@ object Streaming {
   private def runToTable(s: SparkSession, plan: DataFrame, name: String): DataFrame =
     runToTableCounting(s, plan, name)._1
 
+  /** State-store partition sizing: a stateful streaming op keeps one
+    * state store per shuffle partition, and every micro-batch pays a
+    * load/commit/maintenance cycle PER STORE regardless of how many
+    * rows it holds — at these state volumes, 32 stores are ~4× the
+    * fixed cost of 8 for identical results. Production guidance, not
+    * a bench trick: size `spark.sql.shuffle.partitions` at stream
+    * START to expected state volume (the count is captured in the
+    * checkpoint and kept for the query's life; a 100 TB deployment
+    * sizes UP for the same reason this sizes down). Restores the
+    * session conf afterwards; resumed checkpoints keep their recorded
+    * count either way.
+    */
+  private[graft] val StatePartitions = 8
+
+  private[graft] def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StatePartitions.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** As [[runToTable]], but also returns how many micro-batches
     * carried input rows — for queries whose oracle semantics depend
     * on the batching (see [[qStreamDedup]]).
@@ -229,13 +250,18 @@ object Streaming {
   private def runToTableCounting(
       s: SparkSession, plan: DataFrame, name: String): (DataFrame, Int) = {
     s.catalog.dropTempView(name)
-    val q = plan.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // conf held until termination: the stream thread snapshots it
+    // into the offset-log metadata asynchronously after start()
+    val q = withStatePartitions(s) {
+      val q0 = plan.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     val fed = q.recentProgress.count(_.numInputRows > 0)
     // Run-to-completion hygiene (r6 bench stall hardening): every
     // finished query leaves its state-store providers LOADED in the

@@ -159,6 +159,25 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(c5 == 404)
   }
 
+  test("POST with view_sql creates a durable view") {
+    val (c, resp) = RestCatalog.post(port, "/v1/tables",
+      """{"name":"rest_spec_view","view_sql":"SELECT r_regionkey, upper(r_name) AS region FROM graft.region"}""")
+    assert(c == 201, resp)
+    val (c2, d) = RestCatalog.get(port, "/v1/tables/rest_spec_view")
+    assert(c2 == 200 && d.contains("\"kind\":\"view\"") && d.contains("region"), d)
+    val (c3, stats) = RestCatalog.get(port, "/v1/tables/rest_spec_view/stats")
+    assert(c3 == 200 && RestCatalog.jlong(stats, "row_count").contains(
+      spark.table("graft.region").count()), stats)
+    // durably recorded with its defining SQL
+    val reg = lake.SnapshotTable.read(spark, registryRoot)
+      .where(org.apache.spark.sql.functions.col("table_name") === "rest_spec_view")
+      .collect()
+    assert(reg.length == 1 && reg(0).getAs[String]("kind") == "view" &&
+      reg(0).getAs[String]("create_sql").toLowerCase.contains("upper"))
+    val (c4, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_view")
+    assert(c4 == 200)
+  }
+
   test("DELETE drops from session and registry") {
     import spark.implicits._
     val loc = s"$tableArea/dropme"
