@@ -257,6 +257,37 @@ object RestCatalog {
           send(ex, 201, jobj("registered" -> jstr(name),
             "registry_version" -> v.toString))
 
+        case ("POST", List("v1", "tables", name, "maintain")) =>
+          // the ops loop over the wire: Iceberg's maintenance
+          // procedures (rewrite/expire/remove-orphans) as one REST
+          // call against a catalog-registered snapshot table,
+          // returning the Maintenance.Report a scheduler dashboards
+          withTable(ex, name) { case (_, _, _, loc) =>
+            if (loc.isEmpty || SnapshotTable.currentVersion(spark, loc) == 0)
+              err(ex, 404, s"$name is not a snapshot table")
+            else {
+              val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+              val d = graft.lake.Maintenance.Policy()
+              val r = graft.lake.Maintenance.run(spark, loc,
+                graft.lake.Maintenance.Policy(
+                  smallBytes = jlong(body, "small_bytes").getOrElse(d.smallBytes),
+                  targetBytes = jlong(body, "target_bytes").getOrElse(d.targetBytes),
+                  keepVersions = jlong(body, "keep_versions")
+                    .map(_.toInt).getOrElse(d.keepVersions),
+                  orphanGraceMs = jlong(body, "orphan_grace_ms")
+                    .getOrElse(d.orphanGraceMs)))
+              send(ex, 200, jobj(
+                "name" -> jstr(name),
+                "deletes_folded_version" ->
+                  r.deletesFoldedVersion.map(_.toString).getOrElse("null"),
+                "packed_version" -> r.packedVersion.map(_.toString).getOrElse("null"),
+                "expired_versions" -> r.expiredVersions.mkString("[", ",", "]"),
+                "expired_files_reclaimed" -> r.expiredFilesReclaimed.toString,
+                "orphans_reclaimed" -> r.orphansReclaimed.toString,
+                "final_version" -> r.finalVersion.toString))
+            }
+          }
+
         case ("DELETE", List("v1", "tables", name)) =>
           withTable(ex, name) { case (_, kind, _, _) =>
             val v = ddlLock.synchronized {

@@ -1,5 +1,6 @@
 package graft.lake
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1417,7 +1418,173 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Orphan-file reclamation ([[SnapshotTable.removeOrphans]] —
+    * Iceberg `remove_orphan_files`): a table accrues debris no
+    * manifest references — a crashed commit's staged data directory,
+    * a losing CAS attempt's superseded fragment, a torn publish's
+    * `.manifest.tmp`, a leaked arbiter `.lock`, an aborted delete
+    * file write. The entry plants one of EACH debris class next to a
+    * live table (appends + a pending MoR delete), then pins the whole
+    * contract: the grace period protects everything (in-flight
+    * commits look exactly like debris), dry-run names precisely the
+    * debris and never a referenced file, the real run removes what
+    * dry-run named and nothing else, a second pass finds nothing, and
+    * the table reads back byte-identical. The oracle proves content
+    * preservation through the reclaim.
+    */
+  def orphanCleanup(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_orphans")
+    clean(s, root)
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def touch(p: String): Unit = {
+      val out = fs.create(new Path(p), false)
+      try out.write("debris\n".getBytes("UTF-8")) finally out.close()
+    }
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root,
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).repartition(4))
+    // commitAppend stages under data/c-<uuid>: its LIVE files prove a
+    // referenced staged dir survives the reclaim
+    SnapshotTable.commitAppend(s, root,
+      ev.filter(pmod(col("event_id"), lit(2)) === 1).repartition(4))
+    // pending MoR delete: its positional delete file is referenced
+    // table state and must survive
+    SnapshotTable.deleteWhereMor(s, root, col("event_type") === "click")
+    // one specimen of each debris class
+    ev.limit(10).repartition(2).write.parquet(s"$root/data/c-crashed") // crashed commit
+    ev.limit(5).select(lit("x").as("file_path"), lit(0L).as("pos"))
+      .repartition(1).write.parquet(s"$root/deletes/v99") // aborted delete write
+    touch(s"$root/_manifests/c-dead-s3-beefbeef.frag") // superseded rebase fragment
+    touch(s"$root/_manifests/.v9.cafecafe.manifest.tmp") // torn publish
+    touch(s"$root/_manifests/.v9.manifest.lock") // leaked arbiter lock
+    val before = SnapshotTable.read(s, root).count()
+    val live = (SnapshotTable.dataFiles(s, root, 3) ++
+      SnapshotTable.deleteFiles(s, root, 3)).map(SnapshotTable.canon(s, _)).toSet
+    // grace protects: everything here was written milliseconds ago, so
+    // an hour-long grace must find nothing reclaimable
+    require(SnapshotTable.removeOrphans(s, root, graceMs = 3600 * 1000L, dryRun = true).isEmpty,
+      "grace period must protect freshly written files")
+    val dry = SnapshotTable.removeOrphans(s, root, graceMs = 0, dryRun = true)
+    require(dry.exists(_.contains("/data/c-crashed/")), "crashed commit dir must be named")
+    require(dry.exists(_.contains("/deletes/v99/")), "aborted delete write must be named")
+    require(dry.exists(_.endsWith("c-dead-s3-beefbeef.frag")), "superseded fragment must be named")
+    require(dry.exists(_.endsWith(".manifest.tmp")), "torn publish tmp must be named")
+    require(dry.exists(_.endsWith(".manifest.lock")), "leaked lock must be named")
+    require(dry.forall(p => !live.contains(p)),
+      "dry-run must never name a referenced data or delete file")
+    val removed = SnapshotTable.removeOrphans(s, root, graceMs = 0)
+    require(removed == dry, s"reclaim must remove exactly what dry-run named")
+    require(SnapshotTable.removeOrphans(s, root, graceMs = 0, dryRun = true).isEmpty,
+      "second pass must find nothing")
+    require(SnapshotTable.read(s, root).count() == before,
+      "table content must be untouched by the reclaim")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val orphanCleanupOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_type <> 'click'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Bin-packing OPTIMIZE ([[SnapshotTable.compactSmallFiles]] —
+    * Iceberg `rewrite_data_files`, Delta OPTIMIZE): three 8-way
+    * micro-batch commits accrue 24 small files, a 1-row MoR trickle
+    * delete marks one file delete-affected, then the packer folds
+    * every OTHER file into one output — the delete-named file is
+    * excluded (rewriting it would dangle the delete's positions; that
+    * fold is compactDeletes' job) and its pending delete still
+    * applies on read. File count 24 → 2 with zero content change —
+    * the nightly job that keeps a micro-batch-fed 100 TB table's
+    * scan cost bounded by bytes, not file count.
+    */
+  def optimizeBinpack(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_optimize")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    (0 until 3).foreach { b =>
+      SnapshotTable.commit(s, root,
+        ev.filter(col("bucket") === b).drop("bucket").repartition(8))
+    }
+    val victim = SnapshotTable.read(s, root).agg(min("event_id")).head.getLong(0)
+    SnapshotTable.deleteWhereMor(s, root, col("event_id") === victim)
+    val before = SnapshotTable.dataFiles(s, root, 4)
+    require(before.size == 24, s"3 commits x 8 files, got ${before.size}")
+    val v = SnapshotTable.compactSmallFiles(s, root,
+      smallBytes = Long.MaxValue, targetBytes = 8L << 30)
+    require(v == 5, s"optimize must commit v5, got $v")
+    val after = SnapshotTable.dataFiles(s, root, v)
+    require(after.size == 2,
+      s"one packed output + the delete-affected file, got ${after.size}")
+    require(SnapshotTable.deleteFiles(s, root, v).nonEmpty,
+      "the pending positional delete must survive the pack")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val optimizeBinpackOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id <> (SELECT MIN(event_id) FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** One-call nightly maintenance ([[Maintenance.run]]): the composed
+    * policy job a scheduler runs per table — delete-fold-if-needed →
+    * bin-pack → expire → orphan reclaim — with its accounting report.
+    * The scenario pins BOTH policy directions: a 1-row trickle MoR
+    * delete stays merge-on-read (deletesFoldedVersion empty — no
+    * needless rewrite amplification), while the packer folds the
+    * other 23 micro-batch files, expire drops the pre-pack versions,
+    * and the orphan stage reclaims a planted crashed-commit dir. The
+    * oracle proves the composed chain preserved exactly the
+    * non-deleted content.
+    */
+  def autoMaintain(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_automaint")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    (0 until 3).foreach { b =>
+      SnapshotTable.commit(s, root,
+        ev.filter(col("bucket") === b).drop("bucket").repartition(8))
+    }
+    val victim = SnapshotTable.read(s, root).agg(min("event_id")).head.getLong(0)
+    SnapshotTable.deleteWhereMor(s, root, col("event_id") === victim)
+    // crashed-commit debris for the orphan stage
+    ev.limit(5).repartition(1).write.parquet(s"$root/data/c-crashed")
+    val r = Maintenance.run(s, root, Maintenance.Policy(
+      maxDeleteRatio = 0.05, smallBytes = Long.MaxValue,
+      targetBytes = 8L << 30, keepVersions = 1, orphanGraceMs = 0))
+    require(r.deletesFoldedVersion.isEmpty,
+      "a trickle delete below the ratio threshold must stay merge-on-read")
+    require(r.packedVersion.contains(5), s"pack must commit v5, got $r")
+    require(r.expiredVersions == (1 to 4), s"expire must drop v1..v4, got $r")
+    require(r.orphansReclaimed >= 1, s"crashed-commit debris must be reclaimed, got $r")
+    require(r.finalVersion == 5, s"final version must be the pack commit, got $r")
+    require(SnapshotTable.dataFiles(s, root, 5).size == 2,
+      "one packed output + the delete-affected file")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val autoMaintainOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id <> (SELECT MIN(event_id) FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_auto_maintain", autoMaintain, Some(autoMaintainOracle)),
+    Q("lake_optimize_binpack", optimizeBinpack, Some(optimizeBinpackOracle)),
+    Q("lake_orphan_cleanup", orphanCleanup, Some(orphanCleanupOracle)),
     Q("lake_live_feed", liveFeed, Some(liveFeedOracle)),
     Q("lake_scheduled_ingest", scheduledIngest, Some(scheduledIngestOracle)),
     Q("lake_export_delta_log", exportDeltaLog, Some(exportDeltaLogOracle)),

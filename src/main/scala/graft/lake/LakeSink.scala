@@ -32,11 +32,20 @@ object LakeSink {
     * skipped — the batchId and the committed files land in one atomic
     * manifest rename, so the dedup decision can never disagree with
     * the committed data (exactly-once table contents).
+    *
+    * Commits go through [[SnapshotTable.commitAppend]] (staged data +
+    * CAS rebase), NOT the fail-loud single-writer [[SnapshotTable
+    * .commit]]: a live table is exactly where MAINTENANCE runs next
+    * to the stream (compactSmallFiles folding the micro-batch files,
+    * compactDeletes, an eq-delete CDC writer), and a fail-loud append
+    * would kill the streaming query on the first lost CAS. With both
+    * sides rebase-capable the stream and the nightly jobs interleave
+    * freely (StreamingMaintenanceSpec).
     */
   def append(stream: DataFrame, root: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
-        SnapshotTable.commit(batch.sparkSession, root, batch, append = true,
+        SnapshotTable.commitAppend(batch.sparkSession, root, batch,
           meta = Map("streaming_batch" -> batchId.toString))
         ()
       }

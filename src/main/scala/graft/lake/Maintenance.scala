@@ -1,0 +1,71 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+/** The composed nightly maintenance job — the ONE call a scheduler
+  * runs per table, chaining every upkeep stage in dependency order:
+  *
+  *  1. [[SnapshotTable.compactDeletesIfNeeded]] — fold accumulated
+  *     MoR deletes where the per-file pending-delete ratio (or any
+  *     pending equality delete) says the read-side anti-join now
+  *     costs more than the one-time rewrite.
+  *  2. [[SnapshotTable.compactSmallFiles]] — bin-pack the micro-batch
+  *     small files (INCLUDING the fresh fold outputs) toward the
+  *     target size, per partition value.
+  *  3. [[SnapshotTable.expire]] — drop snapshots beyond the retention
+  *     window, reclaiming data/delete files and fragments only they
+  *     reference.
+  *  4. [[SnapshotTable.removeOrphans]] — reclaim debris NO version
+  *     ever referenced (crashed commits, superseded rebase fragments,
+  *     torn publishes), under the grace period.
+  *
+  * Every stage is individually safe next to live traffic — the
+  * rewrites publish via the rebase-capable path (they retry over
+  * concurrent appends, abort loudly on genuine conflicts), expire
+  * touches only versions outside the retention window, and the orphan
+  * grace period protects in-flight commits — so the job runs while
+  * the table serves readers and a streaming sink
+  * (StreamingMaintenanceSpec pins the interleaving). Mirrors the
+  * operational story the reference delegates to Trino/Iceberg
+  * maintenance procedures (RUNBOOK.md §9's table-maintenance notes):
+  * `rewrite_position_delete_files` + `rewrite_data_files` +
+  * `expire_snapshots` + `remove_orphan_files`, one scheduler entry.
+  */
+object Maintenance {
+
+  /** Production-shaped defaults; tests and small tables tighten them. */
+  final case class Policy(
+      maxDeleteRatio: Double = 0.05,
+      smallBytes: Long = 64L << 20,
+      targetBytes: Long = 256L << 20,
+      keepVersions: Int = 5,
+      orphanGraceMs: Long = 3L * 3600 * 1000)
+
+  /** What the run did — the accounting a maintenance dashboard keys
+    * on. `None` = that stage decided no work was warranted.
+    */
+  final case class Report(
+      deletesFoldedVersion: Option[Int],
+      packedVersion: Option[Int],
+      expiredVersions: Seq[Int],
+      expiredFilesReclaimed: Int,
+      orphansReclaimed: Int,
+      finalVersion: Int)
+
+  def run(s: SparkSession, root: String, policy: Policy = Policy()): Report = {
+    val v0 = SnapshotTable.currentVersion(s, root)
+    require(v0 > 0, s"no snapshot table at $root")
+    val vFold = SnapshotTable.compactDeletesIfNeeded(s, root, policy.maxDeleteRatio)
+    val vPack = SnapshotTable.compactSmallFiles(s, root,
+      policy.smallBytes, policy.targetBytes)
+    val (expired, reclaimed) = SnapshotTable.expire(s, root, policy.keepVersions)
+    val orphans = SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs)
+    Report(
+      deletesFoldedVersion = Some(vFold).filter(_ > v0),
+      packedVersion = Some(vPack).filter(_ > vFold),
+      expiredVersions = expired,
+      expiredFilesReclaimed = reclaimed.size,
+      orphansReclaimed = orphans.size,
+      finalVersion = SnapshotTable.currentVersion(s, root))
+  }
+}

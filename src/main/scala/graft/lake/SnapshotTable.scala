@@ -552,8 +552,15 @@ object SnapshotTable {
       meta: Map[String, String] = Map.empty, maxAttempts: Int = 50): Int = {
     val stage = java.util.UUID.randomUUID.toString.take(8)
     // data files are written ONCE; only their manifest lines are
-    // (cheaply) re-stamped on a rebase
-    val baseLines = annotateRows(s, writeDataFilesAt(s, s"$root/data/c-$stage", df))
+    // (cheaply) re-stamped on a rebase. Incoming LOGICAL column names
+    // are stored under their physical names (same as commit) — a
+    // rename mid-rebase is harmless because renames never change
+    // physical names, only the logical labels over them.
+    val cur0 = currentVersion(s, root)
+    val mapping =
+      if (cur0 < 1) Map.empty[String, String] else columnMapping(s, root, cur0)
+    val baseLines = annotateRows(s,
+      writeDataFilesAt(s, s"$root/data/c-$stage", toPhysical(df, mapping)))
     // Iceberg commit-time sequence assignment: the data sequence number
     // is decided against the head this commit actually lands on, so it
     // is re-derived on EVERY CAS attempt. Stamping once against the
@@ -1148,10 +1155,14 @@ object SnapshotTable {
     // width, same as any post-widen commit writes
     // touched can be empty when pending eq deletes matched nothing —
     // the commit is then metadata-only (just drops the spent refs)
+    // staged under a commit-UNIQUE dir, not data/v$v: publishRewrite
+    // may rebase past v, and a concurrent commit landing ON v would
+    // mode(overwrite) a shared v-numbered dir right over these bytes
     val newFiles =
       if (touched.isEmpty) Seq.empty[String]
       else stampSeq(
-        annotateRows(s, writeDataFiles(s, root, v,
+        annotateRows(s, writeDataFilesAt(s,
+          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}",
           applyAllDeletes(s, touched,
             fs => rawWidenedRead(s, fs, mapping, types), dels, eqs, fileSeq))),
         nextSeqAt(s, root, cur))
@@ -1174,11 +1185,82 @@ object SnapshotTable {
     val newRef =
       if (newFiles.isEmpty) Seq.empty
       else Seq(writeFragment(s, root, s"v$v", newFiles))
-    writeManifestAtomic(s, root, v,
-      schemaMeta(s, root, cur) ++
-        Map("op" -> "compact_deletes", "rewrote" -> touched.size.toString),
+    publishRewrite(s, root, cur,
+      Map("op" -> "compact_deletes", "rewrote" -> touched.size.toString),
       keptRefs.toSeq ++ survivorRef ++ newRef)
-    v
+  }
+
+  /** Publish a CONTENT-PRESERVING rewrite with Iceberg
+    * `RewriteDataFiles` concurrency semantics. A compaction changes
+    * bytes, never logical content, so it does NOT conflict with
+    * concurrent APPENDS — on a streaming table that commits every few
+    * seconds, a fail-loud maintenance rewrite would simply never win
+    * the CAS and the table would degrade forever. On a lost CAS the
+    * rewrite REBASES: re-read the head, validate that every
+    * intervening commit only ADDED pure data lines (the lines this
+    * plan consumed are all still present verbatim, nothing added is a
+    * positional/equality delete, and the schema header is unchanged),
+    * then publish the planned body plus the intervening additions.
+    * Anything else — an intervening row-level delete (its positions/
+    * keys may target files this rewrite replaced), another rewrite, an
+    * overwrite, a rename/widen — is a genuine conflict and stays
+    * fail-loud, exactly like Iceberg's rewrite validation.
+    *
+    * Soundness of carrying intervening appends past a delete-folding
+    * rewrite: equality deletes only suppress files with a LOWER data
+    * sequence number, and every intervening append was stamped above
+    * the base head's max — so the folded (dropped) eq deletes never
+    * applied to the carried files; positional deletes at the base
+    * version reference only files that existed then, never appended
+    * ones.
+    */
+  private def publishRewrite(
+      s: SparkSession, root: String, basedOn: Int,
+      opMeta: Map[String, String], body: Seq[String],
+      maxAttempts: Int = 50): Int = {
+    val baseBodySet = listBody(s, root, s"v$basedOn").toSet
+    val baseSchema = schemaMeta(s, root, basedOn)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = currentVersion(s, root)
+      val added: Seq[String] =
+        if (head == basedOn) Seq.empty
+        else {
+          val headBody = listBody(s, root, s"v$head")
+          val removed = baseBodySet -- headBody.toSet
+          if (removed.nonEmpty) throw new IllegalStateException(
+            s"rewrite of $root based on v$basedOn conflicts with a concurrent " +
+              s"commit that removed ${removed.size} manifest line(s) (another " +
+              "rewrite/overwrite) — re-plan the rewrite against the new head")
+          val extra = headBody.filterNot(baseBodySet.contains)
+          val resolvedExtra = extra.flatMap { l =>
+            if (l.startsWith(RefPrefix)) readSmallFile(s, new Path(l.drop(1)))
+            else Seq(l)
+          }
+          if (resolvedExtra.exists(isSuppressionLine)) throw new IllegalStateException(
+            s"rewrite of $root based on v$basedOn conflicts with a concurrent " +
+              "row-level delete — its positions/keys may target replaced files; " +
+              "re-plan the rewrite against the new head")
+          if (schemaMeta(s, root, head) != baseSchema) throw new IllegalStateException(
+            s"rewrite of $root based on v$basedOn conflicts with a concurrent " +
+              "schema/registration change — re-plan against the new head")
+          extra
+        }
+      try {
+        writeManifestAtomic(s, root, head + 1,
+          baseSchema ++ opMeta ++
+            (if (added.isEmpty) Map.empty[String, String]
+             else Map("rebased_over" -> (head - basedOn).toString)),
+          body ++ added)
+        return head + 1
+      } catch {
+        case _: IllegalStateException if attempt < maxAttempts - 1 =>
+          attempt += 1
+          Thread.sleep(2L + scala.util.Random.nextInt(8))
+      }
+    }
+    throw new IllegalStateException(
+      s"rewrite publish lost the version CAS $maxAttempts times for $root")
   }
 
   /** Delete-aware maintenance policy (the WHEN for [[compactDeletes]]
@@ -1217,6 +1299,137 @@ object SnapshotTable {
           rows.exists(r => r > 0 && d.toDouble / r > maxDeleteRatio))
       }
     if (trigger) compactDeletes(s, root) else cur
+  }
+
+  /** Bin-packing small-file compaction — Iceberg `rewrite_data_files`
+    * (binpack) / Delta `OPTIMIZE`. Rewrites ONLY files below
+    * `smallBytes`, packing them into outputs sized toward
+    * `targetBytes`; right-sized files keep their bytes (and their
+    * stats/bloom annotations) untouched. On a streaming table the
+    * small-file problem is structural — every micro-batch commit adds
+    * a handful of tiny files, and scan cost degrades with file COUNT
+    * (footer reads, task scheduling) even when total bytes are flat —
+    * so this is the nightly job that keeps a 100 TB table scannable.
+    *
+    * Scope and soundness:
+    *  - Partition-aware: packing groups by the files' manifest
+    *    partition annotation, so hidden-partitioning tables compact
+    *    WITHIN each partition value (cross-partition packing would
+    *    destroy manifest partition pruning), exactly like
+    *    Iceberg/Delta per-partition bin packing.
+    *  - Delete-affected files are excluded: a file named by a pending
+    *    positional delete can't be rewritten here (positions would
+    *    dangle — that fold is [[compactDeletes]]' job), and a file a
+    *    pending equality delete still applies to must keep its lower
+    *    sequence number. Eligible files are untouched by every
+    *    pending delete, so stamping the packed outputs with the next
+    *    sequence number changes nothing about delete applicability.
+    *  - Sizes come from the manifest-adjacent footer metadata (driver
+    *    statuses for small tables, a distributed `_metadata.file_size`
+    *    scan for large ones); packed outputs are re-annotated with the
+    *    table's registered stats/bloom columns so file skipping
+    *    SURVIVES compaction.
+    *  - Publishes via [[publishRewrite]]: rebases over concurrent
+    *    appends, fails loud on genuine conflicts.
+    *
+    * Returns the new version (or `cur` when there is nothing worth
+    * packing — fewer than two small files in every partition group, or
+    * packing wouldn't reduce the file count).
+    */
+  def compactSmallFiles(
+      s: SparkSession, root: String,
+      smallBytes: Long = 64L << 20, targetBytes: Long = 256L << 20): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val lines = manifestLines(s, root, cur)
+    val dels = deleteFiles(s, root, cur)
+    val eqs = eqDeletesOf(lines)
+    val fileSeq = fileSeqFn(s, lines)
+    val mapping = columnMapping(s, root, cur)
+    val types = columnTypes(s, root, cur)
+    def norm(p: String) = canon(s, p)
+    val posAffected: Set[String] =
+      if (dels.isEmpty) Set.empty
+      else s.read.parquet(dels: _*).select("file_path").distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    // (file, partition-annotation suffix) for every live data file
+    val withParts = dataFilesWithPartitions(s, root, cur)
+    val partAnnotOf: Map[String, String] = withParts.map { case (f, annots) =>
+      val p = annots.filterNot { case (k, _) =>
+        k.startsWith("_min_") || k.startsWith("_max_") ||
+          k.startsWith("_bloom_") || k == "_rows" || k == "_seq"
+      }.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\t")
+      norm(f) -> p
+    }.toMap
+    val eligible = withParts.map(_._1).filter { f =>
+      !posAffected.contains(norm(f)) && eqs.forall(_.seq <= fileSeq(f))
+    }
+    if (eligible.size < 2) return cur
+    val sizes: Map[String, Long] =
+      if (eligible.size <= 64)
+        eligible.map { f =>
+          val p = new Path(f); norm(f) -> fsOf(s, p).getFileStatus(p).getLen
+        }.toMap
+      else s.read.parquet(eligible: _*)
+        .select(col("_metadata.file_path").as("f"), col("_metadata.file_size").as("b"))
+        .distinct().collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    // pack within each partition group; a group repacks only when it
+    // has 2+ small files AND fewer outputs than inputs
+    val smallByGroup: Map[String, Seq[String]] = eligible
+      .filter(f => sizes.getOrElse(norm(f), Long.MaxValue) < smallBytes)
+      .groupBy(f => partAnnotOf.getOrElse(norm(f), ""))
+      .filter { case (_, fs) =>
+        fs.size >= 2 && {
+          val bytes = fs.map(f => sizes(norm(f))).sum
+          math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt) < fs.size
+        }
+      }
+    if (smallByGroup.isEmpty) return cur
+    val hdr = schemaMeta(s, root, cur)
+    def regCols(key: String): Seq[String] =
+      hdr.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+        .map(c => mapping.getOrElse(c, c))
+    val seq = nextSeqAt(s, root, cur)
+    val newFiles: Seq[String] = smallByGroup.toSeq.sortBy(_._1).flatMap {
+      case (partAnnot, fs) =>
+        val bytes = fs.map(f => sizes(norm(f))).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        // physical rewrite (no logical view): renames stay
+        // metadata-only; staged under a commit-UNIQUE dir (see
+        // compactDeletes — a v-numbered dir is a concurrency hazard)
+        val staged = writeDataFilesAt(s,
+          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}",
+          rawWidenedRead(s, fs, mapping, types).repartition(nOut))
+        val withStats =
+          if (regCols(StatsKey).isEmpty) staged
+          else annotateStats(s, staged, regCols(StatsKey))
+        val withBloom =
+          if (regCols(BloomKey).isEmpty) withStats
+          else annotateBloom(s, withStats, regCols(BloomKey))
+        val withPart =
+          if (partAnnot.isEmpty) withBloom else withBloom.map(l => s"$l\t$partAnnot")
+        stampSeq(annotateRows(s, withPart), seq)
+    }
+    val packedSet: Set[String] = smallByGroup.values.flatten.map(norm).toSet
+    def packedLine(l: String) =
+      !isSuppressionLine(l) && packedSet.contains(norm(l.split('\t').head))
+    val keptRefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
+    listBody(s, root, s"v$cur").foreach { l =>
+      if (l.startsWith(RefPrefix)) {
+        val ls = readSmallFile(s, new Path(l.drop(1)))
+        if (ls.exists(packedLine)) survivors ++= ls.filterNot(packedLine)
+        else keptRefs += l
+      } else if (!packedLine(l)) survivors += l
+    }
+    val survivorRef =
+      if (survivors.isEmpty) Seq.empty
+      else Seq(writeFragment(s, root, s"v${cur + 1}-keep", survivors.toSeq))
+    val newRef = Seq(writeFragment(s, root, s"v${cur + 1}", newFiles))
+    publishRewrite(s, root, cur,
+      Map("op" -> "optimize",
+        "packed" -> packedSet.size.toString, "outputs" -> newFiles.size.toString),
+      keptRefs.toSeq ++ survivorRef ++ newRef)
   }
 
   /** Shared copy-on-write planner: find the data files that actually
@@ -1597,6 +1810,151 @@ object SnapshotTable {
     orphanedFrags.foreach(f => fs.delete(new Path(f), false))
     orphaned.foreach(f => fs.delete(new Path(f), false))
     (expired, orphaned)
+  }
+
+  /** Reclaim ORPHAN files (Iceberg `remove_orphan_files`): files under
+    * the table root that NO manifest generation references. [[expire]]
+    * reclaims files of expired VERSIONS; this reclaims the debris no
+    * version ever owned — a crashed commit's data directory (written
+    * before the manifest CAS), a losing [[commitAppend]] attempt's
+    * superseded re-stamped fragment, a torn publish's `.manifest.tmp`,
+    * a crashed [[CommitArbiter]] publish's leaked `.lock`. On a
+    * streaming table this debris accrues per failure forever; at
+    * 100 TB an un-reclaimed crashed compaction is a full table copy.
+    *
+    * Safety contract (mirrors Iceberg's `older_than`): only files
+    * whose modification time is at least `graceMs` old are touched —
+    * `graceMs` MUST exceed the longest possible in-flight commit,
+    * because a commit's staged data/fragment files are legitimately
+    * unreferenced until its manifest publishes. Files referenced by
+    * ANY `.manifest` under `_manifests` (main versions, branch heads)
+    * are never touched; version manifests themselves are owned by
+    * [[expire]], not this. Same cross-root caveat as [[expire]]: a
+    * [[shallowClone]] referencing this root's files from ANOTHER root
+    * is invisible here — don't run cleanup on roots serving clones.
+    *
+    * Scale shape: the candidate listing runs DISTRIBUTED, one task per
+    * commit-grained directory (`data/v*`, `data/c-*`, `deletes/v*` —
+    * O(commits) tasks), and the orphan decision is a Spark anti-join
+    * of that listing against the referenced set, so the driver never
+    * materializes or diffs the full file inventory — it collects only
+    * the orphans (bounded by debris, not table size). Deletion fans
+    * out the same way. `_manifests` debris is handled driver-side
+    * (that directory is O(versions)).
+    *
+    * Returns the reclaimed (or, with `dryRun`, reclaimable) file
+    * paths, sorted.
+    */
+  def removeOrphans(
+      s: SparkSession, root: String, graceMs: Long = 3L * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    val mdir = manifestDir(root)
+    val fs = fsOf(s, mdir)
+    if (!fs.exists(mdir)) return Seq.empty
+    val cutoff = System.currentTimeMillis - graceMs
+    val manifestStatuses = fs.listStatus(mdir).filterNot(_.isDirectory)
+    val stems = manifestStatuses.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSeq
+    // every data/delete file + fragment of EVERY manifest generation
+    // (whatever the stem names — main versions and branch heads alike)
+    val referenced: Set[String] = stems.flatMap { st =>
+      filesAt(s, root, st) ++ fragmentRefs(s, root, st)
+    }.map(p => canon(s, p)).toSet
+    // _manifests debris: unreferenced fragments, torn publish tmps,
+    // leaked arbiter locks. Version manifests are expire()'s to manage
+    // and ref files live in _tags/_branches, not here.
+    val manifestDebris: Seq[Path] = manifestStatuses.toSeq
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.endsWith(".frag") && !referenced.contains(canon(s, p.toString))) ||
+          n.endsWith(".tmp") || n.endsWith(".lock")
+      }
+    // commit-grained candidate dirs + any loose top-level files
+    val rootPath = new Path(root)
+    // _delta_log: a DeltaInterop export renders the foreign-protocol
+    // log under the table root — interop metadata, not graft debris
+    val protectedTop = Set("_manifests", "_tags", "_branches", "_delta_log")
+    val loose = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val candidateDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    fsOf(s, rootPath).listStatus(rootPath)
+      .filterNot(st => protectedTop.contains(st.getPath.getName))
+      .foreach { st =>
+        if (!st.isDirectory) loose += ((st.getPath.toString, st.getModificationTime))
+        else fs.listStatus(st.getPath).foreach { sub =>
+          if (sub.isDirectory) candidateDirs += sub.getPath.toString
+          else loose += ((sub.getPath.toString, sub.getModificationTime))
+        }
+      }
+    // executors rebuild the Hadoop conf from broadcast entries so the
+    // listing/delete tasks resolve the SAME FileSystem scheme the
+    // driver does (s3a://, the test schemes) — no java.io assumptions
+    val confEntries: Array[(String, String)] = {
+      val it = s.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    val confB = s.sparkContext.broadcast(confEntries)
+    def execConf(): org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confB.value.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    // listing statuses come back fully qualified: format them with the
+    // same scheme://authority/path normal form canon() uses
+    def canonQualified(p: Path): String = {
+      val u = p.toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+    import s.implicits._
+    val dirsRdd = s.sparkContext.parallelize(
+      candidateDirs.toSeq, math.max(1, math.min(candidateDirs.size, 64)))
+    val listed = dirsRdd.mapPartitions { dirs =>
+      val conf = execConf()
+      dirs.flatMap { d =>
+        val p = new Path(d)
+        val dfs = p.getFileSystem(conf)
+        if (!dfs.exists(p)) Iterator.empty
+        else {
+          val it = dfs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          while (it.hasNext) {
+            val f = it.next()
+            buf += ((canonQualified(f.getPath), f.getModificationTime))
+          }
+          buf.iterator
+        }
+      }
+    }.toDF("path", "mtime")
+      .union(loose.toSeq.map { case (p, m) => (canon(s, p), m) }.toDF("path", "mtime"))
+    val refDf = referenced.toSeq.toDF("ref")
+    val orphans: Seq[String] = listed
+      .join(refDf, col("path") === col("ref"), "left_anti")
+      .filter(col("mtime") <= lit(cutoff))
+      .select("path").as[String].collect().toSeq.sorted
+    val all = (orphans ++ manifestDebris.map(p => canon(s, p.toString))).sorted
+    if (!dryRun && all.nonEmpty) {
+      s.sparkContext.parallelize(orphans, math.max(1, math.min(orphans.size, 64)))
+        .foreachPartition { paths =>
+          val conf = execConf()
+          paths.foreach { raw =>
+            val p = new Path(raw)
+            p.getFileSystem(conf).delete(p, false); ()
+          }
+        }
+      manifestDebris.foreach(p => fs.delete(p, false))
+      // drop commit dirs the reclaim emptied — debris dirs must not
+      // accumulate either (a dir per crashed commit, forever)
+      candidateDirs.foreach { d =>
+        val p = new Path(d)
+        val dfs = fsOf(s, p)
+        if (dfs.exists(p) && dfs.listStatus(p).isEmpty) { dfs.delete(p, false); () }
+      }
+    }
+    confB.destroy()
+    all
   }
 
   private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] =

@@ -191,4 +191,31 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!RestCatalog.jfieldAll(listing, "name").contains("rest_spec_dropme"))
     assert(!spark.catalog.tableExists("graft.rest_spec_dropme"))
   }
+
+  test("POST maintain runs the composed maintenance job over the wire") {
+    import spark.implicits._
+    val loc = s"$tableArea/maintme"
+    // 3 small-file commits worth of fold fodder
+    (0 until 3).foreach { i =>
+      SnapshotTable.commit(spark, loc,
+        (0 until 8).map(k => (i * 8L + k, s"r$k")).toDF("id", "v").repartition(4))
+    }
+    val (c, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_maint","format":"parquet","location":"$loc"}""")
+    assert(c == 201)
+    val (c2, resp) = RestCatalog.post(port, "/v1/tables/rest_spec_maint/maintain",
+      """{"small_bytes":1048576,"target_bytes":1073741824,"keep_versions":1,"orphan_grace_ms":0}""")
+    assert(c2 == 200, resp)
+    assert(RestCatalog.jlong(resp, "packed_version").contains(4L), resp)
+    assert(RestCatalog.jlong(resp, "final_version").contains(4L), resp)
+    assert(resp.contains("\"expired_versions\":[1,2,3]"), resp)
+    assert(SnapshotTable.read(spark, loc).count() === 24,
+      "content preserved through wire-driven maintenance")
+    assert(SnapshotTable.dataFiles(spark, loc, 4).size === 1)
+    // a non-snapshot (plain parquet) table 404s on maintain
+    val (c3, _) = RestCatalog.post(port, "/v1/tables/region/maintain", "{}")
+    assert(c3 == 404)
+    val (c4, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_maint")
+    assert(c4 == 200)
+  }
 }
