@@ -38,6 +38,7 @@ object Maintenance {
       maxDeleteRatio: Double = 0.05,
       smallBytes: Long = 64L << 20,
       targetBytes: Long = 256L << 20,
+      sortCols: Seq[String] = Seq.empty, // rewrite SORT strategy: packed outputs re-clustered on these
       keepVersions: Int = 5,
       orphanGraceMs: Long = 3L * 3600 * 1000)
 
@@ -57,7 +58,7 @@ object Maintenance {
     require(v0 > 0, s"no snapshot table at $root")
     val vFold = SnapshotTable.compactDeletesIfNeeded(s, root, policy.maxDeleteRatio)
     val vPack = SnapshotTable.compactSmallFiles(s, root,
-      policy.smallBytes, policy.targetBytes)
+      policy.smallBytes, policy.targetBytes, policy.sortCols)
     val (expired, reclaimed) = SnapshotTable.expire(s, root, policy.keepVersions)
     val orphans = SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs)
     Report(

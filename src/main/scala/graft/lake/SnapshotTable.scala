@@ -1338,7 +1338,8 @@ object SnapshotTable {
     */
   def compactSmallFiles(
       s: SparkSession, root: String,
-      smallBytes: Long = 64L << 20, targetBytes: Long = 256L << 20): Int = {
+      smallBytes: Long = 64L << 20, targetBytes: Long = 256L << 20,
+      sortCols: Seq[String] = Seq.empty): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
     val lines = manifestLines(s, root, cur)
@@ -1396,10 +1397,21 @@ object SnapshotTable {
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         // physical rewrite (no logical view): renames stay
         // metadata-only; staged under a commit-UNIQUE dir (see
-        // compactDeletes — a v-numbered dir is a concurrency hazard)
+        // compactDeletes — a v-numbered dir is a concurrency hazard).
+        // With sortCols (Iceberg's rewrite SORT strategy) the pack
+        // also RESTORES clustering: range-partition + sort means each
+        // packed file owns a disjoint key range, so the re-annotated
+        // min/max stats prune like a fresh z-order/clustered write —
+        // compaction that tightens skipping instead of destroying it.
+        val raw = rawWidenedRead(s, fs, mapping, types)
+        val arranged =
+          if (sortCols.isEmpty) raw.repartition(nOut)
+          else {
+            val phys = sortCols.map(c => col(mapping.getOrElse(c, c)))
+            raw.repartitionByRange(nOut, phys: _*).sortWithinPartitions(phys: _*)
+          }
         val staged = writeDataFilesAt(s,
-          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}",
-          rawWidenedRead(s, fs, mapping, types).repartition(nOut))
+          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}", arranged)
         val withStats =
           if (regCols(StatsKey).isEmpty) staged
           else annotateStats(s, staged, regCols(StatsKey))

@@ -120,6 +120,32 @@ class OptimizeBinpackSpec extends SparkSpec {
       s"packed output must be re-annotated with registered stats, got ${annots.head._2}")
   }
 
+  test("sort-ordered pack restores clustering: per-file key ranges are disjoint") {
+    val root = "/tmp/graft_test/opt_sorted"
+    SnapshotTable.drop(spark, root)
+    // interleaved commits: every file spans nearly the full id range,
+    // so the pre-pack min/max stats are useless for pruning
+    (0 until 4).foreach { m =>
+      SnapshotTable.commit(spark, root,
+        spark.range(1000).filter(col("id") % 4 === m)
+          .select(col("id"), expr("cast(id as string)").as("v")).repartition(2),
+        statsCols = Seq("id"))
+    }
+    val v = SnapshotTable.compactSmallFiles(spark, root,
+      smallBytes = 1L << 20, targetBytes = 10000, sortCols = Seq("id"))
+    assert(v === 5)
+    val ranges = SnapshotTable.dataFilesWithPartitions(spark, root, v)
+      .map { case (_, a) => (a("_min_id").toDouble, a("_max_id").toDouble) }
+      .sortBy(_._1)
+    assert(ranges.size >= 2, s"target size must force 2+ packed outputs, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"sorted pack must yield disjoint per-file ranges, got $ranges")
+      case _ => ()
+    }
+    assert(SnapshotTable.read(spark, root).count() === 1000)
+  }
+
   test("publish rebases over a concurrent append") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftmseam.impl", classOf[ManifestSeamFs].getName)
