@@ -783,16 +783,21 @@ object LakeOps {
     val d11 = lit("2024-01-11").cast("timestamp")
     val d21 = lit("2024-01-21").cast("timestamp")
     SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
-    val cdc = s.readStream.format("graft-snapshot").option("path", src).load()
-    val q = LakeSink.startCdc(cdc, dst, ckpt)
-    try {
-      q.processAllAvailable()
-      SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
-      q.processAllAvailable()
-      SnapshotTable.commit(s, src, ev.filter(col("ts") >= d21))
-      SnapshotTable.deleteWhere(s, src, col("event_type") === "error")
-      q.processAllAvailable()
-    } finally q.stop()
+    // the per-batch MoR applies (planning window + broadcast joins)
+    // run over Δ-sized batches — state-store-width shuffles, not
+    // batch-width ones (same sizing as the streaming entries)
+    graft.streaming.Streaming.withStatePartitions(s) {
+      val cdc = s.readStream.format("graft-snapshot").option("path", src).load()
+      val q = LakeSink.startCdc(cdc, dst, ckpt)
+      try {
+        q.processAllAvailable()
+        SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
+        q.processAllAvailable()
+        SnapshotTable.commit(s, src, ev.filter(col("ts") >= d21))
+        SnapshotTable.deleteWhere(s, src, col("event_type") === "error")
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     val srcCount = SnapshotTable.read(s, src).count()
     val dstCount = SnapshotTable.read(s, dst).count()
     require(srcCount == dstCount,
@@ -831,19 +836,23 @@ object LakeOps {
     val d21 = lit("2024-01-21").cast("timestamp")
     SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
     def cdc = s.readStream.format("graft-snapshot").option("path", src).load()
-    // run 1: applies version 1, then dies
-    val q1 = LakeSink.startCdc(cdc, dst, ckpt)
-    try q1.processAllAvailable() finally q1.stop()
-    val afterRun1 = SnapshotTable.read(s, dst).count()
-    require(afterRun1 == SnapshotTable.read(s, src).count(),
-      s"run 1 incomplete: replica $afterRun1 rows")
-    // downtime: source advances by two appends and a delete
-    SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
-    SnapshotTable.commit(s, src, ev.filter(col("ts") >= d21))
-    SnapshotTable.deleteWhere(s, src, col("event_type") === "error")
-    // run 2: resume from the checkpoint — catch up on versions 2..4 only
-    val q2 = LakeSink.startCdc(cdc, dst, ckpt)
-    try q2.processAllAvailable() finally q2.stop()
+    // Δ-sized per-batch applies: state-store-width shuffles (see
+    // replicaSync)
+    graft.streaming.Streaming.withStatePartitions(s) {
+      // run 1: applies version 1, then dies
+      val q1 = LakeSink.startCdc(cdc, dst, ckpt)
+      try q1.processAllAvailable() finally q1.stop()
+      val afterRun1 = SnapshotTable.read(s, dst).count()
+      require(afterRun1 == SnapshotTable.read(s, src).count(),
+        s"run 1 incomplete: replica $afterRun1 rows")
+      // downtime: source advances by two appends and a delete
+      SnapshotTable.commit(s, src, ev.filter(col("ts") >= d11 && col("ts") < d21))
+      SnapshotTable.commit(s, src, ev.filter(col("ts") >= d21))
+      SnapshotTable.deleteWhere(s, src, col("event_type") === "error")
+      // run 2: resume from the checkpoint — catch up on versions 2..4
+      val q2 = LakeSink.startCdc(cdc, dst, ckpt)
+      try q2.processAllAvailable() finally q2.stop()
+    }
     val srcCount = SnapshotTable.read(s, src).count()
     val dstCount = SnapshotTable.read(s, dst).count()
     require(srcCount == dstCount,
