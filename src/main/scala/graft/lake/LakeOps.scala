@@ -1590,7 +1590,53 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** SQL-native lake access ([[graft.streaming.GraftSnapshotRelation]]
+    * — the batch face of `format("graft-snapshot")`): a
+    * hidden-partitioned snapshot table registered via `CREATE TABLE …
+    * USING graft-snapshot` and queried through plain `spark.table`
+    * SQL — no Scala lake API in the query path. The ts range filter is
+    * PUSHED into manifest partition pruning (asserted: the scan opens
+    * strictly fewer files than the table holds), a pending MoR trickle
+    * delete is applied through the relation, and the oracle
+    * hash-matches raw SQL over events — proving any SQL client gets
+    * exactly the engine's read semantics.
+    */
+  def sqlRelation(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_sqlrel")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value", "ts")
+    SnapshotTable.commitPartitionedByDay(s, root, ev, "ts")
+    val victim = SnapshotTable.read(s, root).agg(min("event_id")).head.getLong(0)
+    SnapshotTable.deleteWhereMor(s, root, col("event_id") === victim)
+    val tbl = "graft_sqlrel_events"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val out = s.table(tbl)
+      .filter(col("ts") < cutoff)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+    // force one scan so the pruning observability hook is populated
+    out.collect()
+    val total = SnapshotTable.dataFiles(s, root,
+      SnapshotTable.currentVersion(s, root)).size
+    val opened = graft.streaming.GraftSnapshotRelation.lastScanFiles
+    require(opened > 0 && opened < total,
+      s"the pushed ts filter must prune day partitions: opened $opened of $total files")
+    out
+  }
+
+  val sqlRelationOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events
+       |WHERE ts < TIMESTAMP '2024-01-15'
+       | AND event_id <> (SELECT MIN(event_id) FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_sql_relation", sqlRelation, Some(sqlRelationOracle)),
     Q("lake_auto_maintain", autoMaintain, Some(autoMaintainOracle)),
     Q("lake_optimize_binpack", optimizeBinpack, Some(optimizeBinpackOracle)),
     Q("lake_orphan_cleanup", orphanCleanup, Some(orphanCleanupOracle)),

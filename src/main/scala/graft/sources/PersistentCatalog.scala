@@ -72,18 +72,19 @@ object PersistentCatalog {
       meta = Map(DbKey -> db))
   }
 
-  /** Register an external table, handling [[SnapshotTable]] roots: a
-    * snapshot root's data files live under versioned subdirectories,
-    * so parquet schema inference over the bare root fails — register
-    * with the CURRENT snapshot's schema explicitly instead (reads of
-    * such a table go through `SnapshotTable.read`/the REST pointer;
-    * the session entry serves DESCRIBE and catalog round-trips).
-    */
+  /** Register an external table, handling [[SnapshotTable]] roots. */
   def registerTable(s: SparkSession, qualified: String, format: String,
       location: String): Unit =
     if (SnapshotTable.currentVersion(s, location) > 0)
-      s.catalog.createTable(qualified, format,
-        SnapshotTable.read(s, location).schema, Map("path" -> location))
+      // a snapshot root registers through the graft-snapshot BATCH
+      // relation, so `spark.table`/SQL serve the table's true state
+      // (current version, MoR deletes applied, renames resolved,
+      // pushed filters pruning through the manifest). Registering it
+      // as raw parquet-on-root-dir would serve ZERO rows — the data
+      // lives in versioned subdirectories no flat scan finds — while
+      // the stats route showed real counts. Schema is inferred by the
+      // relation, so it stays current across later evolution.
+      s.catalog.createTable(qualified, "graft-snapshot", Map("path" -> location))
     else
       s.catalog.createTable(qualified, format, Map("path" -> location))
 

@@ -93,4 +93,29 @@ class PersistentCatalogSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(1200))
   }
+
+  test("a registered SNAPSHOT table serves its true state through spark.table") {
+    import spark.implicits._
+    wipe()
+    val loc = "/tmp/graft_test/pcat_snap"
+    graft.lake.SnapshotTable.drop(spark, loc)
+    graft.lake.SnapshotTable.commit(spark, loc,
+      (0 until 50).map(k => (k.toLong, s"r$k")).toDF("id", "v"))
+    graft.lake.SnapshotTable.deleteWhereMor(spark, loc, col("id") < 10)
+    Catalog.register(spark, sf())
+    PersistentCatalog.registerTable(spark, s"${Catalog.DB}.pcat_snap", "parquet", loc)
+    // current state, MoR delete applied — registering the root as raw
+    // parquet would serve ZERO rows (data lives in versioned subdirs)
+    assert(spark.table(s"${Catalog.DB}.pcat_snap").count() === 40)
+    // and the registration survives the save → drop → restore loop
+    PersistentCatalog.save(spark, root)
+    spark.sql(s"DROP DATABASE ${Catalog.DB} CASCADE")
+    val s2 = spark.newSession()
+    PersistentCatalog.restore(s2, root)
+    assert(s2.table(s"${Catalog.DB}.pcat_snap").count() === 40)
+    assert(s2.sql(
+      s"SELECT count(*) FROM ${Catalog.DB}.pcat_snap WHERE id >= 40")
+      .head.getLong(0) === 10)
+    spark.sql(s"DROP TABLE IF EXISTS ${Catalog.DB}.pcat_snap")
+  }
 }
