@@ -1635,7 +1635,77 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** SQL WRITE path of the graft-snapshot relation: half the events
+    * land through `df.write.format("graft-snapshot")` (SaveMode.Append
+    * = concurrency-safe commitAppend), the other half through plain
+    * `INSERT INTO` on the USING-registered table — both are REAL
+    * engine commits (version count asserted), and the oracle proves
+    * the union is exact. This is the surface a SQL-only ETL job uses
+    * to feed a lake table with zero Scala API calls.
+    */
+  def sqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_sqlins")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.format("graft-snapshot").option("path", root).mode("append").save()
+    val tbl = "graft_sqlins_events"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .createOrReplaceTempView("graft_sqlins_src")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_sqlins_src")
+    require(SnapshotTable.currentVersion(s, root) == 2,
+      "write-API seed + SQL INSERT must be two engine commits")
+    s.table(tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val sqlInsertOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Iceberg-style metadata INSPECTION tables (`table$files` /
+    * `$history` as `option("metadata", …)` on the graft-snapshot
+    * relation): per-file rows/sequence and per-version op/row-count
+    * served straight off manifest annotations — no data file opened.
+    * Three 8-file commits give a known layout; the summary row
+    * (file count, annotation-summed rows, version count) hash-matches
+    * constants plus COUNT(*) over raw events, proving the manifest's
+    * accounting agrees with the data.
+    */
+  def filesMetadata(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_filesmeta")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "event_type", "value")
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    (0 until 3).foreach { b =>
+      SnapshotTable.commit(s, root,
+        ev.filter(col("bucket") === b).drop("bucket").repartition(8))
+    }
+    val files = s.read.format("graft-snapshot")
+      .option("path", root).option("metadata", "files").load()
+    val hist = s.read.format("graft-snapshot")
+      .option("path", root).option("metadata", "history").load()
+    val nVersions = hist.count()
+    files.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("rows")).as("total_rows"),
+      lit(nVersions).as("n_versions"))
+  }
+
+  val filesMetadataOracle: String =
+    """SELECT CAST(24 AS BIGINT) AS n_files, COUNT(*) AS total_rows,
+      | CAST(3 AS BIGINT) AS n_versions
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_sql_insert", sqlInsert, Some(sqlInsertOracle)),
+    Q("lake_files_metadata", filesMetadata, Some(filesMetadataOracle)),
     Q("lake_sql_relation", sqlRelation, Some(sqlRelationOracle)),
     Q("lake_auto_maintain", autoMaintain, Some(autoMaintainOracle)),
     Q("lake_optimize_binpack", optimizeBinpack, Some(optimizeBinpackOracle)),

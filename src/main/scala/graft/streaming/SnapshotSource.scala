@@ -82,12 +82,26 @@ object SnapshotSource {
 class GraftSnapshotRelation(
     @transient override val sqlContext: SQLContext,
     root: String, version: Int)
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
 
   override lazy val schema: StructType =
     SnapshotTable.read(spark, root, version).schema
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a registered lake
+    * table: an append goes through the concurrency-safe commitAppend
+    * (staged data + CAS rebase — SQL writers coexist with streams and
+    * maintenance), an overwrite is a new full snapshot (history
+    * intact, time travel to the pre-overwrite version still works).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(version < 0,
+      "cannot INSERT into a time-traveled relation (version/timestamp_ms option set)")
+    if (overwrite) SnapshotTable.commit(spark, root, data, append = false)
+    else SnapshotTable.commitAppend(spark, root, data)
+    ()
+  }
 
   // rows come straight off the engine's own plan as InternalRow
   // (toRdd); declaring no conversion skips the Row round-trip a V1
@@ -150,13 +164,33 @@ object GraftSnapshotRelation {
   }
 }
 
+/** Relation over a driver-built metadata DataFrame — serves the
+  * Iceberg-style inspection tables (`$files`, `$history`) through the
+  * same format.
+  */
+private[streaming] class DataFrameRelation(
+    @transient override val sqlContext: SQLContext, df: DataFrame)
+  extends BaseRelation with TableScan {
+  override lazy val schema: StructType = df.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
 /** `format("graft-snapshot")` registration (META-INF service file).
-  * Streaming: the CDC source above. Batch: [[GraftSnapshotRelation]],
-  * with time travel via `.option("version", n)` or
-  * `.option("timestamp_ms", epochMillis)`.
+  * Streaming: the CDC source above. Batch read:
+  * [[GraftSnapshotRelation]], with time travel via
+  * `.option("version", n)` or `.option("timestamp_ms", epochMillis)`,
+  * and Iceberg-style INSPECTION tables via `.option("metadata",
+  * "files" | "history")` — per-file rows/sequence/partition straight
+  * off the manifest annotations, per-version op/instant/row-count off
+  * the headers (all metadata-sized; no data file is opened). Batch
+  * write: `df.write.format("graft-snapshot")` with the standard
+  * SaveModes (Append = concurrency-safe commitAppend, Overwrite = new
+  * full snapshot with history intact).
   */
 class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister
-    with RelationProvider {
+    with RelationProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -177,7 +211,36 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
             s"no version of $root committed at or before $ts"))
       })
       .getOrElse(-1)
-    new GraftSnapshotRelation(sqlContext, root, version)
+    parameters.get("metadata") match {
+      case Some("files") =>
+        new DataFrameRelation(sqlContext,
+          SnapshotSourceProvider.filesMeta(s, root, version))
+      case Some("history") =>
+        new DataFrameRelation(sqlContext,
+          SnapshotSourceProvider.historyMeta(s, root))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown metadata table: $other (files | history)")
+      case None => new GraftSnapshotRelation(sqlContext, root, version)
+    }
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val s = sqlContext.sparkSession
+    val cur = SnapshotTable.currentVersion(s, root)
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append => SnapshotTable.commitAppend(s, root, data); ()
+      case Overwrite => SnapshotTable.commit(s, root, data, append = false); ()
+      case ErrorIfExists =>
+        if (cur > 0) throw new IllegalStateException(
+          s"snapshot table already exists at $root (version $cur)")
+        SnapshotTable.commit(s, root, data); ()
+      case Ignore => if (cur == 0) { SnapshotTable.commit(s, root, data); () }
+    }
+    new GraftSnapshotRelation(sqlContext, root, -1)
   }
 
   override def sourceSchema(
@@ -193,5 +256,56 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val root = rootOf(parameters)
     new SnapshotSource(sqlContext, root,
       schema.getOrElse(SnapshotSource.changeSchema(sqlContext.sparkSession, root)))
+  }
+}
+
+object SnapshotSourceProvider {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.LongType
+
+  /** Iceberg `table$files`: one row per live data file of the chosen
+    * version, values straight off the manifest annotations — no data
+    * file is opened. `partition` is the file's hidden-partition
+    * annotation (`_graft_day=2024-01-01`) or null.
+    */
+  private[streaming] def filesMeta(
+      s: SparkSession, root: String, version: Int): DataFrame = {
+    val v = if (version < 0) SnapshotTable.currentVersion(s, root) else version
+    val rows = SnapshotTable.dataFilesWithPartitions(s, root, v).map {
+      case (f, a) =>
+        val part = a.filterNot { case (k, _) =>
+          k.startsWith("_min_") || k.startsWith("_max_") ||
+            k.startsWith("_bloom_") || k == "_rows" || k == "_seq"
+        }.toSeq.sortBy(_._1).map { case (k, vv) => s"$k=$vv" }.mkString("\t")
+        Row(f, a.get("_rows").map(_.toLong).getOrElse(-1L),
+          a.get("_seq").map(_.toLong).getOrElse(0L),
+          if (part.isEmpty) null else part)
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("partition", StringType, nullable = true))))
+  }
+
+  /** Iceberg `table$history`/`$snapshots`: one row per version —
+    * commit instant, recorded op, and the version's visible row count
+    * (from the `_rows` annotations; metadata-only unless equality
+    * deletes force the documented fallback count).
+    */
+  private[streaming] def historyMeta(s: SparkSession, root: String): DataFrame = {
+    val cur = SnapshotTable.currentVersion(s, root)
+    val rows = (1 to cur).map { v =>
+      Row(v.toLong, SnapshotTable.committedAt(s, root, v),
+        SnapshotTable.commitMeta(s, root, v).getOrElse("op", ""),
+        SnapshotTable.recordCount(s, root, v))
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false))))
   }
 }

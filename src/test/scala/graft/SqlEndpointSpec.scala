@@ -70,4 +70,28 @@ class SqlEndpointSpec extends SparkSpec {
       assert(rs.next() && math.abs(rs.getDouble(1) - 1.0) < 1e-9)
     } finally conn.close()
   }
+
+  test("a BI client reads a cataloged LAKE table with engine semantics over JDBC") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val loc = "/tmp/graft_test/jdbc_lake"
+    graft.lake.SnapshotTable.drop(spark, loc)
+    graft.lake.SnapshotTable.commit(spark, loc,
+      (0 until 60).map(k => (k.toLong, s"r$k")).toDF("id", "v"))
+    graft.lake.SnapshotTable.deleteWhereMor(spark, loc, col("id") < 20)
+    graft.sources.PersistentCatalog.registerTable(
+      spark, "graft.jdbc_lake", "parquet", loc)
+    val conn = connect()
+    try {
+      // current version with the MoR delete applied — what the raw
+      // parquet-on-root registration could never serve
+      val rs = conn.createStatement().executeQuery(
+        "SELECT count(*) AS n, min(id) AS lo FROM graft.jdbc_lake")
+      assert(rs.next() && rs.getLong(1) == 40 && rs.getLong(2) == 20,
+        "JDBC must see the engine's read: 40 live rows starting at id 20")
+    } finally {
+      conn.close()
+      spark.sql("DROP TABLE IF EXISTS graft.jdbc_lake")
+    }
+  }
 }

@@ -92,6 +92,72 @@ class SqlRelationSpec extends SparkSpec {
     assert(df.filter(col("label") === "a").count() === 1)
   }
 
+  test("write path: SaveModes map to engine commits, history intact") {
+    val root = "/tmp/graft_test/rel_write"
+    SnapshotTable.drop(spark, root)
+    def w(df: org.apache.spark.sql.DataFrame, mode: String) =
+      df.write.format("graft-snapshot").option("path", root).mode(mode).save()
+    w(Seq((1L, "a")).toDF("id", "v"), "append")
+    w(Seq((2L, "b")).toDF("id", "v"), "append")
+    assert(SnapshotTable.currentVersion(spark, root) === 2)
+    assert(load(root).count() === 2)
+    w(Seq((9L, "z")).toDF("id", "v"), "overwrite")
+    assert(load(root).as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    // overwrite is a SNAPSHOT, not an erase: v2 still time-travels
+    assert(load(root, "version" -> "2").count() === 2)
+    intercept[IllegalStateException] {
+      w(Seq((0L, "x")).toDF("id", "v"), "errorifexists")
+    }
+    w(Seq((0L, "x")).toDF("id", "v"), "ignore") // existing table: no-op
+    assert(load(root).count() === 1)
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE through a registered lake table") {
+    val root = "/tmp/graft_test/rel_insert"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    spark.sql("DROP TABLE IF EXISTS rel_ins_lake")
+    spark.sql(s"CREATE TABLE rel_ins_lake USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      spark.sql("INSERT INTO rel_ins_lake VALUES (2, 'b'), (3, 'c')")
+      assert(spark.table("rel_ins_lake").count() === 3)
+      assert(SnapshotTable.read(spark, root).count() === 3,
+        "the SQL insert must be a real engine commit")
+      spark.sql("INSERT OVERWRITE rel_ins_lake VALUES (7, 'q')")
+      assert(spark.table("rel_ins_lake").as[(Long, String)].collect().toSeq ===
+        Seq((7L, "q")))
+      assert(SnapshotTable.read(spark, root, version = 2).count() === 3,
+        "overwrite keeps history")
+    } finally spark.sql("DROP TABLE IF EXISTS rel_ins_lake")
+  }
+
+  test("metadata inspection tables: files and history off the manifest") {
+    val root = "/tmp/graft_test/rel_meta"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 40).map(k => (k.toLong, s"r$k")).toDF("id", "v").repartition(4))
+    SnapshotTable.commitAppend(spark, root,
+      (40 until 50).map(k => (k.toLong, s"r$k")).toDF("id", "v").coalesce(1))
+    val files = load(root, "metadata" -> "files")
+    assert(files.columns.toSeq === Seq("file", "rows", "seq", "partition"))
+    assert(files.count() === 5)
+    assert(files.agg(org.apache.spark.sql.functions.sum("rows")).head.getLong(0) === 50)
+    assert(files.select("seq").distinct().as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val hist = load(root, "metadata" -> "history")
+    assert(hist.columns.toSeq === Seq("version", "committed_at", "op", "n_rows"))
+    assert(hist.select("version", "n_rows").as[(Long, Long)].collect().sorted.toSeq ===
+      Seq((1L, 40L), (2L, 50L)))
+    // partitioned table: the day annotation surfaces per file
+    val root2 = "/tmp/graft_test/rel_meta_part"
+    SnapshotTable.drop(spark, root2)
+    SnapshotTable.commitPartitionedByDay(spark, root2, Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))).toDF("id", "ts"), "ts")
+    val parts = load(root2, "metadata" -> "files")
+      .select("partition").as[String].collect().toSet
+    assert(parts === Set("_graft_day=2024-01-01", "_graft_day=2024-01-02"))
+  }
+
   test("untranslatable filter shapes still answer correctly (no pruning, Spark re-filters)") {
     val root = "/tmp/graft_test/rel_residual"
     SnapshotTable.drop(spark, root)
