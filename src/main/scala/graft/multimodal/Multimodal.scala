@@ -410,11 +410,131 @@ object Multimodal {
       |WHERE d.doc_id % 10 = 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ----- REAL audio decode (javax.sound.sampled — in the JDK) ------
+
+  private[graft] val AudioRate = 8000f
+  private[graft] val AudioSamples = 2000
+
+  /** Deterministic synthetic WAV for `id`: a 0.25 s 16-bit PCM mono
+    * sine whose FREQUENCY encodes `id % 29` (400..3200 Hz, all below
+    * Nyquist), AMPLITUDE encodes `id % 7` (0.30..0.60), and PHASE
+    * varies with `id % 13` — so documents sharing a fingerprint still
+    * carry different payload bytes. Encoded through the real
+    * javax.sound WAV writer, not hand-rolled headers.
+    */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val f = 400 + java.lang.Math.floorMod(id, 29L).toInt * 100
+    val a = 0.3 + java.lang.Math.floorMod(id, 7L) * 0.05
+    val phase = 2 * math.Pi * java.lang.Math.floorMod(id, 13L) / 13.0
+    val pcm = new Array[Byte](AudioSamples * 2)
+    var k = 0
+    while (k < AudioSamples) {
+      val v = (a * math.sin(2 * math.Pi * f * k / AudioRate + phase) * 32767).toInt
+      pcm(2 * k) = (v & 0xff).toByte
+      pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, AudioSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, n_samples: Long,
+      dom_freq_hz: Int, amp_bucket: Int)
+
+  /** REAL decode + acoustic features: parse the WAV container with
+    * javax.sound (format + PCM frames), then compute RMS energy
+    * (→ amplitude bucket, robust to 16-bit quantization: error ~2e-5
+    * against a 0.05 bucket width) and the DOMINANT FREQUENCY as the
+    * argmax of DFT-projection power over the candidate tone grid —
+    * phase-invariant, unlike a zero-crossing count, which shifts ±1
+    * with the planted phase offsets. Every feature comes from the
+    * DECODED samples; a decode bug anywhere breaks the exact
+    * parameter round-trip the oracle checks for all docs.
+    */
+  private[graft] def audioFeatures(id: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected decoded format: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val x = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val lo = bytes(2 * k) & 0xff
+      val hi = bytes(2 * k + 1).toInt
+      x(k) = ((hi << 8) | lo) / 32767.0
+      k += 1
+    }
+    val sr = fmt.getSampleRate
+    var sumSq = 0.0
+    var j = 0
+    while (j < n) { sumSq += x(j) * x(j); j += 1 }
+    val amp = math.sqrt(sumSq / n) * math.sqrt(2.0)
+    val bucket = math.round((amp - 0.3) / 0.05).toInt
+    var best = -1
+    var bestP = -1.0
+    var i = 0
+    while (i < 29) {
+      val f = 400 + i * 100
+      val w = 2 * math.Pi * f / sr
+      var re = 0.0; var im = 0.0
+      var k2 = 0
+      while (k2 < n) { re += x(k2) * math.cos(w * k2); im += x(k2) * math.sin(w * k2); k2 += 1 }
+      val p = re * re + im * im
+      if (p > bestP) { bestP = p; best = f }
+      i += 1
+    }
+    AudioFeatures(id, sr.toInt, n.toLong, best, bucket)
+  }
+
+  /** Audio near-dup pairs from REAL decoded samples: synthesize one
+    * WAV per document, decode + fingerprint per partition (the same
+    * seam shape as the image pipeline), then a fingerprint EQUALITY
+    * join — grouped by (dominant frequency, amplitude bucket), whose
+    * cardinality bounds every group, the 100 TB-safe join shape. The
+    * oracle is the parameter arithmetic: two docs share a fingerprint
+    * iff they agree mod 29 AND mod 7 — which only holds end-to-end if
+    * the decode recovered the planted tone EXACTLY for every doc.
+    */
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents").select(col("doc_id").cast("long"))
+    val feats = ids.as[Long]
+      .mapPartitions(it => it.map(id => audioFeatures(id, synthWav(id))))
+      .toDF()
+    val a = feats.select(col("doc_id").as("a_id"),
+      col("dom_freq_hz"), col("amp_bucket"))
+    val b = feats.select(col("doc_id").as("b_id"),
+      col("dom_freq_hz"), col("amp_bucket"))
+    a.join(b, Seq("dom_freq_hz", "amp_bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val audioFingerprintOracle: String =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM documents a JOIN documents b
+      | ON a.doc_id < b.doc_id
+      | AND a.doc_id % 29 = b.doc_id % 29
+      | AND a.doc_id % 7 = b.doc_id % 7
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
     Q("mm_resize_batch", resizeBatch(_, _), Some(resizeBatchOracle)),
     Q("mm_binary_meta", binaryMeta, Some(binaryMetaOracle)),
     Q("mm_frame_sample", frameSample, Some(frameSampleOracle)),
     Q("mm_phash_neardup", phashNearDup, Some(phashNearDupOracle)),
-    Q("mm_phash_pixels", phashPixelNearDup, Some(phashPixelNearDupOracle)))
+    Q("mm_phash_pixels", phashPixelNearDup, Some(phashPixelNearDupOracle)),
+    Q("mm_audio_fingerprint", audioFingerprint, Some(audioFingerprintOracle)))
 }
