@@ -1703,7 +1703,50 @@ object LakeOps {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Positional delete-file consolidation
+    * ([[SnapshotTable.compactDeleteFiles]] — Iceberg
+    * `rewrite_position_delete_files`): three 1-row trickle MoR
+    * deletes leave three tiny delete files, each a file open + union
+    * arm on EVERY scan; consolidation unions them into ONE delete
+    * file WITHOUT touching a data byte (data file paths asserted
+    * identical) — the cheap middle ground below the fold-ratio
+    * threshold. The oracle proves all three deletes still apply
+    * through the consolidated file.
+    */
+  def deleteConsolidation(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_delconsol")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev.repartition(8))
+    val victims = SnapshotTable.read(s, root)
+      .orderBy("event_id").limit(3).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    victims.foreach(v => SnapshotTable.deleteWhereMor(s, root, col("event_id") === v))
+    val cur = SnapshotTable.currentVersion(s, root)
+    require(SnapshotTable.deleteFiles(s, root, cur).size == 3,
+      "three trickle deletes must leave three delete files")
+    val dataBefore = SnapshotTable.dataFiles(s, root, cur).toSet
+    val v = SnapshotTable.compactDeleteFiles(s, root)
+    require(v == cur + 1, s"consolidation must commit v${cur + 1}, got $v")
+    require(SnapshotTable.deleteFiles(s, root, v).size == 1,
+      "three delete files must consolidate to one")
+    require(SnapshotTable.dataFiles(s, root, v).toSet == dataBefore,
+      "consolidation must not touch a data byte")
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val deleteConsolidationOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events
+       |WHERE event_id NOT IN (SELECT event_id FROM events ORDER BY event_id LIMIT 3)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_delete_consolidation", deleteConsolidation, Some(deleteConsolidationOracle)),
     Q("lake_sql_insert", sqlInsert, Some(sqlInsertOracle)),
     Q("lake_files_metadata", filesMetadata, Some(filesMetadataOracle)),
     Q("lake_sql_relation", sqlRelation, Some(sqlRelationOracle)),

@@ -39,6 +39,7 @@ object Maintenance {
       smallBytes: Long = 64L << 20,
       targetBytes: Long = 256L << 20,
       sortCols: Seq[String] = Seq.empty, // rewrite SORT strategy: packed outputs re-clustered on these
+      minDeleteFiles: Int = 4, // consolidate pos-delete files at this count (below the fold threshold)
       keepVersions: Int = 5,
       orphanGraceMs: Long = 3L * 3600 * 1000)
 
@@ -47,6 +48,7 @@ object Maintenance {
     */
   final case class Report(
       deletesFoldedVersion: Option[Int],
+      deleteFilesConsolidatedVersion: Option[Int],
       packedVersion: Option[Int],
       expiredVersions: Seq[Int],
       expiredFilesReclaimed: Int,
@@ -57,13 +59,17 @@ object Maintenance {
     val v0 = SnapshotTable.currentVersion(s, root)
     require(v0 > 0, s"no snapshot table at $root")
     val vFold = SnapshotTable.compactDeletesIfNeeded(s, root, policy.maxDeleteRatio)
+    // deletes that STAYED merge-on-read (below the fold ratio) still
+    // cost a file open per delete file per scan — consolidate them
+    val vConsol = SnapshotTable.compactDeleteFiles(s, root, policy.minDeleteFiles)
     val vPack = SnapshotTable.compactSmallFiles(s, root,
       policy.smallBytes, policy.targetBytes, policy.sortCols)
     val (expired, reclaimed) = SnapshotTable.expire(s, root, policy.keepVersions)
     val orphans = SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs)
     Report(
       deletesFoldedVersion = Some(vFold).filter(_ > v0),
-      packedVersion = Some(vPack).filter(_ > vFold),
+      deleteFilesConsolidatedVersion = Some(vConsol).filter(_ > vFold),
+      packedVersion = Some(vPack).filter(_ > math.max(vFold, vConsol)),
       expiredVersions = expired,
       expiredFilesReclaimed = reclaimed.size,
       orphansReclaimed = orphans.size,

@@ -1263,6 +1263,56 @@ object SnapshotTable {
       s"rewrite publish lost the version CAS $maxAttempts times for $root")
   }
 
+  /** Consolidate accumulated positional DELETE FILES into one —
+    * Iceberg's `rewrite_position_delete_files`, the cheap middle
+    * ground between leaving a trickle-delete table's N tiny delete
+    * files (N extra file opens + N-way union on EVERY scan) and a
+    * full [[compactDeletes]] fold (rewrites the affected DATA files —
+    * write amplification the ratio policy deliberately avoids below
+    * threshold). Data bytes are untouched: the commit unions the
+    * pending positional delete rows (de-duplicated — two overlapping
+    * MoR deletes naming the same (file, pos) must not double-count in
+    * [[recordCount]]) into one delete file and re-references every
+    * data file verbatim. Equality deletes are left alone
+    * ([[compactDeletes]] owns their fold). Publishes via
+    * [[publishRewrite]] — content-preserving, so it rebases over
+    * concurrent appends. Returns `cur` when fewer than `minFiles`
+    * positional delete files are pending.
+    */
+  def compactDeleteFiles(s: SparkSession, root: String, minFiles: Int = 2): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val dels = deleteFiles(s, root, cur)
+    if (dels.size < minFiles) return cur
+    def norm(p: String) = canon(s, p)
+    val dir = s"$root/deletes/m-${java.util.UUID.randomUUID.toString.take(8)}"
+    s.read.parquet(dels: _*).distinct()
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    val p = new Path(dir)
+    val fsys = fsOf(s, p)
+    val written = fsys.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    val newLines = annotateRows(s, written.map(f => s"$f\t$DeleteKindAnnot"))
+    val delSet = dels.map(norm).toSet
+    def gone(l: String) = isDeleteLine(l) && delSet.contains(norm(l.split('\t').head))
+    val keptRefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
+    listBody(s, root, s"v$cur").foreach { l =>
+      if (l.startsWith(RefPrefix)) {
+        val ls = readSmallFile(s, new Path(l.drop(1)))
+        if (ls.exists(gone)) survivors ++= ls.filterNot(gone)
+        else keptRefs += l
+      } else if (!gone(l)) survivors += l
+    }
+    val survivorRef =
+      if (survivors.isEmpty) Seq.empty
+      else Seq(writeFragment(s, root, s"v${cur + 1}-keep", survivors.toSeq))
+    val newRef = Seq(writeFragment(s, root, s"v${cur + 1}", newLines))
+    publishRewrite(s, root, cur,
+      Map("op" -> "compact_delete_files", "consolidated" -> dels.size.toString),
+      keptRefs.toSeq ++ survivorRef ++ newRef)
+  }
+
   /** Delete-aware maintenance policy (the WHEN for [[compactDeletes]]
     * — Iceberg's `rewrite_position_delete_files` trigger): compact
     * when any data file's pending-delete ratio exceeds
