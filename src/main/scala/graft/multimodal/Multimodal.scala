@@ -415,6 +415,30 @@ object Multimodal {
   private[graft] val AudioRate = 8000f
   private[graft] val AudioSamples = 2000
 
+  /** The javax.sound WAV reader/writer SPIs, loaded ONCE per JVM.
+    * Going through `AudioSystem.write`/`getAudioInputStream` per
+    * payload funnels every executor thread through the JDK's
+    * `synchronized` provider-registry lookup — at sf1 (50k docs) that
+    * contention made the fingerprint entry LINEAR-times-serial (43 s);
+    * calling the resolved providers directly keeps the identical
+    * decode path (same java.desktop classes, resolved by the standard
+    * ServiceLoader mechanism) minus the global lock.
+    */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala
+      .find(_.getClass.getSimpleName.toLowerCase.contains("wave"))
+      .getOrElse(throw new IllegalStateException("no WAV AudioFileReader SPI"))
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAV AudioFileWriter SPI"))
+  }
+
   /** Deterministic synthetic WAV for `id`: a 0.25 s 16-bit PCM mono
     * sine whose FREQUENCY encodes `id % 29` (400..3200 Hz, all below
     * Nyquist), AMPLITUDE encodes `id % 7` (0.30..0.60), and PHASE
@@ -438,8 +462,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, AudioSamples.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
@@ -458,7 +481,7 @@ object Multimodal {
     * parameter round-trip the oracle checks for all docs.
     */
   private[graft] def audioFeatures(id: Long, payload: Array[Byte]): AudioFeatures = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
