@@ -248,7 +248,60 @@ object SqlEndpoint {
       |FROM events WHERE event_id IN (7, 77, 777)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** §2H registry entry: a BI client reads a LAKE table over JDBC —
+    * the snapshot root registers through the graft-snapshot relation
+    * (PersistentCatalog.registerTable), so the wire query serves the
+    * table's TRUE state: current version with a pending merge-on-read
+    * delete applied, exactly what the Scala read API serves. This is
+    * the Metabase-over-Trino-over-Iceberg loop (RUNBOOK.md §9/§10)
+    * end-to-end under the oracle gate; only the aggregate crosses
+    * JDBC. The scratch table is dropped before returning so the
+    * catalog-listing entries see the canonical table set.
+    */
+  def endpointLakeTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    val root = s"/tmp/graft_endpoint/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/lake_jdbc"
+    SnapshotTable.drop(s, root)
+    val ev = graft.sources.Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev)
+    val victim = SnapshotTable.read(s, root)
+      .agg(org.apache.spark.sql.functions.min("event_id")).head.getLong(0)
+    SnapshotTable.deleteWhereMor(s, root,
+      org.apache.spark.sql.functions.col("event_id") === victim)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft")
+    s.sql("DROP TABLE IF EXISTS graft.events_lake_jdbc")
+    graft.sources.PersistentCatalog.registerTable(
+      s, "graft.events_lake_jdbc", "parquet", root)
+    val (_, rows) = jdbcQuery(s,
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM graft.events_lake_jdbc GROUP BY event_type ORDER BY event_type""".stripMargin)
+    s.sql("DROP TABLE IF EXISTS graft.events_lake_jdbc")
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val data = rows.map(r => org.apache.spark.sql.Row(
+      r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Number].longValue,
+      r(2).asInstanceOf[Number].doubleValue))
+    s.createDataFrame(data.asJava, schema).orderBy("event_type")
+  }
+
+  val endpointLakeTableOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events WHERE event_id <> (SELECT MIN(event_id) FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[graft.Q] = Seq(
     graft.Q("endpoint_sql_agg", endpointAgg, Some(endpointAggOracle)),
-    graft.Q("endpoint_point_lookup", endpointPointLookup, Some(endpointPointLookupOracle)))
+    graft.Q("endpoint_point_lookup", endpointPointLookup, Some(endpointPointLookupOracle)),
+    graft.Q("endpoint_lake_table", endpointLakeTable, Some(endpointLakeTableOracle)))
 }
