@@ -1649,16 +1649,22 @@ object SnapshotTable {
     df.withColumn(pcol, day)
       .repartition(shufflePartitions, col(pcol), salt)
       .write.mode("overwrite").partitionBy(pcol).parquet(dataDir)
-    // recursive listing: files live under data/vN/_graft_day=…/
+    // recursive listing: files live under data/vN/_graft_day=…/ —
+    // via plain listStatus recursion, not listFiles(recursive), whose
+    // LocatedFileStatus permission loading throws on non-"file"
+    // schemes (see removeOrphans)
     val dataPath = new Path(dataDir)
     val fs = fsOf(s, dataPath)
-    val it = fs.listFiles(dataPath, true)
     val annotated = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) {
-        val dayVal = f.getParent.getName.split("=", 2).lift(1).getOrElse("")
-        annotated += s"${f.toString}\t$pcol=$dayVal"
+    val stack = scala.collection.mutable.Stack[Path](dataPath)
+    while (stack.nonEmpty) {
+      fs.listStatus(stack.pop()).foreach { st =>
+        val f = st.getPath
+        if (st.isDirectory) stack.push(f)
+        else if (f.getName.endsWith(".parquet")) {
+          val dayVal = f.getParent.getName.split("=", 2).lift(1).getOrElse("")
+          annotated += s"${f.toString}\t$pcol=$dayVal"
+        }
       }
     }
     val base = if (append && v > 1) listBody(s, root, s"v$cur") else Seq.empty
@@ -1980,11 +1986,18 @@ object SnapshotTable {
         val dfs = p.getFileSystem(conf)
         if (!dfs.exists(p)) Iterator.empty
         else {
-          val it = dfs.listFiles(p, true)
+          // plain listStatus recursion, NOT listFiles(recursive): the
+          // LocatedFileStatus path loads POSIX permissions through
+          // java.io and throws on any non-"file" scheme — exactly the
+          // kind of local-path assumption FsContractSpec exists to
+          // catch (block locations are useless here anyway)
           val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-          while (it.hasNext) {
-            val f = it.next()
-            buf += ((canonQualified(f.getPath), f.getModificationTime))
+          val stack = scala.collection.mutable.Stack[Path](p)
+          while (stack.nonEmpty) {
+            dfs.listStatus(stack.pop()).foreach { st =>
+              if (st.isDirectory) stack.push(st.getPath)
+              else buf += ((canonQualified(st.getPath), st.getModificationTime))
+            }
           }
           buf.iterator
         }

@@ -66,13 +66,42 @@ class FsContractSpec extends SparkSpec {
     // deletes: 3 MoR-deleted rows + the updated before-image
     assert(ch == Map("insert" -> 4L, "delete" -> 6L), ch.toString)
 
+    // delete-file consolidation before the fold: two more trickle
+    // deletes, then 3 files → 1 with zero data movement — through the
+    // shifted scheme
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 9L)
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 10L)
+    val vdc = SnapshotTable.compactDeleteFiles(spark, root)
+    assert(SnapshotTable.deleteFiles(spark, root, vdc).size == 1)
+    assert(SnapshotTable.read(spark, root).count() == 112) // 118 - 6 more deleted
+
     // compaction folds the MoR deletes; time travel intact; expire
     // physically deletes through the FS
     val vc = SnapshotTable.compactDeletes(spark, root)
     assert(SnapshotTable.deleteFiles(spark, root, vc).isEmpty)
     assert(SnapshotTable.read(spark, root, 1).count() == 120)
+
+    // bin-packing OPTIMIZE through the scheme (all files small)
+    val vp = SnapshotTable.compactSmallFiles(spark, root,
+      smallBytes = Long.MaxValue, targetBytes = 8L << 30)
+    assert(vp > vc && SnapshotTable.read(spark, root).count() == 112)
+
     SnapshotTable.expire(spark, root, keepLast = 2)
-    assert(SnapshotTable.read(spark, root).count() == 118)
+    assert(SnapshotTable.read(spark, root).count() == 112)
+
+    // orphan reclaim: the distributed listing + delete tasks rebuild
+    // the Hadoop conf on executors — a java.io assumption anywhere in
+    // that path would miss the shifted store entirely. Plant debris,
+    // reclaim it, and prove the table is untouched.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = new Path(s"$root/data/c-crashed/stray.parquet")
+    val out = fs.create(debris, false)
+    try out.write("debris".getBytes("UTF-8")) finally out.close()
+    val reclaimed = SnapshotTable.removeOrphans(spark, root, graceMs = 0)
+    assert(reclaimed.exists(_.endsWith("stray.parquet")),
+      s"planted debris must be found through the shifted scheme: $reclaimed")
+    assert(!fs.exists(debris))
+    assert(SnapshotTable.read(spark, root).count() == 112)
 
     // THE interception assertions: nothing ever materialized at the
     // spelled path (a java.io bypass would have), everything lives in
@@ -89,6 +118,23 @@ class FsContractSpec extends SparkSpec {
       s"manifest I/O not observed through the FS: $ops")
     assert(ops.exists(_.contains("/data/")),
       s"data-file I/O not observed through the FS")
+  }
+  test("hidden-partitioned commit on the relocated filesystem") {
+    enable()
+    val proot = FsContractSpec.SpelledRoot + "_part"
+    SnapshotTable.drop(spark, s"graftshift://$proot")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))).toDF("id", "ts")
+    // the partitioned write's recursive manifest listing must go
+    // through listStatus (listFiles' LocatedFileStatus permission
+    // path throws on non-"file" schemes)
+    SnapshotTable.commitPartitionedByDay(spark, s"graftshift://$proot", df, "ts")
+    assert(SnapshotTable.read(spark, s"graftshift://$proot").count() == 2)
+    assert(SnapshotTable.dataFilesWithPartitions(spark, s"graftshift://$proot", 1)
+      .forall(_._2.contains("_graft_day")))
+    assert(!new java.io.File(proot).exists,
+      "spelled path exists on raw disk — partitioned write bypassed the FS API")
   }
 }
 
