@@ -272,6 +272,10 @@ object RestCatalog {
                 graft.lake.Maintenance.Policy(
                   smallBytes = jlong(body, "small_bytes").getOrElse(d.smallBytes),
                   targetBytes = jlong(body, "target_bytes").getOrElse(d.targetBytes),
+                  sortCols = jfield(body, "sort_cols").toSeq
+                    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+                  minDeleteFiles = jlong(body, "min_delete_files")
+                    .map(_.toInt).getOrElse(d.minDeleteFiles),
                   keepVersions = jlong(body, "keep_versions")
                     .map(_.toInt).getOrElse(d.keepVersions),
                   orphanGraceMs = jlong(body, "orphan_grace_ms")
@@ -280,6 +284,8 @@ object RestCatalog {
                 "name" -> jstr(name),
                 "deletes_folded_version" ->
                   r.deletesFoldedVersion.map(_.toString).getOrElse("null"),
+                "delete_files_consolidated_version" ->
+                  r.deleteFilesConsolidatedVersion.map(_.toString).getOrElse("null"),
                 "packed_version" -> r.packedVersion.map(_.toString).getOrElse("null"),
                 "expired_versions" -> r.expiredVersions.mkString("[", ",", "]"),
                 "expired_files_reclaimed" -> r.expiredFilesReclaimed.toString,
