@@ -268,20 +268,28 @@ object RestCatalog {
             else {
               val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
               val d = graft.lake.Maintenance.Policy()
-              val r = graft.lake.Maintenance.run(spark, loc,
-                graft.lake.Maintenance.Policy(
-                  smallBytes = jlong(body, "small_bytes").getOrElse(d.smallBytes),
-                  targetBytes = jlong(body, "target_bytes").getOrElse(d.targetBytes),
-                  sortCols = jfield(body, "sort_cols").toSeq
-                    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-                  minDeleteFiles = jlong(body, "min_delete_files")
-                    .map(_.toInt).getOrElse(d.minDeleteFiles),
-                  keepVersions = jlong(body, "keep_versions")
-                    .map(_.toInt).getOrElse(d.keepVersions),
-                  orphanGraceMs = jlong(body, "orphan_grace_ms")
-                    .getOrElse(d.orphanGraceMs)))
+              val policy = graft.lake.Maintenance.Policy(
+                maxDeleteRatio = jdouble(body, "max_delete_ratio")
+                  .getOrElse(d.maxDeleteRatio),
+                smallBytes = jlong(body, "small_bytes").getOrElse(d.smallBytes),
+                targetBytes = jlong(body, "target_bytes").getOrElse(d.targetBytes),
+                sortCols = jfield(body, "sort_cols").toSeq
+                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+                minDeleteFiles = jlong(body, "min_delete_files")
+                  .map(_.toInt).getOrElse(d.minDeleteFiles),
+                keepVersions = jlong(body, "keep_versions")
+                  .map(_.toInt).getOrElse(d.keepVersions),
+                orphanGraceMs = jlong(body, "orphan_grace_ms")
+                  .getOrElse(d.orphanGraceMs))
+              // dry_run previews the destructive stages (expire /
+              // orphan reclaim) without touching the table
+              val dryRun = jbool(body, "dry_run").getOrElse(false)
+              val r =
+                if (dryRun) graft.lake.Maintenance.plan(spark, loc, policy)
+                else graft.lake.Maintenance.run(spark, loc, policy)
               send(ex, 200, jobj(
                 "name" -> jstr(name),
+                "dry_run" -> dryRun.toString,
                 "deletes_folded_version" ->
                   r.deletesFoldedVersion.map(_.toString).getOrElse("null"),
                 "delete_files_consolidated_version" ->
@@ -368,6 +376,17 @@ object RestCatalog {
   private[graft] def jlong(body: String, key: String): Option[Long] = {
     val re = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\\d+)").r
     re.findFirstMatchIn(body).map(_.group(1).toLong)
+  }
+
+  private[graft] def jdouble(body: String, key: String): Option[Double] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*(\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)").r
+    re.findFirstMatchIn(body).map(_.group(1).toDouble)
+  }
+
+  private[graft] def jbool(body: String, key: String): Option[Boolean] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(true|false)").r
+    re.findFirstMatchIn(body).map(_.group(1).toBoolean)
   }
 
   // ---------------------------------------------------------------

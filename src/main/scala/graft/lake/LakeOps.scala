@@ -1618,10 +1618,13 @@ object LakeOps {
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
       .orderBy("event_type")
     // force one scan so the pruning observability hook is populated
-    out.collect()
+    // (recording is opt-in; keyed by this entry's unique root)
+    graft.streaming.GraftSnapshotRelation.recordScans = true
+    try out.collect()
+    finally graft.streaming.GraftSnapshotRelation.recordScans = false
     val total = SnapshotTable.dataFiles(s, root,
       SnapshotTable.currentVersion(s, root)).size
-    val opened = graft.streaming.GraftSnapshotRelation.lastScanFiles
+    val opened = graft.streaming.GraftSnapshotRelation.lastScanFilesFor(root)
     require(opened > 0 && opened < total,
       s"the pushed ts filter must prune day partitions: opened $opened of $total files")
     out

@@ -55,6 +55,31 @@ object Maintenance {
       orphansReclaimed: Int,
       finalVersion: Int)
 
+  /** DRY RUN: preview the DESTRUCTIVE stages without touching the
+    * table — which versions [[SnapshotTable.expire]] would drop and
+    * which orphan files [[SnapshotTable.removeOrphans]] would reclaim.
+    * The rewrite stages (fold/consolidate/pack) are additive — they
+    * publish new versions and destroy nothing, so "what would be
+    * deleted?" (the question a dry-run answers before an irreversible
+    * job) does not involve them; they report as not-run here.
+    * `expiredFilesReclaimed` is 0: counting the files only expired
+    * versions reference means reading every expired manifest, a cost
+    * a preview shouldn't pay.
+    */
+  def plan(s: SparkSession, root: String, policy: Policy = Policy()): Report = {
+    val v0 = SnapshotTable.currentVersion(s, root)
+    require(v0 > 0, s"no snapshot table at $root")
+    Report(
+      deletesFoldedVersion = None,
+      deleteFilesConsolidatedVersion = None,
+      packedVersion = None,
+      expiredVersions = SnapshotTable.expirableVersions(s, root, policy.keepVersions),
+      expiredFilesReclaimed = 0,
+      orphansReclaimed =
+        SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs, dryRun = true).size,
+      finalVersion = v0)
+  }
+
   def run(s: SparkSession, root: String, policy: Policy = Policy()): Report = {
     val v0 = SnapshotTable.currentVersion(s, root)
     require(v0 > 0, s"no snapshot table at $root")

@@ -49,10 +49,13 @@ object SnapshotTable {
     * qualified against their FileSystem first, so `/x` and
     * `file:///x` still agree.
     */
-  private[graft] def canon(s: SparkSession, p: String): String = {
+  private[graft] def canon(s: SparkSession, p: String): String =
+    canonConf(s.sparkContext.hadoopConfiguration, p)
+
+  private def canonConf(conf: org.apache.hadoop.conf.Configuration, p: String): String = {
     val path = new Path(p)
     val q =
-      if (path.toUri.getScheme == null) fsOf(s, path).makeQualified(path)
+      if (path.toUri.getScheme == null) path.getFileSystem(conf).makeQualified(path)
       else path
     val u = q.toUri
     s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
@@ -83,9 +86,14 @@ object SnapshotTable {
 
   private val RefPrefix = ">"
 
-  private def readSmallFile(s: SparkSession, p: Path): Seq[String] = {
-    val fs = fsOf(s, p)
-    val in = fs.open(p)
+  private def readSmallFile(s: SparkSession, p: Path): Seq[String] =
+    readSmallFileConf(s.sparkContext.hadoopConfiguration, p)
+
+  // conf-based twin: runs where there is no SparkSession — the
+  // distributed orphan-scan tasks read manifests executor-side
+  private def readSmallFileConf(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Seq[String] = {
+    val in = p.getFileSystem(conf).open(p)
     try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
@@ -114,11 +122,16 @@ object SnapshotTable {
     * a "complete" trailer-less file, and guessing wrong loses data
     * (the torn-manifest spec pins the wait).
     */
-  private def rawManifestLines(s: SparkSession, root: String, stem: String): Seq[String] = {
+  private def rawManifestLines(s: SparkSession, root: String, stem: String): Seq[String] =
+    rawManifestLinesConf(s.sparkContext.hadoopConfiguration, root, stem)
+
+  private def rawManifestLinesConf(
+      conf: org.apache.hadoop.conf.Configuration,
+      root: String, stem: String): Seq[String] = {
     val p = new Path(s"$root/_manifests/$stem.manifest")
     var attempt = 0
     while (true) {
-      val lines = readSmallFile(s, p)
+      val lines = readSmallFileConf(conf, p)
       if (lines.nonEmpty && lines.last == EofMarker) return lines.dropRight(1)
       attempt += 1
       if (attempt > 200) throw new IllegalStateException(
@@ -1846,6 +1859,23 @@ object SnapshotTable {
     * never rewritten, so reads stay byte-identical); expired versions
     * become unreadable. Returns (expired versions, deleted data files).
     */
+  /** Versions `expire(keepLast)` would drop — the dry-run face of the
+    * retention window (metadata listing only, nothing is read or
+    * touched).
+    */
+  def expirableVersions(s: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val dir = manifestDir(root)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val versions = fs.listStatus(dir).map(_.getPath.getName).collect {
+        case ManifestRe(v) => v.toInt
+      }.sorted.toSeq
+      versions.splitAt(math.max(0, versions.size - keepLast))._1
+    }
+  }
+
   def expire(s: SparkSession, root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current version")
     val dir = manifestDir(root)
@@ -1923,22 +1953,24 @@ object SnapshotTable {
     val manifestStatuses = fs.listStatus(mdir).filterNot(_.isDirectory)
     val stems = manifestStatuses.map(_.getPath.getName)
       .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest")).toSeq
-    // every data/delete file + fragment of EVERY manifest generation
-    // (whatever the stem names — main versions and branch heads alike)
-    val referenced: Set[String] = stems.flatMap { st =>
-      filesAt(s, root, st) ++ fragmentRefs(s, root, st)
-    }.map(p => canon(s, p)).toSet
-    // _manifests debris: unreferenced fragments, torn publish tmps,
-    // leaked arbiter locks. Version manifests are expire()'s to manage
-    // and ref files live in _tags/_branches, not here.
+    // _manifests debris decidable by NAME alone: torn publish tmps and
+    // leaked arbiter locks. Fragments need the referenced set — they
+    // join the distributed anti-join below with the data files.
+    // Version manifests are expire()'s to manage and ref files live in
+    // _tags/_branches, not here.
     val manifestDebris: Seq[Path] = manifestStatuses.toSeq
       .filter(_.getModificationTime <= cutoff)
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        (n.endsWith(".frag") && !referenced.contains(canon(s, p.toString))) ||
-          n.endsWith(".tmp") || n.endsWith(".lock")
+        n.endsWith(".tmp") || n.endsWith(".lock")
       }
+    // fragment candidates: flow through the same listing→anti-join as
+    // data files (referenced frags survive, expired-commit leftovers
+    // past the grace don't)
+    val fragCandidates: Seq[(String, Long)] = manifestStatuses.toSeq
+      .filter(_.getPath.getName.endsWith(".frag"))
+      .map(st => (st.getPath.toString, st.getModificationTime))
     // commit-grained candidate dirs + any loose top-level files
     val rootPath = new Path(root)
     // _delta_log: a DeltaInterop export renders the foreign-protocol
@@ -2003,8 +2035,28 @@ object SnapshotTable {
         }
       }
     }.toDF("path", "mtime")
-      .union(loose.toSeq.map { case (p, m) => (canon(s, p), m) }.toDF("path", "mtime"))
-    val refDf = referenced.toSeq.toDF("ref")
+      .union((loose.toSeq ++ fragCandidates)
+        .map { case (p, m) => (canon(s, p), m) }.toDF("path", "mtime"))
+    // the referenced set (every data/delete file + fragment of EVERY
+    // manifest generation, whatever the stem names — main versions and
+    // branch heads alike) is assembled DISTRIBUTED: one task per
+    // manifest stem reads that manifest + its fragments executor-side,
+    // so the driver never holds O(files × versions) strings — at 100 TB
+    // with millions of live files the driver stays at O(debris)
+    val stemsRdd = s.sparkContext.parallelize(
+      stems, math.max(1, math.min(stems.size, 64)))
+    val refDf = stemsRdd.mapPartitions { sts =>
+      val conf = execConf()
+      sts.flatMap { st =>
+        val raw = rawManifestLinesConf(conf, root, st)
+        val frags = raw.filter(_.startsWith(RefPrefix)).map(_.drop(1))
+        val files = raw.flatMap { l =>
+          if (l.startsWith(RefPrefix)) readSmallFileConf(conf, new Path(l.drop(1)))
+          else Seq(l)
+        }.filterNot(_.startsWith("#")).map(_.split('\t').head)
+        (files ++ frags).map(p => canonConf(conf, p))
+      }
+    }.toDF("ref")
     val orphans: Seq[String] = listed
       .join(refDf, col("path") === col("ref"), "left_anti")
       .filter(col("mtime") <= lit(cutoff))
@@ -2021,11 +2073,23 @@ object SnapshotTable {
         }
       manifestDebris.foreach(p => fs.delete(p, false))
       // drop commit dirs the reclaim emptied — debris dirs must not
-      // accumulate either (a dir per crashed commit, forever)
+      // accumulate either (a dir per crashed commit, forever). Grace
+      // applies here too: a dir a concurrent commit JUST created
+      // (staging, first file not landed yet) is young and must
+      // survive. Dirs whose last files THIS run reclaimed are exempt
+      // from the mtime check (our own deletes refreshed it) — an old
+      // orphan-holding dir is never an active staging dir, and one
+      // that also held fresh staged files fails isEmpty anyway.
+      val emptiedByUs: Set[String] =
+        orphans.map(o => canon(s, new Path(o).getParent.toString)).toSet
       candidateDirs.foreach { d =>
         val p = new Path(d)
         val dfs = fsOf(s, p)
-        if (dfs.exists(p) && dfs.listStatus(p).isEmpty) { dfs.delete(p, false); () }
+        val oldOrOurs = emptiedByUs.contains(canon(s, d)) ||
+          (dfs.exists(p) && dfs.getFileStatus(p).getModificationTime <= cutoff)
+        if (oldOrOurs && dfs.exists(p) && dfs.listStatus(p).isEmpty) {
+          dfs.delete(p, false); ()
+        }
       }
     }
     confB.destroy()

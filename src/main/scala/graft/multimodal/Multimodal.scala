@@ -424,19 +424,55 @@ object Multimodal {
     * decode path (same java.desktop classes, resolved by the standard
     * ServiceLoader mechanism) minus the global lock.
     */
-  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+  // Providers are selected by PROBING on a real 16-bit PCM sample, not
+  // by name/type heuristics: the JDK ships several WAVE-claiming SPIs
+  // (WaveFloatFileReader/WaveExtensibleFileReader, and
+  // WaveFloatFileWriter also claims Type.WAVE) that throw on plain
+  // 16-bit PCM, and ServiceLoader provider ORDER is not a spec
+  // guarantee — a different JDK vendor's ordering must not break the
+  // audio entries. This mirrors what AudioSystem itself does (try all
+  // providers, keep the one that succeeds), minus its global lock.
+  private def wavWriter: javax.sound.sampled.spi.AudioFileWriter = wavCodecs._1
+  private def wavReader: javax.sound.sampled.spi.AudioFileReader = wavCodecs._2
+  private lazy val wavCodecs: (javax.sound.sampled.spi.AudioFileWriter,
+      javax.sound.sampled.spi.AudioFileReader) = {
     import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
-      .iterator().asScala
-      .find(_.getClass.getSimpleName.toLowerCase.contains("wave"))
-      .getOrElse(throw new IllegalStateException("no WAV AudioFileReader SPI"))
-  }
-  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
-    import scala.jdk.CollectionConverters._
-    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
-      .iterator().asScala
-      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
-      .getOrElse(throw new IllegalStateException("no WAV AudioFileWriter SPI"))
+    val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 1, true, false)
+    def probeBytes(w: javax.sound.sampled.spi.AudioFileWriter): Array[Byte] = {
+      val pcm = new Array[Byte](8) // 4 silent 16-bit frames
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L)
+      val out = new java.io.ByteArrayOutputStream()
+      w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val writers = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator().asScala.toSeq
+    val (writer, sample) = writers.flatMap { w =>
+      scala.util.Try((w, probeBytes(w))).toOption
+        // a float-WAV writer "succeeds" but re-encodes; require the
+        // container to round-trip the declared PCM format
+        .filter { case (_, bytes) =>
+          scala.util.Try {
+            val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes)).getFormat
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16
+          }.getOrElse(false)
+        }
+    }.headOption.getOrElse(
+      throw new IllegalStateException("no 16-bit PCM WAV AudioFileWriter SPI"))
+    val reader = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator().asScala
+      .find { r =>
+        scala.util.Try {
+          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(sample))
+          val ok = ais.getFormat.getSampleSizeInBits == 16
+          ais.close(); ok
+        }.getOrElse(false)
+      }
+      .getOrElse(throw new IllegalStateException("no 16-bit PCM WAV AudioFileReader SPI"))
+    (writer, reader)
   }
 
   /** Deterministic synthetic WAV for `id`: a 0.25 s 16-bit PCM mono

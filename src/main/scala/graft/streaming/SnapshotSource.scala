@@ -118,9 +118,14 @@ class GraftSnapshotRelation(
       case Some(p) => SnapshotTable.readWhere(spark, root, p, version)
       case None => SnapshotTable.read(spark, root, version)
     }
-    // observability hook (spec-pinned): how many files the pruned
-    // scan actually opens — metadata-sized to compute
-    GraftSnapshotRelation.lastScanFiles = base.inputFiles.length
+    // observability hook (spec-pinned): how many files the pruned scan
+    // actually opens. Opt-in — the inputFiles listing is metadata-sized
+    // but not free, and production scans shouldn't pay it — and keyed
+    // by root so concurrent scans of DIFFERENT tables don't clobber
+    // each other's reading.
+    if (GraftSnapshotRelation.recordScans)
+      GraftSnapshotRelation.scanFiles.put(
+        GraftSnapshotRelation.scanKey(root), base.inputFiles.length)
     val projected =
       if (requiredColumns.isEmpty) base.select() // count(*)-style scan
       else base.select(requiredColumns.map(col).toIndexedSeq: _*)
@@ -130,36 +135,68 @@ class GraftSnapshotRelation(
 
 object GraftSnapshotRelation {
 
-  /** Files opened by the most recent buildScan in this JVM — the
+  /** Files opened by the most recent buildScan PER TABLE ROOT — the
     * spec's window onto whether pushed filters reached the manifest
-    * prune. Test observability only, never consulted by the engine.
+    * prune. Recorded only while [[recordScans]] is on; test/entry
+    * observability only, never consulted by the engine. (Two
+    * concurrent scans of the SAME root still race on their own entry
+    * — the pruning pins each use a root unique to that check.)
     */
-  @volatile private[graft] var lastScanFiles: Int = -1
+  private[graft] val scanFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile private[graft] var recordScans: Boolean = false
+
+  // scheme-insensitive key: the SQL catalog qualifies an OPTIONS path
+  // to `file:/…` while callers hold the raw `/…` string — both must
+  // land on the same entry (authority collisions don't matter for a
+  // test-only observation map)
+  private def scanKey(root: String): String =
+    new org.apache.hadoop.fs.Path(root).toUri.getPath
+
+  private[graft] def lastScanFilesFor(root: String): Int =
+    Option(scanFiles.get(scanKey(root))).fold(-1)(_.intValue)
 
   /** Source Filter → Column, for pruning. `None` = shape we don't
     * translate (it then simply doesn't prune; Spark still applies it
-    * above the scan). An AND uses whichever sides translate — sound,
-    * since pruning by a weaker predicate only keeps extra files — an
-    * OR needs both.
+    * above the scan).
     */
-  private[graft] def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+  private[graft] def toColumn(f: Filter): Option[Column] = translate(f).map(_._1)
+
+  /** Filter → (Column, exact). `exact = false` marks a deliberately
+    * WEAKER translation (an AND that kept only the sides that
+    * translate) — sound for pruning, since a weaker predicate only
+    * keeps extra files, but NOT negatable: `Not` of a weakened child
+    * is STRONGER than `Not` of the original (e.g. `Not(And(a, b))`
+    * with `b` untranslatable would become `Not(a)`, pruning files
+    * whose rows satisfy `a && !b`), and rows a file-level prune drops
+    * are gone — Spark's re-filter above the scan can't resurrect
+    * them. So `Not` translates only an EXACT child, and `Or`/`And`
+    * propagate exactness for nested `Not`s.
+    */
+  private[graft] def translate(f: Filter): Option[(Column, Boolean)] = f match {
+    case EqualTo(a, v) => Some((col(a) === lit(v), true))
+    case EqualNullSafe(a, v) => Some((col(a) <=> lit(v), true))
+    case GreaterThan(a, v) => Some((col(a) > lit(v), true))
+    case GreaterThanOrEqual(a, v) => Some((col(a) >= lit(v), true))
+    case LessThan(a, v) => Some((col(a) < lit(v), true))
+    case LessThanOrEqual(a, v) => Some((col(a) <= lit(v), true))
+    case In(a, vs) => Some((col(a).isin(vs.toIndexedSeq: _*), true))
+    case IsNull(a) => Some((col(a).isNull, true))
+    case IsNotNull(a) => Some((col(a).isNotNull, true))
+    case StringStartsWith(a, v) => Some((col(a).startsWith(v), true))
+    case StringEndsWith(a, v) => Some((col(a).endsWith(v), true))
+    case StringContains(a, v) => Some((col(a).contains(v), true))
     case And(l, r) =>
-      (toColumn(l).toSeq ++ toColumn(r).toSeq).reduceOption(_ && _)
-    case Or(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
+      (translate(l), translate(r)) match {
+        case (Some((lc, le)), Some((rc, re))) => Some((lc && rc, le && re))
+        case (Some((lc, _)), None) => Some((lc, false))
+        case (None, Some((rc, _))) => Some((rc, false))
+        case (None, None) => None
+      }
+    case Or(l, r) => // weakened sides stay sound: l ⇒ lc, r ⇒ rc gives l∨r ⇒ lc∨rc
+      for ((lc, le) <- translate(l); (rc, re) <- translate(r))
+        yield (lc || rc, le && re)
+    case Not(c) => translate(c).collect { case (cc, true) => (!cc, true) }
     case _ => None
   }
 }

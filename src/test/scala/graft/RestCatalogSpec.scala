@@ -218,4 +218,38 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (c4, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_maint")
     assert(c4 == 200)
   }
+
+  test("maintain route: max_delete_ratio knob and dry_run preview") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val loc = s"$tableArea/maintknobs"
+    (0 until 2).foreach { i =>
+      SnapshotTable.commit(spark, loc,
+        (0 until 10).map(k => (i * 10L + k, s"r$k")).toDF("id", "v").coalesce(1))
+    }
+    SnapshotTable.deleteWhereMor(spark, loc, col("id") === 0L) // v3, 1 pending delete
+    val (c, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_knobs","format":"parquet","location":"$loc"}""")
+    assert(c == 201)
+    // dry_run: previews what expire would drop, mutates NOTHING
+    val (cd, dresp) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"dry_run":true,"keep_versions":1,"max_delete_ratio":0.999999}""")
+    assert(cd == 200, dresp)
+    assert(dresp.contains("\"dry_run\":true"), dresp)
+    assert(dresp.contains("\"expired_versions\":[1,2]"), dresp)
+    assert(SnapshotTable.currentVersion(spark, loc) === 3, "dry run must not commit")
+    // max_delete_ratio high: the 5% pending-delete ratio stays MoR
+    val (c1, r1) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"max_delete_ratio":0.999999,"keep_versions":10,"small_bytes":1}""")
+    assert(c1 == 200, r1)
+    assert(r1.contains("\"deletes_folded_version\":null"), r1)
+    // max_delete_ratio tiny: the same pending delete now folds
+    val (c2, r2) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"max_delete_ratio":0.000001,"keep_versions":10,"small_bytes":1}""")
+    assert(c2 == 200, r2)
+    assert(!r2.contains("\"deletes_folded_version\":null"), r2)
+    assert(SnapshotTable.read(spark, loc).count() === 19)
+    val (c5, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_knobs")
+    assert(c5 == 200)
+  }
 }

@@ -30,6 +30,11 @@ class SqlRelationSpec extends SparkSpec {
     assert(got === (10 until 100).map(k => (k.toLong, s"r$k")))
   }
 
+  private def recordingScans[A](body: => A): A = {
+    GraftSnapshotRelation.recordScans = true
+    try body finally GraftSnapshotRelation.recordScans = false
+  }
+
   test("pushed filter reaches the manifest prune (stats skipping)") {
     val root = "/tmp/graft_test/rel_prune"
     SnapshotTable.drop(spark, root)
@@ -43,11 +48,11 @@ class SqlRelationSpec extends SparkSpec {
     }
     val total = SnapshotTable.dataFiles(spark, root, 4).size
     assert(total === 4)
-    val rows = load(root).filter(col("id") === 250L).collect()
+    val rows = recordingScans { load(root).filter(col("id") === 250L).collect() }
     assert(rows.length === 1 && rows.head.getString(1) === "r250")
-    assert(GraftSnapshotRelation.lastScanFiles === 1,
+    assert(GraftSnapshotRelation.lastScanFilesFor(root) === 1,
       s"a stats-pruned point lookup must open 1 of $total files, " +
-        s"opened ${GraftSnapshotRelation.lastScanFiles}")
+        s"opened ${GraftSnapshotRelation.lastScanFilesFor(root)}")
   }
 
   test("SQL end-to-end through a USING-registered view, filters pushed") {
@@ -63,12 +68,37 @@ class SqlRelationSpec extends SparkSpec {
     spark.sql(
       s"CREATE TABLE rel_sql_lake USING `graft-snapshot` OPTIONS (path '$root')")
     try {
-      val n = spark.sql(
-        "SELECT count(*) AS n FROM rel_sql_lake WHERE id >= 300").head.getLong(0)
+      val n = recordingScans { spark.sql(
+        "SELECT count(*) AS n FROM rel_sql_lake WHERE id >= 300").head.getLong(0) }
       assert(n === 100)
-      assert(GraftSnapshotRelation.lastScanFiles === 1,
+      assert(GraftSnapshotRelation.lastScanFilesFor(root) === 1,
         "the SQL range filter must prune to the one matching file")
     } finally spark.sql("DROP TABLE IF EXISTS rel_sql_lake")
+  }
+
+  test("filter translation: Not of a partially-translatable And is NOT pushed") {
+    import org.apache.spark.sql.sources._
+    // an untranslatable shape under Not must kill the whole Not: the
+    // naive rewrite Not(And(a, b)) → Not(a) is a STRONGER predicate
+    // than the original and would prune files holding matching rows
+    val untranslatable: Filter = AlwaysTrue
+    assert(GraftSnapshotRelation.toColumn(
+      Not(And(EqualTo("id", 1L), untranslatable))).isEmpty)
+    assert(GraftSnapshotRelation.toColumn(
+      Not(Or(And(EqualTo("id", 1L), untranslatable), EqualTo("id", 2L)))).isEmpty)
+    // exact children still negate fine, nested or not
+    assert(GraftSnapshotRelation.toColumn(
+      Not(And(EqualTo("id", 1L), GreaterThan("id", 0L)))).nonEmpty)
+    assert(GraftSnapshotRelation.toColumn(Not(EqualTo("id", 1L))).nonEmpty)
+    // And keeps whichever side translates when NOT under a Not
+    assert(GraftSnapshotRelation.toColumn(
+      And(EqualTo("id", 1L), untranslatable)).nonEmpty)
+    // end-to-end: a NOT predicate still answers correctly
+    val root = "/tmp/graft_test/rel_not"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 100).map(k => (k.toLong, s"r$k")).toDF("id", "v"))
+    assert(load(root).filter("NOT (id >= 10 AND id < 90)").count() === 20)
   }
 
   test("time travel via version and timestamp_ms options") {
