@@ -344,6 +344,37 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** STRING stats skipping (VERDICT r10 item 1): the events are
+    * committed range-clustered on `event_type` with footer-derived
+    * string bounds per file, so `WHERE event_type = 'click'` — an
+    * equality on a non-partition STRING column — opens a strict
+    * subset of the files (inputFiles-pinned here, byte-level pin in
+    * StatsSkippingSpec). This is the skip Iceberg serves from
+    * write-time string metrics; numeric-only stats could not.
+    */
+  def stringSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "snap_strstats")
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, root,
+      ev.repartitionByRange(8, col("event_type"), col("event_id")),
+      statsCols = Seq("event_type"))
+    val total = SnapshotTable.dataFiles(s, root, 1).size
+    val q = SnapshotTable.readWhere(s, root, col("event_type") === "click")
+    val opened = q.inputFiles.length
+    require(opened > 0 && opened < total,
+      s"the string predicate must stats-skip: opened $opened of $total files")
+    q.groupBy((col("event_id") % 25).as("bucket"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("bucket")
+  }
+
+  val stringSkippingOracle: String =
+    s"""SELECT event_id % 25 AS bucket, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_type = 'click'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Bloom-filter skipping: event_id is hash-striped across files, so
     * every file's [min,max] covers the whole id domain and min/max
     * stats cannot prune a point lookup — the per-file bloom can
@@ -1785,6 +1816,7 @@ object LakeOps {
     Q("lake_update_mor", updateRowsMor, Some(updateRowsMorOracle)),
     Q("lake_version_diff", versionDiff, Some(versionDiffOracle)),
     Q("lake_stats_skipping", statsSkipping, Some(statsSkippingOracle)),
+    Q("lake_string_skipping", stringSkipping, Some(stringSkippingOracle)),
     Q("lake_bloom_skipping", bloomSkipping, Some(bloomSkippingOracle)),
     Q("lake_maintenance", maintenance, Some(maintenanceOracle)),
     Q("lake_rename_widen", renameWiden, Some(renameWidenOracle)),

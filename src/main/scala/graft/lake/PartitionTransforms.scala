@@ -113,6 +113,53 @@ object PartitionTransforms {
   private def minOpt(a: Option[Double], b: Option[Double]): Option[Double] =
     (a.toSeq ++ b.toSeq).reduceOption((x, y) => math.min(x, y))
 
+  /** Evaluate a foldable expression to UTF-8 bound bytes. */
+  private def strOf(e: Expression): Option[Array[Byte]] =
+    if (!e.foldable || e.dataType != StringType) None
+    else
+      try Option(e.eval()).map(
+        _.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (lower, upper) STRING bounds implied by `e` for column `src`, as
+    * UTF-8 bytes under unsigned lexicographic order — UTF8String's own
+    * comparison order AND the order parquet string footer stats are
+    * kept in, so the file-interval test is exact. Inclusive at file
+    * granularity (strict relaxes to non-strict: over-scan only), like
+    * [[numericBounds]]; the residual predicate always re-applies.
+    */
+  def stringBounds(e: Expression, src: String)(
+      implicit ord: Ordering[Array[Byte]]): (Option[Array[Byte]], Option[Array[Byte]]) =
+    e match {
+      case And(l, r) =>
+        val (ll, lu) = stringBounds(l, src)
+        val (rl, ru) = stringBounds(r, src)
+        (bMax(ll, rl), bMin(lu, ru))
+      case GreaterThanOrEqual(a, v) if isCol(a, src) => (strOf(v), None)
+      case GreaterThan(a, v) if isCol(a, src) => (strOf(v), None)
+      case LessThanOrEqual(a, v) if isCol(a, src) => (None, strOf(v))
+      case LessThan(a, v) if isCol(a, src) => (None, strOf(v))
+      case EqualTo(a, v) if isCol(a, src) => (strOf(v), strOf(v))
+      case GreaterThanOrEqual(v, a) if isCol(a, src) => (None, strOf(v))
+      case GreaterThan(v, a) if isCol(a, src) => (None, strOf(v))
+      case LessThanOrEqual(v, a) if isCol(a, src) => (strOf(v), None)
+      case LessThan(v, a) if isCol(a, src) => (strOf(v), None)
+      case EqualTo(v, a) if isCol(a, src) => (strOf(v), strOf(v))
+      // a prefix predicate bounds the range [prefix, prefix+∞): every
+      // matching string is >= prefix, and <= any string of
+      // prefix-with-last-byte-bumped is NOT safe under arbitrary bytes
+      // — the lower bound alone already skips disjoint sorted files
+      case StartsWith(a, v) if isCol(a, src) => (strOf(v), None)
+      case _ => (None, None)
+    }
+
+  private def bMax(a: Option[Array[Byte]], b: Option[Array[Byte]])(
+      implicit ord: Ordering[Array[Byte]]): Option[Array[Byte]] =
+    (a.toSeq ++ b.toSeq).reduceOption((x, y) => ord.max(x, y))
+  private def bMin(a: Option[Array[Byte]], b: Option[Array[Byte]])(
+      implicit ord: Ordering[Array[Byte]]): Option[Array[Byte]] =
+    (a.toSeq ++ b.toSeq).reduceOption((x, y) => ord.min(x, y))
+
   /** Equality/IN literal values for column `src` in `e` (catalyst-
     * internal representations with their types, ready for
     * XxHash64Function). Any one conjunct's equality set is enough to

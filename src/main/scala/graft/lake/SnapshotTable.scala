@@ -665,44 +665,184 @@ object SnapshotTable {
     }
   }
 
-  /** Per-file min/max column stats, Iceberg-style: one aggregate scan
-    * of the just-written files (grouped on `_metadata.file_path`)
-    * annotates each manifest line with `_min_<col>`/`_max_<col>`.
-    * Numeric columns only; at 100 TB this is what lets a selective
-    * value predicate read a handful of files instead of the table —
-    * pair with a z-order or range-partitioned write so files have
-    * tight disjoint ranges.
+  /** Per-file min/max column stats, Iceberg-style, read from PARQUET
+    * FOOTER METADATA — zero data bytes (the same footer-only
+    * discipline [[annotateRows]] uses; Iceberg gets these bounds free
+    * from write-time metrics the same way). Each manifest line is
+    * annotated `_min_<col>`/`_max_<col>` (numeric/date/timestamp, as
+    * doubles in the column's catalyst-internal unit: days for dates,
+    * MICROSECONDS for timestamps) or `_smin_<col>`/`_smax_<col>`
+    * (strings, Base64 of the UTF-8 bound bytes — raw bytes would
+    * break the tab-separated line format, and UTF-8 byte order is
+    * exactly UTF8String's comparison order, so the read-side interval
+    * test matches Spark semantics bit-for-bit). At 100 TB this is
+    * what lets a selective value predicate read a handful of files
+    * instead of the table — pair with a z-order or range-partitioned
+    * write so files have tight disjoint ranges.
+    *
+    * A row group whose footer carries no usable statistics yields no
+    * annotation for that column (the file then always scans — safe).
+    * Small commits read footers on the driver; large ones fan the
+    * footer reads out as one task wave.
     */
   private def annotateStats(
       s: SparkSession, files: Seq[String], cols: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    val df = s.read.parquet(files: _*)
-    cols.foreach { c =>
-      val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"statsCols supports numeric columns only; $c is $dt")
-    }
-    val aggs = cols.flatMap(c => Seq(
-      fmin(col(c)).cast("double").as(s"_min_$c"),
-      fmax(col(c)).cast("double").as(s"_max_$c")))
-    val byFile = df
-      .groupBy(col("_metadata.file_path").as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val annots = cols.zipWithIndex.flatMap { case (c, i) =>
-          val mn = r.get(1 + 2 * i)
-          val mx = r.get(2 + 2 * i)
-          if (mn == null || mx == null) Seq.empty // all-null file: no stats, never skipped
-          else Seq(s"_min_$c=$mn", s"_max_$c=$mx")
+    if (files.isEmpty || cols.isEmpty) return files
+    val conf = s.sparkContext.hadoopConfiguration
+    // validate names/types once against the first footer's schema —
+    // same loud failure a typo'd or unsupported statsCol always got
+    validateStatsCols(conf, files.head, cols)
+    val colSet = cols.toSet
+    val byFile: Map[String, String] =
+      if (files.size <= 64)
+        files.map { f =>
+          canon(s, f) -> footerBoundsAnnots(conf, f, colSet).mkString("\t")
+        }.toMap
+      else {
+        val confEntries: Array[(String, String)] = {
+          val it = conf.iterator()
+          val b = Array.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+          b.result()
         }
-        canon(s, r.getString(0)) -> annots.mkString("\t")
-      }.toMap
+        s.sparkContext.parallelize(files, math.max(1, math.min(files.size, 64)))
+          .map { f =>
+            val c = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v) => c.set(k, v) }
+            canonConf(c, f) -> footerBoundsAnnots(c, f, colSet).mkString("\t")
+          }.collect().toMap
+      }
     files.map { f =>
       val key = canon(s, f)
       byFile.get(key).filter(_.nonEmpty).map(a => s"$f\t$a").getOrElse(f)
     }
   }
+
+  private def validateStatsCols(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: String, cols: Seq[String]): Unit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      cols.foreach { c =>
+        val f = fields.find(_.getName == c).getOrElse(
+          throw new IllegalArgumentException(s"unknown statsCols column: $c"))
+        val ok = f.isPrimitive && (f.asPrimitiveType().getPrimitiveTypeName match {
+          case INT32 | INT64 | FLOAT | DOUBLE => true
+          case BINARY => f.asPrimitiveType().getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
+            case _ => false
+          }
+          case FIXED_LEN_BYTE_ARRAY =>
+            f.asPrimitiveType().getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          case _ => false // BOOLEAN, INT96 (legacy ts: no usable stats ordering)
+        })
+        require(ok, s"statsCols supports numeric, string, date and timestamp " +
+          s"columns; $c is ${f}")
+      }
+    } finally r.close()
+  }
+
+  /** Footer-derived bound annotations for one file — aggregated over
+    * its row groups, no data pages touched. Unsupported/absent/
+    * stat-less columns contribute nothing (never skipped ≠ wrong).
+    */
+  private def footerBoundsAnnots(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: String, cols: Set[String]): Seq[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      cols.toSeq.sorted.flatMap { c =>
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.filter(_.getPath.toDotString == c))
+        val stats = chunks.map(ch => Option(ch.getStatistics))
+        if (chunks.isEmpty || stats.exists(so => so.isEmpty || so.exists(_.isEmpty)))
+          Seq.empty // absent column or a stat-less row group: no bounds
+        else {
+          val withValues = stats.flatten.filter(_.hasNonNullValue)
+          if (withValues.isEmpty) Seq.empty // all-null file: never skipped
+          else {
+            val prim = chunks.head.getPrimitiveType
+            val logical = prim.getLogicalTypeAnnotation
+            def dec: Option[Int] = logical match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(d.getScale)
+              case _ => None
+            }
+            // catalyst-internal unit scaling so the read-side interval
+            // test compares like with like (literals eval to days /
+            // MICROS)
+            def tsScale: Double = logical match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000.0
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => 0.001
+                  case _ => 1.0 // MICROS
+                }
+              case _ => 1.0
+            }
+            def numeric(v: Any): Double = (v match {
+              case n: Number => n.doubleValue()
+              case b: org.apache.parquet.io.api.Binary => // binary/fixed decimal
+                new java.math.BigDecimal(new java.math.BigInteger(b.getBytes))
+                  .doubleValue()
+              case other => other.toString.toDouble
+            }) / math.pow(10, dec.getOrElse(0).toDouble) * tsScale
+            prim.getPrimitiveTypeName match {
+              case INT32 | INT64 | FLOAT | DOUBLE =>
+                val mn = withValues.map(st => numeric(st.genericGetMin)).min
+                val mx = withValues.map(st => numeric(st.genericGetMax)).max
+                Seq(s"_min_$c=$mn", s"_max_$c=$mx")
+              case BINARY
+                  if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                val ord = unsignedBytesOrdering
+                val mn = withValues.map(
+                  _.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .getBytes).min(ord)
+                val mx = withValues.map(
+                  _.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .getBytes).max(ord)
+                val b64 = java.util.Base64.getEncoder
+                Seq(s"_smin_$c=${b64.encodeToString(mn)}",
+                  s"_smax_$c=${b64.encodeToString(mx)}")
+              case BINARY | FIXED_LEN_BYTE_ARRAY if dec.nonEmpty =>
+                val mn = withValues.map(st => numeric(st.genericGetMin)).min
+                val mx = withValues.map(st => numeric(st.genericGetMax)).max
+                Seq(s"_min_$c=$mn", s"_max_$c=$mx")
+              case _ => Seq.empty
+            }
+          }
+        }
+      }
+    } finally r.close()
+  }
+
+  /** Parquet orders string stats by UNSIGNED byte comparison — the
+    * same order UTF8String compares with, so one comparator serves
+    * both sides of the interval test.
+    */
+  private[graft] val unsignedBytesOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+    }
 
   /** Row-level DELETE, copy-on-write Iceberg-style. Planning finds the
     * data files that actually contain matching rows (via the
@@ -1659,9 +1799,11 @@ object SnapshotTable {
     // explicit partition count: AQE would otherwise coalesce the
     // write shuffle and undo the salt spread on small batches
     val shufflePartitions = s.sessionState.conf.numShufflePartitions
-    df.withColumn(pcol, day)
-      .repartition(shufflePartitions, col(pcol), salt)
-      .write.mode("overwrite").partitionBy(pcol).parquet(dataDir)
+    writingMicrosTimestamps(s) {
+      df.withColumn(pcol, day)
+        .repartition(shufflePartitions, col(pcol), salt)
+        .write.mode("overwrite").partitionBy(pcol).parquet(dataDir)
+    }
     // recursive listing: files live under data/vN/_graft_day=…/ —
     // via plain listStatus recursion, not listFiles(recursive), whose
     // LocatedFileStatus permission loading throws on non-"file"
@@ -1820,18 +1962,31 @@ object SnapshotTable {
     // misses the predicate's bounds; files without stats always scan
     val statCols = meta.get(StatsKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     val bloomCols = meta.get(BloomKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    implicit val bord: Ordering[Array[Byte]] = unsignedBytesOrdering
+    val b64 = java.util.Base64.getDecoder
     val afterStats =
       if (statCols.isEmpty) afterPartition
       else afterPartition.filter { case (_, annots) =>
         statCols.forall { sc =>
           val phys = mapping.getOrElse(sc, sc)
           val (lo, hi) = PartitionTransforms.numericBounds(c, sc)
-          (annots.get(s"_min_$phys").map(_.toDouble),
+          val numericKeep = (annots.get(s"_min_$phys").map(_.toDouble),
             annots.get(s"_max_$phys").map(_.toDouble)) match {
             case (Some(mn), Some(mx)) =>
               lo.forall(_ <= mx) && hi.forall(_ >= mn)
             case _ => true
           }
+          // string bounds (footer stats on string columns): same
+          // interval test under unsigned UTF-8 byte order
+          val (slo, shi) = PartitionTransforms.stringBounds(c, sc)
+          val stringKeep = (annots.get(s"_smin_$phys"), annots.get(s"_smax_$phys")) match {
+            case (Some(mn64), Some(mx64)) if slo.nonEmpty || shi.nonEmpty =>
+              val mn = b64.decode(mn64)
+              val mx = b64.decode(mx64)
+              slo.forall(l => bord.lteq(l, mx)) && shi.forall(h => bord.gteq(h, mn))
+            case _ => true
+          }
+          numericKeep && stringKeep
         }
       }
     // bloom skipping: an equality/IN conjunct on a bloom column rules
@@ -2099,8 +2254,26 @@ object SnapshotTable {
   private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] =
     writeDataFilesAt(s, s"$root/data/v$v", df)
 
+  /** Lake data files always carry INT64-micros timestamps, never
+    * Spark's legacy INT96 default (which Iceberg's spec forbids too):
+    * INT96 footers have no usable min/max ordering, which would
+    * silently disable timestamp stats-skipping on every commit.
+    * Session-conf save/restore around the write — the setting has no
+    * per-write option.
+    */
+  private[lake] def writingMicrosTimestamps[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def writeDataFilesAt(s: SparkSession, dataDir: String, df: DataFrame): Seq[String] = {
-    df.write.mode("overwrite").parquet(dataDir)
+    writingMicrosTimestamps(s) { df.write.mode("overwrite").parquet(dataDir) }
     val dataPath = new Path(dataDir)
     fsOf(s, dataPath).listStatus(dataPath)
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq

@@ -1,0 +1,197 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.lake.SnapshotTable
+
+/** Footer-derived per-file stats (VERDICT r10 item 1): commit-time
+  * min/max annotations come from parquet FOOTER metadata — zero data
+  * bytes re-read (pinned by interception: [[GraftCountingFs]] counts
+  * every byte read from data files during a stats-registered commit)
+  * — and cover STRING, DATE and TIMESTAMP columns, not just numerics,
+  * so `WHERE event_type = 'click'` or a date-range predicate on a
+  * non-partition column range-skips files exactly like Iceberg's
+  * write-time metrics allow.
+  */
+class StatsSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def inputFilesOf(df: org.apache.spark.sql.DataFrame): Int =
+    df.inputFiles.length
+
+  test("string stats: equality and range predicates open a strict file subset") {
+    val root = "/tmp/graft_test/stats_string"
+    SnapshotTable.drop(spark, root)
+    // 4 files with disjoint sorted name ranges
+    val groups = Seq("alpha", "golf", "papa", "victor")
+    groups.zipWithIndex.foreach { case (g, i) =>
+      SnapshotTable.commit(spark, root,
+        (0 until 50).map(k => (i * 50L + k, s"$g-$k")).toDF("id", "name").coalesce(1),
+        statsCols = Seq("name"))
+    }
+    assert(SnapshotTable.dataFiles(spark, root, 4).size === 4)
+    // point predicate: one file
+    val eq = SnapshotTable.readWhere(spark, root, col("name") === "golf-25")
+    assert(eq.count() === 1)
+    assert(inputFilesOf(eq) === 1, "string equality must open exactly 1 of 4 files")
+    // range predicate spanning two groups
+    val range = SnapshotTable.readWhere(spark, root,
+      col("name") >= "golf" && col("name") < "papa")
+    assert(range.count() === 50)
+    assert(inputFilesOf(range) === 1, "string range must prune to the golf file")
+    // prefix predicate: lower bound alone prunes files entirely below
+    val pre = SnapshotTable.readWhere(spark, root, col("name").startsWith("victor"))
+    assert(pre.count() === 50)
+    assert(inputFilesOf(pre) < 4, "startsWith lower bound must prune something")
+    // a predicate missing every file range reads nothing
+    val none = SnapshotTable.readWhere(spark, root, col("name") === "zulu-1")
+    assert(none.count() === 0)
+    assert(inputFilesOf(none) === 0)
+  }
+
+  test("date and timestamp stats: range predicates skip files") {
+    val root = "/tmp/graft_test/stats_date"
+    SnapshotTable.drop(spark, root)
+    (0 until 3).foreach { m =>
+      val rows = (1 to 20).map { d =>
+        val date = java.sql.Date.valueOf(f"2024-0${m + 1}%d-$d%02d")
+        val ts = java.sql.Timestamp.valueOf(f"2024-0${m + 1}%d-$d%02d 10:00:00")
+        (m * 20L + d, date, ts)
+      }
+      SnapshotTable.commit(spark, root,
+        rows.toDF("id", "d", "ts").coalesce(1), statsCols = Seq("d", "ts"))
+    }
+    assert(SnapshotTable.dataFiles(spark, root, 3).size === 3)
+    val feb = SnapshotTable.readWhere(spark, root,
+      col("d") >= lit("2024-02-01").cast("date") &&
+        col("d") <= lit("2024-02-28").cast("date"))
+    assert(feb.count() === 20)
+    assert(inputFilesOf(feb) === 1, "date range must open only the February file")
+    val tsQ = SnapshotTable.readWhere(spark, root,
+      col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(tsQ.count() === 20)
+    assert(inputFilesOf(tsQ) === 1, "timestamp range must open only the March file")
+  }
+
+  test("numeric stats still skip (decimal included); unsupported types rejected") {
+    val root = "/tmp/graft_test/stats_num"
+    SnapshotTable.drop(spark, root)
+    (0 until 3).foreach { i =>
+      val df = (0 until 40).map(k => (i * 40L + k, (i * 40 + k).toString))
+        .toDF("id", "raw")
+        .withColumn("money", col("id").cast("decimal(12,2)") / 4)
+        .coalesce(1)
+      SnapshotTable.commit(spark, root, df, statsCols = Seq("id", "money"))
+    }
+    val q = SnapshotTable.readWhere(spark, root, col("id") === 50L)
+    assert(q.count() === 1)
+    assert(inputFilesOf(q) === 1)
+    val dq = SnapshotTable.readWhere(spark, root,
+      col("money") > lit(25).cast("decimal(12,2)"))
+    assert(inputFilesOf(dq) < 3, "decimal bounds must prune")
+    assert(dq.count() === (0 until 120).count(_ / 4.0 > 25))
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, root,
+        Seq((1L, true)).toDF("id", "flag").coalesce(1), statsCols = Seq("flag"))
+    }
+    assert(bad.getMessage.contains("statsCols"))
+  }
+
+  test("all-null and mixed-null files keep stats sound") {
+    val root = "/tmp/graft_test/stats_null"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "name").coalesce(1),
+      statsCols = Seq("name"))
+    SnapshotTable.commit(spark, root,
+      Seq((3L, Option("bravo")), (4L, None)).toDF("id", "name").coalesce(1),
+      statsCols = Seq("name"))
+    val q = SnapshotTable.readWhere(spark, root, col("name") === "bravo")
+    assert(q.count() === 1)
+    // the all-null file has no bounds and is never skipped — correct,
+    // just unpruned; the valued file matches
+    assert(SnapshotTable.readWhere(spark, root, col("name") === "zzz").count() === 0)
+  }
+
+  test("a stats-registered commit reads footers only — no data bytes") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftcount.impl", classOf[GraftCountingFs].getName)
+    val root = "graftcount:///tmp/graft_test/stats_bytes"
+    SnapshotTable.drop(spark, root)
+    // a deliberately fat payload column so data pages dwarf footers
+    // MD5-hex payloads: distinct and incompressible, so the on-disk
+    // size genuinely dwarfs footers
+    val df = (0 until 60000).map { k =>
+      val h = java.util.UUID.nameUUIDFromBytes(
+        BigInt(k).toByteArray).toString
+      (k.toLong, s"name-${k % 997}", h * 3)
+    }.toDF("id", "name", "payload").repartitionByRange(4, col("id"))
+    GraftCountingFs.parquetBytesRead.set(0L)
+    SnapshotTable.commit(spark, root, df, statsCols = Seq("id", "name"))
+    val statsRead = GraftCountingFs.parquetBytesRead.get
+    val dataBytes = SnapshotTable.dataFiles(spark, root, 1).map { f =>
+      val p = new Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.sum
+    assert(dataBytes > (1L << 20), s"payload must be non-trivial, got $dataBytes")
+    // footer reads only: row-count + stats annotation both stay
+    // metadata-sized. The old implementation re-read the stats
+    // columns' data pages and blows this bound by an order of
+    // magnitude.
+    assert(statsRead < dataBytes / 10,
+      s"stats commit must not re-read data: read $statsRead of $dataBytes bytes")
+    // and the annotations it wrote actually prune
+    val q = SnapshotTable.readWhere(spark, root, col("id") === 5L)
+    assert(q.count() === 1)
+    assert(inputFilesOf(q) <= 2)
+  }
+}
+
+/** RawLocalFileSystem under `graftcount:///` that counts every byte
+  * read from parquet files — the interception that proves a code path
+  * is footer-only.
+  */
+class GraftCountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftcount:///")
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    val inner = super.open(f, bufferSize)
+    if (f.getName.endsWith(".parquet"))
+      new org.apache.hadoop.fs.FSDataInputStream(
+        new CountingStream(inner, GraftCountingFs.parquetBytesRead))
+    else inner
+  }
+}
+
+object GraftCountingFs {
+  val parquetBytesRead = new AtomicLong(0L)
+}
+
+private class CountingStream(
+    inner: org.apache.hadoop.fs.FSDataInputStream, counter: AtomicLong)
+  extends java.io.InputStream
+  with org.apache.hadoop.fs.Seekable with org.apache.hadoop.fs.PositionedReadable {
+  override def read(): Int = {
+    val b = inner.read(); if (b >= 0) counter.incrementAndGet(); b
+  }
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    val n = inner.read(buf, off, len); if (n > 0) counter.addAndGet(n.toLong); n
+  }
+  override def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
+    val n = inner.read(pos, buf, off, len); if (n > 0) counter.addAndGet(n.toLong); n
+  }
+  override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    inner.readFully(pos, buf, off, len); counter.addAndGet(len.toLong)
+  }
+  override def readFully(pos: Long, buf: Array[Byte]): Unit = {
+    inner.readFully(pos, buf); counter.addAndGet(buf.length.toLong)
+  }
+  override def seek(pos: Long): Unit = inner.seek(pos)
+  override def getPos: Long = inner.getPos
+  override def seekToNewSource(targetPos: Long): Boolean = inner.seekToNewSource(targetPos)
+  override def close(): Unit = inner.close()
+  override def available(): Int = inner.available()
+}
