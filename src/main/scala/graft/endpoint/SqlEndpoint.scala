@@ -300,7 +300,59 @@ object SqlEndpoint {
       |FROM events WHERE event_id <> (SELECT MIN(event_id) FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** §2H registry entry (VERDICT r10 item 5): PLAIN SQL TIME TRAVEL
+    * over the wire. The events land in a [[graft.sources.GraftCatalog]]
+    * (DataSourceV2) table in two versions — even event_ids (v1), then
+    * the odds appended (v2) — and a JDBC client reads
+    * `FROM glake.lake.events_tt VERSION AS OF 1` through the Thrift
+    * endpoint: Spark's parser resolves the clause against the V2
+    * catalog, the scan runs the same manifest-pruned read path, and
+    * the v1-only aggregate (provably missing every odd id) crosses
+    * the wire. This is Trino's `FOR VERSION AS OF` on Iceberg
+    * (reference RUNBOOK.md §7) as a graft-native SQL surface.
+    */
+  def endpointTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.functions.col
+    val wh = s"/tmp/graft_endpoint/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/v2_wh"
+    s.conf.set("spark.sql.catalog.glake", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.glake.warehouse", wh)
+    val root = s"$wh/lake/events_tt"
+    SnapshotTable.drop(s, root)
+    val ev = graft.sources.Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    SnapshotTable.commit(s, root, ev.filter(col("event_id") % 2 === 0))
+    SnapshotTable.commitAppend(s, root, ev.filter(col("event_id") % 2 =!= 0))
+    require(SnapshotTable.currentVersion(s, root) == 2)
+    val (_, rows) = jdbcQuery(s,
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM glake.lake.events_tt VERSION AS OF 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val data = rows.map(r => org.apache.spark.sql.Row(
+      r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Number].longValue,
+      r(2).asInstanceOf[Number].doubleValue))
+    s.createDataFrame(data.asJava, schema).orderBy("event_type")
+  }
+
+  val endpointTimeTravelOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events WHERE event_id % 2 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[graft.Q] = Seq(
+    graft.Q("endpoint_time_travel", endpointTimeTravel, Some(endpointTimeTravelOracle)),
     graft.Q("endpoint_sql_agg", endpointAgg, Some(endpointAggOracle)),
     graft.Q("endpoint_point_lookup", endpointPointLookup, Some(endpointPointLookupOracle)),
     graft.Q("endpoint_lake_table", endpointLakeTable, Some(endpointLakeTableOracle)))

@@ -1,0 +1,352 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.SnapshotTable
+import graft.streaming.GraftSnapshotRelation
+
+/** DataSourceV2 [[TableCatalog]] over snapshot tables — the piece
+  * that puts the lake layer behind PLAIN SQL time travel:
+  *
+  * {{{
+  *   spark.sql.catalog.glake           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.glake.warehouse = s3a://bucket/warehouse
+  *
+  *   SELECT * FROM glake.lake.events VERSION AS OF 3
+  *   SELECT * FROM glake.lake.events TIMESTAMP AS OF '2024-06-01'
+  *   INSERT INTO glake.lake.events SELECT ...
+  * }}}
+  *
+  * Trino exposes `FOR VERSION AS OF` over Iceberg through Lakekeeper
+  * the same way (reference RUNBOOK.md §7/§9); Spark only parses the
+  * time-travel clause for DataSourceV2 catalog tables, which the V1
+  * `graft-snapshot` relation (kept as the option-based fallback)
+  * cannot express.
+  *
+  * Reads go through [[V1Scan]]: the scan builder collects pushed
+  * filters + required columns and hands execution to the SAME
+  * manifest-pruned [[SnapshotTable.readWhere]] path the V1 relation
+  * uses — partition/stats/bloom file skipping intact (pinned in
+  * GraftCatalogSpec via the scan-files observer). Writes go through
+  * [[V1Write]] to the concurrency-safe commitAppend / snapshot
+  * overwrite. Every filter is also re-applied above the scan
+  * (`pushedFilters` stays empty), so pruning can only over-scan.
+  *
+  * Table identity: a table lives at `warehouse/<ns>/<name>` unless a
+  * `location` pointer (CREATE TABLE … LOCATION) registered an
+  * external root — pointers are one-line files under
+  * `warehouse/_pointers`, so the catalog itself holds no driver-side
+  * state and any number of sessions can mount the same warehouse.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft_lake"
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse is required"))
+  }
+
+  override def name(): String = catalogName
+
+  // ----- identity ---------------------------------------------------
+
+  private def defaultRoot(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def pointerPath(ident: Identifier): Path =
+    new Path(s"$warehouse/_pointers/${(ident.namespace() :+ ident.name()).mkString(".")}")
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rootOf(ident: Identifier): String = {
+    val ptr = pointerPath(ident)
+    val pfs = fs(ptr)
+    if (pfs.exists(ptr)) {
+      val in = pfs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .next().trim
+      finally in.close()
+    } else defaultRoot(ident)
+  }
+
+  private def existsAt(root: String): Boolean =
+    SnapshotTable.currentVersion(spark, root) > 0
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs(pointerPath(ident)).exists(pointerPath(ident)) || existsAt(defaultRoot(ident))
+
+  // ----- load (incl. SQL time travel) -------------------------------
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!existsAt(root)) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), root, -1)
+  }
+
+  /** `VERSION AS OF <n>` — the analyzer hands the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!existsAt(root)) throw new NoSuchTableException(ident)
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are integers; got '$version'")
+    }
+    require(v >= 1 && v <= SnapshotTable.currentVersion(spark, root),
+      s"version $v out of range for $root")
+    new GraftTable(fullName(ident), root, v)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — micros since epoch, per the contract. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!existsAt(root)) throw new NoSuchTableException(ident)
+    val ms = timestamp / 1000L
+    val v = (1 to SnapshotTable.currentVersion(spark, root))
+      .filter(SnapshotTable.committedAt(spark, root, _) <= ms)
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no version of $root committed at or before ${ms}ms"))
+    new GraftTable(fullName(ident), root, v)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  // ----- DDL --------------------------------------------------------
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "partition transforms are not supported here — use the engine's " +
+        "hidden partitioning (commitPartitionedByDay) and register with LOCATION")
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+    location.foreach { loc =>
+      val ptr = pointerPath(ident)
+      val pfs = fs(ptr)
+      pfs.mkdirs(ptr.getParent)
+      val out = pfs.create(ptr, false)
+      try out.write((loc.stripSuffix("/") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    val root = location.map(_.stripSuffix("/")).getOrElse(defaultRoot(ident))
+    // LOCATION over an existing snapshot table = registration, not
+    // creation; otherwise version 1 is an empty snapshot of the schema
+    if (!existsAt(root)) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      SnapshotTable.commit(spark, root, empty)
+    }
+    new GraftTable(fullName(ident), root, -1)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the engine API (renameColumn / widenColumn / mergeEvolve)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ptr = pointerPath(ident)
+    val pfs = fs(ptr)
+    if (pfs.exists(ptr)) {
+      // external (LOCATION-registered) table: unregister, keep data
+      pfs.delete(ptr, false)
+      true
+    } else {
+      val root = defaultRoot(ident)
+      val existed = existsAt(root)
+      if (existed) SnapshotTable.drop(spark, root)
+      existed
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ptrDir = new Path(s"$warehouse/_pointers")
+    val pfs = fs(ptrDir)
+    val pointed =
+      if (!pfs.exists(ptrDir)) Seq.empty
+      else pfs.listStatus(ptrDir).toSeq.map(_.getPath.getName.split('.'))
+        .filter(_.length == namespace.length + 1)
+        .filter(_.init.sameElements(namespace))
+        .map(parts => Identifier.of(parts.init, parts.last))
+    val nsDir = new Path((warehouse +: namespace).mkString("/"))
+    val nfs = fs(nsDir)
+    val managed =
+      if (!nfs.exists(nsDir)) Seq.empty
+      else nfs.listStatus(nsDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.startsWith("_"))
+        .map(Identifier.of(namespace, _))
+        .filter(id => existsAt(defaultRoot(id)))
+    (pointed ++ managed).distinct.toArray
+  }
+
+  // ----- namespaces (directory-backed, metadata-free) ---------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val base = new Path(warehouse)
+    val bfs = fs(base)
+    if (!bfs.exists(base)) Array.empty
+    else bfs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      .map(Array(_))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = new Path((warehouse +: namespace).mkString("/"))
+      fs(p).exists(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    fs(p).mkdirs(p); ()
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    val nfs = fs(p)
+    if (!nfs.exists(p)) false
+    else {
+      if (!cascade && nfs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      nfs.delete(p, true)
+    }
+  }
+}
+
+/** A snapshot table (at `version`, or current when -1) as a V2
+  * [[Table]]: reads through the manifest-pruned V1 shim, writes
+  * through the concurrency-safe commit paths.
+  */
+private[graft] class GraftTable(tableName: String, root: String, version: Int)
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType =
+    SnapshotTable.read(spark, root, version).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> root,
+      "format" -> "graft/parquet",
+      "current_version" -> SnapshotTable.currentVersion(spark, root).toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, version, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version < 0,
+      "cannot write to a time-traveled table (VERSION/TIMESTAMP AS OF)")
+    new GraftWriteBuilder(root)
+  }
+}
+
+private class GraftScanBuilder(root: String, version: Int, full: StructType)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  // keep every filter as residual (returned array = not-fully-handled):
+  // pruning is advisory file skipping, Spark's re-filter above the scan
+  // is the correctness boundary — same contract as the V1 relation
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs; fs
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val relation = new BaseRelation with TableScan {
+        override val sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def needConversion: Boolean = false
+        override def buildScan(): RDD[Row] = {
+          val s = context.sparkSession
+          val pred = filters.toSeq.flatMap(GraftSnapshotRelation.toColumn)
+            .reduceOption(_ && _)
+          val base = pred match {
+            case Some(p) => SnapshotTable.readWhere(s, root, p, version)
+            case None => SnapshotTable.read(s, root, version)
+          }
+          if (GraftSnapshotRelation.recordScans)
+            GraftSnapshotRelation.scanFiles.put(
+              GraftSnapshotRelation.scanKey(root), base.inputFiles.length)
+          val projected =
+            if (required.isEmpty) base.select()
+            else base.select(required.fieldNames.map(col).toIndexedSeq: _*)
+          projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+        }
+      }
+      relation.asInstanceOf[T]
+    }
+  }
+}
+
+private class GraftWriteBuilder(root: String) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data, overwriteFlag) => {
+        val s = data.sparkSession
+        if (overwrite || overwriteFlag)
+          SnapshotTable.commit(s, root, data, append = false)
+        else SnapshotTable.commitAppend(s, root, data)
+        ()
+      }
+  }
+}

@@ -150,7 +150,7 @@ object GraftSnapshotRelation {
   // to `file:/…` while callers hold the raw `/…` string — both must
   // land on the same entry (authority collisions don't matter for a
   // test-only observation map)
-  private def scanKey(root: String): String =
+  private[graft] def scanKey(root: String): String =
     new org.apache.hadoop.fs.Path(root).toUri.getPath
 
   private[graft] def lastScanFilesFor(root: String): Int =
