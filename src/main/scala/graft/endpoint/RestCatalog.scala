@@ -180,7 +180,11 @@ object RestCatalog {
       val method = ex.getRequestMethod
       (method, path.split("/").drop(1).toList) match {
         case ("GET", List("v1", "config")) =>
+          // Iceberg REST CatalogConfig shape (defaults/overrides), the
+          // graft-specific fields ride along as extra keys
           send(ex, 200, jobj(
+            "defaults" -> jobj("warehouse" -> jstr(registryRoot)),
+            "overrides" -> jobj(),
             "catalog" -> jstr("graft"),
             "database" -> jstr(db),
             "registry" -> jstr(registryRoot),
@@ -189,6 +193,22 @@ object RestCatalog {
 
         case ("GET", List("v1", "namespaces")) =>
           send(ex, 200, s"""{"namespaces":[[${jstr(db)}]]}""")
+
+        // ----- Iceberg-REST-shaped routes (public OpenAPI spelling:
+        // ListTablesResponse / LoadTableResult). The graft-native
+        // routes above stay; README documents the protocol deltas.
+        case ("GET", List("v1", "namespaces", ns)) if ns == db =>
+          send(ex, 200,
+            s"""{"namespace":[${jstr(db)}],"properties":{}}""")
+
+        case ("GET", List("v1", "namespaces", ns, "tables")) if ns == db =>
+          val ids = registryRows().map { case (n, _, _, _) =>
+            s"""{"namespace":[${jstr(db)}],"name":${jstr(n)}}"""
+          }
+          send(ex, 200, s"""{"identifiers":[${ids.mkString(",")}]}""")
+
+        case ("GET", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
+          loadTableResult(ex, name)
 
         case ("GET", List("v1", "tables")) =>
           val rows = registryRows().map { case (n, kind, fmt, loc) =>
@@ -334,6 +354,56 @@ object RestCatalog {
           .map(r => jobj("name" -> jstr(r.getString(0)),
             "type" -> jstr(r.getString(1))))
         send(ex, 200, s"""{"name":${jstr(name)},"kind":${jstr(kind)},"format":${jstr(fmt)},"location":${jstr(loc)},"columns":[${cols.mkString(",")}]}""")
+      }
+
+    /** Iceberg REST `LoadTableResult` for a snapshot table: the
+      * documented field names (`metadata-location`, `metadata` with
+      * `format-version`/`table-uuid`/`location`/`current-snapshot-id`/
+      * `schemas`/`snapshots`, a `config` map) carrying graft's actual
+      * metadata. Honest deltas (see README): `metadata-location`
+      * points at a graft manifest (line format, not Iceberg's Avro
+      * manifest list) — an external engine can LIST and inspect
+      * through this response but needs the delta-log export
+      * (lake_export_delta_log) to actually scan zero-copy; there is
+      * no OAuth route and no `updateTable` commit route.
+      */
+    private def loadTableResult(ex: HttpExchange, name: String): Unit =
+      withTable(ex, name) { case (_, _, _, loc) =>
+        val v = if (loc.isEmpty) 0 else SnapshotTable.currentVersion(spark, loc)
+        if (v == 0) err(ex, 404, s"$name is not a snapshot table")
+        else {
+          def icebergType(sparkType: String): String = {
+            val t = sparkType.toLowerCase
+            if (t.startsWith("decimal")) t
+            else t match {
+              case "bigint" => "long"
+              case "smallint" | "tinyint" => "int"
+              case "timestamp" => "timestamptz"
+              case "timestamp_ntz" => "timestamp"
+              case other => other // int, string, double, float, boolean, date, binary
+            }
+          }
+          val fields = spark.sql(s"DESCRIBE TABLE $db.$name").collect()
+            .takeWhile(r => !r.getString(0).startsWith("#"))
+            .filter(_.getString(0).nonEmpty)
+            .zipWithIndex
+            .map { case (r, i) =>
+              s"""{"id":${i + 1},"name":${jstr(r.getString(0))},"required":false,"type":${jstr(icebergType(r.getString(1)))}}"""
+            }
+          val snapshots = (1 to v).map { sv =>
+            val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
+            s"""{"snapshot-id":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"summary":{"operation":${jstr(op)}}}"""
+          }
+          // a stable uuid derived from the location: the registry has
+          // no separate identity store, and clients only require
+          // uniqueness + stability across loads
+          val uuid = java.util.UUID.nameUUIDFromBytes(
+            loc.getBytes(UTF_8)).toString
+          val metadata =
+            s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":${jstr(loc)},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"snapshots":[${snapshots.mkString(",")}]}"""
+          send(ex, 200,
+            s"""{"metadata-location":${jstr(s"$loc/_manifests/v$v.manifest")},"metadata":$metadata,"config":{}}""")
+        }
       }
   }
 

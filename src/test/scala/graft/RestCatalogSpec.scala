@@ -219,6 +219,46 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(c4 == 200)
   }
 
+  test("Iceberg-REST-shaped routes use the documented field names") {
+    import spark.implicits._
+    val loc = s"$tableArea/icemeta"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc,
+      Seq((1L, "a", 1.5)).toDF("id", "v", "x"))
+    SnapshotTable.commitAppend(spark, loc, Seq((2L, "b", 2.5)).toDF("id", "v", "x"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_ice","format":"parquet","location":"$loc"}""")
+    assert(c0 == 201)
+    // CatalogConfig: defaults / overrides
+    val (cc, cfg) = RestCatalog.get(port, "/v1/config")
+    assert(cc == 200 && cfg.contains("\"defaults\"") && cfg.contains("\"overrides\""), cfg)
+    // GetNamespaceResponse
+    val (cn, nsr) = RestCatalog.get(port, "/v1/namespaces/graft")
+    assert(cn == 200 && nsr.contains("\"namespace\":[\"graft\"]"), nsr)
+    // ListTablesResponse: identifiers of {namespace, name}
+    val (cl, ids) = RestCatalog.get(port, "/v1/namespaces/graft/tables")
+    assert(cl == 200, ids)
+    assert(ids.contains("\"identifiers\""), ids)
+    assert(ids.contains("""{"namespace":["graft"],"name":"rest_spec_ice"}"""), ids)
+    // LoadTableResult: metadata-location + metadata fields
+    val (ct, load) = RestCatalog.get(port, "/v1/namespaces/graft/tables/rest_spec_ice")
+    assert(ct == 200, load)
+    Seq("\"metadata-location\"", "\"format-version\":2", "\"table-uuid\"",
+      "\"current-snapshot-id\":2", "\"current-schema-id\"", "\"schemas\"",
+      "\"snapshots\"", "\"timestamp-ms\"", "\"summary\"", "\"operation\"")
+      .foreach(f => assert(load.contains(f), s"missing $f in $load"))
+    // Iceberg type spellings: bigint → long, double stays double
+    assert(load.contains("""{"id":1,"name":"id","required":false,"type":"long"}"""), load)
+    assert(load.contains("\"type\":\"double\""), load)
+    // both snapshots listed, ids are the engine versions
+    assert(load.contains("\"snapshot-id\":1") && load.contains("\"snapshot-id\":2"), load)
+    // a non-snapshot table 404s on LoadTable (honest delta)
+    val (c404, _) = RestCatalog.get(port, "/v1/namespaces/graft/tables/region")
+    assert(c404 == 404)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_ice")
+    assert(cD == 200)
+  }
+
   test("maintain route: max_delete_ratio knob and dry_run preview") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
