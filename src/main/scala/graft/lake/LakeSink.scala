@@ -44,11 +44,17 @@ object LakeSink {
     */
   def append(stream: DataFrame, root: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
-        SnapshotTable.commitAppend(batch.sparkSession, root, batch,
-          meta = Map("streaming_batch" -> batchId.toString))
-        ()
-      }
+      // the micro-batch plan is LAZY (for the CDC source it re-reads
+      // the changed versions' parquet on every action) — persist the
+      // Δ-sized batch so isEmpty + the commit pay the scan once
+      batch.persist()
+      try {
+        if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
+          SnapshotTable.commitAppend(batch.sparkSession, root, batch,
+            meta = Map("streaming_batch" -> batchId.toString))
+          ()
+        }
+      } finally { batch.unpersist(); () }
     }
 
   def start(stream: DataFrame, root: String, checkpoint: String): StreamingQuery =
@@ -72,17 +78,25 @@ object LakeSink {
   def applyCdc(cdcStream: DataFrame, root: String): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.col
     cdcStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
-        val s = batch.sparkSession
-        val ins = batch.filter(col("change_type") === "insert").drop("change_type")
-        val del = batch.filter(col("change_type") === "delete").drop("change_type")
-        val meta = Map("streaming_batch" -> batchId.toString)
-        if (SnapshotTable.currentVersion(s, root) == 0)
-          SnapshotTable.commit(s, root, ins, append = true, meta = meta)
-        else
-          SnapshotTable.applyChangesMor(s, root, ins, del, meta)
-        ()
-      }
+      // the CDC batch plan re-reads the changed versions' data files
+      // on EVERY action, and the apply takes several (isEmpty, the
+      // insert append, the delete images, the planning aggregates) —
+      // persist the Δ-sized batch so the change scan runs once per
+      // micro-batch, not 4×
+      batch.persist()
+      try {
+        if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
+          val s = batch.sparkSession
+          val ins = batch.filter(col("change_type") === "insert").drop("change_type")
+          val del = batch.filter(col("change_type") === "delete").drop("change_type")
+          val meta = Map("streaming_batch" -> batchId.toString)
+          if (SnapshotTable.currentVersion(s, root) == 0)
+            SnapshotTable.commit(s, root, ins, append = true, meta = meta)
+          else
+            SnapshotTable.applyChangesMor(s, root, ins, del, meta)
+          ()
+        }
+      } finally { batch.unpersist(); () }
     }
   }
 
