@@ -616,6 +616,28 @@ object Multimodal {
   private[graft] def frameLuma(id: Long, f: Int): Int =
     16 + java.lang.Math.floorMod(id * 31 + f * 17, 224L).toInt
 
+  // only 224 distinct constant-luma frames exist — memoize the PNG
+  // encode per JVM (synth is harness-side corpus generation; the
+  // MEASURED seam is the decode, which stays per-frame real)
+  private val framePngCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  private def lumaPng(luma: Int): Array[Byte] =
+    framePngCache.computeIfAbsent(luma, { l =>
+      val img = new java.awt.image.BufferedImage(
+        ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < ImgSide) {
+        var x = 0
+        while (x < ImgSide) { raster.setSample(x, y, 0, l); x += 1 }
+        y += 1
+      }
+      val frameOut = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frameOut)
+      frameOut.toByteArray
+    })
+
   /** Deterministic synthetic video payload for `id`:
     * `1 + id % 6` PNG frames behind a length-indexed header.
     */
@@ -626,19 +648,7 @@ object Multimodal {
     out.writeInt(VideoMagic)
     out.writeInt(n)
     (0 until n).foreach { f =>
-      val luma = frameLuma(id, f)
-      val img = new java.awt.image.BufferedImage(
-        ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < ImgSide) {
-        var x = 0
-        while (x < ImgSide) { raster.setSample(x, y, 0, luma); x += 1 }
-        y += 1
-      }
-      val frameOut = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", frameOut)
-      val png = frameOut.toByteArray
+      val png = lumaPng(frameLuma(id, f))
       out.writeInt(png.length)
       out.write(png)
     }
