@@ -136,12 +136,20 @@ object Bench {
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":${failed.size},"queries":$qs,"spread":$spreads,"errored":$errs,"sf":"$sfDir"}"""
     // detail artifact lands in the launch cwd by default (portable),
     // SPARK_GRAFT_OUT_DIR overrides; an I/O failure there must never
-    // eat the summary line
-    val fullPath = Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir")), "bench_full.json")
-    try Files.write(fullPath, full.getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[graft-bench] could not write $fullPath: $e") }
+    // eat the summary line. Written TWICE: the canonical
+    // bench_full.json (what the driver/judge read) and an SF-suffixed
+    // copy — VERDICT r11 item 2: the end-of-round sf0.1 sweep
+    // clobbered the sf5 full sweep, leaving SURVEY §6's α table
+    // underivable from committed artifacts. The suffixed copy makes
+    // cross-SF clobbering impossible.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir"))
+    val sfTag = Paths.get(sfDir).getFileName.toString.replaceAll("[^A-Za-z0-9.]", "_")
+    Seq("bench_full.json", s"bench_full_$sfTag.json").foreach { fn =>
+      val fullPath = Paths.get(outDir, fn)
+      try Files.write(fullPath, full.getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[graft-bench] could not write $fullPath: $e") }
+    }
     println(buildLine(results.map(r => (r._1, r._2)), reps, sfDir,
       errors = failed.size))
     spark.stop()

@@ -16,10 +16,14 @@ import graft.lake.SnapshotTable
   *  - `coarse` — the coarse quantizer (cid, c_emb), metadata-sized;
   *  - `books` — the m per-subspace residual codebooks
   *    (sub_idx, code, c_chunk), metadata-sized;
-  *  - `codes` — the COMPRESSED corpus (vec_id, cid, sub_idx, code):
-  *    byte-scale codes instead of float vectors (dims/m compression),
+  *  - `codes` — the COMPRESSED corpus, ONE row per vector
+  *    (vec_id, cid, codes array&lt;tinyint&gt;[m]): byte-scale codes
+  *    instead of float vectors (dims/m compression),
   *    range-clustered by cid with per-file cid blooms so a probe's
   *    `cid IN (…)` read opens only the probed lists' code files.
+  *    The array-per-vector shape (not row-per-subspace) is what lets
+  *    serving score each (query, vector) pair with one expression
+  *    over a broadcast distance table instead of an m-way shuffle.
   *
   * Training and encoding are [[Ann.pqTrain]]/[[Ann.pqEncode]] — the
   * SAME deterministic chain as the in-query [[Ann.pqKnn]], so served
@@ -29,6 +33,13 @@ import graft.lake.SnapshotTable
   * scored only over bloom-fetched probed lists.
   */
 object PqIndex {
+
+  /** Stored-codes layout version; bumped when the codes schema
+    * changes so an index persisted by an older build is treated as
+    * stale and rebuilt rather than mis-read. v2 = array-of-m-codes
+    * per vector (v1 was row-per-subspace).
+    */
+  private val CodesFormat = "arr_v2"
 
   private[graft] def indexRoot(dir: String): String =
     s"/tmp/graft_ann_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/pq"
@@ -42,9 +53,12 @@ object PqIndex {
     // an unreadable stored index (pre-trailer format, torn publish)
     // is simply stale — rebuild, same as a corpus change
     val fresh = try {
-      SnapshotTable.currentVersion(s, coarseRoot) > 0 &&
-        SnapshotTable.commitMeta(s, coarseRoot, SnapshotTable.currentVersion(s, coarseRoot))
-          .get("corpus_fp").contains(fp)
+      SnapshotTable.currentVersion(s, coarseRoot) > 0 && {
+        val head = SnapshotTable.commitMeta(s, coarseRoot,
+          SnapshotTable.currentVersion(s, coarseRoot))
+        head.get("corpus_fp").contains(fp) &&
+          head.get("codes_fmt").contains(CodesFormat)
+      }
     } catch { case _: IllegalStateException => false }
     if (!fresh) buildAt(s, root, corpus, m, ksub, nLists, lloydIters,
       meta = Map("corpus_fp" -> fp))
@@ -66,7 +80,8 @@ object PqIndex {
     val (coarse, books) = Ann.pqTrain(s, corpus, m, ksub, nLists, lloydIters)
     val codes = Ann.pqEncode(s, coarse, books, corpus, m, sub)
     val full = meta ++ Map("m" -> m.toString, "sub" -> sub.toString,
-      "ksub" -> ksub.toString, "n_lists" -> nLists.toString)
+      "ksub" -> ksub.toString, "n_lists" -> nLists.toString,
+      "codes_fmt" -> CodesFormat)
     SnapshotTable.commit(s, s"$root/codes",
       codes.repartitionByRange(8, col("cid"), col("vec_id")),
       meta = full, bloomCols = Seq("cid"))
