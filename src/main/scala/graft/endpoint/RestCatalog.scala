@@ -288,6 +288,22 @@ object RestCatalog {
             else {
               val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
               val d = graft.lake.Maintenance.Policy()
+              // present-but-unparseable knobs are a client error, not
+              // a silent fall-through to the default policy
+              val badKnob = Seq("max_delete_ratio" -> jdouble(body, "max_delete_ratio").isEmpty,
+                "small_bytes" -> jlong(body, "small_bytes").isEmpty,
+                "target_bytes" -> jlong(body, "target_bytes").isEmpty,
+                "min_delete_files" -> jlong(body, "min_delete_files").isEmpty,
+                "keep_versions" -> jlong(body, "keep_versions").isEmpty,
+                "orphan_grace_ms" -> jlong(body, "orphan_grace_ms").isEmpty)
+                .collectFirst { case (k, unparsed) if jkeyPresent(body, k) && unparsed => k }
+              val badRatio = jdouble(body, "max_delete_ratio")
+                .filter(r => r < 0 || r > 1)
+              if (badKnob.isDefined)
+                err(ex, 400, s"unparseable value for ${badKnob.get}")
+              else if (badRatio.isDefined)
+                err(ex, 400, s"max_delete_ratio must be in [0, 1], got ${badRatio.get}")
+              else {
               val policy = graft.lake.Maintenance.Policy(
                 maxDeleteRatio = jdouble(body, "max_delete_ratio")
                   .getOrElse(d.maxDeleteRatio),
@@ -319,6 +335,7 @@ object RestCatalog {
                 "expired_files_reclaimed" -> r.expiredFilesReclaimed.toString,
                 "orphans_reclaimed" -> r.orphansReclaimed.toString,
                 "final_version" -> r.finalVersion.toString))
+              }
             }
           }
 
@@ -390,17 +407,25 @@ object RestCatalog {
             .map { case (r, i) =>
               s"""{"id":${i + 1},"name":${jstr(r.getString(0))},"required":false,"type":${jstr(icebergType(r.getString(1)))}}"""
             }
+          // per-snapshot manifest-list points at the graft manifest of
+          // that version (the engine's manifest LIST — same role), and
+          // sequence-number is the version itself (graft versions are
+          // the commit sequence)
           val snapshots = (1 to v).map { sv =>
             val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
-            s"""{"snapshot-id":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"summary":{"operation":${jstr(op)}}}"""
+            s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
           }
           // a stable uuid derived from the location: the registry has
           // no separate identity store, and clients only require
           // uniqueness + stability across loads
           val uuid = java.util.UUID.nameUUIDFromBytes(
             loc.getBytes(UTF_8)).toString
+          // the Iceberg table spec's REQUIRED v2 keys all present so
+          // spec-strict discovery clients can parse the response:
+          // unpartitioned spec + unsorted order as the minimal stubs,
+          // last-column-id = the field count (ids are 1..n above)
           val metadata =
-            s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":${jstr(loc)},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"snapshots":[${snapshots.mkString(",")}]}"""
+            s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"snapshots":[${snapshots.mkString(",")}]}"""
           send(ex, 200,
             s"""{"metadata-location":${jstr(s"$loc/_manifests/v$v.manifest")},"metadata":$metadata,"config":{}}""")
         }
@@ -449,10 +474,21 @@ object RestCatalog {
   }
 
   private[graft] def jdouble(body: String, key: String): Option[Double] = {
+    // sign and leading-dot forms included: "-1" or ".5" must PARSE
+    // (and then fail validation loudly) rather than silently fall
+    // back to the default policy
     val re = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*(\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)").r
+      "\"\\s*:\\s*(-?(?:\\d+(?:\\.\\d+)?|\\.\\d+)(?:[eE][+-]?\\d+)?)").r
     re.findFirstMatchIn(body).map(_.group(1).toDouble)
   }
+
+  /** Whether a key appears at all — lets handlers 400 on a present
+    * but unparseable value instead of defaulting (a 200 with
+    * different semantics than requested).
+    */
+  private[graft] def jkeyPresent(body: String, key: String): Boolean =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:").r
+      .findFirstIn(body).isDefined
 
   private[graft] def jbool(body: String, key: String): Option[Boolean] = {
     val re = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(true|false)").r

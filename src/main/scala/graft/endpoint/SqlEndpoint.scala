@@ -305,7 +305,7 @@ object SqlEndpoint {
     * over the wire. The events land in a [[graft.sources.GraftCatalog]]
     * (DataSourceV2) table in two versions — even event_ids (v1), then
     * the odds appended (v2) — and a JDBC client reads
-    * `FROM glake.lake.events_tt VERSION AS OF 1` through the Thrift
+    * `FROM glake_<dirhash>.lake.events_tt VERSION AS OF 1` through the Thrift
     * endpoint: Spark's parser resolves the clause against the V2
     * catalog, the scan runs the same manifest-pruned read path, and
     * the v1-only aggregate (provably missing every odd id) crosses
@@ -316,8 +316,13 @@ object SqlEndpoint {
     import graft.lake.SnapshotTable
     import org.apache.spark.sql.functions.col
     val wh = s"/tmp/graft_endpoint/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/v2_wh"
-    s.conf.set("spark.sql.catalog.glake", classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.glake.warehouse", wh)
+    // catalog name derived from dir: Spark's CatalogManager caches the
+    // instance (and thus its warehouse) per session after first use,
+    // so a fixed "glake" would silently keep serving the FIRST dir's
+    // events_tt to a session later pointed at another dir
+    val cat = s"glake_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val root = s"$wh/lake/events_tt"
     SnapshotTable.drop(s, root)
     val ev = graft.sources.Tables.load(s, dir, "events")
@@ -326,10 +331,10 @@ object SqlEndpoint {
     SnapshotTable.commitAppend(s, root, ev.filter(col("event_id") % 2 =!= 0))
     require(SnapshotTable.currentVersion(s, root) == 2)
     val (_, rows) = jdbcQuery(s,
-      """SELECT event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
-        |FROM glake.lake.events_tt VERSION AS OF 1
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      s"""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+         |FROM $cat.lake.events_tt VERSION AS OF 1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_type",

@@ -1719,6 +1719,134 @@ object LakeOps {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Row-level DML in PLAIN SQL through the DataSourceV2 catalog —
+    * Trino's DELETE / UPDATE / MERGE INTO surface on Iceberg
+    * (reference RUNBOOK.md §7), graft-native:
+    *
+    *  - `DELETE FROM … WHERE event_id < 60` — translatable predicate,
+    *    so Spark's optimizer routes it to the SupportsDelete metadata
+    *    path and the engine's copy-on-write delete runs (one commit,
+    *    untouched files re-listed by reference);
+    *  - `UPDATE … SET value = value * 2 WHERE event_id BETWEEN …` —
+    *    the group-based copy-on-write op: manifest stats pruning
+    *    bounds the rewrite to the files that can hold the range
+    *    (asserted in-entry), replacement rows written by
+    *    executor-side parquet writers;
+    *  - `MERGE INTO … USING src` — matched rows updated, unmatched
+    *    source rows inserted, one replace commit.
+    *
+    * Every statement is a REAL versioned engine commit (asserted), so
+    * time travel sees each DML step. The catalog name is derived from
+    * the input dir: Spark's CatalogManager caches catalog instances
+    * per session, so a fixed name would pin the FIRST dir's warehouse
+    * for the session's lifetime and silently serve its tables to
+    * runs against other dirs.
+    */
+  def sqlDml(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_sqldml_wh")
+    val cat = s"gdml_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val root = s"$wh/lake/ev"
+    clean(s, root)
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    val mx = ev.agg(max(col("event_id"))).head.getLong(0)
+    val q = (mx + 1) / 4
+    // four range-clustered commits with event_id stats: the manifest
+    // can prove which files a DML range predicate can touch
+    (0 until 4).foreach { i =>
+      val lo = i * q
+      val hi = if (i == 3) mx + 1 else (i + 1) * q
+      SnapshotTable.commit(s, root,
+        ev.filter(col("event_id") >= lo && col("event_id") < hi).coalesce(1),
+        append = i > 0, statsCols = Seq("event_id"))
+    }
+    val t = s"$cat.lake.ev"
+    s.sql(s"DELETE FROM $t WHERE event_id < 60")
+    require(SnapshotTable.currentVersion(s, root) == 5,
+      "SQL DELETE must be one engine commit")
+    val beforeUpd = SnapshotTable.dataFiles(s, root, 5).toSet
+    s.sql(s"UPDATE $t SET value = value * 2 WHERE event_id BETWEEN 100 AND 299")
+    require(SnapshotTable.currentVersion(s, root) == 6,
+      "SQL UPDATE must be one engine commit")
+    val afterUpd = SnapshotTable.dataFiles(s, root, 6).toSet
+    require((beforeUpd -- afterUpd).size < beforeUpd.size,
+      "stats pruning must bound the UPDATE rewrite to the range's files")
+    import s.implicits._
+    Seq((300L, "merged", 0.25), (301L, "merged", 0.25), (302L, "merged", 0.25),
+      (-1L, "merged_new", 1.25), (-2L, "merged_new", 2.25), (-3L, "merged_new", 3.25))
+      .toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_sqldml_src")
+    s.sql(
+      s"""MERGE INTO $t t USING graft_sqldml_src s ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET t.event_type = s.event_type, t.value = s.value
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+         |  VALUES (s.event_id, 0, s.event_type, s.value)""".stripMargin)
+    require(SnapshotTable.currentVersion(s, root) == 7,
+      "SQL MERGE must be one engine commit")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, " +
+      s"${sqlSumMoney("value", "total_value")} FROM $t GROUP BY 1 ORDER BY 1")
+  }
+
+  /** DDL schema evolution in PLAIN SQL through the catalog — the
+    * lake_rename_widen semantics (rename + widen + add, all
+    * metadata-only commits, old files never rewritten) driven by
+    * `ALTER TABLE` alone, then an INSERT that exercises the evolved
+    * schema: the new row carries an event_id beyond int range
+    * (possible only because the widen landed) and a value for the
+    * added column (NULL everywhere else). Commit count asserted:
+    * 1 seed + 3 alters + 1 insert = 5 versions, with the three
+    * alters touching zero data files (GraftCatalogSpec pins that).
+    */
+  def sqlAlter(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_sqlalter_wh")
+    val cat = s"galt_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val root = s"$wh/lake/ev"
+    clean(s, root)
+    SnapshotTable.commit(s, root, events(s, dir)
+      .select(col("event_id").cast("int").as("event_id"),
+        col("event_type"), col("value")))
+    val t = s"$cat.lake.ev"
+    s.sql(s"ALTER TABLE $t RENAME COLUMN value TO amount")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN event_id TYPE BIGINT")
+    s.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    s.sql(s"INSERT INTO $t VALUES (5000000000, 'alter_new', 9.75, 'added')")
+    require(SnapshotTable.currentVersion(s, root) == 5,
+      "seed + 3 ALTERs + INSERT must be five engine commits")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, " +
+      s"${sqlSumMoney("amount", "total_amount")}, COUNT(note) AS notes " +
+      s"FROM $t GROUP BY 1 ORDER BY 1")
+  }
+
+  val sqlAlterOracle: String =
+    s"""WITH t AS (
+       |  SELECT event_type, value AS amount, CAST(NULL AS VARCHAR) AS note FROM events
+       |  UNION ALL SELECT 'alter_new', 9.75, 'added'
+       |)
+       |SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("amount", "total_amount")},
+       |  COUNT(note) AS notes
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val sqlDmlOracle: String =
+    s"""WITH upd AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id BETWEEN 300 AND 302 THEN 'merged' ELSE event_type END AS event_type,
+       |    CASE WHEN event_id BETWEEN 300 AND 302 THEN 0.25
+       |         WHEN event_id BETWEEN 100 AND 299 THEN value * 2 ELSE value END AS value
+       |  FROM events WHERE event_id >= 60
+       |), mrg AS (
+       |  SELECT event_type, value FROM upd
+       |  UNION ALL
+       |  SELECT * FROM (VALUES ('merged_new', 1.25), ('merged_new', 2.25), ('merged_new', 3.25))
+       |)
+       |SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM mrg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Iceberg-style metadata INSPECTION tables (`table$files` /
     * `$history` as `option("metadata", …)` on the graft-snapshot
     * relation): per-file rows/sequence and per-version op/row-count
@@ -1799,6 +1927,8 @@ object LakeOps {
   val queries: Seq[Q] = Seq(
     Q("lake_delete_consolidation", deleteConsolidation, Some(deleteConsolidationOracle)),
     Q("lake_sql_insert", sqlInsert, Some(sqlInsertOracle)),
+    Q("lake_sql_dml", sqlDml, Some(sqlDmlOracle)),
+    Q("lake_sql_alter", sqlAlter, Some(sqlAlterOracle)),
     Q("lake_files_metadata", filesMetadata, Some(filesMetadataOracle)),
     Q("lake_sql_relation", sqlRelation, Some(sqlRelationOracle)),
     Q("lake_auto_maintain", autoMaintain, Some(autoMaintainOracle)),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -57,6 +57,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft_lake"
   private var warehouse: String = _
+  private var deleteMode: String = "cow"
 
   private def spark: SparkSession = SparkSession.active
 
@@ -65,6 +66,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse is required"))
+    // SQL DELETE rides the engine's row-level paths: "cow" rewrites
+    // touched files (wide deletes), "mor" writes positional delete
+    // files (O(matched rows) — GDPR trickle deletes at 100 TB)
+    deleteMode = Option(options.get("deleteMode")).getOrElse("cow")
+    require(deleteMode == "cow" || deleteMode == "mor",
+      s"spark.sql.catalog.$name.deleteMode must be cow|mor, got '$deleteMode'")
   }
 
   override def name(): String = catalogName
@@ -74,8 +81,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def defaultRoot(ident: Identifier): String =
     (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
 
+  // pointer filenames URL-encode each identifier part (plus '.',
+  // which URLEncoder leaves bare) and join with '.', so a table or
+  // namespace name CONTAINING a dot round-trips instead of being
+  // mis-bucketed on the re-split; dot-free names encode to
+  // themselves, so pre-encoding pointer files stay readable
+  private def encPart(p: String): String =
+    java.net.URLEncoder.encode(p, "UTF-8").replace(".", "%2E")
+
+  private def decPart(p: String): String =
+    java.net.URLDecoder.decode(p, "UTF-8")
+
   private def pointerPath(ident: Identifier): Path =
-    new Path(s"$warehouse/_pointers/${(ident.namespace() :+ ident.name()).mkString(".")}")
+    new Path(s"$warehouse/_pointers/" +
+      (ident.namespace() :+ ident.name()).map(encPart).mkString("."))
 
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -102,7 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
     if (!existsAt(root)) throw new NoSuchTableException(ident)
-    new GraftTable(fullName(ident), root, -1)
+    new GraftTable(fullName(ident), root, -1, deleteMode)
   }
 
   /** `VERSION AS OF <n>` — the analyzer hands the version string here. */
@@ -115,19 +134,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     require(v >= 1 && v <= SnapshotTable.currentVersion(spark, root),
       s"version $v out of range for $root")
-    new GraftTable(fullName(ident), root, v)
+    new GraftTable(fullName(ident), root, v, deleteMode)
   }
 
-  /** `TIMESTAMP AS OF <ts>` — micros since epoch, per the contract. */
+  /** `TIMESTAMP AS OF <ts>` — micros since epoch, per the contract;
+    * resolved by [[SnapshotTable.versionAt]]'s O(log versions)
+    * header binary search (commit stamps are strictly monotonic).
+    */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val root = rootOf(ident)
     if (!existsAt(root)) throw new NoSuchTableException(ident)
-    val ms = timestamp / 1000L
-    val v = (1 to SnapshotTable.currentVersion(spark, root))
-      .filter(SnapshotTable.committedAt(spark, root, _) <= ms)
-      .maxOption.getOrElse(throw new IllegalArgumentException(
-        s"no version of $root committed at or before ${ms}ms"))
-    new GraftTable(fullName(ident), root, v)
+    val v = SnapshotTable.versionAt(spark, root, timestamp / 1000L)
+    new GraftTable(fullName(ident), root, v, deleteMode)
   }
 
   private def fullName(ident: Identifier): String =
@@ -159,12 +177,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         spark.sparkContext.emptyRDD[Row], schema)
       SnapshotTable.commit(spark, root, empty)
     }
-    new GraftTable(fullName(ident), root, -1)
+    new GraftTable(fullName(ident), root, -1, deleteMode)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the engine API (renameColumn / widenColumn / mergeEvolve)")
+  /** DDL schema evolution in plain SQL, mapped onto the engine's
+    * metadata-only commits (no data file is ever rewritten —
+    * lake_rename_widen semantics through `ALTER TABLE` alone):
+    * RENAME COLUMN → column-mapping commit, ALTER COLUMN TYPE →
+    * widen commit (narrowing rejected at read by the ANSI cast),
+    * ADD COLUMN → type-override commit that reads as typed NULLs
+    * until appends carry the column. Each change is one commit, so
+    * time travel sees every evolution step.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!existsAt(root)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested column rename is not supported")
+        SnapshotTable.renameColumn(spark, root, r.fieldNames()(0), r.newName())
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "nested column type change is not supported")
+        SnapshotTable.widenColumn(spark, root, u.fieldNames()(0),
+          u.newDataType().sql)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "nested column add is not supported")
+        SnapshotTable.addColumn(spark, root, a.fieldNames()(0),
+          a.dataType().sql)
+      case d: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${d.fieldNames().mkString(".")} is not supported — " +
+            "readers would lose old-version columns; evolve forward instead")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ptr = pointerPath(ident)
@@ -189,7 +241,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val pfs = fs(ptrDir)
     val pointed =
       if (!pfs.exists(ptrDir)) Seq.empty
-      else pfs.listStatus(ptrDir).toSeq.map(_.getPath.getName.split('.'))
+      else pfs.listStatus(ptrDir).toSeq
+        .map(_.getPath.getName.split('.').map(decPart))
         .filter(_.length == namespace.length + 1)
         .filter(_.init.sameElements(namespace))
         .map(parts => Identifier.of(parts.init, parts.last))
@@ -248,6 +301,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else {
       if (!cascade && nfs.listStatus(p).nonEmpty)
         throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      // cascade also unregisters the namespace's LOCATION pointers —
+      // otherwise listTables keeps reporting tables whose roots are
+      // gone (external data itself is kept, like dropTable)
+      if (cascade) {
+        val ptrDir = new Path(s"$warehouse/_pointers")
+        val pfs = fs(ptrDir)
+        if (pfs.exists(ptrDir)) pfs.listStatus(ptrDir).foreach { st =>
+          val parts = st.getPath.getName.split('.').map(decPart)
+          if (parts.length > namespace.length && parts.startsWith(namespace))
+            pfs.delete(st.getPath, false)
+        }
+      }
       nfs.delete(p, true)
     }
   }
@@ -255,10 +320,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 /** A snapshot table (at `version`, or current when -1) as a V2
   * [[Table]]: reads through the manifest-pruned V1 shim, writes
-  * through the concurrency-safe commit paths.
+  * through the concurrency-safe commit paths. Row-level SQL DML:
+  * `DELETE FROM` with translatable predicates takes the
+  * [[SupportsDelete]] metadata route straight into the engine's
+  * copy-on-write or merge-on-read delete (per the catalog's
+  * `deleteMode`); UPDATE / MERGE INTO / untranslatable DELETEs go
+  * through the group-based copy-on-write [[GraftRowLevelOperation]].
   */
-private[graft] class GraftTable(tableName: String, root: String, version: Int)
-  extends Table with SupportsRead with SupportsWrite {
+private[graft] class GraftTable(
+    tableName: String, root: String, version: Int, deleteMode: String = "cow")
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsDelete with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
@@ -286,6 +358,39 @@ private[graft] class GraftTable(tableName: String, root: String, version: Int)
     require(version < 0,
       "cannot write to a time-traveled table (VERSION/TIMESTAMP AS OF)")
     new GraftWriteBuilder(root)
+  }
+
+  // ----- DELETE FROM (metadata route) -------------------------------
+
+  /** Only EXACTLY-translatable predicates: a weakened translation
+    * would delete a superset of the requested rows. Untranslatable
+    * shapes (subqueries, expressions) fall back to the row-level
+    * rewrite, which keeps the real condition in the plan.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version < 0 && filters.forall(f =>
+      graft.streaming.GraftSnapshotRelation.translateExact(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version < 0,
+      "cannot DELETE from a time-traveled table (VERSION/TIMESTAMP AS OF)")
+    val pred = filters.toSeq
+      .map(f => graft.streaming.GraftSnapshotRelation.translateExact(f).getOrElse(
+        throw new UnsupportedOperationException(s"untranslatable DELETE filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (deleteMode == "mor") SnapshotTable.deleteWhereMor(spark, root, pred)
+    else SnapshotTable.deleteWhere(spark, root, pred)
+    ()
+  }
+
+  // ----- UPDATE / MERGE INTO (group-based copy-on-write) ------------
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(version < 0,
+      "cannot modify a time-traveled table (VERSION/TIMESTAMP AS OF)")
+    () => new GraftRowLevelOperation(root, info.command(), schema)
   }
 }
 

@@ -162,6 +162,13 @@ object GraftSnapshotRelation {
     */
   private[graft] def toColumn(f: Filter): Option[Column] = translate(f).map(_._1)
 
+  /** Exact-only translation — for consumers where a WEAKENED
+    * predicate is unsound (SQL DELETE: weaker = deletes more rows
+    * than requested), unlike file pruning where it only over-scans.
+    */
+  private[graft] def translateExact(f: Filter): Option[Column] =
+    translate(f).collect { case (c, true) => c }
+
   /** Filter → (Column, exact). `exact = false` marks a deliberately
     * WEAKER translation (an AND that kept only the sides that
     * translate) — sound for pruning, since a weaker predicate only
@@ -197,6 +204,9 @@ object GraftSnapshotRelation {
       for ((lc, le) <- translate(l); (rc, re) <- translate(r))
         yield (lc || rc, le && re)
     case Not(c) => translate(c).collect { case (cc, true) => (!cc, true) }
+    // DELETE FROM t (no WHERE) reaches SupportsDelete as AlwaysTrue
+    case _: AlwaysTrue => Some((lit(true), true))
+    case _: AlwaysFalse => Some((lit(false), true))
     case _ => None
   }
 }

@@ -107,6 +107,124 @@ class GraftCatalogSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, ext).count() === 2)
   }
 
+  test("DELETE FROM in plain SQL rides the engine row-level delete") {
+    enable()
+    val root = s"$wh/lake/sqldel"
+    SnapshotTable.drop(spark, root)
+    (0 until 4).foreach { i =>
+      SnapshotTable.commit(spark, root,
+        (i * 25 until (i + 1) * 25).map(k => (k.toLong, s"r$k")).toDF("id", "v")
+          .coalesce(1), statsCols = Seq("id"))
+    }
+    spark.sql("DELETE FROM gcat.lake.sqldel WHERE id >= 90")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.lake.sqldel").head.getLong(0) === 90)
+    // a REAL versioned commit: time travel still sees the pre-delete rows
+    assert(SnapshotTable.currentVersion(spark, root) === 5)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.lake.sqldel VERSION AS OF 4").head.getLong(0) === 100)
+    // NULL-predicate rows stay (SQL DELETE semantics through the engine)
+    spark.sql("DELETE FROM gcat.lake.sqldel WHERE id < 5 AND v IS NOT NULL")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.lake.sqldel").head.getLong(0) === 85)
+  }
+
+  test("UPDATE in plain SQL: group-based copy-on-write rewrite") {
+    enable()
+    val root = s"$wh/lake/sqlupd"
+    SnapshotTable.drop(spark, root)
+    (0 until 4).foreach { i =>
+      SnapshotTable.commit(spark, root,
+        (i * 25 until (i + 1) * 25).map(k => (k.toLong, s"r$k", k * 1.0))
+          .toDF("id", "v", "w").coalesce(1), statsCols = Seq("id"))
+    }
+    spark.sql("UPDATE gcat.lake.sqlupd SET w = w * 10 WHERE id BETWEEN 30 AND 34")
+    val got = spark.sql(
+      "SELECT id, w FROM gcat.lake.sqlupd WHERE id IN (29, 30, 34, 35) ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((29L, 29.0), (30L, 300.0), (34L, 340.0), (35L, 35.0)))
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.lake.sqlupd").head.getLong(0) === 100)
+    // versioned: pre-update values still readable
+    val cur = SnapshotTable.currentVersion(spark, root)
+    assert(spark.sql(
+      s"SELECT w FROM gcat.lake.sqlupd VERSION AS OF ${cur - 1} WHERE id = 30")
+      .head.getDouble(0) === 30.0)
+    // stats pruning bounded the rewrite: only the file holding ids
+    // 25..49 was replaced; the other three survive by reference
+    val before = SnapshotTable.dataFiles(spark, root, cur - 1).toSet
+    val after = SnapshotTable.dataFiles(spark, root, cur).toSet
+    assert((before -- after).size === 1,
+      s"expected exactly 1 file rewritten, got ${(before -- after).size}")
+  }
+
+  test("MERGE INTO in plain SQL: matched update + not-matched insert") {
+    enable()
+    val root = s"$wh/lake/sqlmrg"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 10).map(k => (k.toLong, s"old$k")).toDF("id", "v"))
+    Seq((8L, "new8"), (9L, "new9"), (10L, "new10"), (11L, "new11"))
+      .toDF("id", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO gcat.lake.sqlmrg t USING mrg_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM gcat.lake.sqlmrg ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got.size === 12)
+    assert(got.filter(_._1 >= 8L).map(_._2) === Seq("new8", "new9", "new10", "new11"))
+    assert(got.head === (0L, "old0"))
+  }
+
+  test("SQL row-level ops refuse tables the raw-file scan cannot express") {
+    enable()
+    val root = s"$wh/lake/sqlblocked"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 10).map(k => (k.toLong, s"r$k")).toDF("id", "v"))
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 1L)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gcat.lake.sqlblocked SET v = 'x' WHERE id = 2")
+    }
+    assert(e.getMessage != null && e.getMessage.contains("merge-on-read"),
+      s"expected the MoR blocker message, got: ${e.getMessage}")
+    // translatable DELETE still works — the metadata route reads
+    // through the logical view and handles pending MoR deletes
+    spark.sql("DELETE FROM gcat.lake.sqlblocked WHERE id = 2")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.lake.sqlblocked")
+      .head.getLong(0) === 8)
+  }
+
+  test("ALTER TABLE: RENAME / ADD / widen type are metadata-only commits") {
+    enable()
+    val root = s"$wh/lake/sqlalter"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 10).map(k => (k, s"r$k")).toDF("id", "v"))
+    val files1 = SnapshotTable.dataFiles(spark, root, 1).toSet
+    spark.sql("ALTER TABLE gcat.lake.sqlalter RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE gcat.lake.sqlalter ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE gcat.lake.sqlalter ADD COLUMN score DOUBLE")
+    val df = spark.sql("SELECT id, label, score FROM gcat.lake.sqlalter ORDER BY id")
+    assert(df.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    val rows = df.collect()
+    assert(rows.length === 10 && rows.forall(_.isNullAt(2)))
+    assert(rows.head.getString(1) === "r0")
+    // three evolutions, zero files rewritten
+    val cur = SnapshotTable.currentVersion(spark, root)
+    assert(cur === 4)
+    assert(SnapshotTable.dataFiles(spark, root, cur).toSet === files1,
+      "ALTER TABLE must not rewrite data files")
+    // appends carry the new column; old files read as NULL beside them
+    spark.sql("INSERT INTO gcat.lake.sqlalter VALUES (99, 'x', 1.5)")
+    val merged = spark.sql(
+      "SELECT label, score FROM gcat.lake.sqlalter WHERE id IN (0, 99) ORDER BY id")
+      .collect()
+    assert(merged(0).isNullAt(1) && merged(1).getDouble(1) === 1.5)
+    // time travel predates the evolution: old names, no new column
+    val v1 = spark.sql("SELECT * FROM gcat.lake.sqlalter VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("id", "v"))
+  }
+
   test("MoR deletes and renames serve through the catalog read") {
     enable()
     val root = s"$wh/lake/morv2"

@@ -245,7 +245,14 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(ct == 200, load)
     Seq("\"metadata-location\"", "\"format-version\":2", "\"table-uuid\"",
       "\"current-snapshot-id\":2", "\"current-schema-id\"", "\"schemas\"",
-      "\"snapshots\"", "\"timestamp-ms\"", "\"summary\"", "\"operation\"")
+      "\"snapshots\"", "\"timestamp-ms\"", "\"summary\"", "\"operation\"",
+      // the table spec's REQUIRED v2 keys spec-strict clients reject
+      // without: column/sequence bookkeeping, partition spec + sort
+      // order stubs, per-snapshot manifest-list + sequence-number
+      "\"last-column-id\"", "\"last-sequence-number\":2", "\"last-updated-ms\"",
+      "\"default-spec-id\":0", "\"partition-specs\"", "\"last-partition-id\"",
+      "\"default-sort-order-id\":0", "\"sort-orders\"",
+      "\"manifest-list\"", "\"sequence-number\":1")
       .foreach(f => assert(load.contains(f), s"missing $f in $load"))
     // Iceberg type spellings: bigint → long, double stays double
     assert(load.contains("""{"id":1,"name":"id","required":false,"type":"long"}"""), load)
@@ -289,6 +296,17 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(c2 == 200, r2)
     assert(!r2.contains("\"deletes_folded_version\":null"), r2)
     assert(SnapshotTable.read(spark, loc).count() === 19)
+    // present-but-malformed knobs are a 400, never a silent default
+    val (cb1, rb1) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"max_delete_ratio":"oops"}""")
+    assert(cb1 == 400, rb1)
+    val (cb2, rb2) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"max_delete_ratio":-1}""")
+    assert(cb2 == 400, rb2)
+    // negative and leading-dot numbers PARSE (then validate)
+    val (cb3, rb3) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"max_delete_ratio":.5,"keep_versions":10}""")
+    assert(cb3 == 200, rb3)
     val (c5, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_knobs")
     assert(c5 == 200)
   }

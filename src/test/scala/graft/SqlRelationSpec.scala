@@ -81,7 +81,12 @@ class SqlRelationSpec extends SparkSpec {
     // an untranslatable shape under Not must kill the whole Not: the
     // naive rewrite Not(And(a, b)) → Not(a) is a STRONGER predicate
     // than the original and would prune files holding matching rows
-    val untranslatable: Filter = AlwaysTrue
+    // a shape translate() has no case for — collation-aware
+    // comparisons need collation semantics the engine's pruning
+    // doesn't model (AlwaysTrue used to serve here until DELETE FROM
+    // support made it translatable)
+    val untranslatable: Filter = CollatedEqualTo("v", "x",
+      org.apache.spark.sql.types.StringType)
     assert(GraftSnapshotRelation.toColumn(
       Not(And(EqualTo("id", 1L), untranslatable))).isEmpty)
     assert(GraftSnapshotRelation.toColumn(
