@@ -426,8 +426,25 @@ object RestCatalog {
           // last-column-id = the field count (ids are 1..n above)
           val metadata =
             s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"snapshots":[${snapshots.mkString(",")}]}"""
+          // metadata-location points at a MATERIALIZED Iceberg-format
+          // metadata.json (exported next to the graft manifests, one
+          // immutable file per version) rather than at a graft
+          // manifest: a client can follow the pointer, parse standard
+          // table metadata, and walk each snapshot's manifest-list to
+          // the engine's manifest for the file list. Remaining
+          // documented delta (README): manifest lists are graft's
+          // line-oriented text, not Iceberg Avro.
+          val metaPath = new org.apache.hadoop.fs.Path(
+            s"$loc/_iceberg/v$v.metadata.json")
+          val mfs = metaPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!mfs.exists(metaPath)) {
+            mfs.mkdirs(metaPath.getParent)
+            val out = mfs.create(metaPath, true)
+            try out.write(metadata.getBytes(UTF_8)) finally out.close()
+          }
           send(ex, 200,
-            s"""{"metadata-location":${jstr(s"$loc/_manifests/v$v.manifest")},"metadata":$metadata,"config":{}}""")
+            s"""{"metadata-location":${jstr(metaPath.toString)},"metadata":$metadata,"config":{}}""")
         }
       }
   }

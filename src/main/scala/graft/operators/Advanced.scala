@@ -178,6 +178,45 @@ object Advanced {
   // its bench entry) times the zero-exchange join, not table setup
   private val bucketedReady = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Bucket count: at least the executor-core count, so the
+    * exchange-free bucketed join still uses every core (8 buckets on
+    * 32 cores left 3/4 idle — the r11 sf5 sweep's 9 s); at cluster
+    * scale buckets ≥ total cores is the same sizing rule.
+    */
+  private val BucketCount = 32
+
+  /** Leaf-file identity of the join inputs — the staleness guard for
+    * the persisted bucketed tables (prefixed with the bucket count so
+    * a layout change rebuilds).
+    */
+  private def bucketedFp(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val leaves = Seq("orders", "lineitem").flatMap { n =>
+      val src = Paths.get(s"$dir/$n.parquet")
+      if (Files.isDirectory(src)) {
+        val st = Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.toString)
+        } finally st.close()
+      } else Seq(src)
+    }
+    s"b$BucketCount|" + leaves.map(p =>
+      s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .mkString("|")
+  }
+
+  /** Build (or REUSE, fingerprint-guarded like the ANN indexes) the
+    * two catalog-bucketed tables. The data files outlive the
+    * in-memory catalog, so a fresh session whose inputs still match
+    * the persisted fingerprint re-REGISTERS the bucket layout over
+    * the existing files (CREATE TABLE … CLUSTERED BY … LOCATION —
+    * metadata-only) instead of rewriting both tables; only an input
+    * change pays the one-time clustered write. This is the offline
+    * bucketing lifecycle at 100 TB: one layout job, every subsequent
+    * join exchange-free.
+    */
   private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedReady.synchronized {
       val suffix = math.abs(dir.hashCode).toString
@@ -187,20 +226,40 @@ object Advanced {
       if (bucketedReady.contains(key) &&
           s.catalog.tableExists(oTbl) && s.catalog.tableExists(lTbl))
         return (oTbl, lTbl)
-      // the warehouse dir outlives the in-memory catalog: drop both the
-      // catalog entry and any orphaned location from a previous session
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val fp = bucketedFp(dir)
+      def markerPath(tbl: String) = java.nio.file.Paths.get(s"$wh/$tbl/_graft_fp")
+      def markerOk(tbl: String): Boolean =
+        java.nio.file.Files.exists(markerPath(tbl)) &&
+          new String(java.nio.file.Files.readAllBytes(markerPath(tbl)), "UTF-8") == fp
+      def registerOver(tbl: String, keyCol: String, schemaDdl: String): Unit =
+        s.sql(s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
+                 |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $BucketCount BUCKETS
+                 |LOCATION '$wh/$tbl'""".stripMargin)
+      if (markerOk(oTbl) && markerOk(lTbl) &&
+          !s.catalog.tableExists(oTbl) && !s.catalog.tableExists(lTbl)) {
+        registerOver(oTbl, "o_orderkey", Tables.load(s, dir, "orders").schema.toDDL)
+        registerOver(lTbl, "l_orderkey", Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount").schema.toDDL)
+        bucketedReady.add(key)
+        return (oTbl, lTbl)
+      }
+      // stale or absent: drop both the catalog entry and any orphaned
+      // location from a previous session, rebuild, stamp the marker
       Seq(oTbl, lTbl).foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         graft.lake.SnapshotTable.drop(s, s"$wh/$tbl")
       }
       Tables.load(s, dir, "orders")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .write.bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(oTbl)
       Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .write.bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(lTbl)
+      Seq(oTbl, lTbl).foreach { tbl =>
+        java.nio.file.Files.write(markerPath(tbl), fp.getBytes("UTF-8"))
+      }
       bucketedReady.add(key)
       (oTbl, lTbl)
     }

@@ -226,9 +226,9 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     SnapshotTable.commit(spark, loc,
       Seq((1L, "a", 1.5)).toDF("id", "v", "x"))
     SnapshotTable.commitAppend(spark, loc, Seq((2L, "b", 2.5)).toDF("id", "v", "x"))
-    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+    val (c0, createResp) = RestCatalog.post(port, "/v1/tables",
       s"""{"name":"rest_spec_ice","format":"parquet","location":"$loc"}""")
-    assert(c0 == 201)
+    assert(c0 == 201, createResp)
     // CatalogConfig: defaults / overrides
     val (cc, cfg) = RestCatalog.get(port, "/v1/config")
     assert(cc == 200 && cfg.contains("\"defaults\"") && cfg.contains("\"overrides\""), cfg)
@@ -259,6 +259,41 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(load.contains("\"type\":\"double\""), load)
     // both snapshots listed, ids are the engine versions
     assert(load.contains("\"snapshot-id\":1") && load.contains("\"snapshot-id\":2"), load)
+    // metadata-location is a MATERIALIZED Iceberg metadata.json: a
+    // client can follow the pointer, parse it, and walk a snapshot's
+    // manifest-list down to the engine manifest's file list
+    val metaLoc = {
+      val re = "\"metadata-location\"\\s*:\\s*\"([^\"]+)\"".r
+      re.findFirstMatchIn(load).get.group(1)
+    }
+    assert(metaLoc.endsWith("/_iceberg/v2.metadata.json"), metaLoc)
+    def localPath(p: String) = java.nio.file.Paths.get(p.stripPrefix("file:"))
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      localPath(metaLoc)), "UTF-8")
+    assert(metaJson.contains("\"format-version\":2") &&
+      metaJson.contains("\"partition-specs\""), metaJson)
+    val v1List = {
+      val re = ("\"snapshot-id\":1,\"sequence-number\":1,[^}]*" +
+        "\"manifest-list\"\\s*:\\s*\"([^\"]+)\"").r
+      re.findFirstMatchIn(metaJson).get.group(1)
+    }
+    // resolve the graft manifest list (header lines '#', fragment
+    // refs '>') exactly as a client following the chain would
+    def resolve(path: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(localPath(path)).asScala.toSeq
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .flatMap { l =>
+          if (l.startsWith(">")) resolve(l.drop(1))
+          else if (l.contains("_kind=posdelete")) Seq.empty
+          else Seq(l.split('\t').head)
+        }
+    }
+    val derived = resolve(v1List).filter(_.endsWith(".parquet")).sorted
+    val truth = SnapshotTable.dataFiles(spark, loc, 1)
+      .map(_.stripPrefix("file:")).sorted
+    assert(derived.map(_.stripPrefix("file:")) === truth,
+      s"metadata.json chain must re-derive v1's file list: $derived vs $truth")
     // a non-snapshot table 404s on LoadTable (honest delta)
     val (c404, _) = RestCatalog.get(port, "/v1/namespaces/graft/tables/region")
     assert(c404 == 404)
