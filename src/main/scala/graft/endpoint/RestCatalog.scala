@@ -99,8 +99,16 @@ object RestCatalog {
     * session, then bind the HTTP endpoint on an ephemeral port —
     * the "Lakekeeper holds the catalog, clients mount it over HTTP"
     * split. Returns the bound port. Idempotent per registry root.
+    *
+    * `auth = Some(clientId -> clientSecret)` secures every route
+    * except `/v1/config` and `/v1/oauth/tokens` behind OAuth2
+    * client-credentials (the Iceberg REST `security: OAuth2` profile):
+    * clients first POST the credentials to `/v1/oauth/tokens` and then
+    * present the issued bearer token. `None` (default) keeps the
+    * endpoint token-free, as Lakekeeper's bootstrap mode does.
     */
-  def serve(spark: SparkSession, registryRoot: String, db: String = Catalog.DB): Int =
+  def serve(spark: SparkSession, registryRoot: String, db: String = Catalog.DB,
+      auth: Option[(String, String)] = None): Int =
     synchronized {
       servers.get(registryRoot) match {
         case Some(sv) => sv.http.getAddress.getPort
@@ -117,7 +125,7 @@ object RestCatalog {
               val t = new Thread(r, "graft-rest-catalog")
               t.setDaemon(true); t
             }))
-          http.createContext("/v1", new CatalogHandler(spark, registryRoot, db))
+          http.createContext("/v1", new CatalogHandler(spark, registryRoot, db, auth))
           // the JDK dispatcher thread inherits daemon status from its
           // creator; start() from a short-lived daemon thread
           val starter = new Thread(() => http.start(), "graft-rest-starter")
@@ -134,12 +142,28 @@ object RestCatalog {
     servers.remove(registryRoot).foreach(_.http.stop(0))
   }
 
-  private final class CatalogHandler(spark: SparkSession, registryRoot: String, db: String)
+  private final class CatalogHandler(spark: SparkSession, registryRoot: String,
+      db: String, auth: Option[(String, String)])
       extends HttpHandler {
 
     // serializes DDL (POST/DELETE): session-catalog registration and
     // the registry commit must publish as one logical step
     private val ddlLock = new Object
+
+    // bearer tokens issued by /v1/oauth/tokens → expiry instant (ms).
+    // Bounded by issuance rate; expired entries are reaped on check.
+    private val tokens =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val tokenTtlMs = 3600L * 1000
+
+    private def bearerOk(ex: HttpExchange): Boolean = {
+      val now = System.currentTimeMillis()
+      tokens.entrySet().removeIf(e => e.getValue < now)
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer "))
+        .map(_.stripPrefix("Bearer "))
+        .exists(tokens.containsKey)
+    }
 
     private def send(ex: HttpExchange, code: Int, json: String): Unit = {
       val bytes = json.getBytes(UTF_8)
@@ -178,7 +202,43 @@ object RestCatalog {
     private def route(ex: HttpExchange): Unit = {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
+      // OAuth gate: /v1/config stays open (Iceberg clients fetch it
+      // before authenticating) and /v1/oauth/tokens IS the token mint
+      if (auth.isDefined && path != "/v1/config" && path != "/v1/oauth/tokens"
+          && !bearerOk(ex)) {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+        err(ex, 401, "missing or invalid bearer token")
+        return
+      }
       (method, path.split("/").drop(1).toList) match {
+        case ("POST", List("v1", "oauth", "tokens")) =>
+          // OAuth2 client-credentials (the Iceberg REST catalog's
+          // documented auth flow): form-encoded grant, JSON token
+          auth match {
+            case None =>
+              err(ex, 400, "server is token-free (no OAuth configured)")
+            case Some((cid, secret)) =>
+              val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+              val form = body.split("&").toSeq
+                .map(_.split("=", 2))
+                .collect { case Array(k, v) =>
+                  k -> java.net.URLDecoder.decode(v, "UTF-8") }
+                .toMap
+              if (!form.get("grant_type").contains("client_credentials"))
+                err(ex, 400, "unsupported grant_type (want client_credentials)")
+              else if (!form.get("client_id").contains(cid) ||
+                  !form.get("client_secret").contains(secret))
+                send(ex, 401, jobj("error" -> jstr("invalid_client")))
+              else {
+                val tok = java.util.UUID.randomUUID().toString
+                tokens.put(tok, System.currentTimeMillis() + tokenTtlMs)
+                send(ex, 200, jobj(
+                  "access_token" -> jstr(tok),
+                  "token_type" -> jstr("bearer"),
+                  "expires_in" -> (tokenTtlMs / 1000).toString))
+              }
+          }
+
         case ("GET", List("v1", "config")) =>
           // Iceberg REST CatalogConfig shape (defaults/overrides), the
           // graft-specific fields ride along as extra keys
@@ -209,6 +269,9 @@ object RestCatalog {
 
         case ("GET", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
           loadTableResult(ex, name)
+
+        case ("POST", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
+          commitTable(ex, name)
 
         case ("GET", List("v1", "tables")) =>
           val rows = registryRows().map { case (n, kind, fmt, loc) =>
@@ -377,74 +440,156 @@ object RestCatalog {
       * documented field names (`metadata-location`, `metadata` with
       * `format-version`/`table-uuid`/`location`/`current-snapshot-id`/
       * `schemas`/`snapshots`, a `config` map) carrying graft's actual
-      * metadata. Honest deltas (see README): `metadata-location`
-      * points at a graft manifest (line format, not Iceberg's Avro
-      * manifest list) — an external engine can LIST and inspect
-      * through this response but needs the delta-log export
-      * (lake_export_delta_log) to actually scan zero-copy; there is
-      * no OAuth route and no `updateTable` commit route.
+      * metadata, with `metadata-location` pointing at a materialized
+      * Iceberg-format metadata.json. Honest delta (see README):
+      * manifest lists stay graft's line format, not Iceberg's Avro —
+      * an external engine can LIST and inspect through this response
+      * but needs the delta-log export (lake_export_delta_log) to
+      * actually scan zero-copy. Commits ride [[commitTable]]; OAuth
+      * rides `/v1/oauth/tokens` when the server is secured.
       */
     private def loadTableResult(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, _, _, loc) =>
         val v = if (loc.isEmpty) 0 else SnapshotTable.currentVersion(spark, loc)
         if (v == 0) err(ex, 404, s"$name is not a snapshot table")
         else {
-          def icebergType(sparkType: String): String = {
-            val t = sparkType.toLowerCase
-            if (t.startsWith("decimal")) t
-            else t match {
-              case "bigint" => "long"
-              case "smallint" | "tinyint" => "int"
-              case "timestamp" => "timestamptz"
-              case "timestamp_ntz" => "timestamp"
-              case other => other // int, string, double, float, boolean, date, binary
-            }
-          }
-          val fields = spark.sql(s"DESCRIBE TABLE $db.$name").collect()
-            .takeWhile(r => !r.getString(0).startsWith("#"))
-            .filter(_.getString(0).nonEmpty)
-            .zipWithIndex
-            .map { case (r, i) =>
-              s"""{"id":${i + 1},"name":${jstr(r.getString(0))},"required":false,"type":${jstr(icebergType(r.getString(1)))}}"""
-            }
-          // per-snapshot manifest-list points at the graft manifest of
-          // that version (the engine's manifest LIST — same role), and
-          // sequence-number is the version itself (graft versions are
-          // the commit sequence)
-          val snapshots = (1 to v).map { sv =>
-            val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
-            s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
-          }
-          // a stable uuid derived from the location: the registry has
-          // no separate identity store, and clients only require
-          // uniqueness + stability across loads
-          val uuid = java.util.UUID.nameUUIDFromBytes(
-            loc.getBytes(UTF_8)).toString
-          // the Iceberg table spec's REQUIRED v2 keys all present so
-          // spec-strict discovery clients can parse the response:
-          // unpartitioned spec + unsorted order as the minimal stubs,
-          // last-column-id = the field count (ids are 1..n above)
-          val metadata =
-            s"""{"format-version":2,"table-uuid":${jstr(uuid)},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"snapshots":[${snapshots.mkString(",")}]}"""
-          // metadata-location points at a MATERIALIZED Iceberg-format
-          // metadata.json (exported next to the graft manifests, one
-          // immutable file per version) rather than at a graft
-          // manifest: a client can follow the pointer, parse standard
-          // table metadata, and walk each snapshot's manifest-list to
-          // the engine's manifest for the file list. Remaining
-          // documented delta (README): manifest lists are graft's
-          // line-oriented text, not Iceberg Avro.
-          val metaPath = new org.apache.hadoop.fs.Path(
-            s"$loc/_iceberg/v$v.metadata.json")
-          val mfs = metaPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          if (!mfs.exists(metaPath)) {
-            mfs.mkdirs(metaPath.getParent)
-            val out = mfs.create(metaPath, true)
-            try out.write(metadata.getBytes(UTF_8)) finally out.close()
-          }
+          val (metaLocation, metadata) = icebergMetadata(name, loc, v)
           send(ex, 200,
-            s"""{"metadata-location":${jstr(metaPath.toString)},"metadata":$metadata,"config":{}}""")
+            s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata,"config":{}}""")
+        }
+      }
+
+    /** A stable table uuid derived from the location: the registry has
+      * no separate identity store, and clients only require uniqueness
+      * + stability across loads.
+      */
+    private def tableUuid(loc: String): String =
+      java.util.UUID.nameUUIDFromBytes(loc.getBytes(UTF_8)).toString
+
+    /** Render Iceberg-format table metadata for version `v` and
+      * materialize it as an immutable per-version file under
+      * `_iceberg/` (written once; later calls reuse it). Returns
+      * (metadata-location, metadata JSON). The per-snapshot
+      * manifest-list points at the graft manifest of that version (the
+      * engine's manifest LIST — same role); sequence-number is the
+      * version itself (graft versions are the commit sequence);
+      * unpartitioned spec + unsorted order are the minimal stubs the
+      * v2 table spec requires, last-column-id = the field count.
+      * Remaining documented delta (README): manifest lists are graft's
+      * line-oriented text, not Iceberg Avro.
+      */
+    private def icebergMetadata(name: String, loc: String, v: Int): (String, String) = {
+      def icebergType(sparkType: String): String = {
+        val t = sparkType.toLowerCase
+        if (t.startsWith("decimal")) t
+        else t match {
+          case "bigint" => "long"
+          case "smallint" | "tinyint" => "int"
+          case "timestamp" => "timestamptz"
+          case "timestamp_ntz" => "timestamp"
+          case other => other // int, string, double, float, boolean, date, binary
+        }
+      }
+      val fields = spark.sql(s"DESCRIBE TABLE $db.$name").collect()
+        .takeWhile(r => !r.getString(0).startsWith("#"))
+        .filter(_.getString(0).nonEmpty)
+        .zipWithIndex
+        .map { case (r, i) =>
+          s"""{"id":${i + 1},"name":${jstr(r.getString(0))},"required":false,"type":${jstr(icebergType(r.getString(1)))}}"""
+        }
+      val snapshots = (1 to v).map { sv =>
+        val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
+        s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
+      }
+      val metadata =
+        s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"snapshots":[${snapshots.mkString(",")}]}"""
+      val metaPath = new org.apache.hadoop.fs.Path(
+        s"$loc/_iceberg/v$v.metadata.json")
+      val mfs = metaPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!mfs.exists(metaPath)) {
+        mfs.mkdirs(metaPath.getParent)
+        val out = mfs.create(metaPath, true)
+        try out.write(metadata.getBytes(UTF_8)) finally out.close()
+      }
+      (metaPath.toString, metadata)
+    }
+
+    /** Iceberg REST `updateTable` (CommitTableRequest → POST
+      * /v1/namespaces/{ns}/tables/{name}): the route an EXTERNAL
+      * engine uses to commit against the catalog. Supported
+      * requirements: `assert-ref-snapshot-id` (checked against the
+      * table's current version — the `main` ref) and
+      * `assert-table-uuid`; a failed requirement is a 409, Iceberg's
+      * CommitFailedException over the wire. Supported update actions:
+      * `add-snapshot` + optional `set-snapshot-ref` rider (graft's
+      * main ref always tracks the latest commit). Documented protocol
+      * delta (README): the snapshot carries its data files INLINE as
+      * `added-data-files` (paths to parquet the client already staged)
+      * instead of pointing at a client-written Avro manifest list —
+      * the engine stamps row counts from the footers and commits
+      * zero-copy through [[SnapshotTable.commitFiles]] (the Iceberg
+      * `add_files` path), so REST writers and engine writers share the
+      * same CAS-guarded manifest chain.
+      */
+    private def commitTable(ex: HttpExchange, name: String): Unit =
+      withTable(ex, name) { case (_, _, _, loc) =>
+        val v0 = if (loc.isEmpty) 0 else SnapshotTable.currentVersion(spark, loc)
+        if (v0 == 0) { err(ex, 404, s"$name is not a snapshot table"); return }
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val reqTypes = jfieldAll(body, "type")
+        val badReq = reqTypes.find(t =>
+          t != "assert-ref-snapshot-id" && t != "assert-table-uuid")
+        if (badReq.isDefined) {
+          err(ex, 400, s"unsupported requirement type: ${badReq.get}"); return
+        }
+        val actions = jfieldAll(body, "action")
+        val badAct = actions.find(a => a != "add-snapshot" && a != "set-snapshot-ref")
+        if (badAct.isDefined) {
+          err(ex, 400, s"unsupported update action: ${badAct.get}"); return
+        }
+        if (!actions.contains("add-snapshot")) {
+          err(ex, 400, "updates must include an add-snapshot action"); return
+        }
+        val files = jstrArray(body, "added-data-files")
+        if (files.isEmpty) {
+          err(ex, 400, "add-snapshot must carry a non-empty added-data-files array " +
+            "(this catalog's documented commit shape — see README)"); return
+        }
+        val hconf = spark.sparkContext.hadoopConfiguration
+        files.find { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          !p.getFileSystem(hconf).exists(p)
+        } match {
+          case Some(missing) =>
+            err(ex, 400, s"added data file does not exist: $missing"); return
+          case None =>
+        }
+        if (reqTypes.contains("assert-table-uuid") &&
+            !jfieldAll(body, "uuid").forall(_ == tableUuid(loc))) {
+          err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+        }
+        // the commit itself: serialized with DDL so a registry restore
+        // never sees a half-applied step; engine-side writers racing
+        // this route lose or win the SAME manifest CAS (commitFiles
+        // publishes through writeManifestAtomic)
+        ddlLock.synchronized {
+          val cur = SnapshotTable.currentVersion(spark, loc)
+          val wanted = jlong(body, "snapshot-id")
+          if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
+            err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
+              wanted.fold("")(w => s", not $w"))
+            return
+          }
+          val nv =
+            try SnapshotTable.commitFiles(spark, loc, files, append = true)
+            catch {
+              case e: IllegalStateException =>
+                err(ex, 409, s"commit lost the version CAS: ${e.getMessage}"); return
+            }
+          val (metaLocation, metadata) = icebergMetadata(name, loc, nv)
+          send(ex, 200,
+            s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
         }
       }
   }
@@ -455,19 +600,24 @@ object RestCatalog {
 
   private lazy val client = java.net.http.HttpClient.newHttpClient()
 
-  def get(port: Int, path: String): (Int, String) = {
-    val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"http://localhost:$port$path")).GET().build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+  def get(port: Int, path: String,
+      headers: Seq[(String, String)] = Nil): (Int, String) = {
+    val b = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://localhost:$port$path")).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
 
-  def post(port: Int, path: String, body: String): (Int, String) = {
-    val req = java.net.http.HttpRequest.newBuilder()
+  def post(port: Int, path: String, body: String,
+      headers: Seq[(String, String)] = Nil): (Int, String) = {
+    val b = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(s"http://localhost:$port$path"))
-      .header("Content-Type", "application/json")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+    if (!headers.exists(_._1.equalsIgnoreCase("Content-Type")))
+      b.header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
 
@@ -483,6 +633,19 @@ object RestCatalog {
     val re = ("\"" + java.util.regex.Pattern.quote(key) +
       "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
     re.findAllMatchIn(body).map(_.group(1)).toSeq
+  }
+
+  /** The string elements of `"key": ["a", "b", …]` (first occurrence),
+    * unescaped. Empty if the key is absent or the array is empty.
+    */
+  private[graft] def jstrArray(body: String, key: String): Seq[String] = {
+    val arr = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    arr.findFirstMatchIn(body).toSeq.flatMap { m =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")).toSeq
+    }
   }
 
   private[graft] def jlong(body: String, key: String): Option[Long] = {
@@ -546,6 +709,87 @@ object RestCatalog {
       .orderBy("table_name")
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: an EXTERNAL writer committing through the
+    * Iceberg REST `updateTable` route — the write half of the
+    * Lakekeeper loop (the reference's Trino/StarRocks commit against
+    * the same catalog service every other client reads;
+    * docker-compose.yaml `lakekeeper`). v1 is seeded engine-side; the
+    * "external engine" then stages parquet files and lands v2 ENTIRELY
+    * over HTTP: loadTable for the current snapshot id, then
+    * `POST /v1/namespaces/{ns}/tables/{t}` with
+    * `assert-ref-snapshot-id` + `add-snapshot(added-data-files)`. A
+    * stale replay of the same commit is asserted 409 in-entry
+    * (optimistic concurrency over the wire). The emitted aggregate
+    * reads the snapshot table AFTER the REST commit, so the oracle
+    * hash proves the wire commit is a real, content-exact engine
+    * commit. Scale: the route ships only file PATHS; the engine stamps
+    * row counts from parquet footers (commitFiles — the Iceberg
+    * `add_files` path), so commit cost is O(files in the commit),
+    * independent of table size.
+    */
+  def restCommit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_commit/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tableRoot = s"$base/events_rest"
+    val stageDir = s"$base/staged"
+    SnapshotTable.drop(s, tableRoot)
+    SnapshotTable.drop(s, stageDir)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    // v1: the engine's own seed commit
+    SnapshotTable.commit(s, tableRoot, events.filter(col("event_id") % 3 === 0))
+    // the external writer stages its data files...
+    events.filter(col("event_id") % 3 === 1).coalesce(2).write
+      .mode("overwrite").parquet(stageDir)
+    val hfs = new org.apache.hadoop.fs.Path(stageDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = hfs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    // ...and commits them purely over the wire
+    Catalog.register(s, dir) // ensure the graft db exists when run standalone
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    val (rc, _) = post(port, "/v1/tables",
+      s"""{"name":"events_rest","format":"graft-snapshot","location":${jstr(tableRoot)}}""")
+    require(rc == 201, s"register events_rest -> $rc")
+    val (lc, ltr) = RestCatalog.get(port, s"/v1/namespaces/${Catalog.DB}/tables/events_rest")
+    require(lc == 200, s"loadTable -> $lc: $ltr")
+    val snapId = jlong(ltr, "current-snapshot-id")
+      .getOrElse(sys.error("no current-snapshot-id in LoadTableResult"))
+    val commitBody =
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$snapId}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"append"},
+         |"added-data-files":[${staged.map(jstr).mkString(",")}]}}]}""".stripMargin
+    val (cc, cr) = post(port, s"/v1/namespaces/${Catalog.DB}/tables/events_rest", commitBody)
+    require(cc == 200, s"updateTable -> $cc: $cr")
+    // a stale replay (same asserted snapshot id) must CAS-fail: 409
+    val (sc, sr) = post(port, s"/v1/namespaces/${Catalog.DB}/tables/events_rest", commitBody)
+    require(sc == 409, s"stale updateTable -> $sc (want 409): $sr")
+    require(SnapshotTable.currentVersion(s, tableRoot) == 2,
+      "REST commit must have produced exactly version 2")
+    val out = SnapshotTable.read(s, tableRoot)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+    // un-register from the shared graft db so catalog-listing entries
+    // in the same session keep their exact 10-table shape (the emitted
+    // plan reads by ROOT, not by catalog name — dropping the
+    // registration leaves it intact)
+    val (dc, dr) = delete(port, "/v1/tables/events_rest")
+    require(dc == 200, s"cleanup DELETE events_rest -> $dc: $dr")
+    out
+  }
+
+  val restCommitOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 3 IN (0, 1)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
-    graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)))
+    graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
+    graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)))
 }

@@ -345,4 +345,88 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (c5, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_knobs")
     assert(c5 == 200)
   }
+
+  test("OAuth2 client-credentials gate secures every route but config") {
+    port // ensure the graft db + base registry exist first
+    val authRoot = "/tmp/graft_rest_spec_auth_registry"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(authRoot); p.getFileSystem(conf).delete(p, true)
+    PersistentCatalog.save(spark, authRoot)
+    val aport = RestCatalog.serve(spark, authRoot, auth = Some("trino" -> "s3cr3t"))
+    try {
+      // /v1/config stays open: Iceberg clients fetch it pre-auth
+      assert(RestCatalog.get(aport, "/v1/config")._1 == 200)
+      // every other route is 401 without a bearer token
+      val (c401, b401) = RestCatalog.get(aport, "/v1/tables")
+      assert(c401 == 401, b401)
+      // wrong secret → OAuth invalid_client
+      val form = Seq("Content-Type" -> "application/x-www-form-urlencoded")
+      val (cBad, bBad) = RestCatalog.post(aport, "/v1/oauth/tokens",
+        "grant_type=client_credentials&client_id=trino&client_secret=wrong", form)
+      assert(cBad == 401 && bBad.contains("invalid_client"), bBad)
+      // unsupported grant type → 400
+      assert(RestCatalog.post(aport, "/v1/oauth/tokens",
+        "grant_type=password&client_id=trino&client_secret=s3cr3t", form)._1 == 400)
+      // the documented flow: mint a token, then present it as Bearer
+      val (cTok, tok) = RestCatalog.post(aport, "/v1/oauth/tokens",
+        "grant_type=client_credentials&client_id=trino&client_secret=s3cr3t", form)
+      assert(cTok == 200 && tok.contains("\"token_type\":\"bearer\""), tok)
+      val access = RestCatalog.jfieldAll(tok, "access_token").head
+      val (cOk, listing) = RestCatalog.get(aport, "/v1/tables",
+        Seq("Authorization" -> s"Bearer $access"))
+      assert(cOk == 200 && listing.contains("lineitem"), listing)
+      // a fabricated token is still rejected
+      assert(RestCatalog.get(aport, "/v1/tables",
+        Seq("Authorization" -> "Bearer not-a-token"))._1 == 401)
+    } finally RestCatalog.stop(authRoot)
+  }
+
+  test("updateTable commit route: validation and requirement checks") {
+    import spark.implicits._
+    val loc = s"$tableArea/restcommit"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_commit","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_commit"
+    // an unsupported update action is refused, not silently dropped
+    val (cAct, rAct) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-properties","updates":{"k":"v"}}]}""")
+    assert(cAct == 400 && rAct.contains("unsupported update action"), rAct)
+    // add-snapshot must carry data files (the documented commit shape)
+    val (cNf, rNf) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":[]}}]}""")
+    assert(cNf == 400 && rNf.contains("added-data-files"), rNf)
+    // a nonexistent staged file is a 400 before any commit happens
+    val (cMiss, rMiss) = RestCatalog.post(port, base,
+      s"""{"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$loc/nope.parquet"]}}]}""")
+    assert(cMiss == 400 && rMiss.contains("does not exist"), rMiss)
+    // assert-table-uuid mismatch → 409 (CommitFailedException over the wire)
+    val staged = s"$tableArea/restcommit_staged"
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val file = new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(staged)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+    val (cUuid, rUuid) = RestCatalog.post(port, base,
+      s"""{"requirements":[{"type":"assert-table-uuid","uuid":"00000000-0000-0000-0000-000000000000"}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$file"]}}]}""".stripMargin)
+    assert(cUuid == 409 && rUuid.contains("requirement failed"), rUuid)
+    assert(SnapshotTable.currentVersion(spark, loc) == 1, "no commit may have landed")
+    // matching uuid + matching ref snapshot-id commits zero-copy
+    val (cL, load) = RestCatalog.get(port, base)
+    assert(cL == 200, load)
+    val uuid = RestCatalog.jfieldAll(load, "table-uuid").head
+    val (cOk, rOk) = RestCatalog.post(port, base,
+      s"""{"requirements":[{"type":"assert-table-uuid","uuid":"$uuid"},
+         |{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"append"},
+         |"added-data-files":["$file"]}}]}""".stripMargin)
+    assert(cOk == 200 && rOk.contains("\"current-snapshot-id\":2"), rOk)
+    assert(SnapshotTable.currentVersion(spark, loc) == 2)
+    assert(SnapshotTable.read(spark, loc).count() == 3)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_commit")
+    assert(cD == 200)
+  }
 }
