@@ -143,6 +143,10 @@ object Bench {
     // underivable from committed artifacts. The suffixed copy makes
     // cross-SF clobbering impossible.
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", sys.props("user.dir"))
+    // a missing override dir must not silently eat the sweep's only
+    // full per-query record (a 15-min artifact)
+    try Files.createDirectories(Paths.get(outDir))
+    catch { case _: Throwable => () }
     val sfTag = Paths.get(sfDir).getFileName.toString.replaceAll("[^A-Za-z0-9.]", "_")
     Seq("bench_full.json", s"bench_full_$sfTag.json").foreach { fn =>
       val fullPath = Paths.get(outDir, fn)

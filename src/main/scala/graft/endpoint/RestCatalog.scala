@@ -270,6 +270,21 @@ object RestCatalog {
         case ("GET", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
           loadTableResult(ex, name)
 
+        case ("POST", List("v1", "namespaces", ns, "tables")) if ns == db =>
+          createTableIceberg(ex)
+
+        case ("HEAD", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
+          // Iceberg tableExists: 204 when the table is registered,
+          // 404 otherwise — no body either way
+          val exists = spark.catalog.tableExists(s"$db.$name")
+          ex.sendResponseHeaders(if (exists) 204 else 404, -1)
+          ex.close()
+
+        case ("DELETE", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
+          // the namespaced dropTable spelling; same semantics as
+          // DELETE /v1/tables/{name} (registration dropped, data kept)
+          dropTable(ex, name)
+
         case ("POST", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
           commitTable(ex, name)
 
@@ -403,15 +418,7 @@ object RestCatalog {
           }
 
         case ("DELETE", List("v1", "tables", name)) =>
-          withTable(ex, name) { case (_, kind, _, _) =>
-            val v = ddlLock.synchronized {
-              if (kind == "view") spark.sql(s"DROP VIEW IF EXISTS $db.$name")
-              else spark.sql(s"DROP TABLE IF EXISTS $db.$name")
-              PersistentCatalog.save(spark, registryRoot, db)
-            }
-            send(ex, 200, jobj("dropped" -> jstr(name),
-              "registry_version" -> v.toString))
-          }
+          dropTable(ex, name)
 
         case _ => err(ex, 404, s"$method $path")
       }
@@ -513,6 +520,99 @@ object RestCatalog {
         try out.write(metadata.getBytes(UTF_8)) finally out.close()
       }
       (metaPath.toString, metadata)
+    }
+
+    private def dropTable(ex: HttpExchange, name: String): Unit =
+      withTable(ex, name) { case (_, kind, _, _) =>
+        val v = ddlLock.synchronized {
+          if (kind == "view") spark.sql(s"DROP VIEW IF EXISTS $db.$name")
+          else spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+          PersistentCatalog.save(spark, registryRoot, db)
+        }
+        send(ex, 200, jobj("dropped" -> jstr(name),
+          "registry_version" -> v.toString))
+      }
+
+    /** Iceberg REST `createTable` (CreateTableRequest → POST
+      * /v1/namespaces/{ns}/tables): the catalog-assigns-everything
+      * spelling an external engine's CREATE TABLE uses. The body
+      * carries `name` and an Iceberg `schema` (struct fields with
+      * string primitive types); `location` is optional — absent, the
+      * catalog assigns `<registry>/_warehouse/<name>` (Lakekeeper's
+      * managed-location behavior). The table is created EMPTY as
+      * snapshot v1 and registered durably; the response is the same
+      * LoadTableResult `loadTable` serves, so create → commit → load
+      * is one client loop. Documented deltas (README): primitive field
+      * types only (nested/parameterized types other than decimal →
+      * 400), `stage-create` transactions unsupported.
+      */
+    private def createTableIceberg(ex: HttpExchange): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val name = jfield(body, "name").getOrElse {
+        err(ex, 400, "missing field: name"); return
+      }
+      if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+        err(ex, 400, s"invalid table name: $name"); return
+      }
+      if (jbool(body, "stage-create").contains(true)) {
+        err(ex, 400, "stage-create transactions are not supported"); return
+      }
+      if (spark.catalog.tableExists(s"$db.$name")) {
+        // AlreadyExistsError in the Iceberg REST spec
+        err(ex, 409, s"table $name already exists"); return
+      }
+      def sparkType(t: String): Option[String] = t match {
+        case "long" => Some("bigint")
+        case "int" => Some("int")
+        case "string" => Some("string")
+        case "double" => Some("double")
+        case "float" => Some("float")
+        case "boolean" => Some("boolean")
+        case "date" => Some("date")
+        case "timestamptz" => Some("timestamp")
+        case "timestamp" => Some("timestamp_ntz")
+        case "binary" => Some("binary")
+        case d if d.matches("decimal\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)") => Some(d)
+        case _ => None
+      }
+      val fieldsBlock = "(?s)\"fields\"\\s*:\\s*\\[(.*?)\\]".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse {
+          err(ex, 400, "missing schema.fields"); return
+        }
+      val fieldObjs = "\\{[^{}]*\\}".r.findAllIn(fieldsBlock).toSeq
+      if (fieldObjs.isEmpty) { err(ex, 400, "schema.fields is empty"); return }
+      val cols = fieldObjs.map { o =>
+        val fn = jfield(o, "name").getOrElse {
+          err(ex, 400, s"schema field without a name: $o"); return
+        }
+        if (!fn.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+          err(ex, 400, s"invalid column name: $fn"); return
+        }
+        val ft = jfield(o, "type").flatMap(sparkType).getOrElse {
+          err(ex, 400, s"unsupported field type in $o (primitive Iceberg " +
+            "types only — documented delta)"); return
+        }
+        fn -> ft
+      }
+      val loc = jfield(body, "location").map(_.stripSuffix("/"))
+        .getOrElse(s"$registryRoot/_warehouse/$name")
+      if (SnapshotTable.currentVersion(spark, loc) > 0) {
+        err(ex, 409, s"location $loc already holds a snapshot table"); return
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        cols.map { case (n, t) => s"$n $t" }.mkString(", "))
+      ddlLock.synchronized {
+        // v1 = an empty commit carrying the schema: loadTable/DESCRIBE
+        // and the first wire commit (updateTable) both see a real table
+        SnapshotTable.commit(spark,  loc,
+          spark.createDataFrame(java.util.Collections.emptyList[
+            org.apache.spark.sql.Row](), schema).coalesce(1))
+        PersistentCatalog.registerTable(spark, s"$db.$name", "graft-snapshot", loc)
+        PersistentCatalog.save(spark, registryRoot, db)
+      }
+      val (metaLocation, metadata) = icebergMetadata(name, loc, 1)
+      send(ex, 200,
+        s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata,"config":{}}""")
     }
 
     /** Iceberg REST `updateTable` (CommitTableRequest → POST
@@ -619,6 +719,13 @@ object RestCatalog {
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
+  }
+
+  def head(port: Int, path: String): Int = {
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://localhost:$port$path"))
+      .method("HEAD", java.net.http.HttpRequest.BodyPublishers.noBody()).build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
   }
 
   def delete(port: Int, path: String): (Int, String) = {

@@ -429,4 +429,52 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_commit")
     assert(cD == 200)
   }
+
+  test("Iceberg createTable + HEAD + namespaced drop complete the loop") {
+    import spark.implicits._
+    val base = "/v1/namespaces/graft/tables"
+    // HEAD on a missing table is 404, no body
+    val h0 = RestCatalog.head(port, s"$base/rest_spec_icecreate")
+    assert(h0 == 404,
+      s"pre-create HEAD=$h0; graft tables: " + spark.sql("SHOW TABLES IN graft")
+        .collect().map(_.getAs[String]("tableName")).sorted.mkString(","))
+    // CreateTableRequest: name + Iceberg schema, catalog-assigned location
+    val createBody =
+      """{"name":"rest_spec_icecreate","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","required":true,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin
+    val (cc, created) = RestCatalog.post(port, base, createBody)
+    assert(cc == 200, created)
+    // the response is a full LoadTableResult for the empty v1
+    assert(created.contains("\"current-snapshot-id\":1") &&
+      created.contains("\"type\":\"long\""), created)
+    assert(RestCatalog.head(port, s"$base/rest_spec_icecreate") == 204)
+    // creating it again is an AlreadyExists 409
+    assert(RestCatalog.post(port, base, createBody)._1 == 409)
+    // unsupported (nested) field type is a 400, per the documented delta
+    val (cNest, rNest) = RestCatalog.post(port, base,
+      """{"name":"rest_spec_nested","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"m","required":false,"type":"map_of_things"}]}}""".stripMargin)
+    assert(cNest == 400 && rNest.contains("unsupported field type"), rNest)
+    // the created table is empty but readable through the session catalog
+    assert(spark.table("graft.rest_spec_icecreate").count() == 0)
+    assert(spark.table("graft.rest_spec_icecreate").schema.map(_.name) ==
+      Seq("id", "v"))
+    // an external writer can immediately commit staged parquet to it
+    val staged = s"$tableArea/created_staged"
+    Seq((10L, "x"), (11L, "y")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val file = new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(staged)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+    val (cUp, _) = RestCatalog.post(port, s"$base/rest_spec_icecreate",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$file"]}}]}""".stripMargin)
+    assert(cUp == 200)
+    assert(spark.table("graft.rest_spec_icecreate").count() == 2)
+    // namespaced drop, then HEAD sees it gone
+    val (cDrop, _) = RestCatalog.delete(port, s"$base/rest_spec_icecreate")
+    assert(cDrop == 200)
+    assert(RestCatalog.head(port, s"$base/rest_spec_icecreate") == 404)
+  }
 }
