@@ -63,9 +63,20 @@ object Dedup {
     * a window would lump them into one giant fake bucket.
     *
     * Output: (id_a, id_b, <payload>_a, <payload>_b), id_a < id_b,
-    * deduplicated across bands.
+    * deduplicated across bands when `dedup` is true. Callers whose
+    * downstream is an EXPENSIVE per-pair verifier (exact Jaccard over
+    * shingle sets, cosine over raw vectors) keep the default: paying
+    * one distinct-shuffle to verify each pair once is the right
+    * trade. Callers whose downstream is a cheap codegen'd predicate
+    * feeding a duplicate-INSENSITIVE aggregate (simhash: popcount
+    * filter → min-partner election) pass `dedup = false` — the
+    * duplicate band hits are filtered map-side and collapse in the
+    * aggregate's partial combine, so no global distinct over the full
+    * candidate set ever shuffles (at corpus scale that distinct is a
+    * hash table over EVERY candidate pair — the memory hot spot).
     */
-  private[graft] def cappedPairs(bands: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+  private[graft] def cappedPairs(bands: DataFrame, cap: Int = DefaultBucketCap,
+      dedup: Boolean = true): DataFrame = {
     val payload = bands.columns.toSeq.filterNot(Set("id", "band", "band_key"))
     val keyed = bands.filter(col("band").isNotNull && col("band_key").isNotNull)
     val w = Window.partitionBy("band", "band_key")
@@ -91,8 +102,8 @@ object Dedup {
     // … plus the id-ordered chain (prev.id < id by the window order)
     val chainPairs = hot.filter(col("prev").isNotNull)
       .select(pairsFrom("prev"): _*)
-    allPairs.unionByName(starPairs).unionByName(chainPairs)
-      .dropDuplicates("id_a", "id_b")
+    val all = allPairs.unionByName(starPairs).unionByName(chainPairs)
+    if (dedup) all.dropDuplicates("id_a", "id_b") else all
   }
 
   /** Exact DuckDB mirror of [[embeddingAnn]]: the 2×12 hyperplanes
@@ -240,7 +251,13 @@ object Dedup {
     val bands = sigs.select(col("doc_id").as("id"), col("sig"), posexplode(expr(
       "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cand = cappedPairs(bands)
+    // dedup = false: the popcount verifier is codegen'd-cheap (re-
+    // checking a band-duplicate pair costs nothing) and the min-
+    // partner election is duplicate-insensitive, so duplicates
+    // collapse in the aggregate's map-side combine instead of a
+    // global distinct over every candidate pair — at corpus scale
+    // that distinct hash-tables ~4× the verified-pair volume
+    val cand = cappedPairs(bands, dedup = false)
       .filter(expr("bit_count(sig_a ^ sig_b) <= 3"))
     val reps = cand.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("rep_cand"))
     sigs.join(reps, Seq("doc_id"), "left")
