@@ -100,4 +100,25 @@ class HotBucketSpec extends SparkSpec {
     // the distinct docs survive untouched
     assert(out.filter(_._1 >= 20000L).forall(t => t._3 && t._2 === t._1))
   }
+
+  test("dedup = false skips the distinct but elects identical reps") {
+    // docs sharing keys across SEVERAL bands — the duplicate-pair case
+    val bands = (for {
+      id <- 0L until 40L
+      band <- 0 until 4
+    } yield (id, band, (id % 5) + band * 100L)) // 5 buckets per band, all shared
+      .toDF("id", "band", "band_key")
+    val deduped = Dedup.cappedPairs(bands, cap = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val raw = Dedup.cappedPairs(bands, cap = 100, dedup = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the raw stream repeats each pair once per colliding band …
+    assert(raw.length === 4 * deduped.length)
+    assert(raw.distinct.sorted.toSeq === deduped.sorted.toSeq)
+    // … and a duplicate-insensitive min-partner election (the simhash
+    // consumer) is IDENTICAL on both streams
+    def reps(ps: Seq[(Long, Long)]): Map[Long, Long] =
+      ps.groupBy(_._2).map { case (b, g) => b -> g.map(_._1).min }
+    assert(reps(raw.toSeq) === reps(deduped.toSeq))
+  }
 }
