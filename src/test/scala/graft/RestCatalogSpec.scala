@@ -477,4 +477,65 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(cDrop == 200)
     assert(RestCatalog.head(port, s"$base/rest_spec_icecreate") == 404)
   }
+
+  test("wire commits race engine appends on one CAS-guarded chain") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val loc = s"$tableArea/race"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq((0L, "seed")).toDF("id", "v"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_race","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_race"
+    // stage one parquet file per wire commit up front (the "external
+    // engine" writes its data before ever talking to the catalog)
+    val files = (1 to 3).map { i =>
+      val d = s"$tableArea/race_staged_$i"
+      Seq((100L + i, s"wire$i")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(d)
+      new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new Path(d)).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).head
+    }
+    // external writer: Iceberg optimistic concurrency over the wire —
+    // refresh the snapshot-id via loadTable, commit, on 409 retry
+    val wire = Future {
+      files.foreach { f =>
+        var done = false
+        var attempts = 0
+        while (!done) {
+          val (lc, load) = RestCatalog.get(port, base)
+          assert(lc == 200, load)
+          val snap = RestCatalog.jlong(load, "current-snapshot-id").get
+          val (c, r) = RestCatalog.post(port, base,
+            s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$snap}],
+               |"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$f"]}}]}""".stripMargin)
+          if (c == 200) done = true
+          else {
+            assert(c == 409, s"only a CAS conflict may fail the commit: $c $r")
+            attempts += 1
+            assert(attempts < 50, "wire commit starved")
+          }
+        }
+      }
+    }
+    // engine writer: three rebasing concurrent appends on the same table
+    val engine = Future {
+      (1 to 3).foreach { i =>
+        SnapshotTable.commitAppend(spark, loc, Seq((200L + i, s"eng$i")).toDF("id", "v"))
+      }
+    }
+    Await.result(wire, 180.seconds)
+    Await.result(engine, 180.seconds)
+    // all six commits landed on one strictly-sequential version chain
+    assert(SnapshotTable.currentVersion(spark, loc) === 7)
+    val ids = SnapshotTable.read(spark, loc).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (Seq(0L) ++ (1 to 3).map(100L + _) ++ (1 to 3).map(200L + _)).sorted)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_race")
+    assert(cD == 200)
+  }
 }

@@ -94,4 +94,30 @@ class SqlEndpointSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft.jdbc_lake")
     }
   }
+
+  test("time travel against two dirs in ONE session serves each dir's data") {
+    // ADVICE r11 (medium): Spark's CatalogManager caches a V2 catalog
+    // instance per session after first use, so a FIXED catalog name
+    // would keep serving the first dir's events_tt after the session
+    // is pointed at a second dir. endpointTimeTravel derives the
+    // catalog name from the dir — pin that both dirs round-trip their
+    // OWN v1 aggregate through JDBC in one session, in both orders.
+    import org.apache.spark.sql.functions._
+    def expected(dir: String): Seq[(String, Long)] =
+      graft.sources.Tables.load(spark, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    def served(dir: String): Seq[(String, Long)] =
+      graft.endpoint.SqlEndpoint.endpointTimeTravel(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (small, big) = (sf("0.001"), sf("0.01"))
+    assert(expected(small) !== expected(big),
+      "precondition: the two dirs must disagree for the pin to bite")
+    assert(served(small) === expected(small))
+    assert(served(big) === expected(big))
+    // and back to the first dir: still its own data, not a stale cache
+    assert(served(small) === expected(small))
+  }
 }
