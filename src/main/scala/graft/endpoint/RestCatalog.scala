@@ -522,6 +522,85 @@ object RestCatalog {
       (metaPath.toString, metadata)
     }
 
+    /** The `add-schema` update action: wire-driven schema evolution.
+      * The action carries the FULL target schema; the handler diffs it
+      * against the table's current logical schema and maps the changes
+      * onto the engine's metadata-only commits — new fields →
+      * [[SnapshotTable.addColumn]] (typed NULLs until appends carry
+      * them), Iceberg's allowed primitive promotions (int → long,
+      * float → double, decimal precision growth at equal scale) →
+      * [[SnapshotTable.widenColumn]]. Dropping or renaming over the
+      * wire is refused (400): the wire schema has no field-id channel,
+      * so a rename is indistinguishable from drop+add — renames stay
+      * an engine-side operation (documented delta). Each change is its
+      * own metadata-only commit; the response carries the final
+      * version's metadata. A schema identical to the current one is an
+      * idempotent 200 no-op.
+      */
+    private def commitSchema(ex: HttpExchange, name: String, loc: String,
+        body: String, reqTypes: Seq[String], reqBlock: String): Unit = {
+      val want = icebergFields(body) match {
+        case Right(cs) => cs
+        case Left(msg) => err(ex, 400, msg); return
+      }
+      def widens(from: String, to: String): Boolean = (from, to) match {
+        case ("int", "bigint") | ("float", "double") => true
+        case _ =>
+          val dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+          (from, to) match {
+            case (dec(p1, s1), dec(p2, s2)) => s1 == s2 && p2.toInt > p1.toInt
+            case _ => false
+          }
+      }
+      if (reqTypes.contains("assert-table-uuid") &&
+          !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+        err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+      }
+      ddlLock.synchronized {
+        val cur = SnapshotTable.currentVersion(spark, loc)
+        val wanted = jlong(reqBlock, "snapshot-id")
+        if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
+          err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
+            wanted.fold("")(w => s", not $w"))
+          return
+        }
+        val have = SnapshotTable.read(spark, loc).schema
+          .map(f => f.name -> f.dataType.simpleString)
+        val haveMap = have.toMap
+        val wantNames = want.map(_._1).toSet
+        val removed = have.map(_._1).filterNot(wantNames)
+        if (removed.nonEmpty) {
+          err(ex, 400, "drop/rename is not supported over the wire (the wire " +
+            s"schema carries no field ids — documented delta): ${removed.mkString(", ")}")
+          return
+        }
+        // validate EVERY change before applying ANY — a rejected
+        // promotion must not leave earlier adds half-committed
+        sealed trait Change
+        case class Add(n: String, t: String) extends Change
+        case class Widen(n: String, t: String) extends Change
+        val changes = want.flatMap { case (n, t) =>
+          haveMap.get(n) match {
+            case None => Seq(Add(n, t))
+            case Some(curT) if curT == t => Seq.empty
+            case Some(curT) if widens(curT, t) => Seq(Widen(n, t))
+            case Some(curT) =>
+              err(ex, 400,
+                s"type change $n: $curT -> $t is not a supported promotion")
+              return
+          }
+        }
+        var nv = cur
+        changes.foreach {
+          case Add(n, t) => nv = SnapshotTable.addColumn(spark, loc, n, t)
+          case Widen(n, t) => nv = SnapshotTable.widenColumn(spark, loc, n, t)
+        }
+        val (metaLocation, metadata) = icebergMetadata(name, loc, nv)
+        send(ex, 200,
+          s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
+      }
+    }
+
     private def dropTable(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, kind, _, _) =>
         val v = ddlLock.synchronized {
@@ -546,6 +625,49 @@ object RestCatalog {
       * types only (nested/parameterized types other than decimal →
       * 400), `stage-create` transactions unsupported.
       */
+    /** Iceberg primitive type → Spark DDL type; None for complex /
+      * unsupported types (the documented primitive-only delta).
+      */
+    private def sparkType(t: String): Option[String] = t match {
+      case "long" => Some("bigint")
+      case "int" => Some("int")
+      case "string" => Some("string")
+      case "double" => Some("double")
+      case "float" => Some("float")
+      case "boolean" => Some("boolean")
+      case "date" => Some("date")
+      case "timestamptz" => Some("timestamp")
+      case "timestamp" => Some("timestamp_ntz")
+      case "binary" => Some("binary")
+      case d if d.matches("decimal\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)") => Some(d)
+      case _ => None
+    }
+
+    /** The (name, spark DDL type) list of the FIRST `"fields": [...]`
+      * array in `body` (a CreateTableRequest's schema or an
+      * add-schema update action's), or a client-error message.
+      */
+    private def icebergFields(body: String): Either[String, Seq[(String, String)]] = {
+      val fieldsBlock = "(?s)\"fields\"\\s*:\\s*\\[(.*?)\\]".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse {
+          return Left("missing schema.fields")
+        }
+      val fieldObjs = "\\{[^{}]*\\}".r.findAllIn(fieldsBlock).toSeq
+      if (fieldObjs.isEmpty) return Left("schema.fields is empty")
+      Right(fieldObjs.map { o =>
+        val fn = jfield(o, "name").getOrElse {
+          return Left(s"schema field without a name: $o")
+        }
+        if (!fn.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          return Left(s"invalid column name: $fn")
+        val ft = jfield(o, "type").flatMap(sparkType).getOrElse {
+          return Left(s"unsupported field type in $o (primitive Iceberg " +
+            "types only — documented delta)")
+        }
+        fn -> ft
+      })
+    }
+
     private def createTableIceberg(ex: HttpExchange): Unit = {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val name = jfield(body, "name").getOrElse {
@@ -561,38 +683,9 @@ object RestCatalog {
         // AlreadyExistsError in the Iceberg REST spec
         err(ex, 409, s"table $name already exists"); return
       }
-      def sparkType(t: String): Option[String] = t match {
-        case "long" => Some("bigint")
-        case "int" => Some("int")
-        case "string" => Some("string")
-        case "double" => Some("double")
-        case "float" => Some("float")
-        case "boolean" => Some("boolean")
-        case "date" => Some("date")
-        case "timestamptz" => Some("timestamp")
-        case "timestamp" => Some("timestamp_ntz")
-        case "binary" => Some("binary")
-        case d if d.matches("decimal\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\)") => Some(d)
-        case _ => None
-      }
-      val fieldsBlock = "(?s)\"fields\"\\s*:\\s*\\[(.*?)\\]".r
-        .findFirstMatchIn(body).map(_.group(1)).getOrElse {
-          err(ex, 400, "missing schema.fields"); return
-        }
-      val fieldObjs = "\\{[^{}]*\\}".r.findAllIn(fieldsBlock).toSeq
-      if (fieldObjs.isEmpty) { err(ex, 400, "schema.fields is empty"); return }
-      val cols = fieldObjs.map { o =>
-        val fn = jfield(o, "name").getOrElse {
-          err(ex, 400, s"schema field without a name: $o"); return
-        }
-        if (!fn.matches("[A-Za-z_][A-Za-z0-9_]*")) {
-          err(ex, 400, s"invalid column name: $fn"); return
-        }
-        val ft = jfield(o, "type").flatMap(sparkType).getOrElse {
-          err(ex, 400, s"unsupported field type in $o (primitive Iceberg " +
-            "types only — documented delta)"); return
-        }
-        fn -> ft
+      val cols = icebergFields(body) match {
+        case Right(cs) => cs
+        case Left(msg) => err(ex, 400, msg); return
       }
       val loc = jfield(body, "location").map(_.stripSuffix("/"))
         .getOrElse(s"$registryRoot/_warehouse/$name")
@@ -637,20 +730,35 @@ object RestCatalog {
         val v0 = if (loc.isEmpty) 0 else SnapshotTable.currentVersion(spark, loc)
         if (v0 == 0) { err(ex, 404, s"$name is not a snapshot table"); return }
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        val reqTypes = jfieldAll(body, "type")
+        // requirement types are read from the requirements ARRAY only —
+        // grepping the whole body would false-positive on the "type"
+        // keys inside an add-schema action's field list
+        val reqBlock = "(?s)\"requirements\"\\s*:\\s*\\[(.*?)\\]".r
+          .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        val reqTypes = jfieldAll(reqBlock, "type")
         val badReq = reqTypes.find(t =>
           t != "assert-ref-snapshot-id" && t != "assert-table-uuid")
         if (badReq.isDefined) {
           err(ex, 400, s"unsupported requirement type: ${badReq.get}"); return
         }
         val actions = jfieldAll(body, "action")
-        val badAct = actions.find(a => a != "add-snapshot" && a != "set-snapshot-ref")
+        val allowedActs =
+          Set("add-snapshot", "set-snapshot-ref", "add-schema", "set-current-schema")
+        val badAct = actions.find(!allowedActs.contains(_))
         if (badAct.isDefined) {
           err(ex, 400, s"unsupported update action: ${badAct.get}"); return
         }
-        if (!actions.contains("add-snapshot")) {
-          err(ex, 400, "updates must include an add-snapshot action"); return
+        val hasSnap = actions.contains("add-snapshot")
+        val hasSchema = actions.contains("add-schema")
+        if (hasSnap && hasSchema) {
+          err(ex, 400, "schema and snapshot updates must be separate " +
+            "commits (documented delta)"); return
         }
+        if (!hasSnap && !hasSchema) {
+          err(ex, 400, "updates must include an add-snapshot or add-schema action")
+          return
+        }
+        if (hasSchema) { commitSchema(ex, name, loc, body, reqTypes, reqBlock); return }
         val files = jstrArray(body, "added-data-files")
         if (files.isEmpty) {
           err(ex, 400, "add-snapshot must carry a non-empty added-data-files array " +
@@ -666,7 +774,7 @@ object RestCatalog {
           case None =>
         }
         if (reqTypes.contains("assert-table-uuid") &&
-            !jfieldAll(body, "uuid").forall(_ == tableUuid(loc))) {
+            !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
           err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
         }
         // the commit itself: serialized with DDL so a registry restore
@@ -675,7 +783,7 @@ object RestCatalog {
         // publishes through writeManifestAtomic)
         ddlLock.synchronized {
           val cur = SnapshotTable.currentVersion(spark, loc)
-          val wanted = jlong(body, "snapshot-id")
+          val wanted = jlong(reqBlock, "snapshot-id")
           if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
             err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
               wanted.fold("")(w => s", not $w"))

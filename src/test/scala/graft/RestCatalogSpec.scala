@@ -478,6 +478,69 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(RestCatalog.head(port, s"$base/rest_spec_icecreate") == 404)
   }
 
+  test("add-schema evolves a table over the wire: add + widen, no drops") {
+    import spark.implicits._
+    val loc = s"$tableArea/evolve"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc,
+      Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("n", "v", "x"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_evolve","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_evolve"
+    def schemaBody(fields: String) =
+      s"""{"requirements":[],"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[$fields]}},
+         |{"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+    // widen n int->long, keep v/x, add score double: one wire call
+    val (c1, r1) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"n","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"float"},
+        |{"id":4,"name":"score","required":false,"type":"double"}""".stripMargin))
+    assert(c1 == 200, r1)
+    val evolved = SnapshotTable.read(spark, loc)
+    assert(evolved.schema.map(f => f.name -> f.dataType.simpleString) ===
+      Seq("n" -> "bigint", "v" -> "string", "x" -> "float", "score" -> "double"))
+    // old rows read back with the widened type and typed-NULL new column
+    assert(evolved.orderBy("n").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.isNullAt(3))).toSeq ===
+      Seq((1L, "a", true), (2L, "b", true)))
+    // the same schema again is an idempotent no-op, version unchanged
+    val vAfter = SnapshotTable.currentVersion(spark, loc)
+    assert(RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"n","required":false,"type":"long"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"float"},
+        |{"id":4,"name":"score","required":false,"type":"double"}""".stripMargin))._1 == 200)
+    assert(SnapshotTable.currentVersion(spark, loc) === vAfter)
+    // a drop (missing column) is refused — no field-id channel
+    val (cDropCol, rDropCol) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"n","required":false,"type":"long"}"""))
+    assert(cDropCol == 400 && rDropCol.contains("drop/rename"), rDropCol)
+    // a narrowing (long -> int) is not a promotion
+    val (cNarrow, rNarrow) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"n","required":false,"type":"int"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"float"},
+        |{"id":4,"name":"score","required":false,"type":"double"}""".stripMargin))
+    assert(cNarrow == 400 && rNarrow.contains("not a supported promotion"), rNarrow)
+    // schema + snapshot in one commit is refused (documented delta)
+    val (cBoth, rBoth) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"add-schema","schema":{"fields":[{"name":"n","type":"long"}]}},
+        |{"action":"add-snapshot","snapshot":{"added-data-files":["/tmp/x.parquet"]}}]}""".stripMargin)
+    assert(cBoth == 400 && rBoth.contains("separate"), rBoth)
+    // a stale assert-ref-snapshot-id still gates schema commits: 409
+    val (cStale, rStale) = RestCatalog.post(port, base,
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-schema","schema":{"fields":[
+         |{"name":"n","type":"long"},{"name":"v","type":"string"},
+         |{"name":"x","type":"float"},{"name":"score","type":"double"},
+         |{"name":"extra","type":"int"}]}}]}""".stripMargin)
+    assert(cStale == 409, rStale)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_evolve")
+    assert(cD == 200)
+  }
+
   test("wire commits race engine appends on one CAS-guarded chain") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
