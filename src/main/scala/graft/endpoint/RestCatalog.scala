@@ -509,7 +509,11 @@ object RestCatalog {
         s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
       }
       val metadata =
-        s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"snapshots":[${snapshots.mkString(",")}]}"""
+        s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
+          SnapshotTable.properties(spark, loc, v).toSeq.sorted
+            .map { case (k, pv) => s"${jstr(k)}:${jstr(pv)}" }
+            .mkString("{", ",", "}")
+        },"snapshots":[${snapshots.mkString(",")}]}"""
       val metaPath = new org.apache.hadoop.fs.Path(
         s"$loc/_iceberg/v$v.metadata.json")
       val mfs = metaPath.getFileSystem(
@@ -595,6 +599,45 @@ object RestCatalog {
           case Add(n, t) => nv = SnapshotTable.addColumn(spark, loc, n, t)
           case Widen(n, t) => nv = SnapshotTable.widenColumn(spark, loc, n, t)
         }
+        val (metaLocation, metadata) = icebergMetadata(name, loc, nv)
+        send(ex, 200,
+          s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
+      }
+    }
+
+    /** `set-properties` / `remove-properties` update actions
+      * (Iceberg's UpdateProperties): one metadata-only engine commit
+      * applying removals then updates; later reads and time travel see
+      * the properties as of each version, and loadTable surfaces them
+      * under metadata.properties.
+      */
+    private def commitProps(ex: HttpExchange, name: String, loc: String,
+        body: String, reqTypes: Seq[String], reqBlock: String): Unit = {
+      // the set-properties action's "updates" is an OBJECT (the outer
+      // request's "updates" is an array — the brace distinguishes them)
+      val updates = "(?s)\"updates\"\\s*:\\s*\\{([^}]*)\\}".r
+        .findFirstMatchIn(body).map(_.group(1)).map { blk =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+            .findAllMatchIn(blk).map(m => m.group(1) -> m.group(2)).toMap
+        }.getOrElse(Map.empty[String, String])
+      val removals = jstrArray(body, "removals")
+      if (updates.isEmpty && removals.isEmpty) {
+        err(ex, 400, "set-properties needs a non-empty updates object " +
+          "(or remove-properties a removals array)"); return
+      }
+      if (reqTypes.contains("assert-table-uuid") &&
+          !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+        err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+      }
+      ddlLock.synchronized {
+        val cur = SnapshotTable.currentVersion(spark, loc)
+        val wanted = jlong(reqBlock, "snapshot-id")
+        if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
+          err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
+            wanted.fold("")(w => s", not $w"))
+          return
+        }
+        val nv = SnapshotTable.setProperties(spark, loc, updates, removals)
         val (metaLocation, metadata) = icebergMetadata(name, loc, nv)
         send(ex, 200,
           s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
@@ -743,22 +786,27 @@ object RestCatalog {
         }
         val actions = jfieldAll(body, "action")
         val allowedActs =
-          Set("add-snapshot", "set-snapshot-ref", "add-schema", "set-current-schema")
+          Set("add-snapshot", "set-snapshot-ref", "add-schema", "set-current-schema",
+            "set-properties", "remove-properties")
         val badAct = actions.find(!allowedActs.contains(_))
         if (badAct.isDefined) {
           err(ex, 400, s"unsupported update action: ${badAct.get}"); return
         }
         val hasSnap = actions.contains("add-snapshot")
         val hasSchema = actions.contains("add-schema")
-        if (hasSnap && hasSchema) {
-          err(ex, 400, "schema and snapshot updates must be separate " +
-            "commits (documented delta)"); return
+        val hasProps = actions.contains("set-properties") ||
+          actions.contains("remove-properties")
+        if (Seq(hasSnap, hasSchema, hasProps).count(identity) > 1) {
+          err(ex, 400, "snapshot, schema, and property updates must be " +
+            "separate commits (documented delta)"); return
         }
-        if (!hasSnap && !hasSchema) {
-          err(ex, 400, "updates must include an add-snapshot or add-schema action")
+        if (!hasSnap && !hasSchema && !hasProps) {
+          err(ex, 400, "updates must include an add-snapshot, add-schema, " +
+            "or set/remove-properties action")
           return
         }
         if (hasSchema) { commitSchema(ex, name, loc, body, reqTypes, reqBlock); return }
+        if (hasProps) { commitProps(ex, name, loc, body, reqTypes, reqBlock); return }
         val files = jstrArray(body, "added-data-files")
         if (files.isEmpty) {
           err(ex, 400, "add-snapshot must carry a non-empty added-data-files array " +

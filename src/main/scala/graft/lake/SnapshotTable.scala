@@ -2726,7 +2726,42 @@ object SnapshotTable {
     if (version < 1) Map.empty
     else commitMeta(s, root, version)
       .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey ||
-        kv._1 == "partition" || kv._1 == StatsKey || kv._1 == BloomKey)
+        kv._1 == "partition" || kv._1 == StatsKey || kv._1 == BloomKey ||
+        kv._1 == PropsKey)
+
+  // table properties ride the same inherited-header channel as the
+  // column mapping; keys and values are URL-encoded individually so
+  // arbitrary property strings survive the k=v,k=v header format
+  private[lake] val PropsKey = "tblprops"
+
+  private def encProp(p: String): String =
+    java.net.URLEncoder.encode(p, "UTF-8")
+
+  /** Table properties visible at `version` (Iceberg/Delta TBLPROPERTIES). */
+  def properties(s: SparkSession, root: String, version: Int): Map[String, String] =
+    parsePairs(commitMeta(s, root, version).get(PropsKey)).map { case (k, v) =>
+      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+    }
+
+  /** Set/remove table properties — a metadata-only commit (Iceberg
+    * `UpdateProperties`). Removals apply before updates; unknown
+    * removals are no-ops. Properties inherit across ALL later commits
+    * (append, merge, maintenance) until changed again, and time travel
+    * reads the properties as of the version.
+    */
+  def setProperties(s: SparkSession, root: String,
+      updates: Map[String, String], removals: Seq[String] = Nil): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    val props = (properties(s, root, cur) -- removals) ++ updates
+    val encoded = props.map { case (k, v) => encProp(k) -> encProp(v) }
+    val meta = (schemaMeta(s, root, cur) - PropsKey) ++
+      (if (encoded.nonEmpty) Map(PropsKey -> renderPairs(encoded)) else Map.empty) +
+      ("op" -> "properties")
+    val v = cur + 1
+    writeManifestAtomic(s, root, v, meta, listBody(s, root, s"v$cur"))
+    v
+  }
 
   /** Rename a column — metadata-only commit (no files touched). New
     * files keep writing the ORIGINAL physical name; readers see the

@@ -392,7 +392,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val base = "/v1/namespaces/graft/tables/rest_spec_commit"
     // an unsupported update action is refused, not silently dropped
     val (cAct, rAct) = RestCatalog.post(port, base,
-      """{"updates":[{"action":"set-properties","updates":{"k":"v"}}]}""")
+      """{"updates":[{"action":"set-location","location":"/elsewhere"}]}""")
     assert(cAct == 400 && rAct.contains("unsupported update action"), rAct)
     // add-snapshot must carry data files (the documented commit shape)
     val (cNf, rNf) = RestCatalog.post(port, base,
@@ -538,6 +538,47 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
          |{"name":"extra","type":"int"}]}}]}""".stripMargin)
     assert(cStale == 409, rStale)
     val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_evolve")
+    assert(cD == 200)
+  }
+
+  test("set/remove-properties ride updateTable; properties inherit + time-travel") {
+    import spark.implicits._
+    val loc = s"$tableArea/props"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq((1L, "a")).toDF("id", "v"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_props","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_props"
+    // set two properties — one value exercises the k=v,k=v header escaping
+    val (c1, r1) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-properties","updates":{"owner":"team a,b=c","write.target":"512m"}}]}""")
+    assert(c1 == 200, r1)
+    assert(r1.contains("\"properties\":{\"owner\":\"team a,b=c\",\"write.target\":\"512m\"}"), r1)
+    val vProps = SnapshotTable.currentVersion(spark, loc)
+    // properties INHERIT across later engine commits
+    SnapshotTable.commitAppend(spark, loc, Seq((2L, "b")).toDF("id", "v"))
+    val (c2, r2) = RestCatalog.get(port, base)
+    assert(c2 == 200 && r2.contains("\"owner\":\"team a,b=c\""), r2)
+    // remove one; the other survives
+    val (c3, r3) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"remove-properties","removals":["owner"]}]}""")
+    assert(c3 == 200 && !r3.contains("owner") && r3.contains("write.target"), r3)
+    // time travel: the pre-removal version still carries it
+    assert(SnapshotTable.properties(spark, loc, vProps)
+      === Map("owner" -> "team a,b=c", "write.target" -> "512m"))
+    assert(SnapshotTable.properties(spark, loc,
+      SnapshotTable.currentVersion(spark, loc)) === Map("write.target" -> "512m"))
+    // an empty properties action is a client error
+    val (c4, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-properties","updates":{}}]}""")
+    assert(c4 == 400)
+    // property commits cannot ride with snapshot commits
+    val (c5, r5) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-properties","updates":{"k":"v"}},
+        |{"action":"add-snapshot","snapshot":{"added-data-files":["/tmp/x.parquet"]}}]}""".stripMargin)
+    assert(c5 == 400 && r5.contains("separate"), r5)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_props")
     assert(cD == 200)
   }
 
