@@ -486,6 +486,20 @@ object RestCatalog {
       * line-oriented text, not Iceberg Avro.
       */
     private def icebergMetadata(name: String, loc: String, v: Int): (String, String) = {
+      // the per-version metadata file is IMMUTABLE — once materialized,
+      // serve it back instead of re-walking every version's manifest
+      // header (a 100k-commit streaming table would otherwise pay an
+      // O(versions) header walk on EVERY loadTable)
+      val metaPath = new org.apache.hadoop.fs.Path(
+        s"$loc/_iceberg/v$v.metadata.json")
+      val mfs = metaPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (mfs.exists(metaPath)) {
+        val in = mfs.open(metaPath)
+        val cached =
+          try new String(in.readAllBytes(), UTF_8) finally in.close()
+        return (metaPath.toString, cached)
+      }
       def icebergType(sparkType: String): String = {
         val t = sparkType.toLowerCase
         if (t.startsWith("decimal")) t
@@ -504,9 +518,13 @@ object RestCatalog {
         .map { case (r, i) =>
           s"""{"id":${i + 1},"name":${jstr(r.getString(0))},"required":false,"type":${jstr(icebergType(r.getString(1)))}}"""
         }
-      val snapshots = (1 to v).map { sv =>
-        val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
-        s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
+      // versions whose manifests were expired are skipped — Iceberg
+      // metadata likewise lists only non-expired snapshots
+      val snapshots = (1 to v).flatMap { sv =>
+        scala.util.Try {
+          val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
+          s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
+        }.toOption
       }
       val metadata =
         s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
@@ -514,15 +532,9 @@ object RestCatalog {
             .map { case (k, pv) => s"${jstr(k)}:${jstr(pv)}" }
             .mkString("{", ",", "}")
         },"snapshots":[${snapshots.mkString(",")}]}"""
-      val metaPath = new org.apache.hadoop.fs.Path(
-        s"$loc/_iceberg/v$v.metadata.json")
-      val mfs = metaPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      if (!mfs.exists(metaPath)) {
-        mfs.mkdirs(metaPath.getParent)
-        val out = mfs.create(metaPath, true)
-        try out.write(metadata.getBytes(UTF_8)) finally out.close()
-      }
+      mfs.mkdirs(metaPath.getParent)
+      val out = mfs.create(metaPath, true)
+      try out.write(metadata.getBytes(UTF_8)) finally out.close()
       (metaPath.toString, metadata)
     }
 
