@@ -73,6 +73,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // steady-state MICROS: lake commits take the lock-free fast path
+      // in writingMicrosTimestamps instead of serializing every
+      // data-write behind the toggle lock
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.hive.thriftServer.singleSession", "true")

@@ -90,7 +90,8 @@ object RestCatalog {
 
   // ---------------------------------------------------------------
 
-  private final case class Server(http: HttpServer, registryRoot: String, db: String)
+  private final case class Server(http: HttpServer, registryRoot: String,
+      db: String, auth: Option[(String, String)])
 
   // one server per registry root per JVM (specs, verify, bench reps)
   private val servers = scala.collection.mutable.Map.empty[String, Server]
@@ -111,7 +112,14 @@ object RestCatalog {
       auth: Option[(String, String)] = None): Int =
     synchronized {
       servers.get(registryRoot) match {
-        case Some(sv) => sv.http.getAddress.getPort
+        case Some(sv) =>
+          // NEVER hand back a cached server under different auth: a
+          // caller asking for OAuth must not silently get the earlier
+          // token-free binding (or vice versa / different credentials)
+          require(sv.auth == auth,
+            s"a server for $registryRoot is already bound with different " +
+              "auth settings — stop() it first")
+          sv.http.getAddress.getPort
         case None =>
           PersistentCatalog.restore(spark, registryRoot)
           val http = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
@@ -132,7 +140,7 @@ object RestCatalog {
           starter.setDaemon(true)
           starter.start()
           starter.join()
-          servers(registryRoot) = Server(http, registryRoot, db)
+          servers(registryRoot) = Server(http, registryRoot, db, auth)
           http.getAddress.getPort
       }
     }
@@ -511,12 +519,13 @@ object RestCatalog {
           case other => other // int, string, double, float, boolean, date, binary
         }
       }
-      val fields = spark.sql(s"DESCRIBE TABLE $db.$name").collect()
-        .takeWhile(r => !r.getString(0).startsWith("#"))
-        .filter(_.getString(0).nonEmpty)
-        .zipWithIndex
-        .map { case (r, i) =>
-          s"""{"id":${i + 1},"name":${jstr(r.getString(0))},"required":false,"type":${jstr(icebergType(r.getString(1)))}}"""
+      // schema from the ENGINE's read at this version — the session-
+      // catalog registration freezes its inferred schema at register
+      // time, so DESCRIBE would serve pre-evolution fields after a
+      // wire add-schema commit
+      val fields = SnapshotTable.read(spark, loc, v).schema.zipWithIndex
+        .map { case (f, i) =>
+          s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType.simpleString))}}"""
         }
       // versions whose manifests were expired are skipped — Iceberg
       // metadata likewise lists only non-expired snapshots
@@ -559,15 +568,8 @@ object RestCatalog {
         case Right(cs) => cs
         case Left(msg) => err(ex, 400, msg); return
       }
-      def widens(from: String, to: String): Boolean = (from, to) match {
-        case ("int", "bigint") | ("float", "double") => true
-        case _ =>
-          val dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
-          (from, to) match {
-            case (dec(p1, s1), dec(p2, s2)) => s1 == s2 && p2.toInt > p1.toInt
-            case _ => false
-          }
-      }
+      def widens(from: String, to: String): Boolean =
+        SnapshotTable.isWidening(from, to)
       if (reqTypes.contains("assert-table-uuid") &&
           !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
         err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
@@ -610,6 +612,15 @@ object RestCatalog {
         changes.foreach {
           case Add(n, t) => nv = SnapshotTable.addColumn(spark, loc, n, t)
           case Widen(n, t) => nv = SnapshotTable.widenColumn(spark, loc, n, t)
+        }
+        if (nv != cur) {
+          // refresh the session-catalog registration: it froze its
+          // inferred schema at register time, so spark.table/DESCRIBE
+          // on the registered name would serve (or refuse) the stale
+          // pre-evolution schema
+          spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+          PersistentCatalog.registerTable(spark, s"$db.$name", "graft-snapshot", loc)
+          PersistentCatalog.save(spark, registryRoot, db)
         }
         val (metaLocation, metadata) = icebergMetadata(name, loc, nv)
         send(ex, 200,
@@ -734,25 +745,27 @@ object RestCatalog {
       if (jbool(body, "stage-create").contains(true)) {
         err(ex, 400, "stage-create transactions are not supported"); return
       }
-      if (spark.catalog.tableExists(s"$db.$name")) {
-        // AlreadyExistsError in the Iceberg REST spec
-        err(ex, 409, s"table $name already exists"); return
-      }
       val cols = icebergFields(body) match {
         case Right(cs) => cs
         case Left(msg) => err(ex, 400, msg); return
       }
       val loc = jfield(body, "location").map(_.stripSuffix("/"))
         .getOrElse(s"$registryRoot/_warehouse/$name")
-      if (SnapshotTable.currentVersion(spark, loc) > 0) {
-        err(ex, 409, s"location $loc already holds a snapshot table"); return
-      }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         cols.map { case (n, t) => s"$n $t" }.mkString(", "))
       ddlLock.synchronized {
+        // existence checks INSIDE the DDL lock: two concurrent creates
+        // for the same name/location must not both pass and commit
+        if (spark.catalog.tableExists(s"$db.$name")) {
+          // AlreadyExistsError in the Iceberg REST spec
+          err(ex, 409, s"table $name already exists"); return
+        }
+        if (SnapshotTable.currentVersion(spark, loc) > 0) {
+          err(ex, 409, s"location $loc already holds a snapshot table"); return
+        }
         // v1 = an empty commit carrying the schema: loadTable/DESCRIBE
         // and the first wire commit (updateTable) both see a real table
-        SnapshotTable.commit(spark,  loc,
+        SnapshotTable.commit(spark, loc,
           spark.createDataFrame(java.util.Collections.emptyList[
             org.apache.spark.sql.Row](), schema).coalesce(1))
         PersistentCatalog.registerTable(spark, s"$db.$name", "graft-snapshot", loc)
@@ -924,7 +937,11 @@ object RestCatalog {
   }
 
   private[graft] def jlong(body: String, key: String): Option[Long] = {
-    val re = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(\\d+)").r
+    // the lookahead rejects fractional values rather than silently
+    // truncating to their digit prefix ({"keep_versions": 3.5} must
+    // 400 as present-but-unparseable, not run with keep_versions=3)
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*(\\d+)(?![\\d.eE])").r
     re.findFirstMatchIn(body).map(_.group(1).toLong)
   }
 

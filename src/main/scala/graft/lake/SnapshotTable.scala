@@ -2353,20 +2353,42 @@ object SnapshotTable {
     * only cost.
     */
   private val microsTsLock = new Object
-  private[lake] def writingMicrosTimestamps[A](s: SparkSession)(body: => A): A =
-    microsTsLock.synchronized {
-      val key = "spark.sql.parquet.outputTimestampType"
+  // togglers in flight + a monotonic epoch bumped on every conf set
+  // AND restore: together they let the fast path prove the MICROS it
+  // read is the session's steady state, not a toggler's transient
+  private val microsTogglers = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val microsEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[lake] def writingMicrosTimestamps[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    // LOCK-FREE fast path: accept iff conf reads MICROS, then no
+    // toggler is in flight, then the epoch is unchanged since before
+    // the conf read. Any toggle overlapping the window either spans it
+    // (count > 0 rejects) or bumps the epoch inside it (entry or exit
+    // ++ rejects) — so an accepted MICROS cannot be a transient, and
+    // concurrent commits on a pre-set session write in parallel
+    // instead of serializing behind the toggle lock.
+    val e1 = microsEpoch.get()
+    if (s.conf.getOption(key).contains("TIMESTAMP_MICROS") &&
+        microsTogglers.get() == 0 && microsEpoch.get() == e1) body
+    else microsTsLock.synchronized {
       val prev = s.conf.getOption(key)
       if (prev.contains("TIMESTAMP_MICROS")) body
       else {
+        microsTogglers.incrementAndGet()
+        microsEpoch.incrementAndGet()
         s.conf.set(key, "TIMESTAMP_MICROS")
         try body
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
+        finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+          microsEpoch.incrementAndGet()
+          microsTogglers.decrementAndGet()
         }
       }
     }
+  }
 
   private def writeDataFilesAt(s: SparkSession, dataDir: String, df: DataFrame): Seq[String] = {
     writingMicrosTimestamps(s) { df.write.mode("overwrite").parquet(dataDir) }
@@ -2779,7 +2801,12 @@ object SnapshotTable {
       case Some(t) => (types - oldName) + (newName -> t)
       case None => types
     }
-    val meta = Map("op" -> s"rename:$oldName->$newName", ColMapKey -> renderPairs(newMapping)) ++
+    // based on the FULL inherited header (schemaMeta), not rebuilt from
+    // scratch: stats/bloom/partition columns and table properties must
+    // survive a metadata-only schema commit, or skip pruning and
+    // TBLPROPERTIES silently die on the first ALTER
+    val meta = (schemaMeta(s, root, cur) - ColMapKey - ColTypesKey) ++
+      Map("op" -> s"rename:$oldName->$newName", ColMapKey -> renderPairs(newMapping)) ++
       (if (newTypes.nonEmpty) Map(ColTypesKey -> renderPairs(newTypes)) else Map.empty)
     val v = cur + 1
     // fragment refs copied verbatim: a metadata-only commit costs
@@ -2789,18 +2816,43 @@ object SnapshotTable {
     v
   }
 
+  /** Whether `from` → `to` is a lossless widening promotion (the only
+    * type changes a metadata-only cast override can express safely —
+    * Iceberg's allowed primitive promotions plus the smaller integer
+    * steps). Shared by [[widenColumn]] and the SQL/REST pre-validation.
+    */
+  def isWidening(from: String, to: String): Boolean = {
+    val dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
+    (from.toLowerCase.replaceAll("\\s", ""), to.toLowerCase.replaceAll("\\s", "")) match {
+      case (a, b) if a == b => true
+      case ("tinyint", "smallint" | "int" | "bigint") => true
+      case ("smallint", "int" | "bigint") => true
+      case ("int", "bigint") => true
+      case ("float", "double") => true
+      case (dec(p1, s1), dec(p2, s2)) => s1 == s2 && p2.toInt >= p1.toInt
+      case _ => false
+    }
+  }
+
   /** Widen a column's logical type (int→bigint, float→double, …) —
     * metadata-only commit. Old narrow files are upcast at read time;
-    * new files are written already-wide. Narrowing is rejected by the
-    * cast at read (Spark ANSI) rather than silently truncated.
+    * new files are written already-wide. Non-widening changes are
+    * rejected up front ([[isWidening]]): a narrowing cast override
+    * would bake silent overflow (or ANSI runtime failures) into the
+    * version chain.
     */
   def widenColumn(s: SparkSession, root: String, name: String, ddlType: String): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
+    val curSchema = read(s, root, cur).schema
+    require(curSchema.fieldNames.contains(name), s"no column $name at $root")
+    val from = curSchema(name).dataType.simpleString
+    require(isWidening(from, ddlType),
+      s"ALTER COLUMN $name: $from -> $ddlType is not a widening promotion")
     val types = columnTypes(s, root, cur) + (name -> ddlType)
-    val mapping = columnMapping(s, root, cur)
-    val meta = Map("op" -> s"widen:$name:$ddlType", ColTypesKey -> renderPairs(types)) ++
-      (if (mapping.nonEmpty) Map(ColMapKey -> renderPairs(mapping)) else Map.empty)
+    // inherited header carried forward — see renameColumn
+    val meta = (schemaMeta(s, root, cur) - ColTypesKey) ++
+      Map("op" -> s"widen:$name:$ddlType", ColTypesKey -> renderPairs(types))
     val v = cur + 1
     writeManifestAtomic(s, root, v, meta, listBody(s, root, s"v$cur"))
     v
@@ -2819,9 +2871,9 @@ object SnapshotTable {
     require(!read(s, root, cur).columns.contains(name),
       s"column $name already exists at $root")
     val types = columnTypes(s, root, cur) + (name -> ddlType)
-    val mapping = columnMapping(s, root, cur)
-    val meta = Map("op" -> s"add:$name:$ddlType", ColTypesKey -> renderPairs(types)) ++
-      (if (mapping.nonEmpty) Map(ColMapKey -> renderPairs(mapping)) else Map.empty)
+    // inherited header carried forward — see renameColumn
+    val meta = (schemaMeta(s, root, cur) - ColTypesKey) ++
+      Map("op" -> s"add:$name:$ddlType", ColTypesKey -> renderPairs(types))
     val v = cur + 1
     writeManifestAtomic(s, root, v, meta, listBody(s, root, s"v$cur"))
     v

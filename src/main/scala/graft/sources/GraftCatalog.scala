@@ -192,6 +192,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!existsAt(root)) throw new NoSuchTableException(ident)
+    // validate EVERY change before applying ANY — an unsupported or
+    // non-widening change in a multi-change ALTER must not leave the
+    // earlier changes half-committed
+    val startSchema = SnapshotTable.read(spark, root).schema
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested column rename is not supported")
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1, "nested column type change is not supported")
+        val n = u.fieldNames()(0)
+        require(startSchema.fieldNames.contains(n), s"no column $n")
+        val from = startSchema(n).dataType.simpleString
+        require(SnapshotTable.isWidening(from, u.newDataType().sql),
+          s"ALTER COLUMN $n: $from -> ${u.newDataType().sql} is not a widening promotion")
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested column add is not supported")
+      case d: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${d.fieldNames().mkString(".")} is not supported — " +
+            "readers would lose old-version columns; evolve forward instead")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,

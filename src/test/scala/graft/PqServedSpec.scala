@@ -44,4 +44,29 @@ class PqServedSpec extends SparkSpec {
       s"single-list probe opened all ${all.inputFiles.length} code files")
     assert(pruned.count() === all.filter(col("cid") === oneCid).count())
   }
+
+  test("non-dense codebook codes (Lloyd-dropped clusters) score by value") {
+    import spark.implicits._
+    // three exact-duplicate patterns ordered so the positional seeds
+    // are [A, A, B, C]: Lloyd drops the duplicate seed (code 1), so
+    // the surviving codes {0, 2, 3} have a GAP below live codes — a
+    // position-indexed distance row would read code 3's distance for
+    // code 2 and fall off the row for code 3
+    val a = Array(2f, 0f, 0f, 0f)
+    val b = Array(1f, 0f, 0f, 0f)
+    val c = Array(-1f, 0f, 0f, 0f)
+    val pattern = Seq(a, a, b, c, b, c, a, b, c)
+    val corpus = pattern.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("vec_id", "embedding")
+    val out = Ann.pqKnn(spark, corpus, col("vec_id") === 0, k = 8,
+      m = 1, ksub = 4, nLists = 1, nProbes = 1)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    assert(out.length === 8, s"all 8 neighbors must score (no null lookups): ${out.toSeq}")
+    val byId = out.toMap
+    // exact duplicates of the query (pattern A) score 0, B scores
+    // −|A−B|² = −1, C scores −|A−C|² = −9 — the VALUE-correct table
+    assert(Seq(1L, 6L).forall(id => byId(id) === 0.0), out.toSeq.toString)
+    assert(Seq(2L, 4L, 7L).forall(id => byId(id) === -1.0), out.toSeq.toString)
+    assert(Seq(3L, 5L, 8L).forall(id => byId(id) === -9.0), out.toSeq.toString)
+  }
 }

@@ -342,6 +342,10 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (cb3, rb3) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
       """{"max_delete_ratio":.5,"keep_versions":10}""")
     assert(cb3 == 200, rb3)
+    // a fractional integer knob is a 400, never truncated to its prefix
+    val (cb4, rb4) = RestCatalog.post(port, "/v1/tables/rest_spec_knobs/maintain",
+      """{"keep_versions":3.5}""")
+    assert(cb4 == 400, rb4)
     val (c5, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_knobs")
     assert(c5 == 200)
   }
@@ -498,6 +502,14 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |{"id":3,"name":"x","required":false,"type":"float"},
         |{"id":4,"name":"score","required":false,"type":"double"}""".stripMargin))
     assert(c1 == 200, r1)
+    // the RESPONSE metadata carries the evolved fields (not a stale
+    // pre-evolution DESCRIBE) …
+    assert(r1.contains("\"name\":\"score\"") && r1.contains("\"type\":\"long\""), r1)
+    // … and the session-catalog registration was refreshed, so SQL on
+    // the registered name serves the evolved schema too
+    assert(spark.table("graft.rest_spec_evolve").schema
+      .map(f => f.name -> f.dataType.simpleString) ===
+      Seq("n" -> "bigint", "v" -> "string", "x" -> "float", "score" -> "double"))
     val evolved = SnapshotTable.read(spark, loc)
     assert(evolved.schema.map(f => f.name -> f.dataType.simpleString) ===
       Seq("n" -> "bigint", "v" -> "string", "x" -> "float", "score" -> "double"))

@@ -149,6 +149,30 @@ class StatsSkippingSpec extends SparkSpec {
     assert(q.count() === 1)
     assert(inputFilesOf(q) <= 2)
   }
+
+  test("stats pruning and properties survive metadata-only schema commits") {
+    val root = "/tmp/graft_test/stats_after_alter"
+    SnapshotTable.drop(spark, root)
+    (0 until 4).foreach { i =>
+      SnapshotTable.commit(spark, root,
+        (i * 50 until (i + 1) * 50).map(k => (k.toLong, s"r$k")).toDF("id", "v")
+          .coalesce(1), statsCols = Seq("id"))
+    }
+    SnapshotTable.setProperties(spark, root, Map("owner" -> "graft"))
+    // one of each metadata-only schema commit
+    SnapshotTable.addColumn(spark, root, "score", "double")
+    SnapshotTable.widenColumn(spark, root, "id", "bigint")
+    SnapshotTable.renameColumn(spark, root, "v", "val")
+    val cur = SnapshotTable.currentVersion(spark, root)
+    // the inherited header survived all three: properties still read…
+    assert(SnapshotTable.properties(spark, root, cur) === Map("owner" -> "graft"))
+    // …and the stats annotations still prune the point lookup
+    val q = SnapshotTable.readWhere(spark, root, col("id") === 75L)
+    assert(q.count() === 1)
+    assert(inputFilesOf(q) === 1,
+      "stats pruning must survive ALTER-style metadata commits")
+    assert(q.columns.toSeq === Seq("id", "val", "score"))
+  }
 }
 
 /** RawLocalFileSystem under `graftcount:///` that counts every byte
