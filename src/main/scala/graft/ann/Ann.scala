@@ -510,13 +510,18 @@ object Ann {
       .join(broadcast(coarse), "cid")
       .select(col("q_id"), col("cid"),
         expr("zip_with(q_emb, c_emb, (x, c) -> x - c)").as("q_res"))
-    // the flat (q_id, cid, sub_idx, code, d_micro) entries, folded
-    // into ONE map per (query, probed list) keyed by sub_idx·256+code:
-    // tiny on both axes, so the scoring join broadcasts it. Keyed by
-    // code VALUE, not position — Lloyd drops empty clusters, so a
-    // codebook's surviving codes need not be dense 0..ksub−1, and a
-    // positional row would silently read a DIFFERENT code's distance
-    // (or null out) whenever a gap exists below a live code.
+    // the flat (q_id, cid, sub_idx, code, d_micro) entries, pivoted
+    // into one tbl[m][ksub] row per (query, probed list): tiny on
+    // both axes, so the scoring join broadcasts it. Each trow is
+    // scattered into a DENSE code-VALUE-indexed array (not ranked by
+    // surviving code): Lloyd drops empty clusters, so a codebook's
+    // codes need not be dense 0..ksub−1, and a rank-positional row
+    // would silently read a DIFFERENT code's distance (or fall off
+    // the row) whenever a gap sat below a live code. The map lookup
+    // happens only here at table-build time (O(queries·nProbes·m·
+    // ksub) — metadata-sized); the per-pair scoring stays a codegen'd
+    // O(1) array index.
+    val ksubEff = books.agg(max("code")).head.getLong(0).toInt + 1
     val table = pqChunked(qProbes.select("q_id", "cid", "q_res"), "q_res", "q_chunk", m, sub)
       .join(broadcast(books), "sub_idx")
       .select(col("q_id"), col("cid"), col("sub_idx"), col("code"),
@@ -524,18 +529,21 @@ object Ann {
           | - 2 * graft_dot(q_chunk, c_chunk)
           | + graft_dot(c_chunk, c_chunk)""".stripMargin) * lit(1000000))
           .cast("long").as("d_micro"))
+      .groupBy("q_id", "cid", "sub_idx")
+      .agg(expr("map_from_entries(collect_list(struct(code, d_micro)))").as("tmap"))
+      .withColumn("trow", expr(
+        s"transform(sequence(0, ${ksubEff - 1}), i -> tmap[CAST(i AS BIGINT)])"))
       .groupBy("q_id", "cid")
-      .agg(expr("map_from_entries(collect_list(struct(" +
-        "CAST(sub_idx AS BIGINT) * 256 + code, d_micro)))").as("tbl"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub_idx, trow))), " +
+        "x -> x.trow)").as("tbl"))
     // score within probed lists only: one row per (query, vector)
-    // pair, distance = Σₘ tbl[s·256+codes[s]] in a single expression;
+    // pair, distance = Σₘ tbl[s][codes[s]] in a single expression;
     // negated L2 so larger-is-closer like the other retrieval entries
     val scored = codes.join(broadcast(table), "cid")
       .filter(col("q_id") =!= col("vec_id"))
       .filter(size(col("codes")) === m)
       .withColumn("d_micro", expr(
-        s"aggregate(zip_with(sequence(0, ${m - 1}), codes, " +
-          "(s, c) -> tbl[CAST(s AS BIGINT) * 256 + CAST(c AS BIGINT)]), " +
+        "aggregate(zip_with(tbl, codes, (t, c) -> t[CAST(c AS INT)]), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .withColumn("cos", -col("d_micro").cast("double") / lit(1000000.0))
       .withColumn("neighbor_id", col("vec_id"))
