@@ -380,6 +380,11 @@ object Ann {
       m: Int, ksub: Int, nLists: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     import s.implicits._
+    // codes are stored TINYINT (pqEncode): ksub past 127 would wrap
+    // negative and null the serve-side dense-array lookup — refuse
+    // loudly instead of silently corrupting rankings
+    require(ksub >= 1 && ksub <= 127,
+      s"ksub=$ksub out of range: codes are stored as TINYINT, so at most 127 codewords per subspace")
     val sample = collectSample(corpus, 4096)
     val dims = sample.head._2.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")

@@ -2207,9 +2207,12 @@ object SnapshotTable {
       .map(st => (st.getPath.toString, st.getModificationTime))
     // commit-grained candidate dirs + any loose top-level files
     val rootPath = new Path(root)
-    // _delta_log: a DeltaInterop export renders the foreign-protocol
-    // log under the table root — interop metadata, not graft debris
-    val protectedTop = Set("_manifests", "_tags", "_branches", "_delta_log")
+    // _delta_log / _iceberg: interop exports render foreign-protocol
+    // metadata under the table root (Delta JSON log, Iceberg
+    // metadata.json + Avro manifests). Never manifest-referenced, so
+    // they'd be swept as loose files once past the grace — protect the
+    // whole directory instead.
+    val protectedTop = Set("_manifests", "_tags", "_branches", "_delta_log", "_iceberg")
     val loose = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val candidateDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     fsOf(s, rootPath).listStatus(rootPath)

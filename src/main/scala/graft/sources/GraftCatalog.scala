@@ -195,19 +195,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // validate EVERY change before applying ANY — an unsupported or
     // non-widening change in a multi-change ALTER must not leave the
     // earlier changes half-committed
-    val startSchema = SnapshotTable.read(spark, root).schema
+    // the check tracks the schema as each change would leave it, so a
+    // later change validating against an earlier one's effect (or
+    // colliding with it) is caught here, before any commit
+    var evolving = SnapshotTable.read(spark, root).schema
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested column rename is not supported")
+        val from = r.fieldNames()(0)
+        require(evolving.fieldNames.contains(from),
+          s"RENAME COLUMN $from: no such column")
+        require(!evolving.fieldNames.contains(r.newName()),
+          s"RENAME COLUMN $from -> ${r.newName()}: target name already exists")
+        evolving = org.apache.spark.sql.types.StructType(evolving.map(f =>
+          if (f.name == from) f.copy(name = r.newName()) else f))
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1, "nested column type change is not supported")
         val n = u.fieldNames()(0)
-        require(startSchema.fieldNames.contains(n), s"no column $n")
-        val from = startSchema(n).dataType.simpleString
+        require(evolving.fieldNames.contains(n), s"no column $n")
+        val from = evolving(n).dataType.simpleString
         require(SnapshotTable.isWidening(from, u.newDataType().sql),
           s"ALTER COLUMN $n: $from -> ${u.newDataType().sql} is not a widening promotion")
+        evolving = org.apache.spark.sql.types.StructType(evolving.map(f =>
+          if (f.name == n) f.copy(dataType = u.newDataType()) else f))
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested column add is not supported")
+        require(!evolving.fieldNames.contains(a.fieldNames()(0)),
+          s"ADD COLUMN ${a.fieldNames()(0)}: column already exists")
+        evolving = evolving.add(a.fieldNames()(0), a.dataType())
       case d: TableChange.DeleteColumn =>
         throw new UnsupportedOperationException(
           s"DROP COLUMN ${d.fieldNames().mkString(".")} is not supported — " +
