@@ -380,11 +380,12 @@ object Ann {
       m: Int, ksub: Int, nLists: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     import s.implicits._
-    // codes are stored TINYINT (pqEncode): ksub past 127 would wrap
-    // negative and null the serve-side dense-array lookup — refuse
-    // loudly instead of silently corrupting rankings
-    require(ksub >= 1 && ksub <= 127,
-      s"ksub=$ksub out of range: codes are stored as TINYINT, so at most 127 codewords per subspace")
+    // codes are stored TINYINT (pqEncode) with values 0..ksub-1, so
+    // the largest code must stay <= 127: ksub=128 still fits, ksub=129
+    // would wrap negative and null the serve-side dense-array lookup —
+    // refuse loudly instead of silently corrupting rankings
+    require(ksub >= 1 && ksub <= 128,
+      s"ksub=$ksub out of range: codes 0..ksub-1 are stored as TINYINT, so at most 128 codewords per subspace")
     val sample = collectSample(corpus, 4096)
     val dims = sample.head._2.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m subspaces")

@@ -637,12 +637,16 @@ object RestCatalog {
     private def commitProps(ex: HttpExchange, name: String, loc: String,
         body: String, reqTypes: Seq[String], reqBlock: String): Unit = {
       // the set-properties action's "updates" is an OBJECT (the outer
-      // request's "updates" is an array — the brace distinguishes them)
-      val updates = "(?s)\"updates\"\\s*:\\s*\\{([^}]*)\\}".r
-        .findFirstMatchIn(body).map(_.group(1)).map { blk =>
-          "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-            .findAllMatchIn(blk).map(m => m.group(1) -> m.group(2)).toMap
-        }.getOrElse(Map.empty[String, String])
+      // request's "updates" is an array — the brace distinguishes
+      // them). Brace-AWARE extraction: a `}` inside a quoted value
+      // must not truncate the object (the old single-regex scan
+      // silently dropped every entry after it), and values unescape
+      // exactly like jstrArray so what was set round-trips loadTable.
+      val updates = jobjBlock(body, "updates").map { blk =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(blk)
+          .map(m => junescape(m.group(1)) -> junescape(m.group(2))).toMap
+      }.getOrElse(Map.empty[String, String])
       val removals = jstrArray(body, "removals")
       if (updates.isEmpty && removals.isEmpty) {
         err(ex, 400, "set-properties needs a non-empty updates object " +
@@ -923,6 +927,38 @@ object RestCatalog {
     re.findAllMatchIn(body).map(_.group(1)).toSeq
   }
 
+  /** JSON string-escape decoding shared by every string-valued
+    * extractor — what was PUT must round-trip the next GET byte-equal.
+    * A left-to-right scan, not sequential replaces: replace chains
+    * mis-decode `\\n` (escaped backslash + n) whichever order they
+    * run in.
+    */
+  private[graft] def junescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'
+          case '\\' => sb += '\\'
+          case '/' => sb += '/'
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case 't' => sb += '\t'
+          case 'b' => sb += '\b'
+          case 'f' => sb += '\f'
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 4
+          case other => sb += '\\' += other // not a JSON escape: keep as-is
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
   /** The string elements of `"key": ["a", "b", …]` (first occurrence),
     * unescaped. Empty if the key is absent or the array is empty.
     */
@@ -930,9 +966,39 @@ object RestCatalog {
     val arr = ("\"" + java.util.regex.Pattern.quote(key) +
       "\"\\s*:\\s*\\[([^\\]]*)\\]").r
     arr.findFirstMatchIn(body).toSeq.flatMap { m =>
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-        .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")).toSeq
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+        .map(g => junescape(g.group(1))).toSeq
+    }
+  }
+
+  /** The body of `"key": { … }` (first occurrence) with brace
+    * NESTING and quoted strings respected — a `}` inside a value or a
+    * nested object cannot truncate the block the way a greedy-stop
+    * regex would. Returns the content between the outer braces; None
+    * when the key is absent or its value is not an object.
+    */
+  private[graft] def jobjBlock(body: String, key: String): Option[String] = {
+    val open = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\{").r
+    open.findFirstMatchIn(body).flatMap { m =>
+      val start = m.end // first char after the opening brace
+      var i = start
+      var depth = 1
+      var inStr = false
+      while (i < body.length && depth > 0) {
+        val c = body.charAt(i)
+        if (inStr) {
+          if (c == '\\') i += 1 // skip the escaped char
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0) Some(body.substring(start, i - 1)) else None
     }
   }
 

@@ -2873,6 +2873,15 @@ object SnapshotTable {
     require(cur > 0, s"no snapshot table at $root")
     require(!read(s, root, cur).columns.contains(name),
       s"column $name already exists at $root")
+    // the new column's PHYSICAL name is `name` itself (adds are never
+    // mapped), so it must not collide with a physical name still in
+    // use by a RENAMED column: after RENAME a->b, ADD COLUMN a would
+    // give two logical columns the same in-file name and every later
+    // append would fail on a duplicate column
+    val mapping = columnMapping(s, root, cur)
+    val physInUse = read(s, root, cur).columns.map(c => mapping.getOrElse(c, c))
+    require(!physInUse.contains(name),
+      s"column $name collides with the physical (in-file) name of a renamed column at $root")
     val types = columnTypes(s, root, cur) + (name -> ddlType)
     // inherited header carried forward — see renameColumn
     val meta = (schemaMeta(s, root, cur) - ColTypesKey) ++

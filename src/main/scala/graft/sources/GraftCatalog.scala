@@ -197,8 +197,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // earlier changes half-committed
     // the check tracks the schema as each change would leave it, so a
     // later change validating against an earlier one's effect (or
-    // colliding with it) is caught here, before any commit
+    // colliding with it) is caught here, before any commit. The
+    // PHYSICAL (in-file) mapping is simulated alongside: names freed
+    // logically by a rename stay occupied physically, so ADD must
+    // check both namespaces or appends die on duplicate file columns
     var evolving = SnapshotTable.read(spark, root).schema
+    var physOf: Map[String, String] = {
+      val m = SnapshotTable.columnMapping(spark, root,
+        SnapshotTable.currentVersion(spark, root))
+      evolving.fieldNames.map(c => c -> m.getOrElse(c, c)).toMap
+    }
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested column rename is not supported")
@@ -209,6 +217,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"RENAME COLUMN $from -> ${r.newName()}: target name already exists")
         evolving = org.apache.spark.sql.types.StructType(evolving.map(f =>
           if (f.name == from) f.copy(name = r.newName()) else f))
+        physOf = (physOf - from) + (r.newName() -> physOf(from))
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames.length == 1, "nested column type change is not supported")
         val n = u.fieldNames()(0)
@@ -220,9 +229,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           if (f.name == n) f.copy(dataType = u.newDataType()) else f))
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested column add is not supported")
-        require(!evolving.fieldNames.contains(a.fieldNames()(0)),
-          s"ADD COLUMN ${a.fieldNames()(0)}: column already exists")
-        evolving = evolving.add(a.fieldNames()(0), a.dataType())
+        val n = a.fieldNames()(0)
+        require(!evolving.fieldNames.contains(n),
+          s"ADD COLUMN $n: column already exists")
+        require(!physOf.valuesIterator.contains(n),
+          s"ADD COLUMN $n: collides with the physical (in-file) name of a renamed column")
+        evolving = evolving.add(n, a.dataType())
+        physOf = physOf + (n -> n)
       case d: TableChange.DeleteColumn =>
         throw new UnsupportedOperationException(
           s"DROP COLUMN ${d.fieldNames().mkString(".")} is not supported — " +

@@ -237,4 +237,67 @@ class GraftCatalogSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(got.size === 19 && !got.exists(_._1 == 3L) && got.head._2 === "r0")
   }
+
+  test("multi-change ALTER is atomic: any invalid change commits nothing") {
+    enable()
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val root = s"$wh/lake/alteratomic"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val ident = Identifier.of(Array("lake"), "alteratomic")
+    val v0 = SnapshotTable.currentVersion(spark, root)
+    def unchanged(clue: String): Unit = {
+      assert(SnapshotTable.currentVersion(spark, root) === v0,
+        s"$clue: a failed multi-change ALTER must not half-commit")
+      assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("id", "v"), clue)
+    }
+    // a VALID rename followed by an invalid narrowing: the rename
+    // must not land (validation happens for all changes before any commit)
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("v"), "label"),
+        TableChange.updateColumnType(Array("id"), IntegerType))
+    }
+    unchanged("rename+narrow")
+    // ADD colliding with an existing column
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.updateColumnType(Array("id"), LongType),
+        TableChange.addColumn(Array("v"), StringType))
+    }
+    unchanged("widen+add-existing")
+    // rename whose source does not exist
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("w"), StringType),
+        TableChange.renameColumn(Array("nope"), "x"))
+    }
+    unchanged("add+rename-missing")
+    // rename v->w then ADD COLUMN v in ONE call: logical v is free but
+    // physical v is still in use by w — appends would write duplicate
+    // file columns, so validation must reject before any commit
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("v"), "w"),
+        TableChange.addColumn(Array("v"), StringType))
+    }
+    unchanged("rename-then-add-same-name")
+    // the same sequence as TWO calls: the second must fail at the
+    // engine layer too (SnapshotTable.addColumn physical-name check)
+    cat.alterTable(ident, TableChange.renameColumn(Array("v"), "w"))
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident, TableChange.addColumn(Array("v"), StringType))
+    }
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("id", "w"))
+    // a fully valid multi-change still lands as its per-change commits
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("w"), "label"),
+      TableChange.addColumn(Array("score"), org.apache.spark.sql.types.DoubleType))
+    assert(SnapshotTable.read(spark, root).columns.toSeq
+      === Seq("id", "label", "score"))
+  }
 }

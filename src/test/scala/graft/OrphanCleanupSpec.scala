@@ -103,4 +103,30 @@ class OrphanCleanupSpec extends SparkSpec {
     assert(named.contains(SnapshotTable.canon(spark, stray)))
     assert(fs(root).exists(new Path(stray)), "dry run must not delete")
   }
+
+  test("interop exports (_iceberg, _delta_log) survive cleanup past the grace period") {
+    val root = "/tmp/graft_test/orph_interop"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1, "a")).toDF("id", "v"))
+    // interop metadata is never manifest-referenced, so without the
+    // protectedTop entries it would be swept as loose debris the
+    // moment it aged past the grace — killing every external-engine
+    // mount of the table on the first nightly maintenance run
+    val ice = touch(root, "_iceberg/v1.metadata.json")
+    val delta = touch(root, "_delta_log/00000000000000000001.json")
+    val sweepable = touch(root, "loose_debris.txt")
+    // graceMs = 0: every candidate is "past the grace period"
+    val removed = SnapshotTable.removeOrphans(spark, root, graceMs = 0)
+    assert(fs(root).exists(new Path(ice)),
+      "_iceberg export must survive remove_orphan_files")
+    assert(fs(root).exists(new Path(delta)),
+      "_delta_log export must survive remove_orphan_files")
+    assert(removed.contains(SnapshotTable.canon(spark, sweepable)),
+      "protection must not leak to genuine loose debris")
+    // the scheduled path (Maintenance.run drives the same reclaim)
+    graft.lake.Maintenance.run(spark, root,
+      graft.lake.Maintenance.Policy(orphanGraceMs = 0))
+    assert(fs(root).exists(new Path(ice)) && fs(root).exists(new Path(delta)),
+      "_iceberg/_delta_log must survive the scheduled maintenance sweep")
+  }
 }

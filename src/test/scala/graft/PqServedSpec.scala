@@ -69,4 +69,24 @@ class PqServedSpec extends SparkSpec {
     assert(Seq(2L, 4L, 7L).forall(id => byId(id) === -1.0), out.toSeq.toString)
     assert(Seq(3L, 5L, 8L).forall(id => byId(id) === -9.0), out.toSeq.toString)
   }
+
+  test("ksub boundary: 128 codewords fit TINYINT codes, 129 is refused loudly") {
+    import spark.implicits._
+    // codes are 0..ksub-1 stored TINYINT: max code 127 ⇒ ksub=128 is
+    // the last legal value; 129 would wrap negative and null the
+    // serve-side dense-array lookup
+    val e129 = intercept[IllegalArgumentException] {
+      Ann.pqKnn(spark, corpus, col("vec_id") % 25 === 0,
+        k = 3, m = 4, ksub = 129, nLists = 4, nProbes = 1)
+    }
+    assert(e129.getMessage.contains("TINYINT"), e129.getMessage)
+    val tiny = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 4 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.pqKnn(spark, tiny, col("vec_id") === 0, k = 3,
+      m = 1, ksub = 128, nLists = 1, nProbes = 1).collect()
+    assert(out.nonEmpty, "ksub=128 must train, encode and serve")
+    assert(out.forall(!_.isNullAt(3)),
+      "no null ADC scores: every stored code must resolve in the dense table")
+  }
 }

@@ -594,6 +594,36 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(cD == 200)
   }
 
+  test("set-properties values survive braces and escapes; no entry silently dropped") {
+    import spark.implicits._
+    val loc = s"$tableArea/props_esc"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq((1L, "a")).toDF("id", "v"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_props_esc","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_props_esc"
+    // the first value contains `}` — a greedy-stop regex would
+    // truncate the updates object there and silently drop "retries";
+    // the second value carries an escaped quote that must unescape
+    val (c1, r1) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-properties","updates":{
+        |"template":"{\"cols\":[1,2]} trailing","note":"say \"hi\"","retries":"3"}}]}""".stripMargin)
+    assert(c1 == 200, r1)
+    val props = SnapshotTable.properties(spark, loc,
+      SnapshotTable.currentVersion(spark, loc))
+    assert(props === Map(
+      "template" -> """{"cols":[1,2]} trailing""",
+      "note" -> """say "hi"""",
+      "retries" -> "3"), props.toString)
+    // and they round-trip loadTable (re-escaped on the way out)
+    val (c2, r2) = RestCatalog.get(port, base)
+    assert(c2 == 200 && r2.contains("\"retries\":\"3\"") &&
+      r2.contains("""say \"hi\""""), r2)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_props_esc")
+    assert(cD == 200)
+  }
+
   test("wire commits race engine appends on one CAS-guarded chain") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
