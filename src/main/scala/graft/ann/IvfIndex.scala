@@ -239,6 +239,45 @@ object IvfIndex {
         BatchHotKey -> f"$batchHot%.6f", RebuildKey -> drifted.toString))
   }
 
+  /** Drift-triggered REBUILD over the index's own current corpus —
+    * what the nightly maintenance job runs when [[needsRebuild]] is
+    * set. The lists table IS the corpus (every vector ever assigned),
+    * but [[buildAt]] drops the very tables a lazy read would scan, so
+    * the corpus is STAGED first with a distributed parquet write
+    * (never a driver collect — O(corpus) executor I/O, O(1) driver),
+    * retrained from the stage, and the stage reclaimed. nLists comes
+    * from the stored build header, so cadence jobs need no
+    * configuration beyond the root.
+    */
+  def rebuildFromLists(s: SparkSession, root: String, lloydIters: Int = 2): Unit = {
+    val listRoot = s"$root/lists"
+    val v = SnapshotTable.currentVersion(s, listRoot)
+    require(v > 0, s"no IVF index at $root")
+    val nLists = SnapshotTable.commitMeta(s, listRoot, v)
+      .getOrElse("n_lists", "16").toInt
+    val stage = s"$root/_rebuild_stage"
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(stagePath, true)
+    SnapshotTable.read(s, listRoot).select("vec_id", "embedding")
+      .write.parquet(stage)
+    try buildAt(s, root, s.read.parquet(stage), nLists, lloydIters)
+    finally { fs.delete(stagePath, true); () }
+  }
+
+  /** Adapter onto the lake maintenance seam: the nightly
+    * [[graft.lake.Maintenance.run]] polls the sticky drift flag (one
+    * header read) and triggers [[rebuildFromLists]] when set.
+    */
+  def maintenanceStage(indexRoot: String): graft.lake.Maintenance.IndexStage =
+    new graft.lake.Maintenance.IndexStage {
+      override val root: String = indexRoot
+      override def needsRebuild(s: SparkSession): Boolean =
+        IvfIndex.needsRebuild(s, indexRoot)
+      override def rebuild(s: SparkSession): Unit =
+        rebuildFromLists(s, indexRoot)
+    }
+
   /** Probe-only serving path: no training, centroids read from the
     * stored table, candidates fetched by bloom-pruned `cid IN (probes)`
     * reads of the stored lists.

@@ -456,12 +456,15 @@ object RestCatalog {
       * `format-version`/`table-uuid`/`location`/`current-snapshot-id`/
       * `schemas`/`snapshots`, a `config` map) carrying graft's actual
       * metadata, with `metadata-location` pointing at a materialized
-      * Iceberg-format metadata.json. Honest delta (see README):
-      * manifest lists stay graft's line format, not Iceberg's Avro —
-      * an external engine can LIST and inspect through this response
-      * but needs the delta-log export (lake_export_delta_log) to
-      * actually scan zero-copy. Commits ride [[commitTable]]; OAuth
-      * rides `/v1/oauth/tokens` when the server is secured.
+      * Iceberg-format metadata.json whose snapshots reference REAL
+      * Iceberg v2 Avro manifest-lists + manifests
+      * ([[graft.lake.IcebergInterop]]) — an external engine can walk
+      * metadata.json → Avro manifest-list → Avro manifests to the
+      * parquet files and scan zero-copy (lake_export_iceberg gates
+      * exactly that walk, deletes included). Remaining deltas (see
+      * README): unpartitioned exported spec, no parquet field-ids in
+      * data files. Commits ride [[commitTable]]; OAuth rides
+      * `/v1/oauth/tokens` when the server is secured.
       */
     private def loadTableResult(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, _, _, loc) =>
@@ -474,78 +477,27 @@ object RestCatalog {
         }
       }
 
-    /** A stable table uuid derived from the location: the registry has
-      * no separate identity store, and clients only require uniqueness
-      * + stability across loads.
+    /** A stable table uuid derived from the location ([[IcebergInterop
+      * .tableUuid]]): the registry has no separate identity store, and
+      * clients only require uniqueness + stability across loads.
       */
     private def tableUuid(loc: String): String =
-      java.util.UUID.nameUUIDFromBytes(loc.getBytes(UTF_8)).toString
+      graft.lake.IcebergInterop.tableUuid(loc)
 
-    /** Render Iceberg-format table metadata for version `v` and
-      * materialize it as an immutable per-version file under
-      * `_iceberg/` (written once; later calls reuse it). Returns
-      * (metadata-location, metadata JSON). The per-snapshot
-      * manifest-list points at the graft manifest of that version (the
-      * engine's manifest LIST — same role); sequence-number is the
-      * version itself (graft versions are the commit sequence);
-      * unpartitioned spec + unsorted order are the minimal stubs the
-      * v2 table spec requires, last-column-id = the field count.
-      * Remaining documented delta (README): manifest lists are graft's
-      * line-oriented text, not Iceberg Avro.
+    /** Render Iceberg v2 table metadata for version `v`, materialized
+      * as an immutable per-version file under `_iceberg/` together
+      * with its REAL Avro manifest-list + manifest chain
+      * ([[graft.lake.IcebergInterop.writeMetadata]]) — an external
+      * Iceberg engine can walk metadata.json → Avro manifest list →
+      * Avro manifests to the parquet files with no graft code. Schema
+      * comes from the ENGINE's read at this version (the session-
+      * catalog registration freezes its inferred schema at register
+      * time, so DESCRIBE would serve pre-evolution fields after a
+      * wire add-schema commit); field ids are the persistent
+      * [[SnapshotTable.fieldIds]] assignment.
       */
-    private def icebergMetadata(name: String, loc: String, v: Int): (String, String) = {
-      // the per-version metadata file is IMMUTABLE — once materialized,
-      // serve it back instead of re-walking every version's manifest
-      // header (a 100k-commit streaming table would otherwise pay an
-      // O(versions) header walk on EVERY loadTable)
-      val metaPath = new org.apache.hadoop.fs.Path(
-        s"$loc/_iceberg/v$v.metadata.json")
-      val mfs = metaPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      if (mfs.exists(metaPath)) {
-        val in = mfs.open(metaPath)
-        val cached =
-          try new String(in.readAllBytes(), UTF_8) finally in.close()
-        return (metaPath.toString, cached)
-      }
-      def icebergType(sparkType: String): String = {
-        val t = sparkType.toLowerCase
-        if (t.startsWith("decimal")) t
-        else t match {
-          case "bigint" => "long"
-          case "smallint" | "tinyint" => "int"
-          case "timestamp" => "timestamptz"
-          case "timestamp_ntz" => "timestamp"
-          case other => other // int, string, double, float, boolean, date, binary
-        }
-      }
-      // schema from the ENGINE's read at this version — the session-
-      // catalog registration freezes its inferred schema at register
-      // time, so DESCRIBE would serve pre-evolution fields after a
-      // wire add-schema commit
-      val fields = SnapshotTable.read(spark, loc, v).schema.zipWithIndex
-        .map { case (f, i) =>
-          s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,"type":${jstr(icebergType(f.dataType.simpleString))}}"""
-        }
-      // versions whose manifests were expired are skipped — Iceberg
-      // metadata likewise lists only non-expired snapshots
-      val snapshots = (1 to v).flatMap { sv =>
-        scala.util.Try {
-          val op = SnapshotTable.commitMeta(spark, loc, sv).getOrElse("op", "append")
-          s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${SnapshotTable.committedAt(spark, loc, sv)},"manifest-list":${jstr(s"$loc/_manifests/v$sv.manifest")},"summary":{"operation":${jstr(op)}}}"""
-        }.toOption
-      }
-      val metadata =
-        s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${SnapshotTable.committedAt(spark, loc, v)},"last-column-id":${fields.length},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[{"schema-id":0,"type":"struct","fields":[${fields.mkString(",")}]}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
-          SnapshotTable.properties(spark, loc, v).toSeq.sorted
-            .map { case (k, pv) => s"${jstr(k)}:${jstr(pv)}" }
-            .mkString("{", ",", "}")
-        },"snapshots":[${snapshots.mkString(",")}]}"""
-      mfs.mkdirs(metaPath.getParent)
-      val out = mfs.create(metaPath, true)
-      try out.write(metadata.getBytes(UTF_8)) finally out.close()
-      (metaPath.toString, metadata)
-    }
+    private def icebergMetadata(name: String, loc: String, v: Int): (String, String) =
+      graft.lake.IcebergInterop.writeMetadata(spark, loc, v)
 
     /** The `add-schema` update action: wire-driven schema evolution.
       * The action carries the FULL target schema; the handler diffs it
@@ -554,11 +506,17 @@ object RestCatalog {
       * [[SnapshotTable.addColumn]] (typed NULLs until appends carry
       * them), Iceberg's allowed primitive promotions (int → long,
       * float → double, decimal precision growth at equal scale) →
-      * [[SnapshotTable.widenColumn]]. Dropping or renaming over the
-      * wire is refused (400): the wire schema has no field-id channel,
-      * so a rename is indistinguishable from drop+add — renames stay
-      * an engine-side operation (documented delta). Each change is its
-      * own metadata-only commit; the response carries the final
+      * [[SnapshotTable.widenColumn]], and a field whose wire `id`
+      * matches an existing PERSISTENT field id
+      * ([[SnapshotTable.fieldIds]]) under a NEW name →
+      * [[SnapshotTable.renameColumn]] — the Iceberg spec's rename
+      * encoding (same field-id, new name), which loadTable's exported
+      * schemas advertise so a client can echo ids back. DROP stays
+      * refused (400): readers would lose old-version columns — evolve
+      * forward instead (documented delta). Rename SWAPS/chains inside
+      * one request are refused (400) rather than half-applied. Each
+      * change is its own metadata-only commit, but every change is
+      * validated before ANY commit; the response carries the final
       * version's metadata. A schema identical to the current one is an
       * idempotent 200 no-op.
       */
@@ -585,33 +543,94 @@ object RestCatalog {
         val have = SnapshotTable.read(spark, loc).schema
           .map(f => f.name -> f.dataType.simpleString)
         val haveMap = have.toMap
-        val wantNames = want.map(_._1).toSet
-        val removed = have.map(_._1).filterNot(wantNames)
+        val idOf = SnapshotTable.fieldIds(spark, loc, cur) // name -> id
+        val nameOfId = idOf.map(_.swap)
+        val wantNames = want.map(_._2).toSet
+        val wantIds = want.flatMap(_._1).toSet
+        // a current field survives if its NAME or its persistent ID
+        // appears in the target schema; anything else is a DROP → 400
+        val removed = have.map(_._1)
+          .filterNot(n => wantNames.contains(n) || wantIds.contains(idOf(n)))
         if (removed.nonEmpty) {
-          err(ex, 400, "drop/rename is not supported over the wire (the wire " +
-            s"schema carries no field ids — documented delta): ${removed.mkString(", ")}")
+          err(ex, 400, "DROP COLUMN is not supported over the wire — readers " +
+            s"would lose old-version columns; evolve forward instead: ${removed.mkString(", ")}")
           return
         }
         // validate EVERY change before applying ANY — a rejected
-        // promotion must not leave earlier adds half-committed
+        // promotion must not leave earlier renames/adds half-committed
         sealed trait Change
         case class Add(n: String, t: String) extends Change
         case class Widen(n: String, t: String) extends Change
-        val changes = want.flatMap { case (n, t) =>
-          haveMap.get(n) match {
-            case None => Seq(Add(n, t))
-            case Some(curT) if curT == t => Seq.empty
-            case Some(curT) if widens(curT, t) => Seq(Widen(n, t))
-            case Some(curT) =>
-              err(ex, 400,
-                s"type change $n: $curT -> $t is not a supported promotion")
-              return
+        case class Rename(from: String, to: String) extends Change
+        val changes = want.flatMap { case (idOpt, n, t) =>
+          idOpt.flatMap(nameOfId.get) match {
+            case Some(oldName) => // field identified by persistent id
+              val curT = haveMap(oldName)
+              val rename =
+                if (oldName == n) Seq.empty
+                else Seq(Rename(oldName, n))
+              val widen =
+                if (curT == t) Seq.empty
+                else if (widens(curT, t)) Seq(Widen(n, t))
+                else {
+                  err(ex, 400,
+                    s"type change $n: $curT -> $t is not a supported promotion")
+                  return
+                }
+              rename ++ widen
+            case None =>
+              haveMap.get(n) match {
+                case None => Seq(Add(n, t))
+                case Some(curT) if curT == t => Seq.empty
+                case Some(curT) if widens(curT, t) => Seq(Widen(n, t))
+                case Some(curT) =>
+                  err(ex, 400,
+                    s"type change $n: $curT -> $t is not a supported promotion")
+                  return
+              }
+          }
+        }
+        // simulate the rename/add sequence against the current logical
+        // AND physical names: a rename target that collides with a
+        // surviving column (a swap/chain), or an add that collides
+        // with an in-use physical name, must 400 here — not throw
+        // mid-apply and half-commit
+        val renames = changes.collect { case r: Rename => r }
+        var names = haveMap.keySet
+        renames.foreach { r =>
+          // strict execution-order simulation: the target must be free
+          // AT THE MOMENT this rename runs, or the engine would carry
+          // two logical columns with one name mid-sequence. A chain
+          // ordered free-target-first (b->c before x->b) passes;
+          // swaps and badly-ordered chains 400 — split the request.
+          if (names.contains(r.to)) {
+            err(ex, 400, s"rename ${r.from} -> ${r.to}: target name is " +
+              "still in use at this point in the request (rename swaps " +
+              "are not supported in one request — split them)")
+            return
+          }
+          names = names - r.from + r.to
+        }
+        val mapping = SnapshotTable.columnMapping(spark, loc, cur)
+        val physInUse = haveMap.keySet.map(c => mapping.getOrElse(c, c))
+        changes.collect { case a: Add => a }.foreach { a =>
+          if (physInUse.contains(a.n)) {
+            err(ex, 400, s"ADD COLUMN ${a.n}: collides with the physical " +
+              "(in-file) name of a renamed column")
+            return
           }
         }
         var nv = cur
-        changes.foreach {
-          case Add(n, t) => nv = SnapshotTable.addColumn(spark, loc, n, t)
+        // renames first (ids pin identity), then widens (under the new
+        // names), then adds
+        changes.sortBy {
+          case _: Rename => 0
+          case _: Widen => 1
+          case _: Add => 2
+        }.foreach {
+          case Rename(from, to) => nv = SnapshotTable.renameColumn(spark, loc, from, to)
           case Widen(n, t) => nv = SnapshotTable.widenColumn(spark, loc, n, t)
+          case Add(n, t) => nv = SnapshotTable.addColumn(spark, loc, n, t)
         }
         if (nv != cur) {
           // refresh the session-catalog registration: it froze its
@@ -713,11 +732,14 @@ object RestCatalog {
       case _ => None
     }
 
-    /** The (name, spark DDL type) list of the FIRST `"fields": [...]`
-      * array in `body` (a CreateTableRequest's schema or an
-      * add-schema update action's), or a client-error message.
+    /** The (field id, name, spark DDL type) list of the FIRST
+      * `"fields": [...]` array in `body` (a CreateTableRequest's
+      * schema or an add-schema update action's), or a client-error
+      * message. The optional per-field `id` is the Iceberg schema's
+      * field-id — the channel that lets add-schema express RENAME
+      * (same id, new name).
       */
-    private def icebergFields(body: String): Either[String, Seq[(String, String)]] = {
+    private def icebergFields(body: String): Either[String, Seq[(Option[Int], String, String)]] = {
       val fieldsBlock = "(?s)\"fields\"\\s*:\\s*\\[(.*?)\\]".r
         .findFirstMatchIn(body).map(_.group(1)).getOrElse {
           return Left("missing schema.fields")
@@ -734,7 +756,7 @@ object RestCatalog {
           return Left(s"unsupported field type in $o (primitive Iceberg " +
             "types only — documented delta)")
         }
-        fn -> ft
+        (jlong(o, "id").map(_.toInt), fn, ft)
       })
     }
 
@@ -756,7 +778,7 @@ object RestCatalog {
       val loc = jfield(body, "location").map(_.stripSuffix("/"))
         .getOrElse(s"$registryRoot/_warehouse/$name")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        cols.map { case (n, t) => s"$n $t" }.mkString(", "))
+        cols.map { case (_, n, t) => s"$n $t" }.mkString(", "))
       ddlLock.synchronized {
         // existence checks INSIDE the DDL lock: two concurrent creates
         // for the same name/location must not both pass and commit

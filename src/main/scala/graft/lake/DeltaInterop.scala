@@ -9,10 +9,10 @@ import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructFi
   * mountable by any Iceberg-aware engine via the Lakekeeper catalog,
   * /root/reference/etc/catalog): EXPORT a snapshot version as a
   * Delta-protocol transaction log, and IMPORT a foreign `_delta_log`
-  * into a SnapshotTable. Delta is the interchange format because its
-  * log is pure JSON (Iceberg manifests are Avro — no jars in this
-  * sandbox); the mapping (file list + schema + commit stamp) is the
-  * same. Both directions move ZERO data bytes: add actions reference
+  * into a SnapshotTable. Delta's log is pure JSON, so this pair is
+  * the IMPORT-capable interchange path; the Iceberg direction (Avro
+  * manifest-lists + manifests + metadata.json) is [[IcebergInterop]].
+  * Both directions move ZERO data bytes: add actions reference
   * parquet files by absolute URI, and the import registers them via
   * [[SnapshotTable.commitFiles]].
   *

@@ -33,6 +33,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Maintenance {
 
+  /** A secondary index the nightly run can poll and rebuild — the
+    * seam that keeps lake-layer maintenance decoupled from index
+    * implementations (graft.ann.IvfIndex.maintenanceStage adapts the
+    * IVF index's sticky drift flag onto it). `needsRebuild` must be
+    * metadata-sized (it is polled every run); `rebuild` may be a full
+    * retraining job.
+    */
+  trait IndexStage {
+    def root: String
+    def needsRebuild(s: SparkSession): Boolean
+    def rebuild(s: SparkSession): Unit
+  }
+
   /** Production-shaped defaults; tests and small tables tighten them. */
   final case class Policy(
       maxDeleteRatio: Double = 0.05,
@@ -41,7 +54,8 @@ object Maintenance {
       sortCols: Seq[String] = Seq.empty, // rewrite SORT strategy: packed outputs re-clustered on these
       minDeleteFiles: Int = 4, // consolidate pos-delete files at this count (below the fold threshold)
       keepVersions: Int = 5,
-      orphanGraceMs: Long = 3L * 3600 * 1000)
+      orphanGraceMs: Long = 3L * 3600 * 1000,
+      indexes: Seq[IndexStage] = Nil) // drift-polled secondary indexes
 
   /** What the run did — the accounting a maintenance dashboard keys
     * on. `None` = that stage decided no work was warranted.
@@ -53,7 +67,8 @@ object Maintenance {
       expiredVersions: Seq[Int],
       expiredFilesReclaimed: Int,
       orphansReclaimed: Int,
-      finalVersion: Int)
+      finalVersion: Int,
+      indexesRebuilt: Seq[String] = Nil)
 
   /** DRY RUN: preview the DESTRUCTIVE stages without touching the
     * table — which versions [[SnapshotTable.expire]] would drop and
@@ -77,7 +92,10 @@ object Maintenance {
       expiredFilesReclaimed = 0,
       orphansReclaimed =
         SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs, dryRun = true).size,
-      finalVersion = v0)
+      finalVersion = v0,
+      // the drift poll is metadata-sized and non-destructive, so the
+      // preview names the indexes a real run WOULD rebuild
+      indexesRebuilt = policy.indexes.filter(_.needsRebuild(s)).map(_.root))
   }
 
   def run(s: SparkSession, root: String, policy: Policy = Policy()): Report = {
@@ -91,6 +109,11 @@ object Maintenance {
       policy.smallBytes, policy.targetBytes, policy.sortCols)
     val (expired, reclaimed) = SnapshotTable.expire(s, root, policy.keepVersions)
     val orphans = SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs)
+    // index stage: rebuild exactly the registered indexes whose sticky
+    // drift flag is set (IvfIndex.needsRebuild — one header read per
+    // index); a rebuild re-baselines and clears the flag
+    val rebuilt = policy.indexes.filter(_.needsRebuild(s))
+    rebuilt.foreach(_.rebuild(s))
     Report(
       deletesFoldedVersion = Some(vFold).filter(_ > v0),
       deleteFilesConsolidatedVersion = Some(vConsol).filter(_ > vFold),
@@ -98,6 +121,7 @@ object Maintenance {
       expiredVersions = expired,
       expiredFilesReclaimed = reclaimed.size,
       orphansReclaimed = orphans.size,
-      finalVersion = SnapshotTable.currentVersion(s, root))
+      finalVersion = SnapshotTable.currentVersion(s, root),
+      indexesRebuilt = rebuilt.map(_.root))
   }
 }

@@ -321,6 +321,33 @@ object SnapshotTable {
   def commitMeta(s: SparkSession, root: String, version: Int): Map[String, String] =
     headerAt(s, root, s"v$version")
 
+  /** One manifest line, parsed: the per-file facts the Iceberg Avro
+    * export renders ([[IcebergInterop]]). `kind` is 0 = data file,
+    * 1 = positional-delete file, 2 = equality-delete file; `eqCols`
+    * carries the PHYSICAL equality columns of kind-2 entries.
+    */
+  private[lake] final case class LineEntry(
+      path: String, rows: Long, seq: Long, kind: Int, eqCols: Seq[String])
+
+  /** All file entries visible at a version — data AND delete files,
+    * with their annotations decoded. Metadata-sized (O(files) driver
+    * work, no data read).
+    */
+  private[lake] def lineEntries(s: SparkSession, root: String, version: Int): Seq[LineEntry] =
+    manifestLines(s, root, version).filterNot(_.startsWith("#")).map { l =>
+      val parts = l.split('\t')
+      val annots = parts.drop(1)
+      def ann(prefix: String): Option[String] =
+        annots.collectFirst { case a if a.startsWith(prefix) => a.stripPrefix(prefix) }
+      val kind = if (isDeleteLine(l)) 1 else if (isEqDeleteLine(l)) 2 else 0
+      LineEntry(
+        parts.head,
+        ann(RowsAnnot).map(_.toLong).getOrElse(0L),
+        ann(SeqAnnot).orElse(ann(EqSeqAnnot)).map(_.toLong).getOrElse(0L),
+        kind,
+        ann(EqColsAnnot).map(_.split(",").toSeq).getOrElse(Seq.empty))
+    }
+
   private val RowsAnnot = "_rows="
 
   /** Stamp each manifest line with its file's row count
@@ -2737,6 +2764,37 @@ object SnapshotTable {
   def columnMapping(s: SparkSession, root: String, version: Int): Map[String, String] =
     parsePairs(commitMeta(s, root, version).get(ColMapKey))
 
+  // persistent Iceberg-style field ids: logical name → id, carried in
+  // the inherited header. The id FOLLOWS a field through renames (the
+  // Iceberg spec's rename encoding: same field-id, new name), which is
+  // what lets a REST client express RENAME by sending the old id with
+  // a new name. Tables that never evolved have no header and read as
+  // ordinal ids; the first schema-evolution commit snapshots that
+  // assignment so it can never drift afterwards.
+  private[lake] val FieldIdsKey = "fieldids"
+
+  /** Logical field name → persistent field id at a version. Fields
+    * without a stored id (pre-evolution tables, or columns that
+    * arrived by appending wider files) get deterministic ids: ordinal
+    * position when NO ids are stored, max-stored-id + arrival order
+    * when some are.
+    */
+  def fieldIds(s: SparkSession, root: String, version: Int): Map[String, Int] = {
+    val stored = parsePairs(commitMeta(s, root, version).get(FieldIdsKey))
+      .map { case (k, v) => k -> v.toInt }
+    val names = read(s, root, version).schema.fieldNames
+    if (stored.isEmpty) names.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    else {
+      var next = stored.values.max
+      names.map { n =>
+        stored.get(n) match {
+          case Some(id) => n -> id
+          case None => next += 1; n -> next
+        }
+      }.toMap
+    }
+  }
+
   /** logical name → widened DDL type at a version. */
   def columnTypes(s: SparkSession, root: String, version: Int): Map[String, String] =
     parsePairs(commitMeta(s, root, version).get(ColTypesKey))
@@ -2752,7 +2810,7 @@ object SnapshotTable {
     else commitMeta(s, root, version)
       .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey ||
         kv._1 == "partition" || kv._1 == StatsKey || kv._1 == BloomKey ||
-        kv._1 == PropsKey)
+        kv._1 == PropsKey || kv._1 == FieldIdsKey)
 
   // table properties ride the same inherited-header channel as the
   // column mapping; keys and values are URL-encoded individually so
@@ -2804,12 +2862,21 @@ object SnapshotTable {
       case Some(t) => (types - oldName) + (newName -> t)
       case None => types
     }
+    // the field id FOLLOWS the rename (Iceberg spec §4: rename = same
+    // field-id, new name) — snapshotting the full assignment here is
+    // what makes ids persistent from the first evolution onward
+    val ids = fieldIds(s, root, cur)
+    val newIds = ids.get(oldName) match {
+      case Some(id) => (ids - oldName) + (newName -> id)
+      case None => ids + (newName -> (ids.values.maxOption.getOrElse(0) + 1))
+    }
     // based on the FULL inherited header (schemaMeta), not rebuilt from
     // scratch: stats/bloom/partition columns and table properties must
     // survive a metadata-only schema commit, or skip pruning and
     // TBLPROPERTIES silently die on the first ALTER
-    val meta = (schemaMeta(s, root, cur) - ColMapKey - ColTypesKey) ++
-      Map("op" -> s"rename:$oldName->$newName", ColMapKey -> renderPairs(newMapping)) ++
+    val meta = (schemaMeta(s, root, cur) - ColMapKey - ColTypesKey - FieldIdsKey) ++
+      Map("op" -> s"rename:$oldName->$newName", ColMapKey -> renderPairs(newMapping),
+        FieldIdsKey -> renderPairs(newIds.map { case (k, i) => k -> i.toString })) ++
       (if (newTypes.nonEmpty) Map(ColTypesKey -> renderPairs(newTypes)) else Map.empty)
     val v = cur + 1
     // fragment refs copied verbatim: a metadata-only commit costs
@@ -2883,9 +2950,15 @@ object SnapshotTable {
     require(!physInUse.contains(name),
       s"column $name collides with the physical (in-file) name of a renamed column at $root")
     val types = columnTypes(s, root, cur) + (name -> ddlType)
+    // the new field gets a FRESH id past every id ever assigned —
+    // Iceberg's add-column rule, so a drop+re-add can never alias an
+    // old field's identity
+    val ids = fieldIds(s, root, cur)
+    val newIds = ids + (name -> (ids.values.maxOption.getOrElse(0) + 1))
     // inherited header carried forward — see renameColumn
-    val meta = (schemaMeta(s, root, cur) - ColTypesKey) ++
-      Map("op" -> s"add:$name:$ddlType", ColTypesKey -> renderPairs(types))
+    val meta = (schemaMeta(s, root, cur) - ColTypesKey - FieldIdsKey) ++
+      Map("op" -> s"add:$name:$ddlType", ColTypesKey -> renderPairs(types),
+        FieldIdsKey -> renderPairs(newIds.map { case (k, i) => k -> i.toString }))
     val v = cur + 1
     writeManifestAtomic(s, root, v, meta, listBody(s, root, s"v$cur"))
     v

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+
+import graft.lake.{IcebergInterop, SnapshotTable}
+
+/** [[IcebergInterop]] — the Iceberg v2 Avro export. Everything here
+  * reads the exported files with the PLAIN avro library (none of
+  * graft's manifest code), the way an external Iceberg engine would:
+  * metadata.json → Avro manifest-list → Avro manifests → parquet.
+  */
+class IcebergInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def listOf(metaJson: String, snap: Int): String =
+    ("\"snapshot-id\":" + snap + ",[^{]*\"manifest-list\":\"([^\"]+)\"").r
+      .findFirstMatchIn(metaJson).get.group(1)
+
+  private def avroMeta(path: String): Map[String, String] = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getMetaKeys.asScala
+        .filterNot(_.startsWith("avro.")) // container-format keys
+        .map(k => k -> reader.getMetaString(k)).toMap
+    } finally reader.close()
+  }
+
+  test("Avro chain re-derives each snapshot's file list; statuses split added/existing") {
+    val root = "/tmp/graft_test/ice_chain"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 40).map(k => (k.toLong, s"r$k")).toDF("id", "v"))
+    SnapshotTable.commitAppend(spark, root,
+      (40 until 60).map(k => (k.toLong, s"r$k")).toDF("id", "v"))
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 2)
+    assert(metaJson.contains("\"format-version\":2"))
+    assert(metaJson.contains("\"current-snapshot-id\":2"))
+    // each snapshot's manifest-list re-derives that VERSION's file set
+    // — external engines time-travel from metadata.json alone
+    Seq(1, 2).foreach { v =>
+      val manifests = IcebergInterop.readManifestList(conf, listOf(metaJson, v))
+      assert(manifests.forall(_._2 == 0), "append-only table: data manifests only")
+      val entries = manifests.flatMap(m => IcebergInterop.readManifest(conf, m._1))
+      val expect = SnapshotTable.dataFiles(spark, root, v)
+        .map(SnapshotTable.canon(spark, _)).toSet
+      assert(entries.map(_._1).toSet === expect, s"version $v file list")
+      // record counts must be real (Iceberg planners trust them)
+      assert(entries.map(_._4).sum === (if (v == 1) 40L else 60L))
+    }
+    // v2's manifest: v1's files EXISTING (status 0), the append ADDED (1)
+    val v2Entries = IcebergInterop.readManifestList(conf, listOf(metaJson, 2))
+      .flatMap(m => IcebergInterop.readManifest(conf, m._1))
+    val v1Files = SnapshotTable.dataFiles(spark, root, 1)
+      .map(SnapshotTable.canon(spark, _)).toSet
+    v2Entries.foreach { case (p, _, status, _) =>
+      assert(status === (if (v1Files.contains(p)) 0 else 1),
+        s"$p carried-over files must be EXISTING, new ones ADDED")
+    }
+    assert(v2Entries.exists(_._3 == 1), "the append must produce ADDED entries")
+  }
+
+  test("manifest files carry Iceberg v2 metadata keys and spec field-ids") {
+    val root = "/tmp/graft_test/ice_meta"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a", 2.5)).toDF("id", "v", "x"))
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 1)
+    val manifests = IcebergInterop.readManifestList(conf, listOf(metaJson, 1))
+    val m = avroMeta(manifests.head._1)
+    assert(m.get("format-version").contains("2"), m.toString)
+    assert(m.get("content").contains("data"), m.toString)
+    assert(m.get("partition-spec-id").contains("0"), m.toString)
+    // the embedded Iceberg schema names the fields with their ids
+    val schema = m("schema")
+    assert(schema.contains("\"id\":1") && schema.contains("\"name\":\"id\""), schema)
+    assert(schema.contains("\"type\":\"double\""), schema)
+    // list file: snapshot identity keys
+    val lm = avroMeta(listOf(metaJson, 1))
+    assert(lm.get("snapshot-id").contains("1") &&
+      lm.get("format-version").contains("2"), lm.toString)
+    // the Avro field declarations carry the table-spec field-id props
+    val reader = DataFileReader.openReader(
+      new FsInput(new Path(manifests.head._1), conf),
+      new GenericDatumReader[GenericRecord]())
+    val entrySchema = try reader.getSchema finally reader.close()
+    assert(entrySchema.getField("status").getObjectProp("field-id") == 0)
+    val df = entrySchema.getField("data_file")
+    assert(df.getObjectProp("field-id") == 2)
+    assert(df.schema().getField("file_path").getObjectProp("field-id") == 100)
+    assert(df.schema().getField("record_count").getObjectProp("field-id") == 103)
+  }
+
+  test("row-level deletes export as a deletes manifest: positional=1, equality=2 + ids") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/ice_deletes"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (0 until 30).map(k => (k.toLong, s"u$k", k % 3)).toDF("id", "user", "grp"))
+    SnapshotTable.deleteWhereMor(spark, root, col("id") === 7L)
+    SnapshotTable.deleteWhereEq(spark, root, Seq("user"),
+      Seq(Tuple1("u11")).toDF("user"))
+    val v = SnapshotTable.currentVersion(spark, root)
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, v)
+    val manifests = IcebergInterop.readManifestList(conf, listOf(metaJson, v))
+    assert(manifests.map(_._2).sorted === Seq(0, 1),
+      "one data manifest + one deletes manifest")
+    val delManifest = manifests.find(_._2 == 1).get._1
+    assert(avroMeta(delManifest).get("content").contains("deletes"))
+    val delEntries = IcebergInterop.readAvro(conf, delManifest)
+    val byContent = delEntries.groupBy(
+      _.get("data_file").asInstanceOf[GenericRecord].get("content"))
+    assert(byContent.keySet === Set(1, 2),
+      s"positional (1) and equality (2) delete files: ${byContent.keySet}")
+    // equality_ids carry the PERSISTENT field id of the key column
+    val eqRec = byContent(2).head.get("data_file").asInstanceOf[GenericRecord]
+    val ids = eqRec.get("equality_ids").asInstanceOf[java.util.Collection[Integer]]
+    val userFieldId = SnapshotTable.fieldIds(spark, root, v)("user")
+    assert(ids.size == 1 && ids.iterator.next() == userFieldId, ids.toString)
+  }
+
+  test("field ids persist across rename and add; metadata.json serves them") {
+    val root = "/tmp/graft_test/ice_fieldids"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    assert(SnapshotTable.fieldIds(spark, root, 1) === Map("id" -> 1, "v" -> 2))
+    SnapshotTable.renameColumn(spark, root, "v", "label")
+    assert(SnapshotTable.fieldIds(spark, root, 2) === Map("id" -> 1, "label" -> 2),
+      "rename keeps the field id (Iceberg rename = same id, new name)")
+    SnapshotTable.addColumn(spark, root, "score", "double")
+    SnapshotTable.renameColumn(spark, root, "label", "tag")
+    val v = SnapshotTable.currentVersion(spark, root)
+    assert(SnapshotTable.fieldIds(spark, root, v)
+      === Map("id" -> 1, "tag" -> 2, "score" -> 3))
+    // time travel reads the ids as of each version
+    assert(SnapshotTable.fieldIds(spark, root, 2)("label") === 2)
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, v)
+    assert(metaJson.contains("""{"id":2,"name":"tag","required":false,"type":"string"}"""),
+      metaJson)
+    assert(metaJson.contains("\"last-column-id\":3"), metaJson)
+  }
+}

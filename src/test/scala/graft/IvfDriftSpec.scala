@@ -81,4 +81,45 @@ class IvfDriftSpec extends SparkSpec {
       odd.withColumn("vec_id", col("vec_id") + 4000000L))
     assert(!IvfIndex.needsRebuild(spark, root))
   }
+
+  test("Maintenance.run consumes the drift flag: rebuild on trigger, no-op when quiet") {
+    import graft.lake.Maintenance
+    val mroot = "/tmp/graft_ivf_drift_maint"
+    Seq("lists", "centroids").foreach(t => SnapshotTable.drop(spark, s"$mroot/$t"))
+    // a plain snapshot table so the run has its usual lake stages
+    val tbl = "/tmp/graft_ivf_drift_maint_tbl"
+    SnapshotTable.drop(spark, tbl)
+    import spark.implicits._
+    SnapshotTable.commit(spark, tbl, Seq((1L, "a")).toDF("id", "v"))
+    val policy = Maintenance.Policy(
+      orphanGraceMs = 0, indexes = Seq(IvfIndex.maintenanceStage(mroot)))
+
+    IvfIndex.buildAt(spark, mroot, vecs.filter(col("vec_id") % 2 === 0),
+      nLists = 16, lloydIters = 2)
+    // quiet index: the nightly run must NOT rebuild
+    val quiet = Maintenance.run(spark, tbl, policy)
+    assert(quiet.indexesRebuilt.isEmpty, quiet.toString)
+
+    // drift it; plan() previews the rebuild without acting
+    IvfIndex.appendBatch(spark, mroot,
+      clustered(vecs.filter(col("vec_id") % 2 === 1), 1000000L))
+    assert(IvfIndex.needsRebuild(spark, mroot))
+    assert(Maintenance.plan(spark, tbl, policy).indexesRebuilt === Seq(mroot))
+    assert(IvfIndex.needsRebuild(spark, mroot), "plan must not rebuild")
+
+    // the run consumes the flag: retrains over the index's own corpus,
+    // re-baselines, clears the stickiness
+    val triggered = Maintenance.run(spark, tbl, policy)
+    assert(triggered.indexesRebuilt === Seq(mroot), triggered.toString)
+    assert(!IvfIndex.needsRebuild(spark, mroot))
+    // the rebuilt index still holds every vector ever appended
+    val held = SnapshotTable.read(spark, s"$mroot/lists").count()
+    assert(held === vecs.count(), s"rebuild must preserve the corpus ($held)")
+    // post-rebuild the shifted distribution is covered: same-shape
+    // batch stays quiet, and the next run is a no-op again
+    IvfIndex.appendBatch(spark, mroot,
+      clustered(vecs.filter(col("vec_id") % 2 === 0), 3000000L))
+    val after = Maintenance.run(spark, tbl, policy)
+    assert(after.indexesRebuilt.isEmpty, after.toString)
+  }
 }

@@ -277,23 +277,20 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         "\"manifest-list\"\\s*:\\s*\"([^\"]+)\"").r
       re.findFirstMatchIn(metaJson).get.group(1)
     }
-    // resolve the graft manifest list (header lines '#', fragment
-    // refs '>') exactly as a client following the chain would
-    def resolve(path: String): Seq[String] = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(localPath(path)).asScala.toSeq
-        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-        .flatMap { l =>
-          if (l.startsWith(">")) resolve(l.drop(1))
-          else if (l.contains("_kind=posdelete")) Seq.empty
-          else Seq(l.split('\t').head)
-        }
-    }
-    val derived = resolve(v1List).filter(_.endsWith(".parquet")).sorted
+    // the snapshot's manifest-list is REAL Iceberg v2 Avro — walk
+    // manifest-list → manifests with the plain avro library, exactly
+    // as an external engine following the chain would
+    assert(v1List.endsWith("/_iceberg/snap-1.avro"), v1List)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val manifests = graft.lake.IcebergInterop.readManifestList(hconf, v1List)
+    assert(manifests.nonEmpty && manifests.forall(_._2 == 0), manifests.toString)
+    val derived = manifests
+      .flatMap(m => graft.lake.IcebergInterop.readManifest(hconf, m._1))
+      .map(_._1).sorted
     val truth = SnapshotTable.dataFiles(spark, loc, 1)
-      .map(_.stripPrefix("file:")).sorted
-    assert(derived.map(_.stripPrefix("file:")) === truth,
-      s"metadata.json chain must re-derive v1's file list: $derived vs $truth")
+      .map(SnapshotTable.canon(spark, _)).sorted
+    assert(derived === truth,
+      s"metadata.json Avro chain must re-derive v1's file list: $derived vs $truth")
     // a non-snapshot table 404s on LoadTable (honest delta)
     val (c404, _) = RestCatalog.get(port, "/v1/namespaces/graft/tables/region")
     assert(c404 == 404)
@@ -525,10 +522,10 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |{"id":3,"name":"x","required":false,"type":"float"},
         |{"id":4,"name":"score","required":false,"type":"double"}""".stripMargin))._1 == 200)
     assert(SnapshotTable.currentVersion(spark, loc) === vAfter)
-    // a drop (missing column) is refused — no field-id channel
+    // a drop (column present by neither name nor field id) is refused
     val (cDropCol, rDropCol) = RestCatalog.post(port, base, schemaBody(
       """{"id":1,"name":"n","required":false,"type":"long"}"""))
-    assert(cDropCol == 400 && rDropCol.contains("drop/rename"), rDropCol)
+    assert(cDropCol == 400 && rDropCol.contains("DROP COLUMN"), rDropCol)
     // a narrowing (long -> int) is not a promotion
     val (cNarrow, rNarrow) = RestCatalog.post(port, base, schemaBody(
       """{"id":1,"name":"n","required":false,"type":"int"},
@@ -550,6 +547,73 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
          |{"name":"extra","type":"int"}]}}]}""".stripMargin)
     assert(cStale == 409, rStale)
     val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_evolve")
+    assert(cD == 200)
+  }
+
+  test("add-schema RENAME rides persistent field ids; DROP stays 400") {
+    import spark.implicits._
+    val loc = s"$tableArea/wire_rename"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc,
+      Seq((1L, "a", 1.5f), (2L, "b", 2.5f)).toDF("id", "v", "x"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_rename","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_rename"
+    def schemaBody(fields: String) =
+      s"""{"requirements":[],"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[$fields]}},
+         |{"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+    // loadTable advertises the persistent ids a client echoes back
+    val (cL, load) = RestCatalog.get(port, base)
+    assert(cL == 200 &&
+      load.contains("""{"id":2,"name":"v","required":false,"type":"string"}"""), load)
+    // RENAME v -> label: same field id 2, new name (Iceberg spec §4)
+    val (c1, r1) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"label","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"float"}""".stripMargin))
+    assert(c1 == 200, r1)
+    assert(r1.contains("""{"id":2,"name":"label","required":false,"type":"string"}"""), r1)
+    assert(SnapshotTable.read(spark, loc).columns.toSeq === Seq("id", "label", "x"))
+    // data survives under the new name; old versions read the OLD name
+    assert(SnapshotTable.read(spark, loc).orderBy("id")
+      .select("label").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(SnapshotTable.read(spark, loc, 1).columns.toSeq === Seq("id", "v", "x"),
+      "time travel must keep the pre-rename schema")
+    // rename + widen in ONE entry: id 2 -> tag, x float -> double
+    val (c2, r2) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"tag","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"double"}""".stripMargin))
+    assert(c2 == 200, r2)
+    assert(SnapshotTable.read(spark, loc).schema
+      .map(f => f.name -> f.dataType.simpleString) ===
+      Seq("id" -> "bigint", "tag" -> "string", "x" -> "double"))
+    // the id survived both renames
+    assert(SnapshotTable.fieldIds(spark, loc,
+      SnapshotTable.currentVersion(spark, loc))("tag") === 2)
+    // a SWAP in one request is refused before anything commits
+    val vSwap = SnapshotTable.currentVersion(spark, loc)
+    val (cSwap, rSwap) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"tag","required":false,"type":"long"},
+        |{"id":2,"name":"id","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"double"}""".stripMargin))
+    assert(cSwap == 400 && rSwap.contains("still in use"), rSwap)
+    assert(SnapshotTable.currentVersion(spark, loc) === vSwap,
+      "a refused swap must not half-commit")
+    // DROP (field absent by name AND id) stays 400
+    val (cDrop, rDrop) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"tag","required":false,"type":"string"}""".stripMargin))
+    assert(cDrop == 400 && rDrop.contains("DROP COLUMN"), rDrop)
+    // ADD of a name still physically in use by the renamed column: 400
+    val (cPhys, rPhys) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"tag","required":false,"type":"string"},
+        |{"id":3,"name":"x","required":false,"type":"double"},
+        |{"name":"v","required":false,"type":"string"}""".stripMargin))
+    assert(cPhys == 400 && rPhys.contains("physical"), rPhys)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_rename")
     assert(cD == 200)
   }
 
