@@ -628,25 +628,53 @@ object Dedup {
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
-  /** The full dedup product in one call: MinHash-LSH candidates →
-    * exact-Jaccard verification → connected components → keep the
-    * smallest doc_id per cluster. Returns every doc with its cluster
-    * and keep decision — `filter(col("kept"))` IS the deduped corpus.
+  /** The full dedup product in one call: EXACT-duplicate pre-pass →
+    * MinHash-LSH candidates over the distinct texts → exact-Jaccard
+    * verification → connected components → keep the smallest doc_id
+    * per cluster. Returns every doc with its cluster and keep
+    * decision — `filter(col("kept"))` IS the deduped corpus.
+    *
+    * The exact pre-pass (sha-256 hash-groupBy, one shuffle) is the
+    * production shape at 100 TB AND the r14 sf5 attribution fix: a
+    * duplicate-dense corpus (ScaleData's 50× replication; real crawls
+    * are boilerplate-heavy) makes byte-identical copies collide in
+    * ALL 16 bands, so doc-level pair generation emits every duplicate
+    * pair 16× (measured at sf5: 107M pre-dedup pairs for 6.77M real
+    * ones, candidates 13.3 s + verify 11.5 s of the 45 s pipeline)
+    * and then MinHash-verifies texts it could have hashed once.
+    * Hashing first collapses each identical-text cluster to one
+    * representative + O(cluster) star edges; LSH/verify run on
+    * distinct texts only. Components are IDENTICAL: exact copies have
+    * Jaccard 1 ≥ any threshold and identical signatures, so every
+    * doc-level verified edge is absorbed by rep-star + rep-pair
+    * transitivity (and rep-level buckets are smaller, so the pair cap
+    * can only fire LATER — recall never drops). The DuckDB oracle
+    * (doc-level pipeline in SQL) hash-matches unchanged.
     */
   def dedupCorpus(s: SparkSession, docs: DataFrame, jaccardThreshold: Double = 0.8): DataFrame = {
     GraftFunctions.register(s)
     val d = docs.select("doc_id", "text")
-    val bands = d
+    // exact pre-pass: one window shuffle on the text hash; rep = min id
+    val withRep = d
+      .withColumn("rep_id", min("doc_id").over(
+        Window.partitionBy(sha2(col("text"), 256))))
+    val exactEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("doc_id").as("dst"))
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text")
+    // near-dup detection over DISTINCT texts only
+    val bands = reps
       .select(col("doc_id").as("id"), expr("graft_minhash(text, 64, 3)").as("sig"))
       .select(col("id"), posexplode(expr(BandExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val cand = cappedPairs(bands)
-    val edges = cand
-      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+    val nearEdges = cand
+      .join(reps.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(reps.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .filter(expr(s"graft_ngram_jaccard(text_a, text_b, 3) >= $jaccardThreshold"))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comps = ConnectedComponents.run(edges, d.select(col("doc_id").as("id")))
+    val comps = ConnectedComponents.run(
+      exactEdges.unionByName(nearEdges), d.select(col("doc_id").as("id")))
     comps
       .withColumn("kept", col("id") === col("component"))
       .select(col("id").as("doc_id"), col("component"), col("kept"))

@@ -36,8 +36,17 @@ object DedupPipelineProfile {
     val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
       .persist()
     val nDocs = t("load")(d.count())
-    // ---- phase 1: signatures + band explode (the one text scan)
-    val bands = d
+    // ---- phase 0: exact-duplicate pre-pass (the r14 shape)
+    val withRep = d.withColumn("rep_id",
+      min("doc_id").over(org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256))))
+      .persist()
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select("doc_id", "text").persist()
+    val nReps = t("exact-prepass")(reps.count())
+    println(s"STATS reps=$nReps exactDupRows=${nDocs - nReps}")
+    // ---- phase 1: signatures + band explode (distinct texts only)
+    val bands = reps
       .select(col("doc_id").as("id"), expr("graft_minhash(text, 64, 3)").as("sig"))
       .select(col("id"), posexplode(
         expr("transform(sequence(0, 15), b -> slice(sig, b*4+1, 4))")))
@@ -62,21 +71,30 @@ object DedupPipelineProfile {
     }
     sizes.unpersist()
     // ---- phase 2: capped candidate generation
+    // pre-dedup volume: how many times each pair is re-generated when
+    // duplicates agree on every band (the 50×-density multiplier)
+    val preDedup = t("cand-nodedup")(
+      Dedup.cappedPairs(bands, dedup = false).count())
+    println(s"STATS preDedupPairs=$preDedup")
     val cand = Dedup.cappedPairs(bands).persist()
     val nCand = t("candidates")(cand.count())
-    println(s"STATS candidatePairs=$nCand")
+    println(s"STATS candidatePairs=$nCand multiplicity=${
+      if (nCand == 0) 0.0 else preDedup.toDouble / nCand}")
     // ---- phase 3: exact-Jaccard verification (two text joins + expr)
     val edges = cand
-      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .join(reps.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(reps.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .filter(expr("graft_ngram_jaccard(text_a, text_b, 3) >= 0.8"))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .persist()
     val nEdges = t("verify")(edges.count())
     println(f"STATS edges=$nEdges passRate=${
       if (nCand == 0) 0.0 else nEdges.toDouble / nCand}%.4f")
-    // ---- phase 4: connected components (pointer jumping)
-    val comps = ConnectedComponents.run(edges, d.select(col("doc_id").as("id")))
+    // ---- phase 4: connected components over exact + near edges
+    val exactEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("doc_id").as("dst"))
+    val comps = ConnectedComponents.run(
+      exactEdges.unionByName(edges), d.select(col("doc_id").as("id")))
       .persist()
     t("cc")(comps.count())
     // ---- phase 5: keep election + ordered emit (the entry's output)
