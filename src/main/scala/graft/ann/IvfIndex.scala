@@ -217,7 +217,16 @@ object IvfIndex {
   def appendBatch(s: SparkSession, root: String, batch: DataFrame): Int = {
     GraftFunctions.register(s)
     val centRoot = s"$root/centroids"
+    val listRoot = s"$root/lists"
     val centroids = SnapshotTable.read(s, centRoot)
+    // carry the build parameter forward: commit meta is per-commit,
+    // not inherited, so without this every append would leave the
+    // lists HEAD without n_lists and a later drift rebuild (which can
+    // only trigger AFTER an append) would silently retrain at the
+    // fallback list count instead of the built one
+    val nLists = SnapshotTable
+      .commitMeta(s, listRoot, SnapshotTable.currentVersion(s, listRoot))
+      .getOrElse("n_lists", centroids.count().toString)
     // drift check: batch signals vs the build-time baselines; the
     // flag is sticky until the next buildAt so one drifted daily drop
     // cannot be masked by later quiet ones
@@ -231,12 +240,13 @@ object IvfIndex {
       baseMeta.get(P50Key).map(_.toDouble)
         .forall(b => batchP50 < b * CoveredFactor)
     val drifted = p50Drift || hotDrift || needsRebuild(s, root)
-    SnapshotTable.commit(s, s"$root/lists",
+    SnapshotTable.commit(s, listRoot,
       assignToLists(centroids, batch)
         .repartitionByRange(4, col("cid"), col("vec_id")),
       append = true, bloomCols = Seq("cid"),
       meta = Map(BatchP50Key -> f"$batchP50%.6f",
-        BatchHotKey -> f"$batchHot%.6f", RebuildKey -> drifted.toString))
+        BatchHotKey -> f"$batchHot%.6f", RebuildKey -> drifted.toString,
+        "n_lists" -> nLists))
   }
 
   /** Drift-triggered REBUILD over the index's own current corpus —
@@ -245,24 +255,32 @@ object IvfIndex {
     * but [[buildAt]] drops the very tables a lazy read would scan, so
     * the corpus is STAGED first with a distributed parquet write
     * (never a driver collect — O(corpus) executor I/O, O(1) driver),
-    * retrained from the stage, and the stage reclaimed. nLists comes
-    * from the stored build header, so cadence jobs need no
-    * configuration beyond the root.
+    * retrained from the stage, and the stage reclaimed only after the
+    * retrain COMMITS — [[buildAt]] starts by dropping both tables, so
+    * until its commits land the stage is the sole copy of the corpus
+    * and a failed retrain must leave it on disk for the retry (the
+    * next run clears any leftover before re-staging). nLists comes
+    * from the stored header (builds stamp it, appends carry it
+    * forward), so cadence jobs need no configuration beyond the root;
+    * a pre-carry-forward header falls back to the stored centroid
+    * count — the actual list count — never a hardcoded default.
     */
   def rebuildFromLists(s: SparkSession, root: String, lloydIters: Int = 2): Unit = {
     val listRoot = s"$root/lists"
     val v = SnapshotTable.currentVersion(s, listRoot)
     require(v > 0, s"no IVF index at $root")
-    val nLists = SnapshotTable.commitMeta(s, listRoot, v)
-      .getOrElse("n_lists", "16").toInt
+    val nLists = SnapshotTable.commitMeta(s, listRoot, v).get("n_lists")
+      .map(_.toInt)
+      .getOrElse(SnapshotTable.read(s, s"$root/centroids").count().toInt)
     val stage = s"$root/_rebuild_stage"
     val stagePath = new org.apache.hadoop.fs.Path(stage)
     val fs = stagePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(stagePath, true)
     SnapshotTable.read(s, listRoot).select("vec_id", "embedding")
       .write.parquet(stage)
-    try buildAt(s, root, s.read.parquet(stage), nLists, lloydIters)
-    finally { fs.delete(stagePath, true); () }
+    buildAt(s, root, s.read.parquet(stage), nLists, lloydIters)
+    fs.delete(stagePath, true)
+    ()
   }
 
   /** Adapter onto the lake maintenance seam: the nightly

@@ -648,16 +648,31 @@ object Dedup {
     * Jaccard 1 ≥ any threshold and identical signatures, so every
     * doc-level verified edge is absorbed by rep-star + rep-pair
     * transitivity (and rep-level buckets are smaller, so the pair cap
-    * can only fire LATER — recall never drops). The DuckDB oracle
-    * (doc-level pipeline in SQL) hash-matches unchanged.
+    * can only fire LATER — recall never drops). NULL texts are the one
+    * exclusion: the doc-level path never pairs them (null signature,
+    * no bands), so the pre-pass must not hash-group them either. The
+    * DuckDB oracle (doc-level pipeline in SQL) hash-matches unchanged.
     */
   def dedupCorpus(s: SparkSession, docs: DataFrame, jaccardThreshold: Double = 0.8): DataFrame = {
     GraftFunctions.register(s)
     val d = docs.select("doc_id", "text")
-    // exact pre-pass: one window shuffle on the text hash; rep = min id
+    // exact pre-pass: one window shuffle on the text hash; rep = min
+    // id. NULL texts are excluded: the doc-level pipeline gives them
+    // no signature at all (graft_minhash's null propagates, no bands,
+    // never a candidate — each null doc is its own singleton), but
+    // sha2(NULL) is NULL, which a shared key would collapse into ONE
+    // all-nulls partition — every null-text doc declared a duplicate
+    // of every other, and a skew hotspot on a nulls-heavy crawl.
+    // Null docs get a per-doc key ("#" + doc_id, disjoint from 64-hex
+    // digests) so each stays its own representative. Sub-shingle-size
+    // texts stay ELIGIBLE: their shingle set is empty, so the
+    // doc-level path gives them all the same constant signature and
+    // verifies any two at Jaccard union-0 = 1 — exact-hashing
+    // identical ones first is absorbed, same as full-size texts.
+    val hashKey = when(col("text").isNotNull, sha2(col("text"), 256))
+      .otherwise(concat(lit("#"), col("doc_id")))
     val withRep = d
-      .withColumn("rep_id", min("doc_id").over(
-        Window.partitionBy(sha2(col("text"), 256))))
+      .withColumn("rep_id", min("doc_id").over(Window.partitionBy(hashKey)))
     val exactEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("src"), col("doc_id").as("dst"))
     val reps = withRep.filter(col("doc_id") === col("rep_id"))

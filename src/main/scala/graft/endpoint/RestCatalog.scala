@@ -562,6 +562,31 @@ object RestCatalog {
         case class Add(n: String, t: String) extends Change
         case class Widen(n: String, t: String) extends Change
         case class Rename(from: String, to: String) extends Change
+        // the target schema is a column LIST: duplicate names or
+        // duplicate field-ids make it ambiguous — 400 before any
+        // per-entry resolution can half-apply one of the twins
+        val dupNames = want.groupBy(_._2).collect { case (n, es) if es.size > 1 => n }
+        if (dupNames.nonEmpty) {
+          err(ex, 400, s"duplicate field names in target schema: ${
+            dupNames.toSeq.sorted.mkString(", ")}")
+          return
+        }
+        val dupIds = want.flatMap(_._1).groupBy(identity)
+          .collect { case (id, es) if es.size > 1 => id }
+        if (dupIds.nonEmpty) {
+          err(ex, 400, s"duplicate field ids in target schema: ${
+            dupIds.toSeq.sorted.mkString(", ")}")
+          return
+        }
+        // names CLAIMED by an id-matched entry refer to that existing
+        // column even when the entry renames it; a no-id entry whose
+        // name matches a claimed-and-renamed column is therefore a
+        // fresh ADD (Iceberg's rename-a-to-b-plus-new-a shape), not a
+        // reference to the departing column — resolving it against
+        // the frozen pre-request schema would silently no-op the add
+        // or widen a column the rename is about to take away
+        val claimed: Set[String] =
+          want.flatMap(_._1).flatMap(nameOfId.get).toSet
         val changes = want.flatMap { case (idOpt, n, t) =>
           idOpt.flatMap(nameOfId.get) match {
             case Some(oldName) => // field identified by persistent id
@@ -579,7 +604,7 @@ object RestCatalog {
                 }
               rename ++ widen
             case None =>
-              haveMap.get(n) match {
+              haveMap.get(n).filterNot(_ => claimed.contains(n)) match {
                 case None => Seq(Add(n, t))
                 case Some(curT) if curT == t => Seq.empty
                 case Some(curT) if widens(curT, t) => Seq(Widen(n, t))
@@ -983,12 +1008,34 @@ object RestCatalog {
 
   /** The string elements of `"key": ["a", "b", …]` (first occurrence),
     * unescaped. Empty if the key is absent or the array is empty.
+    * Bracket scanning is STRING-AWARE, same as [[jobjBlock]]: a `]`
+    * inside a quoted element (`["weird]key"]`) must not truncate the
+    * array and silently drop the later elements.
     */
   private[graft] def jstrArray(body: String, key: String): Seq[String] = {
-    val arr = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-    arr.findFirstMatchIn(body).toSeq.flatMap { m =>
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+    val open = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\[").r
+    open.findFirstMatchIn(body).toSeq.flatMap { m =>
+      val start = m.end // first char after the opening bracket
+      var i = start
+      var depth = 1
+      var inStr = false
+      while (i < body.length && depth > 0) {
+        val c = body.charAt(i)
+        if (inStr) {
+          if (c == '\\') i += 1 // skip the escaped char
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) Seq.empty
+      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findAllMatchIn(body.substring(start, i - 1))
         .map(g => junescape(g.group(1))).toSeq
     }
   }

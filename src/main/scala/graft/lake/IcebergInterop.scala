@@ -243,14 +243,25 @@ object IcebergInterop {
       "schema" -> schemaJson(fields), "schema-id" -> "0",
       "partition-spec" -> "[]", "partition-spec-id" -> "0",
       "format-version" -> "2")
+    // Positional-delete lines carry no sequence annotation (graft
+    // applies them by file PATH, unconditionally), so e.seq reads 0 —
+    // but Iceberg v2 applies a position delete only to data files
+    // with data_seq <= delete_seq, and data files carry seq >= 1: a 0
+    // exported verbatim would make external engines apply the delete
+    // to NOTHING and resurrect every MoR-deleted row. Stamp them at /
+    // above every visible sequence instead — the (path, pos) content
+    // still scopes the effect to exactly the referenced files.
+    val posDeleteSeq: Long =
+      math.max(v.toLong, entries.map(_.seq).maxOption.getOrElse(0L))
     def entryRec(e: SnapshotTable.LineEntry): GenericRecord = {
       val canonPath = SnapshotTable.canon(s, e.path)
       val added = !prevFiles.contains(canonPath)
       val r = new GenericData.Record(entrySchema)
       r.put("status", if (added) 1 else 0) // 1 ADDED, 0 EXISTING
       r.put("snapshot_id", if (added) java.lang.Long.valueOf(v.toLong) else null)
-      r.put("sequence_number", java.lang.Long.valueOf(e.seq))
-      r.put("file_sequence_number", java.lang.Long.valueOf(e.seq))
+      val seq = if (e.kind == 1) posDeleteSeq else e.seq
+      r.put("sequence_number", java.lang.Long.valueOf(seq))
+      r.put("file_sequence_number", java.lang.Long.valueOf(seq))
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", e.kind)
       df.put("file_path", canonPath)
@@ -333,7 +344,13 @@ object IcebergInterop {
     if (mfs.exists(metaPath)) {
       val in = mfs.open(metaPath)
       val cached = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      return (metaPath.toString, cached)
+      // a cached file from the PRE-Avro renderer points "manifest-list"
+      // at graft's text manifest — serving it verbatim advertises a
+      // chain no external engine can read. Regenerate those once;
+      // immutability resumes for everything this renderer wrote.
+      val preAvro = """"manifest-list":"([^"]+)"""".r
+        .findAllMatchIn(cached).exists(!_.group(1).endsWith(".avro"))
+      if (!preAvro) return (metaPath.toString, cached)
     }
     val fields = fieldsOf(s, loc, v)
     val snapshots = (1 to v).flatMap { sv =>

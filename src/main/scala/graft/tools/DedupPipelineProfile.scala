@@ -37,9 +37,11 @@ object DedupPipelineProfile {
       .persist()
     val nDocs = t("load")(d.count())
     // ---- phase 0: exact-duplicate pre-pass (the r14 shape)
+    val hashKey = when(col("text").isNotNull, sha2(col("text"), 256))
+      .otherwise(concat(lit("#"), col("doc_id")))
     val withRep = d.withColumn("rep_id",
       min("doc_id").over(org.apache.spark.sql.expressions.Window
-        .partitionBy(sha2(col("text"), 256))))
+        .partitionBy(hashKey)))
       .persist()
     val reps = withRep.filter(col("doc_id") === col("rep_id"))
       .select("doc_id", "text").persist()

@@ -38,4 +38,36 @@ class DedupPipelineSpec extends SparkSpec {
     // no injected doc survives
     assert(out.filter(_._3).forall(_._1 < 10000))
   }
+
+  test("degenerate texts keep doc-level semantics: identical shorts merge, nulls stay singletons") {
+    // a text below the shingle size gets ONE shingle — the hash of the
+    // whole text (HashExprs.shingleHashes) — so the doc-level pipeline
+    // (and the DuckDB oracle) merges identical short texts (Jaccard 1)
+    // and keeps different ones apart (Jaccard 0): exact-equality
+    // semantics the sha-256 pre-pass reproduces bit-for-bit. NULL
+    // texts have no signature at all in the doc-level path (null
+    // propagates, no bands), so each must stay its own singleton — an
+    // ungated sha2 pre-pass would collapse them into one giant
+    // all-nulls cluster instead.
+    val corpus = Seq(
+      (1L, "ab"), (2L, "ab"),           // identical, below 3-gram size
+      (3L, ""), (4L, "xy"),             // different, still sub-size
+      (5L, null.asInstanceOf[String]),  // nulls
+      (6L, null.asInstanceOf[String]),
+      (7L, "a perfectly ordinary document long enough to shingle")
+    ).toDF("doc_id", "text")
+    val out = dedup.Dedup.dedupCorpus(spark, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 7)
+    val byId = out.map(t => t._1 -> t).toMap
+    // the identical pair merges, min id kept
+    assert(byId(1L)._2 === 1L && byId(1L)._3)
+    assert(byId(2L)._2 === 1L && !byId(2L)._3, "identical short texts must merge")
+    // everything else — different shorts, nulls, the real doc — is
+    // its own kept singleton
+    Seq(3L, 4L, 5L, 6L, 7L).foreach { id =>
+      assert(byId(id)._2 === id, s"doc $id must be its own component")
+      assert(byId(id)._3, s"doc $id must be kept")
+    }
+  }
 }

@@ -122,6 +122,40 @@ class IcebergInteropSpec extends SparkSpec {
     val ids = eqRec.get("equality_ids").asInstanceOf[java.util.Collection[Integer]]
     val userFieldId = SnapshotTable.fieldIds(spark, root, v)("user")
     assert(ids.size == 1 && ids.iterator.next() == userFieldId, ids.toString)
+    // Iceberg applies a position delete only to data files with
+    // data_seq <= delete_seq — graft's pos-delete lines carry no seq
+    // annotation, so the export must stamp them AT/ABOVE every data
+    // sequence or external engines resurrect the deleted rows
+    val dataManifest = manifests.find(_._2 == 0).get._1
+    val maxDataSeq = IcebergInterop.readAvro(conf, dataManifest)
+      .map(_.get("sequence_number").asInstanceOf[Long]).max
+    byContent(1).foreach { r =>
+      assert(r.get("sequence_number").asInstanceOf[Long] >= maxDataSeq,
+        "positional delete sequence must cover every visible data file")
+    }
+  }
+
+  test("pre-Avro cached metadata.json is regenerated, not served verbatim") {
+    val root = "/tmp/graft_test/ice_stale_cache"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // plant a metadata file from the OLD renderer: its manifest-list
+    // points at graft's text manifest, which no external engine reads
+    val stale = new Path(s"$root/_iceberg/v1.metadata.json")
+    val fs = stale.getFileSystem(conf)
+    fs.mkdirs(stale.getParent)
+    val out = fs.create(stale, true)
+    out.write(
+      s"""{"format-version":2,"current-snapshot-id":1,"snapshots":[{"snapshot-id":1,"manifest-list":"$root/_manifests/v1.manifest"}]}"""
+        .getBytes("UTF-8"))
+    out.close()
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 1)
+    val list = listOf(metaJson, 1)
+    assert(list.endsWith(".avro"), s"regenerated chain must be Avro: $list")
+    assert(IcebergInterop.readManifestList(conf, list).nonEmpty)
+    // and the regenerated file is now the durable cache
+    val (_, again) = IcebergInterop.writeMetadata(spark, root, 1)
+    assert(again === metaJson)
   }
 
   test("field ids persist across rename and add; metadata.json serves them") {

@@ -94,8 +94,11 @@ class IvfDriftSpec extends SparkSpec {
     val policy = Maintenance.Policy(
       orphanGraceMs = 0, indexes = Seq(IvfIndex.maintenanceStage(mroot)))
 
+    // nLists deliberately != any fallback: the rebuild must retrain at
+    // the BUILT list count, which it can only know if appends carry
+    // the n_lists header forward to the lists HEAD it reads
     IvfIndex.buildAt(spark, mroot, vecs.filter(col("vec_id") % 2 === 0),
-      nLists = 16, lloydIters = 2)
+      nLists = 8, lloydIters = 2)
     // quiet index: the nightly run must NOT rebuild
     val quiet = Maintenance.run(spark, tbl, policy)
     assert(quiet.indexesRebuilt.isEmpty, quiet.toString)
@@ -104,6 +107,10 @@ class IvfDriftSpec extends SparkSpec {
     IvfIndex.appendBatch(spark, mroot,
       clustered(vecs.filter(col("vec_id") % 2 === 1), 1000000L))
     assert(IvfIndex.needsRebuild(spark, mroot))
+    // the append carried the build parameter to the head it created
+    val headMeta = SnapshotTable.commitMeta(spark, s"$mroot/lists",
+      SnapshotTable.currentVersion(spark, s"$mroot/lists"))
+    assert(headMeta.get("n_lists") === Some("8"), headMeta.toString)
     assert(Maintenance.plan(spark, tbl, policy).indexesRebuilt === Seq(mroot))
     assert(IvfIndex.needsRebuild(spark, mroot), "plan must not rebuild")
 
@@ -115,6 +122,13 @@ class IvfDriftSpec extends SparkSpec {
     // the rebuilt index still holds every vector ever appended
     val held = SnapshotTable.read(spark, s"$mroot/lists").count()
     assert(held === vecs.count(), s"rebuild must preserve the corpus ($held)")
+    // ...retrained at the built list count, not a fallback default
+    assert(SnapshotTable.read(spark, s"$mroot/centroids").count() === 8L,
+      "drift rebuild must reuse the built n_lists")
+    // and the staged corpus copy was reclaimed after the commit landed
+    val stagePath = new org.apache.hadoop.fs.Path(s"$mroot/_rebuild_stage")
+    assert(!stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(stagePath), "successful rebuild reclaims its stage")
     // post-rebuild the shifted distribution is covered: same-shape
     // batch stays quiet, and the next run is a no-op again
     IvfIndex.appendBatch(spark, mroot,

@@ -617,6 +617,58 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(cD == 200)
   }
 
+  test("add-schema rename-plus-reuse resolves against the POST-rename schema") {
+    import spark.implicits._
+    val loc = s"$tableArea/wire_reuse"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq((1L, 1.5f)).toDF("id", "x"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_reuse","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_reuse"
+    def schemaBody(fields: String) =
+      s"""{"requirements":[],"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[$fields]}},
+         |{"action":"set-current-schema","schema-id":-1}]}""".stripMargin
+    val v0 = SnapshotTable.currentVersion(spark, loc)
+    // Iceberg's rename-x-to-y-plus-new-x shape: the no-id "x" entry is
+    // a fresh ADD of a name the rename just freed LOGICALLY but still
+    // occupies physically — refused whole, version unchanged. The
+    // frozen-schema resolution this pins against used to treat "x" as
+    // the departing column: same type silently dropped the add (200
+    // without the column), a widening type half-committed the rename
+    // then threw mid-apply
+    val (c1, r1) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"y","required":false,"type":"float"},
+        |{"name":"x","required":false,"type":"float"}""".stripMargin))
+    assert(c1 == 400 && r1.contains("physical"), r1)
+    assert(SnapshotTable.currentVersion(spark, loc) === v0,
+      "refused rename+reuse must not half-commit")
+    val (c2, r2) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"y","required":false,"type":"float"},
+        |{"name":"x","required":false,"type":"double"}""".stripMargin))
+    assert(c2 == 400 && r2.contains("physical"), r2)
+    assert(SnapshotTable.currentVersion(spark, loc) === v0,
+      "refused rename+widen-reuse must not half-commit")
+    assert(SnapshotTable.read(spark, loc).columns.toSeq === Seq("id", "x"),
+      "schema untouched after both refusals")
+    // ambiguous target schemas: duplicate field ids / names are 400
+    val (c3, r3) = RestCatalog.post(port, base, schemaBody(
+      """{"id":2,"name":"y","required":false,"type":"float"},
+        |{"id":2,"name":"z","required":false,"type":"float"},
+        |{"id":1,"name":"id","required":false,"type":"long"}""".stripMargin))
+    assert(c3 == 400 && r3.contains("duplicate field ids"), r3)
+    val (c4, r4) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"x","required":false,"type":"float"},
+        |{"name":"x","required":false,"type":"float"}""".stripMargin))
+    assert(c4 == 400 && r4.contains("duplicate field names"), r4)
+    assert(SnapshotTable.currentVersion(spark, loc) === v0)
+    val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_reuse")
+    assert(cD == 200)
+  }
+
   test("set/remove-properties ride updateTable; properties inherit + time-travel") {
     import spark.implicits._
     val loc = s"$tableArea/props"
@@ -684,6 +736,18 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (c2, r2) = RestCatalog.get(port, base)
     assert(c2 == 200 && r2.contains("\"retries\":\"3\"") &&
       r2.contains("""say \"hi\""""), r2)
+    // remove-properties: a `]` inside a quoted key must not truncate
+    // the removals array and silently drop the later elements
+    val (c3, r3) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-properties","updates":{"weird]key":"1"}}]}""")
+    assert(c3 == 200, r3)
+    val (c4, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"remove-properties","removals":["weird]key","retries"]}]}""")
+    assert(c4 == 200)
+    val left = SnapshotTable.properties(spark, loc,
+      SnapshotTable.currentVersion(spark, loc))
+    assert(!left.contains("weird]key") && !left.contains("retries") &&
+      left.contains("template"), left.toString)
     val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_props_esc")
     assert(cD == 200)
   }
