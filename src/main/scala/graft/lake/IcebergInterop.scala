@@ -34,14 +34,15 @@ import org.apache.spark.sql.SparkSession
   * existence check, and a 100k-commit table pays only for versions a
   * client actually loads.
   *
-  * Documented deltas (README): the partition spec is exported as
-  * unpartitioned (partition values live in graft's manifest
-  * annotations; scans stay correct, external engines lose partition
-  * pruning), data/delete parquet files carry no Iceberg parquet
-  * field-ids (engines fall back to name mapping — renames ride the
-  * column-mapping export, [[DeltaInterop]]), and bounds/stats columns
-  * are omitted from the Avro entries (graft keeps them in its own
-  * manifest annotations).
+  * Hidden day(source) partitioning exports as a REAL day partition
+  * spec (spec-id 1, field-id 1000, per-file date values from the
+  * manifest's `_graft_day` annotations) so external engines keep
+  * partition pruning; stats-annotated columns export as
+  * `lower_bounds`/`upper_bounds` (spec Appendix D single-value
+  * binary) so they keep file skipping. Documented delta (README):
+  * data/delete parquet files carry no Iceberg parquet field-ids —
+  * engines fall back to name mapping (renames ride the column-mapping
+  * export, [[DeltaInterop]]).
   */
 object IcebergInterop {
 
@@ -73,32 +74,60 @@ object IcebergInterop {
       |]}""".stripMargin
 
   /** manifest entry: one row per data/delete file. The `partition`
-    * struct is empty — spec-id 0 is exported unpartitioned.
+    * struct is parameterized: the empty shape is the unpartitioned
+    * spec-0 record; a day-partitioned table's data manifest carries
+    * one optional date field (partition field-ids start at 1000, spec
+    * §Partition Evolution). `lower_bounds`/`upper_bounds` are
+    * Iceberg's field-id-keyed binary bound maps — Avro renders an
+    * int-keyed map as an array of key/value records (the k126_v127 /
+    * k129_v130 names are the spec's own convention).
     */
-  private val EntrySchemaJson =
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |{"name":"content","type":"int","field-id":134},
-      |{"name":"file_path","type":"string","field-id":100},
-      |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104},
-      |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
-      |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
-      |]},"field-id":2}
-      |]}""".stripMargin
+  private def entrySchemaJson(partFields: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+       |{"name":"content","type":"int","field-id":134},
+       |{"name":"file_path","type":"string","field-id":100},
+       |{"name":"file_format","type":"string","field-id":101},
+       |{"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+       |{"name":"record_count","type":"long","field-id":103},
+       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+       |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+       |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+       |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+       |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+       |]},"field-id":2}
+       |]}""".stripMargin
+
+  /** The one hidden-partitioning transform the engine writes
+    * ([[SnapshotTable.commitPartitionedByDay]]): day(`source`). Its
+    * partition struct field, result type date.
+    */
+  private def dayPartFieldJson(name: String): String =
+    s"""{"name":${jstr(name)},"type":["null",{"type":"int","logicalType":"date"}],"default":null,"field-id":1000}"""
+
+  /** The day-spec `fields` array: metadata.json's partition-specs[1]
+    * and the data manifest's "partition-spec" metadata key.
+    */
+  private def daySpecFieldsJson(source: String, sourceId: Int): String =
+    s"""[{"name":${jstr(source + "_day")},"transform":"day","source-id":$sourceId,"field-id":1000}]"""
 
   private lazy val listSchema = new Schema.Parser().parse(ListSchemaJson)
-  private lazy val entrySchema = new Schema.Parser().parse(EntrySchemaJson)
-  private lazy val dataFileSchema = entrySchema.getField("data_file").schema()
-  private lazy val partitionSchema = dataFileSchema.getField("partition").schema()
-  private lazy val eqIdsSchema = // the non-null branch of the union
-    dataFileSchema.getField("equality_ids").schema().getTypes.get(1)
+  private val entrySchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private def entrySchemaOf(dayField: Option[String]): Schema = {
+    val json = entrySchemaJson(dayField.fold("")(dayPartFieldJson))
+    entrySchemaCache.computeIfAbsent(json, new Schema.Parser().parse(_))
+  }
+  private def dataFileSchemaOf(entry: Schema): Schema =
+    entry.getField("data_file").schema()
+  private def boundsItemSchemaOf(df: Schema, field: String): Schema =
+    df.getField(field).schema().getTypes.get(1).getElementType
+  private def eqIdsSchemaOf(df: Schema): Schema = // non-null union branch
+    df.getField("equality_ids").schema().getTypes.get(1)
 
   // ----- shared JSON/type rendering ----------------------------------
 
@@ -127,6 +156,45 @@ object IcebergInterop {
       case "timestamp_ntz" => "timestamp"
       case other => other // int, string, double, float, boolean, date, binary
     }
+  }
+
+  /** Iceberg single-value binary serialization of one per-file column
+    * bound, read from graft's manifest stats annotations
+    * ([[SnapshotTable]] `_min_/_max_` as doubles in catalyst-internal
+    * units, `_smin_/_smax_` as Base64 UTF-8 bytes — spec Appendix D:
+    * little-endian numerics, raw UTF-8 for strings). Integral values
+    * a double cannot hold exactly are widened OUTWARD (floor past the
+    * next-down for lower, ceil past the next-up for upper): a bound
+    * may be loose, never wrong — a planner skipping on a too-tight
+    * bound would drop live rows. Types graft keeps only in its own
+    * annotations (decimal) yield no exported bound.
+    */
+  private def boundBuf(
+      icebergT: String, annots: Map[String, String], phys: String,
+      lower: Boolean): Option[java.nio.ByteBuffer] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    if (icebergT == "string")
+      annots.get(if (lower) s"_smin_$phys" else s"_smax_$phys")
+        .map(b => ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b)))
+    else annots.get(if (lower) s"_min_$phys" else s"_max_$phys")
+      .map(_.toDouble).flatMap { v =>
+        def longVal: Long =
+          if (v == math.rint(v) && math.abs(v) < 9007199254740992.0) v.toLong
+          else if (lower) math.floor(Math.nextDown(v)).toLong
+          else math.ceil(Math.nextUp(v)).toLong
+        icebergT match {
+          case "int" | "date" =>
+            Some(le(4).putInt(longVal.toInt).flip().asInstanceOf[ByteBuffer])
+          case "long" | "timestamp" | "timestamptz" =>
+            Some(le(8).putLong(longVal).flip().asInstanceOf[ByteBuffer])
+          case "float" =>
+            Some(le(4).putFloat(v.toFloat).flip().asInstanceOf[ByteBuffer])
+          case "double" =>
+            Some(le(8).putDouble(v).flip().asInstanceOf[ByteBuffer])
+          case _ => None
+        }
+      }
   }
 
   /** A stable table uuid derived from the location: the registry has
@@ -212,6 +280,16 @@ object IcebergInterop {
         r.get("status").asInstanceOf[Int], df.get("record_count").asInstanceOf[Long])
     }
 
+  /** (file_path, sequence_number) rows of a manifest file — what a
+    * v2 reader needs to scope delete application (pos-delete covers
+    * data files with data_seq <= delete_seq).
+    */
+  private[graft] def readManifestSeqs(c: Configuration, path: String): Seq[(String, Long)] =
+    readAvro(c, path).map { r =>
+      (r.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString,
+        r.get("sequence_number").asInstanceOf[Long])
+    }
+
   // ----- export -------------------------------------------------------
 
   private def listPath(root: String, v: Int) =
@@ -235,13 +313,30 @@ object IcebergInterop {
         .map(_.map(e => SnapshotTable.canon(s, e.path)).toSet)
         .getOrElse(Set.empty)
     val fields = fieldsOf(s, root, v)
-    val eqIdOf: Map[String, Int] = { // PHYSICAL column name -> field id
-      val mapping = SnapshotTable.columnMapping(s, root, v)
+    val mapping = SnapshotTable.columnMapping(s, root, v)
+    val eqIdOf: Map[String, Int] = // PHYSICAL column name -> field id
       fields.map { case (id, n, _) => mapping.getOrElse(n, n) -> id }.toMap
-    }
-    val manifestMeta = Map(
+    // per-file manifest annotations (stats bounds, partition values;
+    // PHYSICAL column keys) — data files only, metadata-sized
+    val annotsOf: Map[String, Map[String, String]] =
+      SnapshotTable.dataFilesWithPartitions(s, root, v)
+        .map { case (p, m) => SnapshotTable.canon(s, p) -> m }.toMap
+    // hidden day(source) partitioning exports as a REAL day spec:
+    // spec-id 1 with one date field (ids from 1000), per-file values
+    // from the _graft_day annotation — external engines get partition
+    // pruning back. Delete manifests stay spec 0: graft's row-level
+    // deletes are not partition-scoped.
+    val partSource = SnapshotTable.commitMeta(s, root, v).get("partition")
+    val dayFieldName = partSource.map(_ + "_day")
+    val dataEntrySchema = entrySchemaOf(dayFieldName)
+    val delEntrySchema = entrySchemaOf(None)
+    val dataSpecId = if (partSource.isDefined) 1 else 0
+    val sourceIdOf = fields.map { case (id, n, _) => n -> id }.toMap
+    val dataSpecFields = partSource.fold("[]")(src =>
+      daySpecFieldsJson(src, sourceIdOf.getOrElse(src, 0)))
+    def manifestMeta(specFields: String, specId: Int) = Map(
       "schema" -> schemaJson(fields), "schema-id" -> "0",
-      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "partition-spec" -> specFields, "partition-spec-id" -> specId.toString,
       "format-version" -> "2")
     // Positional-delete lines carry no sequence annotation (graft
     // applies them by file PATH, unconditionally), so e.seq reads 0 —
@@ -254,26 +349,58 @@ object IcebergInterop {
     val posDeleteSeq: Long =
       math.max(v.toLong, entries.map(_.seq).maxOption.getOrElse(0L))
     def entryRec(e: SnapshotTable.LineEntry): GenericRecord = {
+      val isData = e.kind == 0
+      val schema = if (isData) dataEntrySchema else delEntrySchema
+      val dfSchema = dataFileSchemaOf(schema)
       val canonPath = SnapshotTable.canon(s, e.path)
       val added = !prevFiles.contains(canonPath)
-      val r = new GenericData.Record(entrySchema)
+      val r = new GenericData.Record(schema)
       r.put("status", if (added) 1 else 0) // 1 ADDED, 0 EXISTING
       r.put("snapshot_id", if (added) java.lang.Long.valueOf(v.toLong) else null)
       val seq = if (e.kind == 1) posDeleteSeq else e.seq
       r.put("sequence_number", java.lang.Long.valueOf(seq))
       r.put("file_sequence_number", java.lang.Long.valueOf(seq))
-      val df = new GenericData.Record(dataFileSchema)
+      val df = new GenericData.Record(dfSchema)
       df.put("content", e.kind)
       df.put("file_path", canonPath)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(partitionSchema))
+      val annots =
+        if (isData) annotsOf.getOrElse(canonPath, Map.empty[String, String])
+        else Map.empty[String, String]
+      val part = new GenericData.Record(dfSchema.getField("partition").schema())
+      if (isData) dayFieldName.foreach { fn =>
+        // a file committed through the unpartitioned path on a later-
+        // partitioned table has no day annotation: null partition value
+        part.put(fn, annots.get("_graft_day").map(d =>
+          Integer.valueOf(java.time.LocalDate.parse(d).toEpochDay.toInt)).orNull)
+      }
+      df.put("partition", part)
       df.put("record_count", java.lang.Long.valueOf(e.rows))
       df.put("file_size_in_bytes", java.lang.Long.valueOf(
         new Path(e.path).getFileSystem(c).getFileStatus(new Path(e.path)).getLen))
+      def boundsArr(field: String, lower: Boolean): AnyRef =
+        if (!isData) null
+        else {
+          val item = boundsItemSchemaOf(dfSchema, field)
+          val kvs: Seq[GenericRecord] = fields.flatMap { case (id, n, t) =>
+            boundBuf(t, annots, mapping.getOrElse(n, n), lower).map { buf =>
+              val kv = new GenericData.Record(item)
+              kv.put("key", Integer.valueOf(id))
+              kv.put("value", buf)
+              kv: GenericRecord
+            }
+          }
+          if (kvs.isEmpty) null
+          else new GenericData.Array[GenericRecord](
+            dfSchema.getField(field).schema().getTypes.get(1),
+            java.util.Arrays.asList(kvs: _*))
+        }
+      df.put("lower_bounds", boundsArr("lower_bounds", lower = true))
+      df.put("upper_bounds", boundsArr("upper_bounds", lower = false))
       df.put("equality_ids",
         if (e.kind != 2) null
         else {
-          val ids = new GenericData.Array[Integer](eqIdsSchema,
+          val ids = new GenericData.Array[Integer](eqIdsSchemaOf(dfSchema),
             java.util.Arrays.asList(e.eqCols.flatMap(eqIdOf.get)
               .map(Integer.valueOf): _*))
           ids
@@ -282,7 +409,7 @@ object IcebergInterop {
       r.put("data_file", df)
       r
     }
-    def listRec(path: Path, length: Long, content: Int,
+    def listRec(path: Path, length: Long, content: Int, specId: Int,
         recs: Seq[GenericRecord]): GenericRecord = {
       val (added, existing) = recs.partition(_.get("status") == 1)
       def rows(rs: Seq[GenericRecord]) = rs.map(
@@ -292,7 +419,7 @@ object IcebergInterop {
       val m = new GenericData.Record(listSchema)
       m.put("manifest_path", path.toString)
       m.put("manifest_length", java.lang.Long.valueOf(length))
-      m.put("partition_spec_id", 0)
+      m.put("partition_spec_id", specId)
       m.put("content", content)
       m.put("sequence_number", java.lang.Long.valueOf(v.toLong))
       m.put("min_sequence_number",
@@ -310,16 +437,16 @@ object IcebergInterop {
     val (delEntries, dataEntries) = entries.partition(_.kind > 0)
     val dataRecs = dataEntries.map(entryRec)
     val dataManifest = new Path(s"$root/_iceberg/v$v-m0.avro")
-    val dataLen = writeAvro(c, dataManifest, entrySchema,
-      manifestMeta + ("content" -> "data"), dataRecs)
+    val dataLen = writeAvro(c, dataManifest, dataEntrySchema,
+      manifestMeta(dataSpecFields, dataSpecId) + ("content" -> "data"), dataRecs)
     val listRecs = Seq.newBuilder[GenericRecord]
-    listRecs += listRec(dataManifest, dataLen, 0, dataRecs)
+    listRecs += listRec(dataManifest, dataLen, 0, dataSpecId, dataRecs)
     if (delEntries.nonEmpty) {
       val delRecs = delEntries.map(entryRec)
       val delManifest = new Path(s"$root/_iceberg/v$v-d0.avro")
-      val delLen = writeAvro(c, delManifest, entrySchema,
-        manifestMeta + ("content" -> "deletes"), delRecs)
-      listRecs += listRec(delManifest, delLen, 1, delRecs)
+      val delLen = writeAvro(c, delManifest, delEntrySchema,
+        manifestMeta("[]", 0) + ("content" -> "deletes"), delRecs)
+      listRecs += listRec(delManifest, delLen, 1, 0, delRecs)
     }
     writeAvro(c, lp, listSchema,
       Map("format-version" -> "2", "snapshot-id" -> v.toString,
@@ -363,12 +490,25 @@ object IcebergInterop {
         }.toOption
       }
     }
+    // a day-partitioned table serves its real spec (spec-id 1, the
+    // data manifests' declared spec); spec 0 stays for delete
+    // manifests and pre-partitioning history
+    val partSource = SnapshotTable.commitMeta(s, loc, v).get("partition")
+    val specsJson = partSource match {
+      case Some(src) =>
+        val srcId = fields.collectFirst { case (id, n, _) if n == src => id }.getOrElse(0)
+        s"""[{"spec-id":0,"fields":[]},{"spec-id":1,"fields":${
+          daySpecFieldsJson(src, srcId)}}]"""
+      case None => """[{"spec-id":0,"fields":[]}]"""
+    }
+    val defaultSpecId = if (partSource.isDefined) 1 else 0
+    val lastPartitionId = if (partSource.isDefined) 1000 else 999
     val metadata =
       s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${
         jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${
         SnapshotTable.committedAt(s, loc, v)},"last-column-id":${
         fields.map(_._1).maxOption.getOrElse(0)},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[${
-        schemaJson(fields)}],"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],"last-partition-id":999,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
+        schemaJson(fields)}],"default-spec-id":$defaultSpecId,"partition-specs":$specsJson,"last-partition-id":$lastPartitionId,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
         SnapshotTable.properties(s, loc, v).toSeq.sorted
           .map { case (k, pv) => s"${jstr(k)}:${jstr(pv)}" }
           .mkString("{", ",", "}")

@@ -1345,17 +1345,24 @@ object LakeOps {
     * manifest-list, walk Avro manifest-list → Avro manifests with the
     * plain avro library, scan the listed data parquet files, and
     * apply the positional-delete manifest the way an external v2
-    * reader would (anti-join on (file_path, row position)). The hash
-    * gate therefore certifies what a foreign Iceberg engine would
-    * see, including merge-on-read delete semantics.
+    * reader would: suppress (file_path, row position) rows of data
+    * files with data_seq <= delete_seq — the spec's sequence scoping,
+    * exercised, not skipped. The source table commits through hidden
+    * day(ts) partitioning, so the export carries the real day spec +
+    * per-file partition values. The hash gate therefore certifies
+    * what a foreign Iceberg engine would see, including merge-on-read
+    * delete and partition-spec semantics.
     */
   def exportIceberg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val root = scratch(dir, "iceberg_export_src")
     clean(s, root)
     val ev = events(s, dir)
       .select("event_id", "ts", "event_type", "value")
-    SnapshotTable.commit(s, root, ev.filter(dayofmonth(col("ts")) <= 15))
-    SnapshotTable.commitAppend(s, root, ev.filter(dayofmonth(col("ts")) > 15))
+    // hidden day(ts) partitioning: the export must render the REAL
+    // day spec + per-file partition values, not an unpartitioned stub
+    SnapshotTable.commitPartitionedByDay(s, root, ev.filter(dayofmonth(col("ts")) <= 15), "ts")
+    SnapshotTable.commitPartitionedByDay(s, root, ev.filter(dayofmonth(col("ts")) > 15), "ts")
     // a MoR delete so the export carries a DELETES manifest too
     SnapshotTable.deleteWhereMor(s, root, col("event_type") === "click")
     val (metaPath, metaJson) = IcebergInterop.writeMetadata(
@@ -1368,23 +1375,41 @@ object LakeOps {
       ",[^{]*\"manifest-list\":\"([^\"]+)\"").r
       .findFirstMatchIn(metaJson).get.group(1)
     val manifests = IcebergInterop.readManifestList(c, listPath)
-    def livePaths(content: Int): Seq[String] = manifests
+    def live(content: Int): Seq[(String, Long)] = manifests
       .filter(_._2 == content)
-      .flatMap { case (mp, _) => IcebergInterop.readManifest(c, mp) }
-      .filter(e => e._3 != 2) // entry status DELETED
-      .filter(_._2 == content) // file content: 0 data, 1 pos-deletes
-      .map(_._1)
-    val dataPaths = livePaths(0)
-    val delPaths = livePaths(1)
-    require(delPaths.nonEmpty, "the MoR delete must export a deletes manifest")
-    val data = s.read.parquet(dataPaths: _*)
+      .flatMap { case (mp, _) =>
+        val statusOf = IcebergInterop.readManifest(c, mp)
+          .map(e => e._1 -> e._3).toMap
+        IcebergInterop.readManifestSeqs(c, mp)
+          .filter { case (p, _) => statusOf(p) != 2 } // status DELETED
+      }
+    val dataSeqs = live(0)
+    val delSeqs = live(1)
+    require(delSeqs.nonEmpty, "the MoR delete must export a deletes manifest")
+    // manifest entries carry canon URIs (file:///x); Spark's
+    // _metadata.file_path prints Hadoop Path form (file:/x) —
+    // normalize the manifest side to Path form before keying on it
+    val pathForm = dataSeqs.map { case (p, q) =>
+      (new org.apache.hadoop.fs.Path(p).toString, q)
+    }
+    val data = s.read.parquet(dataSeqs.map(_._1): _*)
       .withColumn("_fp", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
-    // positional deletes, Iceberg v2 read semantics: suppress
-    // (file_path, pos); the delete set is tiny → broadcast anti-join
-    val dels = broadcast(s.read.parquet(delPaths: _*))
+      .join(broadcast(pathForm.toDF("_fp", "_data_seq")), Seq("_fp"))
+    // positional deletes, FULL Iceberg v2 read semantics: a delete
+    // file suppresses (file_path, pos) rows of data files with
+    // data_seq <= delete_seq — the sequence scoping is load-bearing
+    // here, not decorative: pos-delete entries carry no engine seq
+    // annotation, so an export stamping them 0 would pass an
+    // unconditional anti-join and still resurrect every deleted row
+    // in a real external engine. The delete set is tiny → broadcast.
+    val dels = broadcast(delSeqs.map(_._1).map(p =>
+        s.read.parquet(p).withColumn("_del_seq",
+          lit(delSeqs.toMap.apply(p))))
+      .reduce(_ unionByName _))
     data.join(dels,
-        data("_fp") === dels("file_path") && data("_pos") === dels("pos"),
+        data("_fp") === dels("file_path") && data("_pos") === dels("pos") &&
+          data("_data_seq") <= dels("_del_seq"),
         "left_anti")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))

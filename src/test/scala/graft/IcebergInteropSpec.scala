@@ -158,6 +158,105 @@ class IcebergInteropSpec extends SparkSpec {
     assert(again === metaJson)
   }
 
+  test("stats-annotated columns export as spec-encoded lower/upper bounds") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_test/ice_bounds"
+    SnapshotTable.drop(spark, root)
+    val df = (1 to 400).map(k =>
+      (k.toLong, k * 0.5, f"name_$k%03d", java.sql.Date.valueOf("2024-01-01").toLocalDate.plusDays(k % 30).toString))
+      .toDF("id", "score", "label", "d")
+      .withColumn("d", to_date(col("d")))
+    SnapshotTable.commit(spark, root, df.repartition(4),
+      statsCols = Seq("id", "score", "label", "d"))
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 1)
+    val manifest = IcebergInterop.readManifestList(conf, listOf(metaJson, 1)).head._1
+    val entries = IcebergInterop.readAvro(conf, manifest)
+    assert(entries.nonEmpty)
+    val ids = SnapshotTable.fieldIds(spark, root, 1)
+    def bounds(r: GenericRecord, which: String): Map[Int, Array[Byte]] = {
+      import scala.jdk.CollectionConverters._
+      r.get("data_file").asInstanceOf[GenericRecord].get(which)
+        .asInstanceOf[java.util.Collection[GenericRecord]].asScala.map { kv =>
+          val buf = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+          val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+          kv.get("key").asInstanceOf[Int] -> bytes
+        }.toMap
+    }
+    def le(b: Array[Byte]) =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // per-file bounds must bracket (here: equal) the file's true
+    // min/max — checked against a raw parquet scan of each file,
+    // Iceberg Appendix D decoding: long/double little-endian, string
+    // raw UTF-8, date int days
+    entries.foreach { e =>
+      val path = e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+      val lo = bounds(e, "lower_bounds"); val hi = bounds(e, "upper_bounds")
+      val agg = spark.read.parquet(path).agg(
+        min("id"), max("id"), min("score"), max("score"),
+        min("label"), max("label"),
+        date_format(min("d"), "yyyy-MM-dd"), // string: stable across
+        date_format(max("d"), "yyyy-MM-dd")  // java8/legacy date API
+      ).collect()(0)
+      assert(le(lo(ids("id"))).getLong === agg.getLong(0))
+      assert(le(hi(ids("id"))).getLong === agg.getLong(1))
+      assert(le(lo(ids("score"))).getDouble === agg.getDouble(2))
+      assert(le(hi(ids("score"))).getDouble === agg.getDouble(3))
+      assert(new String(lo(ids("label")), "UTF-8") === agg.getString(4))
+      assert(new String(hi(ids("label")), "UTF-8") === agg.getString(5))
+      assert(le(lo(ids("d"))).getInt ===
+        java.time.LocalDate.parse(agg.getString(6)).toEpochDay.toInt)
+      assert(le(hi(ids("d"))).getInt ===
+        java.time.LocalDate.parse(agg.getString(7)).toEpochDay.toInt)
+    }
+  }
+
+  test("day-partitioned tables export the real day spec + per-file partition values") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_test/ice_partspec"
+    SnapshotTable.drop(spark, root)
+    val df = (0 until 300).map { k =>
+      (k.toLong, java.sql.Timestamp.valueOf(s"2024-03-${"%02d".format(k % 9 + 1)} 10:00:00"), k * 1.0)
+    }.toDF("id", "ts", "v")
+    SnapshotTable.commitPartitionedByDay(spark, root, df, "ts")
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 1)
+    // metadata.json: the day spec is spec-id 1 and the default
+    assert(metaJson.contains("\"default-spec-id\":1"), metaJson)
+    assert(metaJson.contains(
+      """{"spec-id":1,"fields":[{"name":"ts_day","transform":"day","source-id":2,"field-id":1000}]}"""),
+      metaJson)
+    assert(metaJson.contains("\"last-partition-id\":1000"), metaJson)
+    // the data manifest declares spec 1 and carries per-file dates
+    val manifests = IcebergInterop.readManifestList(conf, listOf(metaJson, 1))
+    val m = avroMeta(manifests.head._1)
+    assert(m.get("partition-spec-id").contains("1"), m.toString)
+    assert(m("partition-spec").contains("\"transform\":\"day\""), m.toString)
+    val entries = IcebergInterop.readAvro(conf, manifests.head._1)
+    assert(entries.size >= 9, s"one file per (day, salt): ${entries.size}")
+    // every file's exported partition date matches the actual day of
+    // every row INSIDE the file — external pruning would be correct
+    entries.foreach { e =>
+      val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+      val day = dfr.get("partition").asInstanceOf[GenericRecord]
+        .get("ts_day").asInstanceOf[Int]
+      val rowDays = spark.read.parquet(dfr.get("file_path").toString)
+        .select(datediff(to_date(col("ts")), lit("1970-01-01")))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(rowDays === Set(day), s"file ${dfr.get("file_path")}")
+    }
+    // an external-style partition-pruned scan (files whose partition
+    // value == the probe day) re-derives the SQL day filter exactly
+    val probe = java.time.LocalDate.parse("2024-03-03").toEpochDay.toInt
+    val pruned = entries.filter(
+      _.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord]
+        .get("ts_day").asInstanceOf[Int] == probe)
+      .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    assert(pruned.nonEmpty && pruned.size < entries.size)
+    val got = spark.read.parquet(pruned: _*).count()
+    val expect = df.filter(to_date(col("ts")) === lit("2024-03-03")).count()
+    assert(got === expect)
+  }
+
   test("field ids persist across rename and add; metadata.json serves them") {
     val root = "/tmp/graft_test/ice_fieldids"
     SnapshotTable.drop(spark, root)
