@@ -112,8 +112,37 @@ object IcebergInterop {
   /** The day-spec `fields` array: metadata.json's partition-specs[1]
     * and the data manifest's "partition-spec" metadata key.
     */
-  private def daySpecFieldsJson(source: String, sourceId: Int): String =
-    s"""[{"name":${jstr(source + "_day")},"transform":"day","source-id":$sourceId,"field-id":1000}]"""
+  private def daySpecFieldsJson(fieldName: String, sourceId: Int): String =
+    s"""[{"name":${jstr(fieldName)},"transform":"day","source-id":$sourceId,"field-id":1000}]"""
+
+  /** Avro record-field names must match [A-Za-z_][A-Za-z0-9_]* — a
+    * partition field derived from a column like `event-ts` must be
+    * sanitized before it lands in a parsed schema (Iceberg's own
+    * writers sanitize partition names the same way).
+    */
+  private def avroName(n: String): String = {
+    val cleaned = n.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (cleaned.isEmpty || cleaned.head.isDigit) s"_$cleaned" else cleaned
+  }
+
+  /** The day-partition source resolved against a version's CURRENT
+    * schema: (exported field name, source field id). The `partition`
+    * header stores the source's commit-time name — its PHYSICAL name,
+    * which later renames never change — so the lookup goes through
+    * the column mapping, not the logical names. None when the table
+    * is unpartitioned (or the source no longer maps): the version
+    * then exports the unpartitioned spec 0, a safe degradation.
+    */
+  private def daySourceOf(s: SparkSession, root: String, v: Int,
+      fields: Seq[(Int, String, String)]): Option[(String, Int)] = {
+    SnapshotTable.commitMeta(s, root, v).get("partition").flatMap { src =>
+      val mapping = SnapshotTable.columnMapping(s, root, v)
+      fields.collectFirst {
+        case (id, n, _) if mapping.getOrElse(n, n) == src =>
+          (avroName(n) + "_day", id)
+      }
+    }
+  }
 
   private lazy val listSchema = new Schema.Parser().parse(ListSchemaJson)
   private val entrySchemaCache =
@@ -280,13 +309,16 @@ object IcebergInterop {
         r.get("status").asInstanceOf[Int], df.get("record_count").asInstanceOf[Long])
     }
 
-  /** (file_path, sequence_number) rows of a manifest file — what a
-    * v2 reader needs to scope delete application (pos-delete covers
-    * data files with data_seq <= delete_seq).
+  /** (file_path, file content 0/1/2, entry status 0/1/2,
+    * sequence_number) rows of a manifest file — one decode serves
+    * both the liveness filter and the v2 delete-application scoping
+    * (pos-delete covers data files with data_seq <= delete_seq).
     */
-  private[graft] def readManifestSeqs(c: Configuration, path: String): Seq[(String, Long)] =
+  private[graft] def readManifestSeqs(c: Configuration, path: String): Seq[(String, Int, Int, Long)] =
     readAvro(c, path).map { r =>
-      (r.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString,
+      val df = r.get("data_file").asInstanceOf[GenericRecord]
+      (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
+        r.get("status").asInstanceOf[Int],
         r.get("sequence_number").asInstanceOf[Long])
     }
 
@@ -326,14 +358,14 @@ object IcebergInterop {
     // from the _graft_day annotation — external engines get partition
     // pruning back. Delete manifests stay spec 0: graft's row-level
     // deletes are not partition-scoped.
-    val partSource = SnapshotTable.commitMeta(s, root, v).get("partition")
-    val dayFieldName = partSource.map(_ + "_day")
+    val daySource = daySourceOf(s, root, v, fields)
+    val dayFieldName = daySource.map(_._1)
     val dataEntrySchema = entrySchemaOf(dayFieldName)
     val delEntrySchema = entrySchemaOf(None)
-    val dataSpecId = if (partSource.isDefined) 1 else 0
-    val sourceIdOf = fields.map { case (id, n, _) => n -> id }.toMap
-    val dataSpecFields = partSource.fold("[]")(src =>
-      daySpecFieldsJson(src, sourceIdOf.getOrElse(src, 0)))
+    val dataSpecId = if (daySource.isDefined) 1 else 0
+    val dataSpecFields = daySource.fold("[]") { case (fn, srcId) =>
+      daySpecFieldsJson(fn, srcId)
+    }
     def manifestMeta(specFields: String, specId: Int) = Map(
       "schema" -> schemaJson(fields), "schema-id" -> "0",
       "partition-spec" -> specFields, "partition-spec-id" -> specId.toString,
@@ -370,9 +402,14 @@ object IcebergInterop {
       val part = new GenericData.Record(dfSchema.getField("partition").schema())
       if (isData) dayFieldName.foreach { fn =>
         // a file committed through the unpartitioned path on a later-
-        // partitioned table has no day annotation: null partition value
-        part.put(fn, annots.get("_graft_day").map(d =>
-          Integer.valueOf(java.time.LocalDate.parse(d).toEpochDay.toInt)).orNull)
+        // partitioned table has no day annotation, and a null-day file
+        // is annotated with Spark's __HIVE_DEFAULT_PARTITION__
+        // sentinel: both export a NULL partition value (Iceberg
+        // day(null) is null), never a parse crash
+        part.put(fn, annots.get("_graft_day").flatMap(d =>
+          scala.util.Try(
+            Integer.valueOf(java.time.LocalDate.parse(d).toEpochDay.toInt)
+          ).toOption).orNull)
       }
       df.put("partition", part)
       df.put("record_count", java.lang.Long.valueOf(e.rows))
@@ -492,17 +529,19 @@ object IcebergInterop {
     }
     // a day-partitioned table serves its real spec (spec-id 1, the
     // data manifests' declared spec); spec 0 stays for delete
-    // manifests and pre-partitioning history
-    val partSource = SnapshotTable.commitMeta(s, loc, v).get("partition")
-    val specsJson = partSource match {
-      case Some(src) =>
-        val srcId = fields.collectFirst { case (id, n, _) if n == src => id }.getOrElse(0)
+    // manifests and pre-partitioning history. Resolution shares
+    // daySourceOf with the manifest render, so the spec's source-id
+    // survives a source-column rename (the header keeps the physical
+    // name; the id rides the mapping).
+    val daySource = daySourceOf(s, loc, v, fields)
+    val specsJson = daySource match {
+      case Some((fn, srcId)) =>
         s"""[{"spec-id":0,"fields":[]},{"spec-id":1,"fields":${
-          daySpecFieldsJson(src, srcId)}}]"""
+          daySpecFieldsJson(fn, srcId)}}]"""
       case None => """[{"spec-id":0,"fields":[]}]"""
     }
-    val defaultSpecId = if (partSource.isDefined) 1 else 0
-    val lastPartitionId = if (partSource.isDefined) 1000 else 999
+    val defaultSpecId = if (daySource.isDefined) 1 else 0
+    val lastPartitionId = if (daySource.isDefined) 1000 else 999
     val metadata =
       s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${
         jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${

@@ -1375,14 +1375,15 @@ object LakeOps {
       ",[^{]*\"manifest-list\":\"([^\"]+)\"").r
       .findFirstMatchIn(metaJson).get.group(1)
     val manifests = IcebergInterop.readManifestList(c, listPath)
+    // one decode per manifest: filter by entry status (live) AND file
+    // content — a deletes manifest carries positional (1) and
+    // equality (2) entries side by side, and an equality-delete
+    // parquet has a key-column schema, not (file_path, pos)
     def live(content: Int): Seq[(String, Long)] = manifests
-      .filter(_._2 == content)
-      .flatMap { case (mp, _) =>
-        val statusOf = IcebergInterop.readManifest(c, mp)
-          .map(e => e._1 -> e._3).toMap
-        IcebergInterop.readManifestSeqs(c, mp)
-          .filter { case (p, _) => statusOf(p) != 2 } // status DELETED
-      }
+      .filter(_._2 == (if (content == 0) 0 else 1))
+      .flatMap { case (mp, _) => IcebergInterop.readManifestSeqs(c, mp) }
+      .filter(e => e._3 != 2 && e._2 == content) // status DELETED; content
+      .map(e => (e._1, e._4))
     val dataSeqs = live(0)
     val delSeqs = live(1)
     require(delSeqs.nonEmpty, "the MoR delete must export a deletes manifest")
@@ -1403,9 +1404,9 @@ object LakeOps {
     // annotation, so an export stamping them 0 would pass an
     // unconditional anti-join and still resurrect every deleted row
     // in a real external engine. The delete set is tiny → broadcast.
+    val delSeqOf = delSeqs.toMap
     val dels = broadcast(delSeqs.map(_._1).map(p =>
-        s.read.parquet(p).withColumn("_del_seq",
-          lit(delSeqs.toMap.apply(p))))
+        s.read.parquet(p).withColumn("_del_seq", lit(delSeqOf(p))))
       .reduce(_ unionByName _))
     data.join(dels,
         data("_fp") === dels("file_path") && data("_pos") === dels("pos") &&

@@ -257,6 +257,36 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("partition export survives null days and a renamed source column") {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_test/ice_partedge"
+    SnapshotTable.drop(spark, root)
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 08:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-05-02 08:00:00"), 2.0),
+      (3L, null.asInstanceOf[java.sql.Timestamp], 3.0) // null day
+    ).toDF("id", "ts", "v")
+    SnapshotTable.commitPartitionedByDay(spark, root, df, "ts", saltBuckets = 1)
+    // rename the partition SOURCE: the header keeps the physical name,
+    // the exported spec must follow the rename (new name, same id)
+    SnapshotTable.renameColumn(spark, root, "ts", "event_ts")
+    val v = SnapshotTable.currentVersion(spark, root)
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, v)
+    assert(metaJson.contains(
+      """{"spec-id":1,"fields":[{"name":"event_ts_day","transform":"day","source-id":2,"field-id":1000}]}"""),
+      metaJson)
+    assert(!metaJson.contains("\"source-id\":0"), "source-id must bind a schema field")
+    val entries = IcebergInterop.readManifestList(conf, listOf(metaJson, v))
+      .flatMap(m => IcebergInterop.readAvro(conf, m._1))
+    // the null-day file exports a NULL partition value (day(null)),
+    // never a sentinel parse crash; real days export their epoch day
+    val days = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("event_ts_day"))
+    assert(days.contains(null), s"null-day file must export null: $days")
+    assert(days.contains(
+      Integer.valueOf(java.time.LocalDate.parse("2024-05-01").toEpochDay.toInt)), days)
+  }
+
   test("field ids persist across rename and add; metadata.json serves them") {
     val root = "/tmp/graft_test/ice_fieldids"
     SnapshotTable.drop(spark, root)
