@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -628,6 +628,57 @@ object Dedup {
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Exact-duplicate grouping key over (doc_id, text). NULL texts are
+    * excluded from content grouping: the doc-level pipeline gives them
+    * no signature at all (graft_minhash's null propagates, no bands,
+    * never a candidate — each null doc is its own singleton), but
+    * sha2(NULL) is NULL, which a shared key would collapse into ONE
+    * all-nulls group — every null-text doc declared a duplicate of
+    * every other, and a skew hotspot on a nulls-heavy crawl. Null docs
+    * get a per-doc key ("#" + doc_id, disjoint from 64-hex digests) so
+    * each stays its own representative. Sub-shingle-size texts stay
+    * ELIGIBLE: their shingle set is empty, so the doc-level path gives
+    * them all the same constant signature and verifies any two at
+    * Jaccard union-0 = 1 — exact-hashing identical ones first is
+    * absorbed, same as full-size texts.
+    */
+  private[graft] def exactContentKey: Column =
+    when(col("text").isNotNull, sha2(col("text"), 256))
+      .otherwise(concat(lit("#"), col("doc_id")))
+
+  /** Exact-duplicate pre-pass over a (doc_id, text) corpus: returns
+    * (exactEdges, reps) where exactEdges star-links every duplicate to
+    * its cluster's min-id representative and reps is one (doc_id,
+    * text) row per distinct content key.
+    *
+    * Shuffle shape — this is the 100 TB hot path, so no step may
+    * funnel a hot key into one task: the rep map is a
+    * `groupBy(hash_key).agg(min)` (map-side partial aggregation
+    * collapses each hot key per input partition; AQE can further split
+    * a skewed reduce key), NEVER a `Window.partitionBy(hash_key)` (a
+    * window has no partial agg and lands every copy of the hottest
+    * text — empty pages, robots.txt, boilerplate, plausibly 10⁸ rows
+    * on a real crawl — on ONE task). The join deriving edges shuffles
+    * only (doc_id, hash_key) pairs — bare ids, never text — and is a
+    * plain equi-join AQE skew-splits; rep TEXTS are recovered with a
+    * semi-join on doc_id, which is uniformly distributed by
+    * construction. Pinned by PlanShapeSpec ("no window over the raw
+    * corpus").
+    */
+  private[graft] def exactPrePass(d: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = d.select(col("doc_id"), exactContentKey.as("hash_key"))
+    val repMap = keyed.groupBy("hash_key").agg(min("doc_id").as("rep_id"))
+    val exactEdges = keyed.join(repMap, Seq("hash_key"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("src"), col("doc_id").as("dst"))
+    // rep ids are distinct across groups (each doc_id belongs to one
+    // key group), so a semi-join recovers exactly one text per rep
+    val reps = d.join(repMap.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    (exactEdges, reps)
+  }
+
+  // ---------------------------------------------------------------
   /** The full dedup product in one call: EXACT-duplicate pre-pass →
     * MinHash-LSH candidates over the distinct texts → exact-Jaccard
     * verification → connected components → keep the smallest doc_id
@@ -656,27 +707,7 @@ object Dedup {
   def dedupCorpus(s: SparkSession, docs: DataFrame, jaccardThreshold: Double = 0.8): DataFrame = {
     GraftFunctions.register(s)
     val d = docs.select("doc_id", "text")
-    // exact pre-pass: one window shuffle on the text hash; rep = min
-    // id. NULL texts are excluded: the doc-level pipeline gives them
-    // no signature at all (graft_minhash's null propagates, no bands,
-    // never a candidate — each null doc is its own singleton), but
-    // sha2(NULL) is NULL, which a shared key would collapse into ONE
-    // all-nulls partition — every null-text doc declared a duplicate
-    // of every other, and a skew hotspot on a nulls-heavy crawl.
-    // Null docs get a per-doc key ("#" + doc_id, disjoint from 64-hex
-    // digests) so each stays its own representative. Sub-shingle-size
-    // texts stay ELIGIBLE: their shingle set is empty, so the
-    // doc-level path gives them all the same constant signature and
-    // verifies any two at Jaccard union-0 = 1 — exact-hashing
-    // identical ones first is absorbed, same as full-size texts.
-    val hashKey = when(col("text").isNotNull, sha2(col("text"), 256))
-      .otherwise(concat(lit("#"), col("doc_id")))
-    val withRep = d
-      .withColumn("rep_id", min("doc_id").over(Window.partitionBy(hashKey)))
-    val exactEdges = withRep.filter(col("doc_id") =!= col("rep_id"))
-      .select(col("rep_id").as("src"), col("doc_id").as("dst"))
-    val reps = withRep.filter(col("doc_id") === col("rep_id"))
-      .select("doc_id", "text")
+    val (exactEdges, reps) = exactPrePass(d)
     // near-dup detection over DISTINCT texts only
     val bands = reps
       .select(col("doc_id").as("id"), expr("graft_minhash(text, 64, 3)").as("sig"))
@@ -771,15 +802,52 @@ object Dedup {
     val d = docs(s, dir).select("doc_id", "text")
     IncrementalIndex.append(s, docsRoot, indexRoot, d.filter(col("doc_id") % 2 === 0))
     IncrementalIndex.append(s, docsRoot, indexRoot, d.filter(col("doc_id") % 2 === 1))
-    val idx = SnapshotTable.read(s, indexRoot).withColumnRenamed("doc_id", "id")
-    val cand = cappedPairs(idx)
-    cand
-      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+    incrementalPairs(s, docsRoot, indexRoot)
+  }
+
+  /** Verified near-dup pairs from a maintained [[IncrementalIndex]]:
+    * the exact-duplicate pre-pass settles byte-identical pairs from
+    * the stored content hashes alone (Jaccard 1 by definition — no
+    * text read, no band join, no 16× per-band pair multiplicity), the
+    * capped bucket join and exact-Jaccard verify run over global
+    * content REPS only, and each verified rep pair fans back out to
+    * the member pairs it stands for — the score is a pure function of
+    * the text, so every member pair inherits its reps' Jaccard
+    * exactly. Output is identical to verifying all doc-level
+    * candidates (the dedup_incremental oracle is the from-scratch
+    * all-pairs truth), but candidates and text shuffles scale with
+    * DISTINCT texts, not docs.
+    */
+  private[graft] def incrementalPairs(s: SparkSession, docsRoot: String,
+      indexRoot: String): DataFrame = {
+    val members = IncrementalIndex.members(s, indexRoot)
+    // all within-cluster pairs: byte-identical texts, Jaccard exactly
+    // 1 (sub-shingle texts included: identical shorts share their one
+    // whole-text shingle; null texts never share a key). Quadratic in
+    // cluster size because the OUTPUT is — an equi-join AQE can
+    // skew-split, shuffling bare ids only.
+    val within = members.as("a").join(members.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(1.0).as("jaccard3"))
+    val repTexts = SnapshotTable.read(s, docsRoot)
+      .join(members.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    val verified = IncrementalIndex.candidatePairs(s, indexRoot)
+      .join(repTexts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(repTexts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard3", expr("graft_ngram_jaccard(text_a, text_b, 3)"))
       .filter(col("jaccard3") >= 0.8)
-      .select(col("id_a"), col("id_b"), round(col("jaccard3"), 6).as("jaccard3"))
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard3"))
+    // fan each verified rep pair out to all cross-cluster member pairs
+    val cross = verified
+      .join(members.select(col("rep_id").as("id_a"), col("doc_id").as("m_a")), Seq("id_a"))
+      .join(members.select(col("rep_id").as("id_b"), col("doc_id").as("m_b")), Seq("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"),
+        round(col("jaccard3"), 6).as("jaccard3"))
+    within.unionByName(cross).orderBy("id_a", "id_b")
   }
 
   val incrementalOracle: String =

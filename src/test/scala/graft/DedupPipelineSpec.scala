@@ -39,6 +39,29 @@ class DedupPipelineSpec extends SparkSpec {
     assert(out.filter(_._3).forall(_._1 < 10000))
   }
 
+  test("a 10⁴-copy hot text collapses to one cluster through the pre-pass") {
+    // the shape that OOMs a window-based pre-pass: one boilerplate
+    // text dominating the corpus. The groupBy rep election partial-
+    // aggregates it map-side; the pipeline must return one cluster
+    // keeping only the min id, plus untouched singletons.
+    val hot = spark.range(0, 10000)
+      .select(col("id").as("doc_id"),
+        lit("boilerplate navigation footer repeated on every page of the crawl").as("text"))
+    val distinctDocs = spark.range(10000, 10010)
+      .select(col("id").as("doc_id"),
+        concat(lit("unique document body number "), col("id"),
+          lit(" with enough distinct words to never collide")).as("text"))
+    val out = dedup.Dedup.dedupCorpus(spark, hot.unionByName(distinctDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 10010)
+    val hotRows = out.filter(_._1 < 10000)
+    assert(hotRows.forall(_._2 === 0L), "all copies must join doc 0's cluster")
+    assert(hotRows.filter(_._3).map(_._1).toSeq === Seq(0L))
+    out.filter(_._1 >= 10000).foreach { case (id, comp, kept) =>
+      assert(comp === id && kept, s"distinct doc $id must stay a kept singleton")
+    }
+  }
+
   test("degenerate texts keep doc-level semantics: identical shorts merge, nulls stay singletons") {
     // a text below the shingle size gets ONE shingle — the hash of the
     // whole text (HashExprs.shingleHashes) — so the doc-level pipeline

@@ -125,6 +125,20 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate generation must be a bucket equi-join:\n${p.take(2000)}")
   }
 
+  test("dedup exact pre-pass never windows over the raw corpus") {
+    // the rep election must be a hash-groupBy (map-side partial agg,
+    // AQE-splittable): a Window.partitionBy(sha2(text)) lands every
+    // copy of the hottest text — empty pages, robots.txt, plausibly
+    // 10⁸ rows on a real crawl — on ONE task carrying full text bytes
+    val d = sources.Tables.load(spark, sf(), "documents").select("doc_id", "text")
+    val (exactEdges, reps) = dedup.Dedup.exactPrePass(d)
+    Seq("exactEdges" -> exactEdges, "reps" -> reps).foreach { case (label, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$label plan must not window:\n${p.take(2000)}")
+      assert(p.contains("HashAggregate"), s"$label rep election must partial-agg:\n${p.take(2000)}")
+    }
+  }
+
   test("range join runs as a shuffle equi-join on the bin, never BNLJ") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
