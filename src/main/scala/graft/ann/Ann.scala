@@ -983,6 +983,11 @@ object Ann {
           .get("corpus_fp").contains(fp)
     } catch { case scala.util.control.NonFatal(_) => false }
     if (!fresh) {
+      // drop explicitly: this entry PINS the two-version history
+      // (base=v1, append=v2) to assert the O(Δ) invariant below, and
+      // buildAt itself only overwrite-commits (it must leave a stale
+      // index serving during rebuild — failure atomicity)
+      Seq(listRoot, s"$root/centroids").foreach(SnapshotTable.drop(s, _))
       IvfIndex.buildAt(s, root, corpus.filter(col("vec_id") % 2 === 0),
         nLists = 16, lloydIters = 2, meta = Map("corpus_fp" -> fp))
       val v2 = IvfIndex.appendBatch(s, root, corpus.filter(col("vec_id") % 2 === 1))

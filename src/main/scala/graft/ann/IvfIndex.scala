@@ -177,6 +177,16 @@ object IvfIndex {
 
   /** Train + persist an index at an explicit root from an explicit
     * corpus (no fingerprint guard — callers own staleness).
+    *
+    * Publishes via OVERWRITE commits, never drop-then-commit: the old
+    * index keeps serving (and its files stay readable for in-flight
+    * probes) until each new head lands, and a retrain or commit that
+    * fails mid-build leaves the previous index fully intact — the
+    * sticky drift flag survives on the old lists head, so the next
+    * maintenance run simply retries. Dropping first would leave the
+    * root with NO lists table after a mid-rebuild failure, breaking
+    * serving and making [[rebuildFromLists]]'s `require(version > 0)`
+    * throw instead of retry (r14 advice).
     */
   def buildAt(s: SparkSession, root: String, corpus: DataFrame,
               nLists: Int, lloydIters: Int,
@@ -184,19 +194,20 @@ object IvfIndex {
     GraftFunctions.register(s)
     val centRoot = s"$root/centroids"
     val listRoot = s"$root/lists"
-    SnapshotTable.drop(s, centRoot)
-    SnapshotTable.drop(s, listRoot)
     val centroids = Ann.trainCoarseLocal(s, corpus, nLists, iters = lloydIters)
     // range-cluster by cid so each file holds few whole lists; the
-    // bloom filter then serves as the inverted-list file locator
+    // bloom filter then serves as the inverted-list file locator.
+    // Overwrite commit: clears any sticky needs_rebuild flag (head
+    // meta is per-commit) while old versions stay time-travelable
     SnapshotTable.commit(s, listRoot,
       assignToLists(centroids, corpus).repartitionByRange(8, col("cid"), col("vec_id")),
+      append = false,
       meta = meta ++ Map("n_lists" -> nLists.toString), bloomCols = Seq("cid"))
     // build-time drift baselines: sampled, not corpus-sized (see the
     // drift-policy section); a rebuild re-baselines and clears any
     // sticky needs_rebuild flag (fresh lists head carries none)
     val (p50, hot) = assignStats(centroids, corpus)
-    SnapshotTable.commit(s, centRoot, centroids,
+    SnapshotTable.commit(s, centRoot, centroids, append = false,
       meta = meta ++ Map(P50Key -> f"$p50%.6f", HotKey -> f"$hot%.6f"))
   }
 
@@ -251,19 +262,20 @@ object IvfIndex {
 
   /** Drift-triggered REBUILD over the index's own current corpus —
     * what the nightly maintenance job runs when [[needsRebuild]] is
-    * set. The lists table IS the corpus (every vector ever assigned),
-    * but [[buildAt]] drops the very tables a lazy read would scan, so
-    * the corpus is STAGED first with a distributed parquet write
-    * (never a driver collect — O(corpus) executor I/O, O(1) driver),
-    * retrained from the stage, and the stage reclaimed only after the
-    * retrain COMMITS — [[buildAt]] starts by dropping both tables, so
-    * until its commits land the stage is the sole copy of the corpus
-    * and a failed retrain must leave it on disk for the retry (the
-    * next run clears any leftover before re-staging). nLists comes
-    * from the stored header (builds stamp it, appends carry it
-    * forward), so cadence jobs need no configuration beyond the root;
-    * a pre-carry-forward header falls back to the stored centroid
-    * count — the actual list count — never a hardcoded default.
+    * set. The lists table IS the corpus (every vector ever assigned);
+    * it is STAGED first with a distributed parquet write (never a
+    * driver collect — O(corpus) executor I/O, O(1) driver) so the
+    * retrain reads a pinned copy rather than a table whose head the
+    * rebuild itself is replacing, then retrained from the stage, and
+    * the stage reclaimed after the retrain commits. Failure-atomic:
+    * [[buildAt]] publishes via overwrite commits, so a retrain or
+    * commit failure leaves the OLD index serving with its sticky
+    * drift flag intact — the next run clears the leftover stage,
+    * re-stages, and retries. nLists comes from the stored header
+    * (builds stamp it, appends carry it forward), so cadence jobs
+    * need no configuration beyond the root; a pre-carry-forward
+    * header falls back to the stored centroid count — the actual
+    * list count — never a hardcoded default.
     */
   def rebuildFromLists(s: SparkSession, root: String, lloydIters: Int = 2): Unit = {
     val listRoot = s"$root/lists"

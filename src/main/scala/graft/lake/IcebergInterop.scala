@@ -251,16 +251,43 @@ object IcebergInterop {
     }.mkString(",")
 
   /** Iceberg schema JSON (the manifest files' "schema" metadata key
-    * and metadata.json's schemas[0]).
+    * and one metadata.json schemas[] entry).
     */
-  private def schemaJson(fields: Seq[(Int, String, String)]): String =
-    s"""{"type":"struct","schema-id":0,"fields":[${fieldsJson(fields)}]}"""
+  private def schemaJson(fields: Seq[(Int, String, String)], schemaId: Int = 0): String =
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[${fieldsJson(fields)}]}"""
+
+  /** The `schema.name-mapping.default` table property (Iceberg spec
+    * "Column Projection" / name-mapping): for every field of the
+    * current schema, its field-id with every name that may appear in
+    * a data file — the PHYSICAL (in-file) name first, then the current
+    * logical name. Graft's lake parquet written before field-ids
+    * landed carries physical names and no footer ids; without this
+    * property an external engine binds columns strictly by current
+    * name and projects NULL for every renamed column. With it, the
+    * file column `value` resolves to field-id 4 even after the table
+    * renamed it to `amount` — exactly Iceberg's own migration story
+    * for id-less files.
+    */
+  private[graft] def nameMappingJson(
+      fields: Seq[(Int, String, String)], mapping: Map[String, String]): String =
+    fields.map { case (id, n, _) =>
+      val names = Seq(mapping.getOrElse(n, n), n).distinct
+      s"""{"field-id":$id,"names":[${names.map(jstr).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
 
   // ----- Avro writing -------------------------------------------------
 
   private def conf(s: SparkSession): Configuration =
     s.sparkContext.hadoopConfiguration
 
+  /** Write an Avro object-container file ATOMICALLY: bytes land at a
+    * writer-unique temp name and are published with the store's
+    * [[CommitArbiter]] (rename-as-CAS or lock-file CAS) — a concurrent
+    * loadTable polling the metadata location can never observe a
+    * half-written manifest behind the existence check. Losing the
+    * publish race is fine: exports are deterministic per version, so
+    * the winner's file serves equally; the loser's temp is reclaimed.
+    */
   private def writeAvro(
       c: Configuration, path: Path, schema: Schema,
       meta: Map[String, String], records: Seq[GenericRecord]): Long = {
@@ -269,11 +296,14 @@ object IcebergInterop {
     meta.toSeq.sortBy(_._1).foreach { case (k, v) => writer.setMeta(k, v) }
     val fs = path.getFileSystem(c)
     fs.mkdirs(path.getParent)
-    val out = fs.create(path, true)
+    val tmp = new Path(path.getParent, s".${path.getName}." +
+      java.util.UUID.randomUUID.toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
     try {
       writer.create(schema, out)
       records.foreach(writer.append)
     } finally writer.close() // closes the underlying stream
+    if (!CommitArbiter.forConf(c).publish(fs, tmp, path)) fs.delete(tmp, false)
     fs.getFileStatus(path).getLen
   }
 
@@ -508,53 +538,96 @@ object IcebergInterop {
     if (mfs.exists(metaPath)) {
       val in = mfs.open(metaPath)
       val cached = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      // a cached file from the PRE-Avro renderer points "manifest-list"
-      // at graft's text manifest — serving it verbatim advertises a
-      // chain no external engine can read. Regenerate those once;
-      // immutability resumes for everything this renderer wrote.
-      val preAvro = """"manifest-list":"([^"]+)"""".r
-        .findAllMatchIn(cached).exists(!_.group(1).endsWith(".avro"))
-      if (!preAvro) return (metaPath.toString, cached)
+      // a cached file from an OLDER renderer is regenerated once:
+      // pre-Avro files point "manifest-list" at graft's text manifest
+      // (a chain no external engine can read); pre-name-mapping files
+      // lack the property that makes id-less parquet projectable.
+      // Immutability resumes for everything this renderer wrote.
+      val stale = """"manifest-list":"([^"]+)"""".r
+        .findAllMatchIn(cached).exists(!_.group(1).endsWith(".avro")) ||
+        !cached.contains("\"schema.name-mapping.default\"")
+      if (!stale) return (metaPath.toString, cached)
+      mfs.delete(metaPath, false) // regenerate: the atomic publish below refuses an existing dst
     }
     val fields = fieldsOf(s, loc, v)
-    val snapshots = (1 to v).flatMap { sv =>
-      exportVersion(s, loc, sv).flatMap { list =>
-        scala.util.Try {
-          val op = SnapshotTable.commitMeta(s, loc, sv).getOrElse("op", "append")
-          s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${
-            SnapshotTable.committedAt(s, loc, sv)},"manifest-list":${
-            jstr(list)},"summary":{"operation":${jstr(op)}}}"""
-        }.toOption
-      }
+    // one pass over the live versions: export each Avro chain and
+    // remember its schema, so snapshots can carry per-snapshot
+    // schema-ids (an external engine time-traveling to a pre-evolution
+    // snapshot must see THAT snapshot's shape, and DROP COLUMN keeps
+    // old snapshots readable only through their schema-id binding)
+    val exported: Seq[(Int, String)] =
+      (1 to v).flatMap(sv => exportVersion(s, loc, sv).map(sv -> _))
+    val fieldsBy: Map[Int, Seq[(Int, String, String)]] =
+      exported.map { case (sv, _) =>
+        sv -> (if (sv == v) fields else fieldsOf(s, loc, sv))
+      }.toMap
+    // schema epochs in first-appearance order; ids are per-metadata-
+    // file (each metadata.json is self-consistent, which is all an
+    // Iceberg reader of THIS file requires)
+    val epochIds = scala.collection.mutable.LinkedHashMap[Seq[(Int, String, String)], Int]()
+    exported.foreach { case (sv, _) => epochIds.getOrElseUpdate(fieldsBy(sv), epochIds.size) }
+    val currentSchemaId = epochIds.getOrElseUpdate(fields, epochIds.size)
+    val schemasJson = epochIds.toSeq.sortBy(_._2)
+      .map { case (f, id) => schemaJson(f, id) }.mkString(",")
+    val snapshots = exported.flatMap { case (sv, list) =>
+      scala.util.Try {
+        val op = SnapshotTable.commitMeta(s, loc, sv).getOrElse("op", "append")
+        s"""{"snapshot-id":$sv,"sequence-number":$sv,"timestamp-ms":${
+          SnapshotTable.committedAt(s, loc, sv)},"schema-id":${
+          epochIds(fieldsBy(sv))},"manifest-list":${
+          jstr(list)},"summary":{"operation":${jstr(op)}}}"""
+      }.toOption
     }
     // a day-partitioned table serves its real spec (spec-id 1, the
     // data manifests' declared spec); spec 0 stays for delete
     // manifests and pre-partitioning history. Resolution shares
     // daySourceOf with the manifest render, so the spec's source-id
     // survives a source-column rename (the header keeps the physical
-    // name; the id rides the mapping).
-    val daySource = daySourceOf(s, loc, v, fields)
-    val specsJson = daySource match {
+    // name; the id rides the mapping). The spec must stay DECLARED as
+    // long as any listed snapshot's immutable manifests reference
+    // spec-id 1, even when the day source no longer maps at HEAD (the
+    // degradation path) — an engine resolving the spec by id on an
+    // older snapshot must never hit an undefined spec — so the head's
+    // spec falls back to the latest listed version that had one;
+    // default-spec-id still reflects the HEAD's own state.
+    val headDay = daySourceOf(s, loc, v, fields)
+    val anyDay = headDay.orElse(exported.reverseIterator.flatMap { case (sv, _) =>
+      daySourceOf(s, loc, sv, fieldsBy(sv))
+    }.nextOption())
+    val specsJson = anyDay match {
       case Some((fn, srcId)) =>
         s"""[{"spec-id":0,"fields":[]},{"spec-id":1,"fields":${
           daySpecFieldsJson(fn, srcId)}}]"""
       case None => """[{"spec-id":0,"fields":[]}]"""
     }
-    val defaultSpecId = if (daySource.isDefined) 1 else 0
-    val lastPartitionId = if (daySource.isDefined) 1000 else 999
+    val defaultSpecId = if (headDay.isDefined) 1 else 0
+    val lastPartitionId = if (anyDay.isDefined) 1000 else 999
+    // the name-mapping property makes the exported parquet
+    // self-describing to engines that bind columns by name: graft's
+    // lake files carry PHYSICAL column names, so without the mapping a
+    // renamed column reads as NULL everywhere outside graft
+    val props = SnapshotTable.properties(s, loc, v) +
+      ("schema.name-mapping.default" ->
+        nameMappingJson(fields, SnapshotTable.columnMapping(s, loc, v)))
     val metadata =
       s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${
         jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${
         SnapshotTable.committedAt(s, loc, v)},"last-column-id":${
-        fields.map(_._1).maxOption.getOrElse(0)},"current-snapshot-id":$v,"current-schema-id":0,"schemas":[${
-        schemaJson(fields)}],"default-spec-id":$defaultSpecId,"partition-specs":$specsJson,"last-partition-id":$lastPartitionId,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
-        SnapshotTable.properties(s, loc, v).toSeq.sorted
+        fields.map(_._1).maxOption.getOrElse(0)},"current-snapshot-id":$v,"current-schema-id":$currentSchemaId,"schemas":[${
+        schemasJson}],"default-spec-id":$defaultSpecId,"partition-specs":$specsJson,"last-partition-id":$lastPartitionId,"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"properties":${
+        props.toSeq.sorted
           .map { case (k, pv) => s"${jstr(k)}:${jstr(pv)}" }
           .mkString("{", ",", "}")
       },"snapshots":[${snapshots.mkString(",")}]}"""
     mfs.mkdirs(metaPath.getParent)
-    val out = mfs.create(metaPath, true)
+    // atomic publish, same protocol as the Avro chain: a concurrent
+    // loader can never observe a truncated metadata.json
+    val tmp = new Path(metaPath.getParent, s".${metaPath.getName}." +
+      java.util.UUID.randomUUID.toString.take(8) + ".tmp")
+    val out = mfs.create(tmp, true)
     try out.write(metadata.getBytes(UTF_8)) finally out.close()
+    if (!CommitArbiter.forConf(conf(s)).publish(mfs, tmp, metaPath))
+      mfs.delete(tmp, false) // a concurrent exporter won with identical content
     (metaPath.toString, metadata)
   }
 }

@@ -1365,6 +1365,11 @@ object LakeOps {
     SnapshotTable.commitPartitionedByDay(s, root, ev.filter(dayofmonth(col("ts")) > 15), "ts")
     // a MoR delete so the export carries a DELETES manifest too
     SnapshotTable.deleteWhereMor(s, root, col("event_type") === "click")
+    // a RENAME so the export must prove its name-mapping story: the
+    // data files keep the physical column `value`, the current schema
+    // says `amount` — a foreign engine binds them only through the
+    // exported schema.name-mapping.default property
+    SnapshotTable.renameColumn(s, root, "value", "amount")
     val (metaPath, metaJson) = IcebergInterop.writeMetadata(
       s, root, SnapshotTable.currentVersion(s, root))
     // ---- independent re-read: metadata.json → Avro chain → parquet
@@ -1387,15 +1392,47 @@ object LakeOps {
     val dataSeqs = live(0)
     val delSeqs = live(1)
     require(delSeqs.nonEmpty, "the MoR delete must export a deletes manifest")
+    // ---- column binding, the way an id-less-parquet reader must:
+    // current schema (by current-schema-id — the rename made it a
+    // later epoch) + the schema.name-mapping.default property resolve
+    // each field-id to whichever of its names the files actually
+    // carry. Reading `amount` by name would bind NOTHING (files say
+    // `value`); the mapping is load-bearing, not decorative.
+    val schemaId = "\"current-schema-id\":(\\d+)".r
+      .findFirstMatchIn(metaJson).get.group(1).toInt
+    val schemaFields: Seq[(Int, String)] =
+      (s"""\\{"type":"struct","schema-id":$schemaId,"fields":\\[([^\\]]*)\\]\\}""").r
+        .findFirstMatchIn(metaJson).map(_.group(1)).toSeq
+        .flatMap(b => """\{"id":(\d+),"name":"([^"]+)"""".r.findAllMatchIn(b)
+          .map(m => (m.group(1).toInt, m.group(2))))
+    val nmProp = """"schema\.name-mapping\.default":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(metaJson).get.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val nmNames: Map[Int, Seq[String]] =
+      """\{"field-id":(\d+),"names":\[([^\]]*)\]\}""".r.findAllMatchIn(nmProp)
+        .map(m => m.group(1).toInt ->
+          """"([^"]*)"""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq)
+        .toMap
+    require(schemaFields.map(_._2).contains("amount"),
+      "current schema must carry the renamed column")
     // manifest entries carry canon URIs (file:///x); Spark's
     // _metadata.file_path prints Hadoop Path form (file:/x) —
     // normalize the manifest side to Path form before keying on it
     val pathForm = dataSeqs.map { case (p, q) =>
       (new org.apache.hadoop.fs.Path(p).toString, q)
     }
-    val data = s.read.parquet(dataSeqs.map(_._1): _*)
-      .withColumn("_fp", col("_metadata.file_path"))
-      .withColumn("_pos", col("_metadata.row_index"))
+    val raw = s.read.parquet(dataSeqs.map(_._1): _*)
+    val fileCols = raw.columns.toSet
+    val projected = schemaFields.map { case (id, logical) =>
+      val phys = nmNames.getOrElse(id, Seq(logical)).find(fileCols.contains)
+        .getOrElse(sys.error(s"field $id ($logical) unmapped in data files"))
+      if (logical == "amount")
+        require(phys != "amount", "the renamed column must bind through its physical name")
+      col(phys).as(logical)
+    }
+    val data = raw
+      .select(projected :+ col("_metadata.file_path").as("_fp") :+
+        col("_metadata.row_index").as("_pos"): _*)
       .join(broadcast(pathForm.toDF("_fp", "_data_seq")), Seq("_fp"))
     // positional deletes, FULL Iceberg v2 read semantics: a delete
     // file suppresses (file_path, pos) rows of data files with
@@ -1413,12 +1450,12 @@ object LakeOps {
           data("_data_seq") <= dels("_del_seq"),
         "left_anti")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("amount")).as("total_amount"))
       .orderBy("event_type")
   }
 
   val exportIcebergOracle: String =
-    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_amount")}
        |FROM events WHERE event_type <> 'click'
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 

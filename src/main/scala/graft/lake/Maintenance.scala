@@ -59,6 +59,9 @@ object Maintenance {
 
   /** What the run did — the accounting a maintenance dashboard keys
     * on. `None` = that stage decided no work was warranted.
+    * `indexRebuildFailures` lists (index root, error) for rebuilds
+    * that threw — the run keeps going so one bad index neither loses
+    * the table-maintenance accounting nor starves its siblings.
     */
   final case class Report(
       deletesFoldedVersion: Option[Int],
@@ -68,7 +71,8 @@ object Maintenance {
       expiredFilesReclaimed: Int,
       orphansReclaimed: Int,
       finalVersion: Int,
-      indexesRebuilt: Seq[String] = Nil)
+      indexesRebuilt: Seq[String] = Nil,
+      indexRebuildFailures: Seq[(String, String)] = Nil)
 
   /** DRY RUN: preview the DESTRUCTIVE stages without touching the
     * table — which versions [[SnapshotTable.expire]] would drop and
@@ -111,9 +115,15 @@ object Maintenance {
     val orphans = SnapshotTable.removeOrphans(s, root, policy.orphanGraceMs)
     // index stage: rebuild exactly the registered indexes whose sticky
     // drift flag is set (IvfIndex.needsRebuild — one header read per
-    // index); a rebuild re-baselines and clears the flag
-    val rebuilt = policy.indexes.filter(_.needsRebuild(s))
-    rebuilt.foreach(_.rebuild(s))
+    // index); a rebuild re-baselines and clears the flag. Each rebuild
+    // is isolated: a throw must not discard the Report of the
+    // destructive expire/orphan work that already ran, nor skip the
+    // remaining indexes — the failed index keeps its sticky flag (the
+    // overwrite-commit rebuild never un-publishes the old head), so
+    // the next run retries it.
+    val attempts = policy.indexes.filter(_.needsRebuild(s)).map { idx =>
+      idx.root -> scala.util.Try(idx.rebuild(s))
+    }
     Report(
       deletesFoldedVersion = Some(vFold).filter(_ > v0),
       deleteFilesConsolidatedVersion = Some(vConsol).filter(_ > vFold),
@@ -122,6 +132,9 @@ object Maintenance {
       expiredFilesReclaimed = reclaimed.size,
       orphansReclaimed = orphans.size,
       finalVersion = SnapshotTable.currentVersion(s, root),
-      indexesRebuilt = rebuilt.map(_.root))
+      indexesRebuilt = attempts.collect { case (r, scala.util.Success(_)) => r },
+      indexRebuildFailures = attempts.collect {
+        case (r, scala.util.Failure(e)) => r -> String.valueOf(e.getMessage)
+      })
   }
 }

@@ -307,4 +307,63 @@ class IcebergInteropSpec extends SparkSpec {
       metaJson)
     assert(metaJson.contains("\"last-column-id\":3"), metaJson)
   }
+
+  test("name-mapping property binds physical file columns to field ids across rename/widen") {
+    val root = "/tmp/graft_test/ice_namemap"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a", 2)).toDF("id", "v", "qty"))
+    SnapshotTable.renameColumn(spark, root, "v", "label")
+    SnapshotTable.widenColumn(spark, root, "qty", "bigint")
+    val v = SnapshotTable.currentVersion(spark, root)
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, v)
+    // the property is a JSON-string property: unescape, then parse
+    val nm = """"schema\.name-mapping\.default":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(metaJson).getOrElse(sys.error(s"no name-mapping in $metaJson"))
+      .group(1).replace("\\\"", "\"")
+    def names(id: Int): Seq[String] =
+      (s"""\\{"field-id":$id,"names":\\[([^\\]]*)\\]\\}""").r
+        .findFirstMatchIn(nm).map(m =>
+          """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Nil)
+    // renamed column: PHYSICAL name first (what the files carry), then
+    // the current logical name — both resolve to the same field id
+    assert(names(2) === Seq("v", "label"), nm)
+    // unrenamed columns list their single name (widen changes no name)
+    assert(names(1) === Seq("id"), nm)
+    assert(names(3) === Seq("qty"), nm)
+    // and the data files REALLY carry the physical name, which is what
+    // makes the mapping load-bearing for external engines
+    val fileCols = spark.read
+      .parquet(SnapshotTable.dataFiles(spark, root, v): _*).columns.toSet
+    assert(fileCols.contains("v") && !fileCols.contains("label"))
+  }
+
+  test("snapshots carry per-epoch schema-ids; time travel sees commit-time shape") {
+    val root = "/tmp/graft_test/ice_epochs"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))         // v1: epoch A
+    SnapshotTable.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "v"))   // v2: epoch A
+    SnapshotTable.renameColumn(spark, root, "v", "label")                     // v3: epoch B
+    SnapshotTable.addColumn(spark, root, "score", "double")                   // v4: epoch C
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 4)
+    def snapSchemaId(snap: Int): Int =
+      (s""""snapshot-id":$snap,"sequence-number":\\d+,"timestamp-ms":\\d+,"schema-id":(\\d+)""").r
+        .findFirstMatchIn(metaJson).getOrElse(sys.error(s"no schema-id on snapshot $snap"))
+        .group(1).toInt
+    assert(snapSchemaId(1) === snapSchemaId(2), "same shape, same epoch")
+    assert(snapSchemaId(3) !== snapSchemaId(1), "rename opens a new epoch")
+    assert(snapSchemaId(4) !== snapSchemaId(3), "add-column opens a new epoch")
+    // current-schema-id points at the head's epoch
+    val cur = "\"current-schema-id\":(\\d+)".r.findFirstMatchIn(metaJson).get.group(1).toInt
+    assert(cur === snapSchemaId(4))
+    // schemas[] defines every referenced epoch, each with the shape an
+    // engine needs to time-travel to that snapshot
+    Seq(snapSchemaId(1), snapSchemaId(3), snapSchemaId(4)).foreach { sid =>
+      assert(metaJson.contains(s"""{"type":"struct","schema-id":$sid,"fields":["""),
+        s"schemas[] must define epoch $sid")
+    }
+    assert(metaJson.contains(""""name":"v""""), "epoch A keeps the pre-rename name")
+    assert(metaJson.contains(""""name":"label""""))
+    assert(metaJson.contains(""""name":"score""""))
+  }
 }

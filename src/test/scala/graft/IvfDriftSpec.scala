@@ -1,7 +1,5 @@
 package graft
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.functions._
 
 import graft.ann.IvfIndex
@@ -54,18 +52,11 @@ class IvfDriftSpec extends SparkSpec {
 
     // the rebuild is the consumer: retrain over the lists table's
     // CURRENT corpus (what the index actually holds), flag clears.
-    // Materialized first: buildAt drops the very files a lazy read
-    // would scan (a real rebuild job reads its corpus from the
-    // upstream table, not from the index it is replacing)
-    val current = spark.createDataFrame(
-      SnapshotTable.read(spark, s"$root/lists")
-        .select("vec_id", "embedding").collect().toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    // A LAZY read of the very table being replaced stays valid
+    // through the rebuild: buildAt publishes overwrite commits and
+    // never deletes the old version's files
+    val current = SnapshotTable.read(spark, s"$root/lists")
+      .select("vec_id", "embedding")
     IvfIndex.buildAt(spark, root, current, nLists = 16, lloydIters = 2)
     assert(!IvfIndex.needsRebuild(spark, root))
 
@@ -135,5 +126,65 @@ class IvfDriftSpec extends SparkSpec {
       clustered(vecs.filter(col("vec_id") % 2 === 0), 3000000L))
     val after = Maintenance.run(spark, tbl, policy)
     assert(after.indexesRebuilt.isEmpty, after.toString)
+  }
+
+  test("a failed rebuild leaves the old index serving with its flag set, and retries") {
+    val froot = "/tmp/graft_ivf_drift_fail"
+    Seq("lists", "centroids").foreach(t => SnapshotTable.drop(spark, s"$froot/$t"))
+    IvfIndex.buildAt(spark, froot, vecs.filter(col("vec_id") % 2 === 0),
+      nLists = 8, lloydIters = 2)
+    IvfIndex.appendBatch(spark, froot,
+      clustered(vecs.filter(col("vec_id") % 2 === 1), 1000000L))
+    assert(IvfIndex.needsRebuild(spark, froot))
+    val vBefore = SnapshotTable.currentVersion(spark, s"$froot/lists")
+    val countBefore = SnapshotTable.read(spark, s"$froot/lists").count()
+
+    // a retrain whose corpus evaluation throws (the mid-rebuild crash
+    // shape): the OLD index must remain fully intact — head version
+    // unchanged, every vector still served, sticky flag still set —
+    // because buildAt never drops before its overwrite commits land
+    val poisoned = vecs.withColumn("embedding",
+      expr("array(CAST(raise_error('retrain crashed') AS FLOAT))"))
+    intercept[Exception] {
+      IvfIndex.buildAt(spark, froot, poisoned, nLists = 8, lloydIters = 2)
+    }
+    assert(SnapshotTable.currentVersion(spark, s"$froot/lists") === vBefore)
+    assert(SnapshotTable.read(spark, s"$froot/lists").count() === countBefore)
+    assert(IvfIndex.needsRebuild(spark, froot), "flag must survive a failed rebuild")
+
+    // the retry path the nightly job takes: plain rebuildFromLists
+    // succeeds over the intact index and clears the flag
+    IvfIndex.rebuildFromLists(spark, froot)
+    assert(!IvfIndex.needsRebuild(spark, froot))
+    assert(SnapshotTable.read(spark, s"$froot/lists").count() === countBefore)
+  }
+
+  test("Maintenance.run isolates a throwing rebuild: report kept, siblings rebuilt") {
+    import graft.lake.Maintenance
+    val okRoot = "/tmp/graft_ivf_drift_sib"
+    Seq("lists", "centroids").foreach(t => SnapshotTable.drop(spark, s"$okRoot/$t"))
+    val tbl = "/tmp/graft_ivf_drift_sib_tbl"
+    SnapshotTable.drop(spark, tbl)
+    import spark.implicits._
+    SnapshotTable.commit(spark, tbl, Seq((1L, "a")).toDF("id", "v"))
+    IvfIndex.buildAt(spark, okRoot, vecs.filter(col("vec_id") % 2 === 0),
+      nLists = 8, lloydIters = 2)
+    IvfIndex.appendBatch(spark, okRoot,
+      clustered(vecs.filter(col("vec_id") % 2 === 1), 1000000L))
+    val bad = new Maintenance.IndexStage {
+      override val root: String = "/tmp/graft_ivf_drift_bad"
+      override def needsRebuild(s: org.apache.spark.sql.SparkSession): Boolean = true
+      override def rebuild(s: org.apache.spark.sql.SparkSession): Unit =
+        throw new RuntimeException("index backend unavailable")
+    }
+    // bad FIRST: the failure must not starve the healthy sibling
+    val report = Maintenance.run(spark, tbl, Maintenance.Policy(
+      orphanGraceMs = 0,
+      indexes = Seq(bad, IvfIndex.maintenanceStage(okRoot))))
+    assert(report.indexRebuildFailures ===
+      Seq(bad.root -> "index backend unavailable"), report.toString)
+    assert(report.indexesRebuilt === Seq(okRoot), report.toString)
+    assert(!IvfIndex.needsRebuild(spark, okRoot))
+    assert(report.finalVersion > 0)
   }
 }

@@ -674,15 +674,19 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val loc = s"$tableArea/props"
     SnapshotTable.drop(spark, loc)
     SnapshotTable.commit(spark, loc, Seq((1L, "a")).toDF("id", "v"))
-    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+    val (c0, _r0) = RestCatalog.post(port, "/v1/tables",
       s"""{"name":"rest_spec_props","format":"graft-snapshot","location":"$loc"}""")
-    assert(c0 == 201)
+    assert(c0 == 201, _r0)
     val base = "/v1/namespaces/graft/tables/rest_spec_props"
     // set two properties — one value exercises the k=v,k=v header escaping
     val (c1, r1) = RestCatalog.post(port, base,
       """{"updates":[{"action":"set-properties","updates":{"owner":"team a,b=c","write.target":"512m"}}]}""")
     assert(c1 == 200, r1)
-    assert(r1.contains("\"properties\":{\"owner\":\"team a,b=c\",\"write.target\":\"512m\"}"), r1)
+    // user properties plus the always-served name-mapping (sorted order)
+    assert(r1.contains("\"owner\":\"team a,b=c\"") &&
+      r1.contains("\"write.target\":\"512m\""), r1)
+    assert(r1.contains("\"schema.name-mapping.default\""),
+      s"loadTable must serve the name-mapping property: $r1")
     val vProps = SnapshotTable.currentVersion(spark, loc)
     // properties INHERIT across later engine commits
     SnapshotTable.commitAppend(spark, loc, Seq((2L, "b")).toDF("id", "v"))
