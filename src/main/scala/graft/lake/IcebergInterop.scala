@@ -39,10 +39,13 @@ import org.apache.spark.sql.SparkSession
   * manifest's `_graft_day` annotations) so external engines keep
   * partition pruning; stats-annotated columns export as
   * `lower_bounds`/`upper_bounds` (spec Appendix D single-value
-  * binary) so they keep file skipping. Documented delta (README):
-  * data/delete parquet files carry no Iceberg parquet field-ids —
-  * engines fall back to name mapping (renames ride the column-mapping
-  * export, [[DeltaInterop]]).
+  * binary) so they keep file skipping. Column binding is covered both
+  * ways: new lake parquet carries REAL footer field ids
+  * ([[SnapshotTable]] stamps `parquet.field.id` on every write path),
+  * and the exported metadata.json serves `schema.name-mapping.default`
+  * so files written before field-ids landed — or by any id-less
+  * writer — still bind renamed columns correctly (the Iceberg spec's
+  * own migration story).
   */
 object IcebergInterop {
 

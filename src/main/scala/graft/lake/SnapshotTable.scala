@@ -516,7 +516,9 @@ object SnapshotTable {
     // column names are stored under their physical names
     val inherited = schemaMeta(s, root, cur)
     val mapping = parsePairs(inherited.get(ColMapKey))
-    val newFiles = writeDataFiles(s, root, v, toPhysical(df, mapping))
+    val physDf = toPhysical(df, mapping)
+    val newFiles = writeDataFiles(s, root, v,
+      withFieldIds(physDf, physFieldIds(s, root, cur, physDf.columns)))
     val withStats =
       if (statsCols.isEmpty) newFiles
       else annotateStats(s, newFiles, statsCols.map(c => mapping.getOrElse(c, c)))
@@ -599,8 +601,10 @@ object SnapshotTable {
     val cur0 = currentVersion(s, root)
     val mapping =
       if (cur0 < 1) Map.empty[String, String] else columnMapping(s, root, cur0)
+    val physDf = toPhysical(df, mapping)
     val baseLines = annotateRows(s,
-      writeDataFilesAt(s, s"$root/data/c-$stage", toPhysical(df, mapping)))
+      writeDataFilesAt(s, s"$root/data/c-$stage",
+        withFieldIds(physDf, physFieldIds(s, root, cur0, physDf.columns))))
     // Iceberg commit-time sequence assignment: the data sequence number
     // is decided against the head this commit actually lands on, so it
     // is re-derived on EVERY CAS attempt. Stamping once against the
@@ -1340,12 +1344,15 @@ object SnapshotTable {
     // mode(overwrite) a shared v-numbered dir right over these bytes
     val newFiles =
       if (touched.isEmpty) Seq.empty[String]
-      else stampSeq(
-        annotateRows(s, writeDataFilesAt(s,
-          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}",
-          applyAllDeletes(s, touched,
-            fs => rawWidenedRead(s, fs, mapping, types), dels, eqs, fileSeq))),
-        nextSeqAt(s, root, cur))
+      else {
+        val rewritten = applyAllDeletes(s, touched,
+          fs => rawWidenedRead(s, fs, mapping, types), dels, eqs, fileSeq)
+        stampSeq(
+          annotateRows(s, writeDataFilesAt(s,
+            s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}",
+            withFieldIds(rewritten, physFieldIds(s, root, cur, rewritten.columns)))),
+          nextSeqAt(s, root, cur))
+      }
     // every delete line goes (eq deletes with no matching rows are
     // spent: the semi-join proved no surviving row matches them)
     def gone(line: String) =
@@ -1641,7 +1648,8 @@ object SnapshotTable {
             raw.repartitionByRange(nOut, phys: _*).sortWithinPartitions(phys: _*)
           }
         val staged = writeDataFilesAt(s,
-          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}", arranged)
+          s"$root/data/m-${java.util.UUID.randomUUID.toString.take(8)}",
+          withFieldIds(arranged, physFieldIds(s, root, cur, arranged.columns)))
         val withStats =
           if (regCols(StatsKey).isEmpty) staged
           else annotateStats(s, staged, regCols(StatsKey))
@@ -1721,7 +1729,8 @@ object SnapshotTable {
     // rewritten files get the next sequence number: pending eq
     // deletes (already applied to their content) stop matching them
     val newFiles = stampSeq(
-      annotateRows(s, writeDataFiles(s, root, v, rewritten)),
+      annotateRows(s, writeDataFiles(s, root, v,
+        withFieldIds(rewritten, physFieldIds(s, root, cur, rewritten.columns)))),
       nextSeqAt(s, root, cur))
     publishReplace(s, root, cur, affected, newFiles,
       Map("op" -> op, "rewrote" -> touched.size.toString))
@@ -2362,6 +2371,62 @@ object SnapshotTable {
 
   private def writeDataFiles(s: SparkSession, root: String, v: Int, df: DataFrame): Seq[String] =
     writeDataFilesAt(s, s"$root/data/v$v", df)
+
+  /** Iceberg parquet field ids for a PHYSICAL frame about to land in
+    * the table at head `cur`: the table's persistent ids keyed by
+    * physical name, with columns the table hasn't seen yet taking
+    * max+1 in arrival order — the same rule [[fieldIds]] applies when
+    * it later reads them back, so footer ids and metadata ids can
+    * never disagree. A new table (cur < 1) is ordinal, matching the
+    * never-evolved fallback.
+    */
+  private def physFieldIds(s: SparkSession, root: String, cur: Int,
+      dfCols: Seq[String]): Map[String, Int] =
+    if (cur < 1) dfCols.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    else {
+      val mapping = columnMapping(s, root, cur)
+      val phys = fieldIds(s, root, cur)
+        .map { case (n, id) => mapping.getOrElse(n, n) -> id }
+      var next = phys.values.maxOption.getOrElse(0)
+      dfCols.map { c =>
+        phys.get(c) match {
+          case Some(id) => c -> id
+          case None => next += 1; c -> next
+        }
+      }.toMap
+    }
+
+  /** Stamp `parquet.field.id` column metadata so the parquet writer
+    * emits REAL Iceberg field ids into the footers (Spark honors the
+    * key when spark.sql.parquet.fieldId.write.enabled holds, its
+    * default). New lake files are then self-describing to external
+    * Iceberg engines even without the name-mapping property; files
+    * written before this landed stay covered by name mapping — exactly
+    * Iceberg's migration story for id-less parquet.
+    */
+  private def withFieldIds(df: DataFrame, physIds: Map[String, Int]): DataFrame =
+    if (physIds.isEmpty) df
+    else df.select(df.columns.map { c =>
+      physIds.get(c).fold(col(c)) { id =>
+        col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build())
+      }
+    }.toIndexedSeq: _*)
+
+  /** [[withFieldIds]] for a PHYSICAL StructType — the SQL row-level
+    * write path ships a schema (not a DataFrame) to its executor-side
+    * ParquetWriteSupport, which honors the same metadata key.
+    */
+  private[graft] def withFieldIdMetadata(s: SparkSession, root: String, v: Int,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val ids = physFieldIds(s, root, v, schema.fieldNames.toSeq)
+    org.apache.spark.sql.types.StructType(schema.map { f =>
+      ids.get(f.name).fold(f) { id =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+      }
+    })
+  }
 
   /** Lake data files always carry INT64-micros timestamps, never
     * Spark's legacy INT96 default (which Iceberg's spec forbids too):
@@ -3046,21 +3111,39 @@ object SnapshotTable {
     * rewrites (compaction), which would otherwise fail on a
     * post-widen mixed-width file set.
     */
+  /** Drop `parquet.field.id` metadata from a read schema: graft scans
+    * bind columns by PHYSICAL NAME (renames are metadata-only, so
+    * physical names are stable across every file epoch). Spark 4's
+    * field-id read mode would otherwise take over whenever the
+    * inferred schema comes from an id-stamped file — and then REFUSE
+    * the table's older id-less files ("read schema expects field Ids")
+    * — making a mixed-epoch table, the permanent migration reality,
+    * unreadable. Footer ids are for EXTERNAL engines (with the
+    * exported name-mapping covering pre-id files); internally they
+    * must never change how a scan binds.
+    */
+  private def stripFieldIdMeta(
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.map { f =>
+      if (f.metadata.contains("parquet.field.id"))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("parquet.field.id").build())
+      else f
+    })
+
   private def rawWidenedRead(
       s: SparkSession, files: Seq[String],
       mapping: Map[String, String], types: Map[String, String],
-      tags: Map[String, String] = Map.empty): DataFrame =
-    if (types.isEmpty) s.read.options(tags).parquet(files: _*)
-    else {
-      val physTypes = types.map { case (l, t) => mapping.getOrElse(l, l) -> t }
-      val inferred = s.read.parquet(files: _*).schema
-      val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
-        physTypes.get(f.name)
-          .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
-          .getOrElse(f)
-      })
-      s.read.schema(widened).options(tags).parquet(files: _*)
-    }
+      tags: Map[String, String] = Map.empty): DataFrame = {
+    val physTypes = types.map { case (l, t) => mapping.getOrElse(l, l) -> t }
+    val inferred = s.read.parquet(files: _*).schema
+    val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
+      physTypes.get(f.name)
+        .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+        .getOrElse(f)
+    })
+    s.read.schema(stripFieldIdMeta(widened)).options(tags).parquet(files: _*)
+  }
 
   /** CDF-style row changes between two versions, Delta-CDF semantics
     * without persisted change files: `change_type` is 'insert' or

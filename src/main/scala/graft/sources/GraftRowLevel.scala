@@ -152,9 +152,14 @@ private class GraftReplaceWrite(
     private val dir = s"$root/data/rlw-${UUID.randomUUID().toString.take(8)}"
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-      val conf = new SerializableHadoopConf(
-        SparkSession.active.sparkContext.hadoopConfiguration)
-      new GraftParquetWriterFactory(writeSchema, conf, dir)
+      val spark = SparkSession.active
+      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      // stamp persistent Iceberg field ids so the rewritten parquet
+      // footers are self-describing to external engines (the factory
+      // already enables PARQUET_FIELD_ID_WRITE)
+      new GraftParquetWriterFactory(
+        SnapshotTable.withFieldIdMetadata(spark, root, op.version, writeSchema),
+        conf, dir)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -308,6 +308,46 @@ class IcebergInteropSpec extends SparkSpec {
     assert(metaJson.contains("\"last-column-id\":3"), metaJson)
   }
 
+  test("lake parquet carries real Iceberg footer field ids across rename and compaction") {
+    import scala.jdk.CollectionConverters._
+    def footerIds(file: String): Map[String, Option[Int]] = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf))
+      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+      finally reader.close()
+    }
+    val root = "/tmp/graft_test/ice_footerids"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a", 1.5)).toDF("id", "v", "score"))
+    // fresh commit: every footer field carries its persistent id
+    SnapshotTable.dataFiles(spark, root, 1).foreach { f =>
+      assert(footerIds(f) === Map("id" -> Some(1), "v" -> Some(2), "score" -> Some(3)), f)
+    }
+    // rename, then append: the new file keeps the PHYSICAL name but
+    // the SAME field id — exactly how Iceberg encodes rename
+    SnapshotTable.renameColumn(spark, root, "v", "label")
+    SnapshotTable.commitAppend(spark, root, Seq((2L, "b", 2.5)).toDF("id", "label", "score"))
+    val v3 = SnapshotTable.currentVersion(spark, root)
+    val newFiles = SnapshotTable.dataFiles(spark, root, v3).toSet --
+      SnapshotTable.dataFiles(spark, root, 1).toSet
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { f =>
+      val ids = footerIds(f)
+      assert(ids.contains("v") && ids("v") === Some(2),
+        s"renamed column must land under its physical name with its id: $ids")
+    }
+    // compaction rewrites keep the ids too
+    val vPack = SnapshotTable.compactSmallFiles(spark, root)
+    assert(vPack > v3, "two small files must pack")
+    SnapshotTable.dataFiles(spark, root, vPack).foreach { f =>
+      assert(footerIds(f)("v") === Some(2), s"packed file ids: ${footerIds(f)}")
+    }
+    // and the mixed-epoch table still reads green with current names
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("id", "label", "score"))
+    assert(SnapshotTable.read(spark, root).count() === 2L)
+  }
+
   test("name-mapping property binds physical file columns to field ids across rename/widen") {
     val root = "/tmp/graft_test/ice_namemap"
     SnapshotTable.drop(spark, root)
