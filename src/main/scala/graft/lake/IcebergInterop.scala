@@ -355,6 +355,146 @@ object IcebergInterop {
         r.get("sequence_number").asInstanceOf[Long])
     }
 
+  /** Full manifest-entry decode for the IMPORT path: (file_path,
+    * content 0/1/2, status 0/1/2, record_count, sequence_number,
+    * equality field-ids, day partition value as epoch day). Still the
+    * plain avro library — the import must consume what any Iceberg
+    * writer produced, not graft's own renderer quirks.
+    */
+  private[graft] def readEntriesFull(c: Configuration, path: String)
+      : Seq[(String, Int, Int, Long, Long, Seq[Int], Option[Int])] = {
+    import scala.jdk.CollectionConverters._
+    readAvro(c, path).map { r =>
+      val df = r.get("data_file").asInstanceOf[GenericRecord]
+      val eqIds: Seq[Int] = df.get("equality_ids") match {
+        case l: java.util.List[_] => l.asScala.map(_.toString.toInt).toSeq
+        case _ => Seq.empty
+      }
+      val day: Option[Int] = df.get("partition") match {
+        case pr: GenericRecord => pr.getSchema.getFields.asScala.collectFirst {
+          case f if f.name.endsWith("_day") && pr.get(f.name) != null =>
+            pr.get(f.name).asInstanceOf[Int]
+        }
+        case _ => None
+      }
+      val seq = r.get("sequence_number") match {
+        case l: java.lang.Long => l.longValue
+        case _ => 0L
+      }
+      (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
+        r.get("status").asInstanceOf[Int],
+        df.get("record_count").asInstanceOf[Long], seq, eqIds, day)
+    }
+  }
+
+  /** Iceberg primitive type name → Spark DDL (inverse of
+    * [[icebergType]]).
+    */
+  private def ddlType(icebergT: String): String = icebergT match {
+    case "long" => "bigint"
+    case "timestamptz" => "timestamp"
+    case "timestamp" => "timestamp_ntz"
+    case other => other // int, string, double, float, boolean, date, binary, decimal(p,s)
+  }
+
+  // ----- import -------------------------------------------------------
+
+  /** IMPORT an Iceberg v2 table — metadata.json → Avro manifest-list →
+    * Avro manifests — as a graft [[SnapshotTable]] at `destRoot`,
+    * ZERO-COPY: the foreign data, positional-delete, and
+    * equality-delete parquet files are REFERENCED, never read or
+    * rewritten (Iceberg `add_files`; the inverse of [[writeMetadata]],
+    * and the migration path the reference gets from mounting existing
+    * Iceberg tables through its catalog —
+    * /root/reference/etc/catalog/iceberg.properties). Imported
+    * schema semantics survive: the current schema's field-ids persist,
+    * `schema.name-mapping.default` becomes graft's column mapping
+    * (logical reads over physically-named files — renames arrive
+    * intact), schema types become widened-read types (a
+    * physically-int file under a long schema reads as long), day
+    * partition values ride per-file so partition pruning keeps
+    * working, and delete files keep their v2 application semantics
+    * (positional by path+pos; equality scoped by sequence number).
+    * Returns the new table version (1 for a fresh destination).
+    */
+  def importChain(s: SparkSession, metadataPath: String, destRoot: String): Int = {
+    val c = conf(s)
+    val mp = new Path(metadataPath)
+    val mfs = mp.getFileSystem(c)
+    val in = mfs.open(mp)
+    val metaJson = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    def req(m: Option[String], what: String): String =
+      m.getOrElse(throw new IllegalArgumentException(s"metadata.json has no $what"))
+    val cur = req("\"current-snapshot-id\":(\\d+)".r
+      .findFirstMatchIn(metaJson).map(_.group(1)), "current-snapshot-id")
+    val listPath = req(("\"snapshot-id\":" + cur + ",[^{]*\"manifest-list\":\"([^\"]+)\"").r
+      .findFirstMatchIn(metaJson).map(_.group(1)), s"manifest-list for snapshot $cur")
+    val schemaId = req("\"current-schema-id\":(\\d+)".r
+      .findFirstMatchIn(metaJson).map(_.group(1)), "current-schema-id")
+    val fieldsBlock = req(
+      (s"""\\{"type":"struct","schema-id":$schemaId,"fields":\\[([^\\]]*)\\]\\}""").r
+        .findFirstMatchIn(metaJson).map(_.group(1)), s"schema $schemaId")
+    val schemaFields: Seq[(Int, String, String)] =
+      """\{"id":(\d+),"name":"([^"]+)","required":(?:true|false),"type":"([^"]+)"\}""".r
+        .findAllMatchIn(fieldsBlock)
+        .map(m => (m.group(1).toInt, m.group(2), m.group(3))).toSeq
+    require(schemaFields.nonEmpty, s"schema $schemaId has no parsable fields")
+    // name mapping (optional property): field-id -> candidate file
+    // column names, physical first. Absent -> files carry the logical
+    // names (Iceberg tables that never renamed).
+    val nmNames: Map[Int, Seq[String]] =
+      """"schema\.name-mapping\.default":"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(metaJson).map(_.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map { nm =>
+          """\{"field-id":(\d+),"names":\[([^\]]*)\]\}""".r.findAllMatchIn(nm)
+            .map(m => m.group(1).toInt ->
+              """"([^"]*)"""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq)
+            .toMap
+        }.getOrElse(Map.empty)
+    def physicalOf(id: Int, logical: String): String =
+      nmNames.get(id).flatMap(_.headOption).getOrElse(logical)
+    // schema headers: column mapping for renamed fields, persistent
+    // field ids, widened-read types (the file may be physically
+    // narrower than the schema type — Iceberg widen semantics)
+    val colmap = schemaFields.collect {
+      case (id, logical, _) if physicalOf(id, logical) != logical =>
+        s"$logical=${physicalOf(id, logical)}"
+    }
+    val fieldids = schemaFields.map { case (id, logical, _) => s"$logical=$id" }
+    val coltypes = schemaFields.map { case (_, logical, t) => s"$logical=${ddlType(t)}" }
+    // day partition spec -> graft's partition header (physical source)
+    val daySource: Option[String] =
+      """\{"name":"[^"]+","transform":"day","source-id":(\d+),"field-id":\d+\}""".r
+        .findFirstMatchIn(metaJson).map(_.group(1).toInt).flatMap { srcId =>
+          schemaFields.collectFirst { case (id, logical, _) if id == srcId =>
+            physicalOf(id, logical)
+          }
+        }
+    val idOf: Map[Int, String] = schemaFields.map { case (id, l, _) =>
+      id -> physicalOf(id, l)
+    }.toMap
+    val entries = readManifestList(c, listPath)
+      .flatMap { case (manifest, _) => readEntriesFull(c, manifest) }
+      .filter(_._3 != 2) // status DELETED
+    val data = entries.filter(_._2 == 0).map { case (p, _, _, rows, seq, _, day) =>
+      (p, rows, seq,
+        day.map(d => java.time.LocalDate.ofEpochDay(d.toLong).toString))
+    }
+    val posDeletes = entries.filter(_._2 == 1).map(_._1)
+    val eqDeletes = entries.filter(_._2 == 2).map { case (p, _, _, _, seq, ids, _) =>
+      (p, ids.flatMap(idOf.get), seq)
+    }
+    val meta = Map("op" -> "import_iceberg",
+      SnapshotTable.FieldIdsKey -> fieldids.mkString(","),
+      SnapshotTable.ColTypesKey -> coltypes.mkString(",")) ++
+      (if (colmap.nonEmpty) Map(SnapshotTable.ColMapKey -> colmap.mkString(","))
+       else Map.empty) ++
+      daySource.fold(Map.empty[String, String])(src =>
+        Map(SnapshotTable.PartitionKey -> src))
+    SnapshotTable.commitImported(s, destRoot, data, posDeletes, eqDeletes, meta)
+  }
+
   // ----- export -------------------------------------------------------
 
   private def listPath(root: String, v: Int) =

@@ -5,6 +5,8 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.Path
 
+import org.apache.spark.sql.functions.col
+
 import graft.lake.{IcebergInterop, SnapshotTable}
 
 /** [[IcebergInterop]] — the Iceberg v2 Avro export. Everything here
@@ -376,6 +378,55 @@ class IcebergInteropSpec extends SparkSpec {
     val fileCols = spark.read
       .parquet(SnapshotTable.dataFiles(spark, root, v): _*).columns.toSet
     assert(fileCols.contains("v") && !fileCols.contains("label"))
+  }
+
+  test("import mounts an exported chain zero-copy: eq-delete scoping, rename, partition pruning") {
+    import graft.lake.IcebergInterop.importChain
+    val src = "/tmp/graft_test/ice_imp_src"
+    val dest = "/tmp/graft_test/ice_imp_dest"
+    Seq(src, dest).foreach(SnapshotTable.drop(spark, _))
+    // day-partitioned source across two days
+    val rows = (0 until 20).map(k =>
+      (k.toLong, java.sql.Timestamp.valueOf(s"2024-03-0${1 + k % 2} 10:00:00"), s"u$k", k * 10))
+      .toDF("id", "ts", "user", "qty")
+    SnapshotTable.commitPartitionedByDay(spark, src, rows, "ts")
+    // v2: eq-delete ids 0..4 (suppresses only OLDER rows — v2 scoping)
+    SnapshotTable.deleteWhereEq(spark, src, Seq("id"),
+      (0L until 5L).toDF("id"))
+    // v3: re-insert id 3 — must SURVIVE the older eq delete
+    SnapshotTable.commitPartitionedByDay(spark, src,
+      Seq((3L, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "u3b", 999)).toDF(rows.columns: _*), "ts")
+    // v4: rename + widen ride the metadata
+    SnapshotTable.renameColumn(spark, src, "user", "username")
+    SnapshotTable.widenColumn(spark, src, "qty", "bigint")
+    val v = SnapshotTable.currentVersion(spark, src)
+    val (metaPath, _) = graft.lake.IcebergInterop.writeMetadata(spark, src, v)
+
+    assert(importChain(spark, metaPath, dest) === 1)
+    val imp = SnapshotTable.read(spark, dest)
+    // logical schema arrived: renamed + widened
+    assert(imp.columns.toSeq === Seq("id", "ts", "username", "qty"))
+    assert(imp.schema("qty").dataType === org.apache.spark.sql.types.LongType)
+    // content matches the source's own current read exactly (ids 0-2,
+    // 4 deleted; 3 resurrected by the newer insert)
+    val got = imp.select("id", "username").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(!got.map(_._1).toSet.exists(Set(0L, 1L, 2L, 4L)))
+    assert(got.count(_._1 == 3L) === 1 && got.find(_._1 == 3L).get._2 === "u3b")
+    assert(got.length === 16)
+    val srcRead = SnapshotTable.read(spark, src)
+      .select(col("id"), col("username")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === srcRead.toSeq)
+    // partition pruning survives the import: the manifest-level prune
+    // (the same candidateDataFiles pruning the DSv2 scan rule uses)
+    // keeps strictly fewer files under a one-day filter — the imported
+    // per-file day values and partition header are load-bearing
+    val all = SnapshotTable.candidateDataFiles(spark, dest, None)
+    val oneDay = SnapshotTable.candidateDataFiles(spark, dest,
+      Some(col("ts") >= "2024-03-02" && col("ts") < "2024-03-03"))
+    assert(oneDay.size < all.size,
+      s"day filter must prune imported files (${oneDay.size}/${all.size})")
   }
 
   test("snapshots carry per-epoch schema-ids; time travel sees commit-time shape") {
