@@ -511,10 +511,14 @@ object RestCatalog {
       * ([[SnapshotTable.fieldIds]]) under a NEW name →
       * [[SnapshotTable.renameColumn]] — the Iceberg spec's rename
       * encoding (same field-id, new name), which loadTable's exported
-      * schemas advertise so a client can echo ids back. DROP stays
-      * refused (400): readers would lose old-version columns — evolve
-      * forward instead (documented delta). Rename SWAPS/chains inside
-      * one request are refused (400) rather than half-applied. Each
+      * schemas advertise so a client can echo ids back. A current
+      * field absent from the target (by name AND id) is a DROP —
+      * [[SnapshotTable.dropColumn]]: old versions keep reading it
+      * (per-snapshot schema binding; the export serves per-snapshot
+      * schema-ids), the field id is tombstoned; drops the engine
+      * refuses (partition source, stats/bloom column, eq-delete key)
+      * 400 the whole request before any commit. Rename SWAPS/chains
+      * inside one request are refused (400) rather than half-applied. Each
       * change is its own metadata-only commit, but every change is
       * validated before ANY commit; the response carries the final
       * version's metadata. A schema identical to the current one is an
@@ -548,13 +552,18 @@ object RestCatalog {
         val wantNames = want.map(_._2).toSet
         val wantIds = want.flatMap(_._1).toSet
         // a current field survives if its NAME or its persistent ID
-        // appears in the target schema; anything else is a DROP → 400
+        // appears in the target schema; anything else is a DROP —
+        // supported since per-snapshot schema binding landed (old
+        // versions keep reading the column; the id is tombstoned).
+        // Validated HERE, before any commit: a refusable drop (the
+        // partition source, a stats/bloom column, an eq-delete key)
+        // 400s the whole request rather than half-applying it.
         val removed = have.map(_._1)
           .filterNot(n => wantNames.contains(n) || wantIds.contains(idOf(n)))
-        if (removed.nonEmpty) {
-          err(ex, 400, "DROP COLUMN is not supported over the wire — readers " +
-            s"would lose old-version columns; evolve forward instead: ${removed.mkString(", ")}")
-          return
+        removed.foreach { n =>
+          SnapshotTable.dropRefusal(spark, loc, n).foreach { reason =>
+            err(ex, 400, reason); return
+          }
         }
         // validate EVERY change before applying ANY — a rejected
         // promotion must not leave earlier renames/adds half-committed
@@ -647,7 +656,9 @@ object RestCatalog {
         }
         var nv = cur
         // renames first (ids pin identity), then widens (under the new
-        // names), then adds
+        // names), then adds, then drops (a dropped field is absent
+        // from the target schema, so it can't participate in the
+        // earlier changes — its pre-request name is still valid here)
         changes.sortBy {
           case _: Rename => 0
           case _: Widen => 1
@@ -657,6 +668,7 @@ object RestCatalog {
           case Widen(n, t) => nv = SnapshotTable.widenColumn(spark, loc, n, t)
           case Add(n, t) => nv = SnapshotTable.addColumn(spark, loc, n, t)
         }
+        removed.foreach(n => nv = SnapshotTable.dropColumn(spark, loc, n))
         if (nv != cur) {
           // refresh the session-catalog registration: it froze its
           // inferred schema at register time, so spark.table/DESCRIBE

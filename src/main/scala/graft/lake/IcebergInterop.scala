@@ -272,11 +272,19 @@ object IcebergInterop {
     * for id-less files.
     */
   private[graft] def nameMappingJson(
-      fields: Seq[(Int, String, String)], mapping: Map[String, String]): String =
-    fields.map { case (id, n, _) =>
+      fields: Seq[(Int, String, String)], mapping: Map[String, String],
+      dropped: Map[String, Int] = Map.empty): String =
+    (fields.map { case (id, n, _) =>
       val names = Seq(mapping.getOrElse(n, n), n).distinct
       s"""{"field-id":$id,"names":[${names.map(jstr).mkString(",")}]}"""
-    }.mkString("[", ",", "]")
+    } ++
+      // DROPPED fields keep their mapping entry (tombstoned id +
+      // physical name): an engine time-traveling to a pre-drop
+      // snapshot resolves them through that snapshot's schema-id and
+      // still needs the file binding
+      dropped.toSeq.sortBy(_._2).map { case (phys, id) =>
+        s"""{"field-id":$id,"names":[${jstr(phys)}]}"""
+      }).mkString("[", ",", "]")
 
   // ----- Avro writing -------------------------------------------------
 
@@ -751,7 +759,8 @@ object IcebergInterop {
     // renamed column reads as NULL everywhere outside graft
     val props = SnapshotTable.properties(s, loc, v) +
       ("schema.name-mapping.default" ->
-        nameMappingJson(fields, SnapshotTable.columnMapping(s, loc, v)))
+        nameMappingJson(fields, SnapshotTable.columnMapping(s, loc, v),
+          SnapshotTable.droppedColumns(s, loc, v)))
     val metadata =
       s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${
         jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${

@@ -1996,18 +1996,28 @@ object LakeOps {
     s.sql(s"INSERT INTO $t VALUES (5000000000, 'alter_new', 9.75, 'added')")
     require(SnapshotTable.currentVersion(s, root) == 5,
       "seed + 3 ALTERs + INSERT must be five engine commits")
+    // DROP COLUMN (r15): the populated column disappears from HEAD
+    // reads; TIME TRAVEL to the pre-drop version still reads its data
+    // — old files are never rewritten, the snapshot binds its schema
+    s.sql(s"ALTER TABLE $t DROP COLUMN note")
+    require(SnapshotTable.currentVersion(s, root) == 6,
+      "DROP COLUMN must be one metadata-only commit")
+    require(!s.table(t).columns.contains("note"), "note must be gone at HEAD")
+    val preDrop = SnapshotTable.read(s, root, 5)
+    require(preDrop.columns.contains("note") &&
+      preDrop.filter(col("note") === "added").count() == 1,
+      "time travel must still read the dropped column's data")
     s.sql(s"SELECT event_type, COUNT(*) AS n, " +
-      s"${sqlSumMoney("amount", "total_amount")}, COUNT(note) AS notes " +
+      s"${sqlSumMoney("amount", "total_amount")} " +
       s"FROM $t GROUP BY 1 ORDER BY 1")
   }
 
   val sqlAlterOracle: String =
     s"""WITH t AS (
-       |  SELECT event_type, value AS amount, CAST(NULL AS VARCHAR) AS note FROM events
-       |  UNION ALL SELECT 'alter_new', 9.75, 'added'
+       |  SELECT event_type, value AS amount FROM events
+       |  UNION ALL SELECT 'alter_new', 9.75
        |)
-       |SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("amount", "total_amount")},
-       |  COUNT(note) AS notes
+       |SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("amount", "total_amount")}
        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
   val sqlDmlOracle: String =

@@ -988,13 +988,14 @@ object SnapshotTable {
     // (the bare predicate drives pruning — NULL rows aren't deleted,
     // so files that can't hold a TRUE row can't hold a position).
     lazy val probe = logicalView(rawWidenedRead(s, files, mapping, types),
-      mapping, types).filter(predicate)
+      mapping, types, droppedColumns(s, root, cur).keySet).filter(predicate)
     val candidates = planningCandidates(s, root, cur, probe, files)
     if (candidates.isEmpty) return cur // metadata proves zero matches
     val live = applyAllDeletes(s, candidates,
       fs => rawWidenedRead(s, fs, mapping, types),
       dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true)
-    val matches = logicalView(live, mapping, types)
+    val matches = logicalView(live, mapping, types,
+        droppedColumns(s, root, cur).keySet)
       .filter(coalesce(predicate, lit(false)))
       .select(col("_graft_fp").as("file_path"), col("_graft_pos").as("pos"))
       // hash-shuffle on file_path, NOT repartition(1): only the Δ rows
@@ -1060,13 +1061,14 @@ object SnapshotTable {
     // (re-updating a dead row is a no-op, positions never duplicate)
     // — the same manifest-pruned planning pass as deleteWhereMor
     lazy val probe = logicalView(rawWidenedRead(s, files, mapping, types),
-      mapping, types).filter(predicate)
+      mapping, types, droppedColumns(s, root, cur).keySet).filter(predicate)
     val candidates = planningCandidates(s, root, cur, probe, files)
     if (candidates.isEmpty) return cur // metadata proves zero matches
     val live = applyAllDeletes(s, candidates,
       fs => rawWidenedRead(s, fs, mapping, types),
       dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true)
-    val matched = logicalView(live, mapping, types)
+    val matched = logicalView(live, mapping, types,
+        droppedColumns(s, root, cur).keySet)
       .filter(coalesce(predicate, lit(false)))
       .persist() // two consumers: the position write and the replacement write
     try {
@@ -1154,7 +1156,7 @@ object SnapshotTable {
         val live = logicalView(
           applyAllDeletes(s, planFiles, fs => rawWidenedRead(s, fs, mapping, types),
             dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true),
-          mapping, types)
+          mapping, types, droppedColumns(s, root, cur).keySet)
         val cols = deleteImages.columns.toSeq
         // image multiplicities broadcast; null-safe equality on every
         // column; rank per image group caps removals at multiplicity
@@ -1746,7 +1748,7 @@ object SnapshotTable {
       applyAllDeletes(s, paths, fs => rawWidenedRead(s, fs, mapping, types),
         dels, eqs, curFileSeq, keepRowId = true)
         .withColumnRenamed("_graft_fp", "_graft_file").drop("_graft_pos"),
-      mapping, types)
+      mapping, types, droppedColumns(s, root, cur).keySet)
     // manifest-prune the planning scan: a selective predicate on a
     // stats/partition-annotated table reads candidate files only
     val probe = viewWithFile(files).filter(predicate)
@@ -1974,7 +1976,7 @@ object SnapshotTable {
       logicalView(
         applyAllDeletes(s, files, fs => rawWidenedRead(s, fs, mapping, types),
           dels, eqs, fileSeq),
-        mapping, types).filter(predicate)
+        mapping, types, droppedColumns(s, root, v).keySet).filter(predicate)
     val full = view(entries.map(_._1))
     // pattern-match the ANALYZED filter condition (the unresolved
     // Column wraps lazy ColumnNodes in Spark 4) — resolved
@@ -2825,7 +2827,8 @@ object SnapshotTable {
       lines.filterNot(isSuppressionLine).map(_.split('\t').head),
       parsePairs(header.get(ColMapKey)), parsePairs(header.get(ColTypesKey)),
       deletes = lines.filter(isDeleteLine).map(_.split('\t').head),
-      eqDels = eqDeletesOf(lines), fileSeq = fileSeqFn(s, lines))
+      eqDels = eqDeletesOf(lines), fileSeq = fileSeqFn(s, lines),
+      dropped = parsePairs(header.get(DroppedKey)).keySet)
   }
 
   /** PUBLISH: fast-forward main to the branch head. Zero-copy — the
@@ -2869,6 +2872,20 @@ object SnapshotTable {
 
   private[lake] val ColMapKey = "colmap"    // logical=physical,…
   private[lake] val ColTypesKey = "coltypes" // logical=ddl type,…
+  // DROPPED columns: physical (in-file) name = tombstoned field id.
+  // The files are never rewritten (old versions still read the
+  // column); current-version reads drop the physical column in
+  // logicalView, and the id stays burned so no later field can alias
+  // the dropped field's data — Iceberg §Schema Evolution.
+  private[lake] val DroppedKey = "dropped"
+
+  /** physical name → tombstoned field id of every column dropped at or
+    * before `version`. Versions before a drop carry no entry — time
+    * travel reads the column.
+    */
+  def droppedColumns(s: SparkSession, root: String, version: Int): Map[String, Int] =
+    parsePairs(commitMeta(s, root, version).get(DroppedKey))
+      .map { case (k, v) => k -> v.toInt }
 
   private def parsePairs(v: Option[String]): Map[String, String] =
     v.toSeq.flatMap(_.split(",")).flatMap { e =>
@@ -2928,7 +2945,7 @@ object SnapshotTable {
     else commitMeta(s, root, version)
       .filter(kv => kv._1 == ColMapKey || kv._1 == ColTypesKey ||
         kv._1 == "partition" || kv._1 == StatsKey || kv._1 == BloomKey ||
-        kv._1 == PropsKey || kv._1 == FieldIdsKey)
+        kv._1 == PropsKey || kv._1 == FieldIdsKey || kv._1 == DroppedKey)
 
   // table properties ride the same inherited-header channel as the
   // column mapping; keys and values are URL-encoded individually so
@@ -2982,8 +2999,9 @@ object SnapshotTable {
     }
     // the field id FOLLOWS the rename (Iceberg spec §4: rename = same
     // field-id, new name) — snapshotting the full assignment here is
-    // what makes ids persistent from the first evolution onward
-    val ids = fieldIds(s, root, cur)
+    // what makes ids persistent from the first evolution onward.
+    // Tombstoned ids of dropped fields ride along so they stay burned.
+    val ids = fieldIds(s, root, cur) ++ fieldIdTombstones(s, root, cur)
     val newIds = ids.get(oldName) match {
       case Some(id) => (ids - oldName) + (newName -> id)
       case None => ids + (newName -> (ids.values.maxOption.getOrElse(0) + 1))
@@ -3067,16 +3085,91 @@ object SnapshotTable {
     val physInUse = read(s, root, cur).columns.map(c => mapping.getOrElse(c, c))
     require(!physInUse.contains(name),
       s"column $name collides with the physical (in-file) name of a renamed column at $root")
+    // a DROPPED column's physical name still lives inside old data
+    // files; a same-named re-add would be indistinguishable from it in
+    // files written before the drop — refuse (graft's conservative
+    // reading of Iceberg's re-add-gets-a-new-id rule: pick a new name)
+    require(!droppedColumns(s, root, cur).contains(name),
+      s"column $name was dropped and its physical name still lives in old files at $root — re-add under a new name")
     val types = columnTypes(s, root, cur) + (name -> ddlType)
     // the new field gets a FRESH id past every id ever assigned —
     // Iceberg's add-column rule, so a drop+re-add can never alias an
-    // old field's identity
-    val ids = fieldIds(s, root, cur)
+    // old field's identity; tombstoned ids of dropped fields count
+    // toward (and survive past) the max
+    val ids = fieldIds(s, root, cur) ++ fieldIdTombstones(s, root, cur)
     val newIds = ids + (name -> (ids.values.maxOption.getOrElse(0) + 1))
     // inherited header carried forward — see renameColumn
     val meta = (schemaMeta(s, root, cur) - ColTypesKey - FieldIdsKey) ++
       Map("op" -> s"add:$name:$ddlType", ColTypesKey -> renderPairs(types),
         FieldIdsKey -> renderPairs(newIds.map { case (k, i) => k -> i.toString }))
+    val v = cur + 1
+    writeManifestAtomic(s, root, v, meta, listBody(s, root, s"v$cur"))
+    v
+  }
+
+  /** Why `name` cannot be dropped right now — None when it can.
+    * Shared by [[dropColumn]] and the REST route's validate-before-
+    * apply pass (a multi-change request must refuse BEFORE any commit
+    * lands, not throw halfway).
+    */
+  private[graft] def dropRefusal(s: SparkSession, root: String, name: String): Option[String] = {
+    val cur = currentVersion(s, root)
+    if (cur < 1) return Some(s"no snapshot table at $root")
+    if (!read(s, root, cur).columns.contains(name))
+      return Some(s"DROP COLUMN $name: no such column at $root")
+    val physical = columnMapping(s, root, cur).getOrElse(name, name)
+    val hdr = schemaMeta(s, root, cur)
+    if (hdr.get(PartitionKey).contains(physical))
+      return Some(s"DROP COLUMN $name: the table is day($physical)-partitioned")
+    val registered = (hdr.get(StatsKey).toSeq ++ hdr.get(BloomKey).toSeq)
+      .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+    if (registered.contains(name) || registered.contains(physical))
+      return Some(s"DROP COLUMN $name: stats/bloom skipping is registered on it")
+    if (eqDeletesOf(manifestLines(s, root, cur)).exists(_.cols.contains(physical)))
+      return Some(s"DROP COLUMN $name: pending equality deletes key on it")
+    None
+  }
+
+  /** Field-id tombstones of dropped columns, straight from the stored
+    * header: key "!<id>" → id. Ride every evolution commit so a
+    * dropped field's id stays burned forever ([[fieldIds]]'s max
+    * includes them when assigning fresh ids).
+    */
+  private def fieldIdTombstones(s: SparkSession, root: String, v: Int): Map[String, Int] =
+    parsePairs(commitMeta(s, root, v).get(FieldIdsKey))
+      .collect { case (k, x) if k.startsWith("!") => k -> x.toInt }
+
+  /** DROP COLUMN — metadata-only commit (Iceberg §Schema Evolution:
+    * files are never rewritten). The column disappears from reads at
+    * this version onward; every older version still reads it (each
+    * snapshot binds its own headers — the exported Iceberg metadata
+    * expresses the same thing as per-snapshot schema-ids). The field
+    * id is TOMBSTONED (kept in the fieldids header under "!<id>") so
+    * no later ADD can ever alias the dropped field's data, and the
+    * physical name joins the `dropped` header so old files' bytes stop
+    * surfacing. Dropping the day-partition source, a stats/bloom
+    * column, or an eq-delete key column is refused — the table's
+    * pruning and delete semantics still reference it.
+    */
+  def dropColumn(s: SparkSession, root: String, name: String): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    dropRefusal(s, root, name).foreach(r => throw new IllegalArgumentException(r))
+    val mapping = columnMapping(s, root, cur)
+    val physical = mapping.getOrElse(name, name)
+    val hdr = schemaMeta(s, root, cur)
+    val ids = fieldIds(s, root, cur)
+    val newIds = (ids - name) ++ fieldIdTombstones(s, root, cur) +
+      (s"!${ids(name)}" -> ids(name))
+    val newMapping = mapping - name
+    val newTypes = columnTypes(s, root, cur) - name
+    val newDropped = droppedColumns(s, root, cur) + (physical -> ids(name))
+    val meta = (hdr - ColMapKey - ColTypesKey - FieldIdsKey - DroppedKey) ++
+      Map("op" -> s"drop:$name",
+        FieldIdsKey -> renderPairs(newIds.map { case (k, i) => k -> i.toString }),
+        DroppedKey -> renderPairs(newDropped.map { case (k, i) => k -> i.toString })) ++
+      (if (newMapping.nonEmpty) Map(ColMapKey -> renderPairs(newMapping)) else Map.empty) ++
+      (if (newTypes.nonEmpty) Map(ColTypesKey -> renderPairs(newTypes)) else Map.empty)
     val v = cur + 1
     writeManifestAtomic(s, root, v, meta, listBody(s, root, s"v$cur"))
     v
@@ -3088,8 +3181,14 @@ object SnapshotTable {
     * add) materializes as typed NULLs — subset reads keep a stable
     * schema.
     */
-  private def logicalView(df: DataFrame, mapping: Map[String, String], types: Map[String, String]): DataFrame = {
-    val renamed = mapping.foldLeft(df) { case (d, (logical, physical)) =>
+  private def logicalView(df: DataFrame, mapping: Map[String, String],
+      types: Map[String, String], dropped: Set[String] = Set.empty): DataFrame = {
+    // dropped columns go FIRST (keyed by physical name — old files
+    // still carry them; new files may not)
+    val undropped = dropped.foldLeft(df) { (d, p) =>
+      if (d.columns.contains(p)) d.drop(p) else d
+    }
+    val renamed = mapping.foldLeft(undropped) { case (d, (logical, physical)) =>
       if (physical != logical && d.columns.contains(physical))
         d.withColumnRenamed(physical, logical)
       else d
@@ -3140,7 +3239,7 @@ object SnapshotTable {
       fileSeq: String => Long = _ => 0L): DataFrame =
     readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v),
       Map(ScanRootKey -> root, ScanVersionKey -> v.toString), deletes,
-      eqDels, fileSeq)
+      eqDels, fileSeq, droppedColumns(s, root, v).keySet)
 
   private def readWithSchema(
       s: SparkSession, files: Seq[String],
@@ -3148,11 +3247,12 @@ object SnapshotTable {
       tags: Map[String, String] = Map.empty,
       deletes: Seq[String] = Seq.empty,
       eqDels: Seq[EqDelete] = Seq.empty,
-      fileSeq: String => Long = _ => 0L): DataFrame =
+      fileSeq: String => Long = _ => 0L,
+      dropped: Set[String] = Set.empty): DataFrame =
     logicalView(
       applyAllDeletes(s, files, fs => rawWidenedRead(s, fs, mapping, types, tags),
         deletes, eqDels, fileSeq),
-      mapping, types)
+      mapping, types, dropped)
 
   /** Physical-schema scan of a file set under a version's widening
     * metadata, NO logical view applied: files written before a widen

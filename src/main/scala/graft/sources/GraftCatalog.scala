@@ -237,9 +237,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         evolving = evolving.add(n, a.dataType())
         physOf = physOf + (n -> n)
       case d: TableChange.DeleteColumn =>
-        throw new UnsupportedOperationException(
-          s"DROP COLUMN ${d.fieldNames().mkString(".")} is not supported — " +
-            "readers would lose old-version columns; evolve forward instead")
+        // supported since the schema gained per-snapshot binding: old
+        // versions keep reading the column (their headers — and the
+        // Iceberg export's per-snapshot schema-ids — still carry it);
+        // the field id is tombstoned so it can never be aliased
+        require(d.fieldNames.length == 1, "nested column drop is not supported")
+        val n = d.fieldNames()(0)
+        require(evolving.fieldNames.contains(n), s"DROP COLUMN $n: no such column")
+        evolving = org.apache.spark.sql.types.StructType(
+          evolving.filterNot(_.name == n))
+        physOf = physOf - n
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
@@ -260,9 +267,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         SnapshotTable.addColumn(spark, root, a.fieldNames()(0),
           a.dataType().sql)
       case d: TableChange.DeleteColumn =>
-        throw new UnsupportedOperationException(
-          s"DROP COLUMN ${d.fieldNames().mkString(".")} is not supported — " +
-            "readers would lose old-version columns; evolve forward instead")
+        SnapshotTable.dropColumn(spark, root, d.fieldNames()(0))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")

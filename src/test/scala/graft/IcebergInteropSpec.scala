@@ -436,7 +436,8 @@ class IcebergInteropSpec extends SparkSpec {
     SnapshotTable.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "v"))   // v2: epoch A
     SnapshotTable.renameColumn(spark, root, "v", "label")                     // v3: epoch B
     SnapshotTable.addColumn(spark, root, "score", "double")                   // v4: epoch C
-    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 4)
+    SnapshotTable.dropColumn(spark, root, "label")                            // v5: epoch D
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 5)
     def snapSchemaId(snap: Int): Int =
       (s""""snapshot-id":$snap,"sequence-number":\\d+,"timestamp-ms":\\d+,"schema-id":(\\d+)""").r
         .findFirstMatchIn(metaJson).getOrElse(sys.error(s"no schema-id on snapshot $snap"))
@@ -444,17 +445,27 @@ class IcebergInteropSpec extends SparkSpec {
     assert(snapSchemaId(1) === snapSchemaId(2), "same shape, same epoch")
     assert(snapSchemaId(3) !== snapSchemaId(1), "rename opens a new epoch")
     assert(snapSchemaId(4) !== snapSchemaId(3), "add-column opens a new epoch")
+    assert(snapSchemaId(5) !== snapSchemaId(4), "drop-column opens a new epoch")
     // current-schema-id points at the head's epoch
     val cur = "\"current-schema-id\":(\\d+)".r.findFirstMatchIn(metaJson).get.group(1).toInt
-    assert(cur === snapSchemaId(4))
+    assert(cur === snapSchemaId(5))
     // schemas[] defines every referenced epoch, each with the shape an
     // engine needs to time-travel to that snapshot
-    Seq(snapSchemaId(1), snapSchemaId(3), snapSchemaId(4)).foreach { sid =>
+    Seq(snapSchemaId(1), snapSchemaId(3), snapSchemaId(4), snapSchemaId(5)).foreach { sid =>
       assert(metaJson.contains(s"""{"type":"struct","schema-id":$sid,"fields":["""),
         s"schemas[] must define epoch $sid")
     }
     assert(metaJson.contains(""""name":"v""""), "epoch A keeps the pre-rename name")
-    assert(metaJson.contains(""""name":"label""""))
+    assert(metaJson.contains(""""name":"label""""), "pre-drop epochs keep the dropped column")
     assert(metaJson.contains(""""name":"score""""))
+    // the head epoch lost it
+    val headBlock = (s"""\\{"type":"struct","schema-id":$cur,"fields":\\[([^\\]]*)\\]\\}""").r
+      .findFirstMatchIn(metaJson).get.group(1)
+    assert(!headBlock.contains("label"), headBlock)
+    // and the name-mapping keeps a tombstone entry (physical name "v",
+    // field-id 2) so old snapshots stay bindable in external engines
+    val nm = """"schema\.name-mapping\.default":"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(metaJson).get.group(1).replace("\\\"", "\"")
+    assert(nm.contains("""{"field-id":2,"names":["v"]}"""), nm)
   }
 }

@@ -479,7 +479,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(RestCatalog.head(port, s"$base/rest_spec_icecreate") == 404)
   }
 
-  test("add-schema evolves a table over the wire: add + widen, no drops") {
+  test("add-schema evolves a table over the wire: add + widen") {
     import spark.implicits._
     val loc = s"$tableArea/evolve"
     SnapshotTable.drop(spark, loc)
@@ -522,10 +522,6 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |{"id":3,"name":"x","required":false,"type":"float"},
         |{"id":4,"name":"score","required":false,"type":"double"}""".stripMargin))._1 == 200)
     assert(SnapshotTable.currentVersion(spark, loc) === vAfter)
-    // a drop (column present by neither name nor field id) is refused
-    val (cDropCol, rDropCol) = RestCatalog.post(port, base, schemaBody(
-      """{"id":1,"name":"n","required":false,"type":"long"}"""))
-    assert(cDropCol == 400 && rDropCol.contains("DROP COLUMN"), rDropCol)
     // a narrowing (long -> int) is not a promotion
     val (cNarrow, rNarrow) = RestCatalog.post(port, base, schemaBody(
       """{"id":1,"name":"n","required":false,"type":"int"},
@@ -550,7 +546,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(cD == 200)
   }
 
-  test("add-schema RENAME rides persistent field ids; DROP stays 400") {
+  test("add-schema RENAME rides persistent field ids; DROP works with time travel") {
     import spark.implicits._
     val loc = s"$tableArea/wire_rename"
     SnapshotTable.drop(spark, loc)
@@ -601,11 +597,6 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(cSwap == 400 && rSwap.contains("still in use"), rSwap)
     assert(SnapshotTable.currentVersion(spark, loc) === vSwap,
       "a refused swap must not half-commit")
-    // DROP (field absent by name AND id) stays 400
-    val (cDrop, rDrop) = RestCatalog.post(port, base, schemaBody(
-      """{"id":1,"name":"id","required":false,"type":"long"},
-        |{"id":2,"name":"tag","required":false,"type":"string"}""".stripMargin))
-    assert(cDrop == 400 && rDrop.contains("DROP COLUMN"), rDrop)
     // ADD of a name still physically in use by the renamed column: 400
     val (cPhys, rPhys) = RestCatalog.post(port, base, schemaBody(
       """{"id":1,"name":"id","required":false,"type":"long"},
@@ -613,6 +604,27 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         |{"id":3,"name":"x","required":false,"type":"double"},
         |{"name":"v","required":false,"type":"string"}""".stripMargin))
     assert(cPhys == 400 && rPhys.contains("physical"), rPhys)
+    // DROP (field absent by name AND id): x goes; HEAD loses it, time
+    // travel keeps it, the tombstoned id blocks aliasing
+    val vPre = SnapshotTable.currentVersion(spark, loc)
+    val (cDrop, rDrop) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"tag","required":false,"type":"string"}""".stripMargin))
+    assert(cDrop == 200, rDrop)
+    assert(!rDrop.contains("\"name\":\"x\"") ||
+      rDrop.contains("schema-id"), rDrop) // current schema has no x
+    assert(SnapshotTable.read(spark, loc).columns.toSeq === Seq("id", "tag"))
+    assert(SnapshotTable.read(spark, loc, vPre).columns.contains("x"),
+      "time travel must keep the dropped column")
+    // a later ADD gets a FRESH id past the tombstone, never 3
+    val (cAdd, rAdd) = RestCatalog.post(port, base, schemaBody(
+      """{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"tag","required":false,"type":"string"},
+        |{"name":"score","required":false,"type":"double"}""".stripMargin))
+    assert(cAdd == 200, rAdd)
+    assert(SnapshotTable.fieldIds(spark, loc,
+      SnapshotTable.currentVersion(spark, loc))("score") === 4,
+      "the dropped field's id must stay burned")
     val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_rename")
     assert(cD == 200)
   }

@@ -619,4 +619,52 @@ class SnapshotTableSpec extends SparkSpec {
     assert(withAnnots.forall { case (_, a) => a.contains("_rows") })
     assert(withAnnots.exists { case (_, a) => a.contains("_min_amount") })
   }
+
+  test("DROP COLUMN is metadata-only: time travel keeps the data, the id stays burned") {
+    import org.apache.spark.sql.functions.col
+    val root = "/tmp/graft_test/snap_drop_col"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "score"))
+    SnapshotTable.renameColumn(spark, root, "v", "label") // physical stays "v"
+    val vPre = SnapshotTable.currentVersion(spark, root)
+    val vDrop = SnapshotTable.dropColumn(spark, root, "label")
+    assert(vDrop === vPre + 1, "drop must be one metadata-only commit")
+    assert(SnapshotTable.dataFiles(spark, root, vDrop).toSet ===
+      SnapshotTable.dataFiles(spark, root, vPre).toSet, "no files rewritten")
+    // HEAD loses the column; time travel still reads its DATA
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("id", "score"))
+    assert(SnapshotTable.read(spark, root, vPre).orderBy("id")
+      .select("label").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    // appends after the drop: new files never carry it, mixed set reads green
+    SnapshotTable.commitAppend(spark, root, Seq((3L, 3.5)).toDF("id", "score"))
+    assert(SnapshotTable.read(spark, root).count() === 3)
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("id", "score"))
+    // a CoW delete touching an old (label-carrying) file must not
+    // resurrect the dropped column into the rewrite
+    SnapshotTable.deleteWhere(spark, root, col("id") === 1L)
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("id", "score"))
+    assert(SnapshotTable.read(spark, root).count() === 2)
+    // the physical name is off-limits for re-adds; a new name takes a
+    // FRESH id past the tombstone (never the dropped field's 2)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumn(spark, root, "v", "string")
+    }
+    SnapshotTable.addColumn(spark, root, "note", "string")
+    val ids = SnapshotTable.fieldIds(spark, root,
+      SnapshotTable.currentVersion(spark, root))
+    assert(ids("note") === 4, s"tombstoned id must stay burned: $ids")
+    // refusals: the day-partition source and stats-registered columns
+    val proot = "/tmp/graft_test/snap_drop_part"
+    SnapshotTable.drop(spark, proot)
+    SnapshotTable.commitPartitionedByDay(spark, proot,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+        .toDF("id", "ts", "x"), "ts")
+    assert(SnapshotTable.dropRefusal(spark, proot, "ts").exists(_.contains("partitioned")))
+    val sroot = "/tmp/graft_test/snap_drop_stats"
+    SnapshotTable.drop(spark, sroot)
+    SnapshotTable.commit(spark, sroot, Seq((1L, 2.0)).toDF("id", "x"),
+      statsCols = Seq("x"))
+    assert(SnapshotTable.dropRefusal(spark, sroot, "x").exists(_.contains("stats")))
+  }
 }
