@@ -101,6 +101,67 @@ class NarMatrixSpec extends SparkSpec {
     }
   }
 
+  test("REST wire commits + maintain-over-the-wire under lock-file CAS") {
+    import graft.endpoint.RestCatalog
+    withLockfile {
+      val root = freshRoot("wire")
+      SnapshotTable.commit(spark, root,
+        (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+      val registry = "/tmp/graft_test/nar_matrix_registry"
+      SnapshotTable.drop(spark, registry)
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft")
+      graft.sources.PersistentCatalog.save(spark, registry)
+      val port = RestCatalog.serve(spark, registry)
+      val (cReg, _) = RestCatalog.post(port, "/v1/tables",
+        s"""{"name":"nar_wire","format":"graft-snapshot","location":"$root"}""")
+      assert(cReg == 201)
+      val base = "/v1/namespaces/graft/tables/nar_wire"
+      // the "external engine" stages parquet ON THE NAR SCHEME and
+      // lands its snapshot entirely over HTTP — the server publishes
+      // the manifest through the lock-file arbiter (rename lies here)
+      def stage(tag: String, rows: Seq[(Long, String)]): Seq[String] = {
+        val dir = s"$root/data/wire-$tag"
+        rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+        val p = new Path(dir)
+        p.getFileSystem(conf).listStatus(p).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).sorted.toSeq
+      }
+      def snapId: Long = {
+        val (c, ltr) = RestCatalog.get(port, base)
+        assert(c == 200, ltr)
+        RestCatalog.jlong(ltr, "current-snapshot-id").get
+      }
+      def wireCommit(files: Seq[String], asserted: Long): (Int, String) =
+        RestCatalog.post(port, base,
+          s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$asserted}],
+             |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"append"},
+             |"added-data-files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}}]}""".stripMargin)
+      val s1 = snapId
+      val (c1, r1) = wireCommit(stage("a", Seq((21L, "w21"))), s1)
+      assert(c1 == 200, r1)
+      // a CONCURRENT engine-side committer advances the chain between
+      // the client's read and its commit: the stale wire commit must
+      // CAS-fail (409), the refreshed one lands — the lock-file
+      // arbiter decides both on a store whose rename cannot
+      val stale = snapId
+      SnapshotTable.commitAppend(spark, root, Seq((22L, "e22")).toDF("id", "v"))
+      val staged = stage("b", Seq((23L, "w23")))
+      val (cStale, rStale) = wireCommit(staged, stale)
+      assert(cStale == 409, rStale)
+      val (cFresh, rFresh) = wireCommit(staged, snapId)
+      assert(cFresh == 200, rFresh)
+      assert(SnapshotTable.read(spark, root).count() === 23)
+      // maintenance over the wire, same lock-file CAS chain
+      val (cM, rM) = RestCatalog.post(port, s"/v1/tables/nar_wire/maintain",
+        """{"small_bytes": 9223372036854775807, "target_bytes": 8589934592,
+          |"keep_versions": 2, "orphan_grace_ms": 0}""".stripMargin)
+      assert(cM == 200, rM)
+      assert(SnapshotTable.read(spark, root).count() === 23)
+      assert(SnapshotTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq === ((1L to 23L)))
+    }
+  }
+
   test("streaming sink + interleaved compaction under lock-file CAS") {
     withLockfile {
       val root = freshRoot("stream")
