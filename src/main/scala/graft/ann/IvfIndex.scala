@@ -65,11 +65,21 @@ object IvfIndex {
     val listRoot = s"$root/lists"
     val fp = fingerprint(dir)
     // an unreadable stored index (pre-trailer format, torn publish)
-    // is simply stale — rebuild, same as a corpus change
+    // is simply stale — rebuild, same as a corpus change. The two
+    // heads must also agree on build_id: a crash between buildAt's
+    // centroids and lists commits leaves new centroids over old lists
+    // (appends carry the lists' build_id forward, so a healthy index
+    // always matches; pre-build_id indexes match on None == None)
     val fresh = try {
       SnapshotTable.currentVersion(s, centRoot) > 0 &&
         SnapshotTable.commitMeta(s, centRoot, SnapshotTable.currentVersion(s, centRoot))
-          .get("corpus_fp").contains(fp)
+          .get("corpus_fp").contains(fp) && {
+          val listV = SnapshotTable.currentVersion(s, listRoot)
+          listV > 0 &&
+            SnapshotTable.commitMeta(s, listRoot, listV).get(BuildIdKey) ==
+              SnapshotTable.commitMeta(s, centRoot,
+                SnapshotTable.currentVersion(s, centRoot)).get(BuildIdKey)
+        }
     } catch { case _: IllegalStateException => false }
     if (!fresh) buildAt(s, root, corpus, nLists, lloydIters,
       meta = Map("corpus_fp" -> fp))
@@ -175,18 +185,26 @@ object IvfIndex {
     v > 0 && SnapshotTable.commitMeta(s, listRoot, v).get(RebuildKey).contains("true")
   }
 
+  private[ann] val BuildIdKey = "build_id"
+
   /** Train + persist an index at an explicit root from an explicit
     * corpus (no fingerprint guard — callers own staleness).
     *
     * Publishes via OVERWRITE commits, never drop-then-commit: the old
     * index keeps serving (and its files stay readable for in-flight
     * probes) until each new head lands, and a retrain or commit that
-    * fails mid-build leaves the previous index fully intact — the
-    * sticky drift flag survives on the old lists head, so the next
-    * maintenance run simply retries. Dropping first would leave the
-    * root with NO lists table after a mid-rebuild failure, breaking
-    * serving and making [[rebuildFromLists]]'s `require(version > 0)`
-    * throw instead of retry (r14 advice).
+    * fails mid-build leaves the previous index intact (r14 advice —
+    * dropping first would leave the root with NO lists table after a
+    * mid-rebuild failure, breaking serving and making
+    * [[rebuildFromLists]]'s `require(version > 0)` throw instead of
+    * retry). Commit ORDER is part of the guarantee: the drift probe
+    * (a driver collect that can fail) and the centroids land BEFORE
+    * the lists head, and the sticky needs_rebuild flag lives on the
+    * lists head — so a failure at ANY point leaves the flag set and
+    * the nightly retries. The residual window — new centroids over
+    * old lists, between the two commits — is detected by the shared
+    * [[BuildIdKey]] both heads stamp (appends carry it forward):
+    * [[ensure]] treats mismatched build ids as stale and rebuilds.
     */
   def buildAt(s: SparkSession, root: String, corpus: DataFrame,
               nLists: Int, lloydIters: Int,
@@ -194,21 +212,24 @@ object IvfIndex {
     GraftFunctions.register(s)
     val centRoot = s"$root/centroids"
     val listRoot = s"$root/lists"
+    val buildId = java.util.UUID.randomUUID.toString.take(12)
     val centroids = Ann.trainCoarseLocal(s, corpus, nLists, iters = lloydIters)
+    // build-time drift baselines: sampled, not corpus-sized (see the
+    // drift-policy section) — computed FIRST so its failure precedes
+    // any commit
+    val (p50, hot) = assignStats(centroids, corpus)
+    SnapshotTable.commit(s, centRoot, centroids, append = false,
+      meta = meta ++ Map(P50Key -> f"$p50%.6f", HotKey -> f"$hot%.6f",
+        BuildIdKey -> buildId))
     // range-cluster by cid so each file holds few whole lists; the
     // bloom filter then serves as the inverted-list file locator.
-    // Overwrite commit: clears any sticky needs_rebuild flag (head
-    // meta is per-commit) while old versions stay time-travelable
+    // Overwrite commit LAST: clears the sticky needs_rebuild flag
+    // (head meta is per-commit) only once the whole build landed
     SnapshotTable.commit(s, listRoot,
       assignToLists(centroids, corpus).repartitionByRange(8, col("cid"), col("vec_id")),
       append = false,
-      meta = meta ++ Map("n_lists" -> nLists.toString), bloomCols = Seq("cid"))
-    // build-time drift baselines: sampled, not corpus-sized (see the
-    // drift-policy section); a rebuild re-baselines and clears any
-    // sticky needs_rebuild flag (fresh lists head carries none)
-    val (p50, hot) = assignStats(centroids, corpus)
-    SnapshotTable.commit(s, centRoot, centroids, append = false,
-      meta = meta ++ Map(P50Key -> f"$p50%.6f", HotKey -> f"$hot%.6f"))
+      meta = meta ++ Map("n_lists" -> nLists.toString, BuildIdKey -> buildId),
+      bloomCols = Seq("cid"))
   }
 
   /** INCREMENTAL index maintenance: assign a new vector batch with
@@ -235,9 +256,12 @@ object IvfIndex {
     // lists HEAD without n_lists and a later drift rebuild (which can
     // only trigger AFTER an append) would silently retrain at the
     // fallback list count instead of the built one
-    val nLists = SnapshotTable
+    val headMeta = SnapshotTable
       .commitMeta(s, listRoot, SnapshotTable.currentVersion(s, listRoot))
-      .getOrElse("n_lists", centroids.count().toString)
+    val nLists = headMeta.getOrElse("n_lists", centroids.count().toString)
+    // the build identity rides every append like n_lists does, so the
+    // heads-agree freshness check (ensure) survives any append history
+    val buildId = headMeta.get(BuildIdKey)
     // drift check: batch signals vs the build-time baselines; the
     // flag is sticky until the next buildAt so one drifted daily drop
     // cannot be masked by later quiet ones
@@ -257,7 +281,7 @@ object IvfIndex {
       append = true, bloomCols = Seq("cid"),
       meta = Map(BatchP50Key -> f"$batchP50%.6f",
         BatchHotKey -> f"$batchHot%.6f", RebuildKey -> drifted.toString,
-        "n_lists" -> nLists))
+        "n_lists" -> nLists) ++ buildId.map(BuildIdKey -> _))
   }
 
   /** Drift-triggered REBUILD over the index's own current corpus —

@@ -240,11 +240,29 @@ object IcebergInterop {
     * (id, name, iceberg type). Ids come from [[SnapshotTable]]'s
     * field-id header when present, ordinal otherwise — stable across
     * renames either way, since renames keep their field position.
+    *
+    * MEMOIZED per (root, version, commit stamp): a version's schema is
+    * immutable, but [[writeMetadata]] walks EVERY live version for its
+    * per-snapshot schema-ids — uncached, each new commit would re-run
+    * O(versions) parquet schema inferences, quadratic over a table's
+    * life. The commit stamp in the key (one header read) keeps a
+    * dropped-and-recreated root from serving the old table's schema.
     */
+  private val fieldsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), Seq[(Int, String, String)]]()
+
   private def fieldsOf(s: SparkSession, root: String, v: Int): Seq[(Int, String, String)] = {
-    val ids = SnapshotTable.fieldIds(s, root, v)
-    SnapshotTable.read(s, root, v).schema.zipWithIndex.map { case (f, i) =>
-      (ids.getOrElse(f.name, i + 1), f.name, icebergType(f.dataType.simpleString))
+    val key = (root, v, SnapshotTable.committedAt(s, root, v))
+    val hit = fieldsCache.get(key)
+    if (hit != null) hit
+    else {
+      val ids = SnapshotTable.fieldIds(s, root, v)
+      val computed = SnapshotTable.read(s, root, v).schema.zipWithIndex.map { case (f, i) =>
+        (ids.getOrElse(f.name, i + 1), f.name, icebergType(f.dataType.simpleString))
+      }.toSeq
+      if (fieldsCache.size > 65536) fieldsCache.clear() // crude bound, never wrong
+      fieldsCache.put(key, computed)
+      computed
     }
   }
 
@@ -369,7 +387,8 @@ object IcebergInterop {
     * plain avro library — the import must consume what any Iceberg
     * writer produced, not graft's own renderer quirks.
     */
-  private[graft] def readEntriesFull(c: Configuration, path: String)
+  private[graft] def readEntriesFull(c: Configuration, path: String,
+      inheritSeq: Long = 0L)
       : Seq[(String, Int, Int, Long, Long, Seq[Int], Option[Int])] = {
     import scala.jdk.CollectionConverters._
     readAvro(c, path).map { r =>
@@ -385,9 +404,15 @@ object IcebergInterop {
         }
         case _ => None
       }
+      // Iceberg v2 sequence inheritance: writers may leave an ADDED
+      // entry's sequence_number null, meaning "the manifest-list row's
+      // sequence" — importing such entries as 0 would order every data
+      // file BEFORE every equality delete and silently corrupt the
+      // imported content (deletes suppressing re-inserts, or applying
+      // to nothing)
       val seq = r.get("sequence_number") match {
         case l: java.lang.Long => l.longValue
-        case _ => 0L
+        case _ => inheritSeq
       }
       (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
         r.get("status").asInstanceOf[Int],
@@ -482,8 +507,18 @@ object IcebergInterop {
     val idOf: Map[Int, String] = schemaFields.map { case (id, l, _) =>
       id -> physicalOf(id, l)
     }.toMap
-    val entries = readManifestList(c, listPath)
-      .flatMap { case (manifest, _) => readEntriesFull(c, manifest) }
+    // manifest-list rows carry each manifest's own sequence number —
+    // the inherited default for entries whose seq is null (spec
+    // "Sequence Number Inheritance")
+    val listRows = readAvro(c, listPath).map { r =>
+      (r.get("manifest_path").toString,
+        r.get("sequence_number") match {
+          case l: java.lang.Long => l.longValue
+          case _ => 0L
+        })
+    }
+    val entries = listRows
+      .flatMap { case (manifest, listSeq) => readEntriesFull(c, manifest, listSeq) }
       .filter(_._3 != 2) // status DELETED
     val data = entries.filter(_._2 == 0).map { case (p, _, _, rows, seq, _, day) =>
       (p, rows, seq,
@@ -491,7 +526,12 @@ object IcebergInterop {
     }
     val posDeletes = entries.filter(_._2 == 1).map(_._1)
     val eqDeletes = entries.filter(_._2 == 2).map { case (p, _, _, _, seq, ids, _) =>
-      (p, ids.flatMap(idOf.get), seq)
+      // strict resolution: silently narrowing the key set would make
+      // the imported delete suppress MORE rows than the source table's
+      require(ids.nonEmpty, s"equality delete $p carries no equality ids")
+      val cols = ids.map(id => idOf.getOrElse(id, throw new IllegalArgumentException(
+        s"equality delete $p keys on field id $id, which the current schema does not define")))
+      (p, cols, seq)
     }
     val meta = Map("op" -> "import_iceberg",
       SnapshotTable.FieldIdsKey -> fieldids.mkString(","),
@@ -698,7 +738,9 @@ object IcebergInterop {
         .findAllMatchIn(cached).exists(!_.group(1).endsWith(".avro")) ||
         !cached.contains("\"schema.name-mapping.default\"")
       if (!stale) return (metaPath.toString, cached)
-      mfs.delete(metaPath, false) // regenerate: the atomic publish below refuses an existing dst
+      // stale: fall through and regenerate — the old file is replaced
+      // only at publish time (below, under the destination lock), so a
+      // concurrent loader polling the location never finds it absent
     }
     val fields = fieldsOf(s, loc, v)
     // one pass over the live versions: export each Avro chain and
@@ -773,13 +815,19 @@ object IcebergInterop {
       },"snapshots":[${snapshots.mkString(",")}]}"""
     mfs.mkdirs(metaPath.getParent)
     // atomic publish, same protocol as the Avro chain: a concurrent
-    // loader can never observe a truncated metadata.json
+    // loader can never observe a truncated (or, during a renderer-
+    // upgrade regeneration, absent) metadata.json — the stale file is
+    // deleted only under the destination lock, with the replacement
+    // bytes already written
     val tmp = new Path(metaPath.getParent, s".${metaPath.getName}." +
       java.util.UUID.randomUUID.toString.take(8) + ".tmp")
     val out = mfs.create(tmp, true)
     try out.write(metadata.getBytes(UTF_8)) finally out.close()
-    if (!CommitArbiter.forConf(conf(s)).publish(mfs, tmp, metaPath))
-      mfs.delete(tmp, false) // a concurrent exporter won with identical content
+    CommitArbiter.lockFor(metaPath).synchronized {
+      if (mfs.exists(metaPath)) mfs.delete(metaPath, false) // stale renderer output
+      if (!CommitArbiter.forConf(conf(s)).publish(mfs, tmp, metaPath))
+        mfs.delete(tmp, false) // a concurrent exporter won with identical content
+    }
     (metaPath.toString, metadata)
   }
 }

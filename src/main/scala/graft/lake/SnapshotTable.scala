@@ -1915,7 +1915,9 @@ object SnapshotTable {
       if (cur < 1) df.columns.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
       else {
         val known = fieldIds(s, root, cur)
-        var next = known.values.maxOption.getOrElse(0)
+        // fresh ids start past tombstoned ids too — see physFieldIds
+        var next = (known.values ++ fieldIdTombstones(s, root, cur).values)
+          .maxOption.getOrElse(0)
         df.columns.map { c =>
           known.get(c) match {
             case Some(id) => c -> id
@@ -2440,9 +2442,17 @@ object SnapshotTable {
     if (cur < 1) dfCols.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     else {
       val mapping = columnMapping(s, root, cur)
+      // dropped physical names keep their TOMBSTONED id: a compaction
+      // rewriting an old file that still physically carries a dropped
+      // column must stamp the dropped field's own id, never a fresh one
       val phys = fieldIds(s, root, cur)
-        .map { case (n, id) => mapping.getOrElse(n, n) -> id }
-      var next = phys.values.maxOption.getOrElse(0)
+        .map { case (n, id) => mapping.getOrElse(n, n) -> id } ++
+        droppedColumns(s, root, cur)
+      // fresh ids start past EVERY id ever assigned, tombstones
+      // included — reusing a burned id in a footer would alias the
+      // dropped field's data in external engines
+      var next = (phys.values ++ fieldIdTombstones(s, root, cur).values)
+        .maxOption.getOrElse(0)
       dfCols.map { c =>
         phys.get(c) match {
           case Some(id) => c -> id
@@ -2989,6 +2999,13 @@ object SnapshotTable {
   def renameColumn(s: SparkSession, root: String, oldName: String, newName: String): Int = {
     val cur = currentVersion(s, root)
     require(cur > 0, s"no snapshot table at $root")
+    // a dropped column's physical name still lives inside old files and
+    // keeps a tombstone entry in the exported name-mapping; a live
+    // field renamed TO that name would make the mapping ambiguous
+    // (two entries claiming one file column) — external engines could
+    // bind the dropped bytes to the live field
+    require(!droppedColumns(s, root, cur).contains(newName),
+      s"RENAME to $newName: collides with a dropped column's physical name still present in old files at $root")
     val mapping = columnMapping(s, root, cur)
     val types = columnTypes(s, root, cur)
     val physical = mapping.getOrElse(oldName, oldName)

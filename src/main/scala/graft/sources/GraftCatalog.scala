@@ -244,6 +244,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(d.fieldNames.length == 1, "nested column drop is not supported")
         val n = d.fieldNames()(0)
         require(evolving.fieldNames.contains(n), s"DROP COLUMN $n: no such column")
+        // engine-refusable drops (partition source, stats/bloom,
+        // eq-delete key) must fail HERE — a multi-change ALTER throwing
+        // mid-apply would leave earlier changes half-committed
+        SnapshotTable.dropRefusal(spark, root, n)
+          .foreach(reason => throw new IllegalArgumentException(reason))
         evolving = org.apache.spark.sql.types.StructType(
           evolving.filterNot(_.name == n))
         physOf = physOf - n

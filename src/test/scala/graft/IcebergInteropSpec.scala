@@ -429,6 +429,57 @@ class IcebergInteropSpec extends SparkSpec {
       s"day filter must prune imported files (${oneDay.size}/${all.size})")
   }
 
+  test("import inherits null entry sequence numbers from the manifest-list row") {
+    // standard Iceberg writers leave ADDED entries' sequence_number
+    // null — it inherits from the manifest-list row (spec "Sequence
+    // Number Inheritance"). Importing such entries as 0 would order
+    // every data file BEFORE every equality delete. Build a foreign
+    // manifest with the plain avro library, no graft writer involved.
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val dir = new Path("/tmp/graft_test/ice_inherit")
+    val fs = dir.getFileSystem(conf)
+    fs.delete(dir, true); fs.mkdirs(dir)
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin)
+    def entry(status: Int, seq: Option[Long], path: String): GenericData.Record = {
+      val r = new GenericData.Record(entrySchema)
+      r.put("status", status)
+      r.put("sequence_number", seq.map(java.lang.Long.valueOf).orNull)
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", path)
+      df.put("record_count", 7L)
+      df.put("partition",
+        new GenericData.Record(entrySchema.getField("data_file").schema()
+          .getField("partition").schema()))
+      df.put("equality_ids", null)
+      r.put("data_file", df)
+      r
+    }
+    val mp = new Path(dir, "foreign-m0.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+    val out = fs.create(mp, true)
+    w.create(entrySchema, out)
+    w.append(entry(1, None, "/tmp/a.parquet"))      // ADDED, seq inherited
+    w.append(entry(0, Some(2L), "/tmp/b.parquet"))  // EXISTING, explicit
+    w.close()
+    val got = IcebergInterop.readEntriesFull(conf, mp.toString, inheritSeq = 9L)
+    assert(got.map(e => (e._1, e._5)).toSet ===
+      Set(("/tmp/a.parquet", 9L), ("/tmp/b.parquet", 2L)),
+      got.toString)
+  }
+
   test("snapshots carry per-epoch schema-ids; time travel sees commit-time shape") {
     val root = "/tmp/graft_test/ice_epochs"
     SnapshotTable.drop(spark, root)

@@ -654,6 +654,31 @@ class SnapshotTableSpec extends SparkSpec {
     val ids = SnapshotTable.fieldIds(spark, root,
       SnapshotTable.currentVersion(spark, root))
     assert(ids("note") === 4, s"tombstoned id must stay burned: $ids")
+    // renaming a live column TO the dropped physical name would make
+    // the exported name-mapping ambiguous — refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, root, "score", "v")
+    }
+    // a column arriving BY APPEND after the drop: its footer field id
+    // must also skip the tombstone (3), agreeing with fieldIds' 5
+    val vExtra = SnapshotTable.commitAppend(spark, root,
+      Seq((9L, 9.5, "x", 1.0)).toDF("id", "score", "note", "extra"))
+    val extraFile = (SnapshotTable.dataFiles(spark, root, vExtra).toSet --
+      SnapshotTable.dataFiles(spark, root, vExtra - 1).toSet).head
+    val footer = {
+      import scala.jdk.CollectionConverters._
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(extraFile),
+          spark.sparkContext.hadoopConfiguration))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+      finally r.close()
+    }
+    assert(footer("extra") === Some(5),
+      s"footer id must skip the tombstone and match fieldIds: $footer")
+    assert(SnapshotTable.fieldIds(spark, root,
+      SnapshotTable.currentVersion(spark, root))("extra") === 5)
     // refusals: the day-partition source and stats-registered columns
     val proot = "/tmp/graft_test/snap_drop_part"
     SnapshotTable.drop(spark, proot)
