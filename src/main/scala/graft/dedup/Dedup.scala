@@ -834,7 +834,7 @@ object Dedup {
       .join(members.filter(col("doc_id") === col("rep_id")).select("doc_id"),
         Seq("doc_id"), "left_semi")
       .select("doc_id", "text")
-    val verified = IncrementalIndex.candidatePairs(s, indexRoot)
+    val verified = IncrementalIndex.candidatePairs(s, indexRoot, members)
       .join(repTexts.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(repTexts.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard3", expr("graft_ngram_jaccard(text_a, text_b, 3)"))

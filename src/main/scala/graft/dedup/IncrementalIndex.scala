@@ -102,8 +102,16 @@ object IncrementalIndex {
     * first appeared in an earlier batch drops out here), no
     * re-hashing.
     */
-  def candidatePairs(s: SparkSession, indexRoot: String): DataFrame = {
-    val reps = members(s, indexRoot)
+  def candidatePairs(s: SparkSession, indexRoot: String): DataFrame =
+    candidatePairs(s, indexRoot, members(s, indexRoot))
+
+  /** [[candidatePairs]] over a caller-supplied membership frame —
+    * lets [[graft.dedup.Dedup.incrementalPairs]] share one rep-map
+    * plan across every consumer (Spark then reuses the exchange
+    * instead of re-deriving it).
+    */
+  def candidatePairs(s: SparkSession, indexRoot: String, members: DataFrame): DataFrame = {
+    val reps = members
       .filter(col("doc_id") === col("rep_id")).select("doc_id")
     val idx = SnapshotTable.read(s, indexRoot)
       .filter(col("band") >= 0)
