@@ -517,8 +517,15 @@ object SnapshotTable {
     val inherited = schemaMeta(s, root, cur)
     val mapping = parsePairs(inherited.get(ColMapKey))
     val physDf = toPhysical(df, mapping)
-    val newFiles = writeDataFiles(s, root, v,
-      withFieldIds(physDf, physFieldIds(s, root, cur, physDf.columns)))
+    val physIds = physFieldIds(s, root, cur, physDf.columns)
+    // the header a first-stamped commit persists covers the WHOLE
+    // table (columns absent from this df included), so later lookups
+    // never re-derive ordinals from a different column subset
+    val idsHeader = fieldIdsHeader(inherited, mapping,
+      if (cur < 1 || parsePairs(inherited.get(FieldIdsKey)).nonEmpty) physIds
+      else fieldIds(s, root, cur)
+        .map { case (n, id) => mapping.getOrElse(n, n) -> id } ++ physIds)
+    val newFiles = writeDataFiles(s, root, v, withFieldIds(physDf, physIds))
     val withStats =
       if (statsCols.isEmpty) newFiles
       else annotateStats(s, newFiles, statsCols.map(c => mapping.getOrElse(c, c)))
@@ -546,7 +553,8 @@ object SnapshotTable {
     val newRef =
       if (annotated.isEmpty) Seq.empty
       else Seq(writeFragment(s, root, s"v$v", annotated))
-    writeManifestAtomic(s, root, v, inherited ++ statsMeta ++ meta, base ++ newRef)
+    writeManifestAtomic(s, root, v,
+      inherited ++ idsHeader ++ statsMeta ++ meta, base ++ newRef)
     v
   }
 
@@ -638,9 +646,9 @@ object SnapshotTable {
     val mapping =
       if (cur0 < 1) Map.empty[String, String] else columnMapping(s, root, cur0)
     val physDf = toPhysical(df, mapping)
+    val physIds = physFieldIds(s, root, cur0, physDf.columns)
     val baseLines = annotateRows(s,
-      writeDataFilesAt(s, s"$root/data/c-$stage",
-        withFieldIds(physDf, physFieldIds(s, root, cur0, physDf.columns))))
+      writeDataFilesAt(s, s"$root/data/c-$stage", withFieldIds(physDf, physIds)))
     // Iceberg commit-time sequence assignment: the data sequence number
     // is decided against the head this commit actually lands on, so it
     // is re-derived on EVERY CAS attempt. Stamping once against the
@@ -666,7 +674,9 @@ object SnapshotTable {
       val inherited = schemaMeta(s, root, cur)
       val base = if (cur >= 1) listBody(s, root, s"v$cur") else Seq.empty
       try {
-        writeManifestAtomic(s, root, v, inherited ++ meta, base ++ newRef)
+        writeManifestAtomic(s, root, v,
+          inherited ++ fieldIdsHeader(inherited, mapping, physIds) ++ meta,
+          base ++ newRef)
         return v
       } catch {
         case _: IllegalStateException =>
@@ -1914,7 +1924,11 @@ object SnapshotTable {
     val ids =
       if (cur < 1) df.columns.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
       else {
-        val known = fieldIds(s, root, cur)
+        val stored = parsePairs(commitMeta(s, root, cur).get(FieldIdsKey))
+        val known =
+          if (stored.nonEmpty)
+            stored.collect { case (n, i) if !n.startsWith("!") => n -> i.toInt }
+          else fieldIds(s, root, cur)
         // fresh ids start past tombstoned ids too — see physFieldIds
         var next = (known.values ++ fieldIdTombstones(s, root, cur).values)
           .maxOption.getOrElse(0)
@@ -1953,8 +1967,10 @@ object SnapshotTable {
       nextSeqAt(s, root, cur))
     val newRef =
       if (lines.isEmpty) Seq.empty else Seq(writeFragment(s, root, s"v$v", lines))
+    val inherited = schemaMeta(s, root, cur)
     writeManifestAtomic(s, root, v,
-      schemaMeta(s, root, cur) + (PartitionKey -> source),
+      inherited ++ fieldIdsHeader(inherited, Map.empty, ids) +
+        (PartitionKey -> source),
       base ++ newRef)
     v
   }
@@ -2442,11 +2458,20 @@ object SnapshotTable {
     if (cur < 1) dfCols.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     else {
       val mapping = columnMapping(s, root, cur)
+      val stored = parsePairs(commitMeta(s, root, cur).get(FieldIdsKey))
       // dropped physical names keep their TOMBSTONED id: a compaction
       // rewriting an old file that still physically carries a dropped
-      // column must stamp the dropped field's own id, never a fresh one
-      val phys = fieldIds(s, root, cur)
-        .map { case (n, id) => mapping.getOrElse(n, n) -> id } ++
+      // column must stamp the dropped field's own id, never a fresh one.
+      // The stored header (every data commit persists it — see
+      // fieldIdsHeader) keeps this METADATA-ONLY; only a pre-header
+      // table's first stamped commit pays the schema-inference path.
+      val phys: Map[String, Int] =
+        (if (stored.nonEmpty)
+          stored.collect { case (n, i) if !n.startsWith("!") =>
+            mapping.getOrElse(n, n) -> i.toInt
+          }
+        else fieldIds(s, root, cur)
+          .map { case (n, id) => mapping.getOrElse(n, n) -> id }) ++
         droppedColumns(s, root, cur)
       // fresh ids start past EVERY id ever assigned, tombstones
       // included — reusing a burned id in a footer would alias the
@@ -2460,6 +2485,23 @@ object SnapshotTable {
         }
       }.toMap
     }
+
+  /** The fieldids header a data commit persists: the stored assignment
+    * (tombstones and absent columns included) plus fresh entries for
+    * columns THIS commit introduces, keyed logical. Persisting on
+    * every commit makes every later id lookup header-only — without
+    * it, each commit would re-infer the table schema (a parquet
+    * footer read) just to reconstruct ordinal ids.
+    */
+  private def fieldIdsHeader(inherited: Map[String, String],
+      mapping: Map[String, String], physIds: Map[String, Int]): Map[String, String] = {
+    val stored = parsePairs(inherited.get(FieldIdsKey))
+    val reverse = mapping.map(_.swap)
+    val merged = stored ++ physIds.map { case (p, id) =>
+      reverse.getOrElse(p, p) -> id.toString
+    }.filterNot { case (n, _) => stored.contains(n) }
+    Map(FieldIdsKey -> renderPairs(merged))
+  }
 
   /** Stamp `parquet.field.id` column metadata so the parquet writer
     * emits REAL Iceberg field ids into the footers (Spark honors the

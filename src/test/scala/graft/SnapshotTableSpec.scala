@@ -48,9 +48,11 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.drop(spark, root)
     SnapshotTable.commit(spark, root, Seq(1).toDF("x"),
       meta = Map("streaming_batch" -> "7", "source" -> "spec"))
-    // committed_at is auto-stamped on every manifest (timestamp travel)
+    // committed_at is auto-stamped on every manifest (timestamp
+    // travel); fieldids is persisted by every data commit (r15) so id
+    // lookups never re-infer the schema
     assert(SnapshotTable.commitMeta(spark, root, 1) - "committed_at" ===
-      Map("streaming_batch" -> "7", "source" -> "spec"))
+      Map("streaming_batch" -> "7", "source" -> "spec", "fieldids" -> "x=1"))
     assert(SnapshotTable.committedAt(spark, root, 1) > 0L)
     assert(SnapshotTable.dataFiles(spark, root, 1).forall(_.endsWith(".parquet")))
     assert(SnapshotTable.read(spark, root).count() === 1)
@@ -663,8 +665,10 @@ class SnapshotTableSpec extends SparkSpec {
     // must also skip the tombstone (3), agreeing with fieldIds' 5
     val vExtra = SnapshotTable.commitAppend(spark, root,
       Seq((9L, 9.5, "x", 1.0)).toDF("id", "score", "note", "extra"))
-    val extraFile = (SnapshotTable.dataFiles(spark, root, vExtra).toSet --
-      SnapshotTable.dataFiles(spark, root, vExtra - 1).toSet).head
+    val newFiles = SnapshotTable.dataFiles(spark, root, vExtra).toSet --
+      SnapshotTable.dataFiles(spark, root, vExtra - 1).toSet
+    assert(newFiles.size === 1, s"vExtra=$vExtra newFiles=$newFiles")
+    val extraFile = newFiles.head
     val footer = {
       import scala.jdk.CollectionConverters._
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
