@@ -3347,8 +3347,25 @@ object SnapshotTable {
       s: SparkSession, files: Seq[String],
       mapping: Map[String, String], types: Map[String, String],
       tags: Map[String, String] = Map.empty): DataFrame = {
+    if (files.isEmpty) return s.read.options(tags).parquet(files: _*)
     val physTypes = types.map { case (l, t) => mapping.getOrElse(l, l) -> t }
-    val inferred = s.read.parquet(files: _*).schema
+    // infer from TWO footers, not a full relation: creating a relation
+    // just to read its schema would LIST every file a second time — a
+    // real fixed cost on many-file tables. The NEWEST file (manifest
+    // order puts fresh refs last) carries columns that arrived by
+    // append; the OLDEST contributes any column newer files no longer
+    // carry (it reads as null where absent, dropped columns are
+    // stripped downstream) — the union covers both evolution
+    // directions, where a single arbitrary footer (Spark's own
+    // no-mergeSchema pick) can silently lose either side.
+    val newest = s.read.parquet(files.last).schema
+    val inferred =
+      if (files.length == 1) newest
+      else {
+        val oldest = s.read.parquet(files.head).schema
+        org.apache.spark.sql.types.StructType(
+          newest ++ oldest.filterNot(f => newest.fieldNames.contains(f.name)))
+      }
     val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
       physTypes.get(f.name)
         .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))

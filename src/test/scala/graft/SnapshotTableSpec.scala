@@ -679,8 +679,8 @@ class SnapshotTableSpec extends SparkSpec {
         .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
       finally r.close()
     }
-    assert(footer("extra") === Some(5),
-      s"footer id must skip the tombstone and match fieldIds: $footer")
+    assert(footer.get("extra").flatten === Some(5),
+      s"footer id must skip the tombstone and match fieldIds: $footer ($extraFile)")
     assert(SnapshotTable.fieldIds(spark, root,
       SnapshotTable.currentVersion(spark, root))("extra") === 5)
     // refusals: the day-partition source and stats-registered columns
