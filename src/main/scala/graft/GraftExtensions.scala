@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
     e.injectOptimizerRule(_ => graft.plans.SnapshotScanPruning)
+    // after pushdown (which wraps V1 scans), before stats consumers —
+    // exactly what the pre-CBO slot exists for
+    e.injectPreCBORule(_ => graft.plans.ForwardV1ScanStatistics)
     // one shared builder list (GraftFunctions.builders) feeds both
     // registration paths, so the SQL surfaces cannot diverge
     GraftFunctions.builders.foreach { case (name, builder) =>

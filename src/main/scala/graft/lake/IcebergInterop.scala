@@ -456,35 +456,58 @@ object IcebergInterop {
     val mfs = mp.getFileSystem(c)
     val in = mfs.open(mp)
     val metaJson = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    def req(m: Option[String], what: String): String =
+    // REAL JSON parsing (json4s, shipped with Spark), not regexes:
+    // foreign writers emit key orders, `doc` attributes, and nested
+    // type objects this import must either consume or REFUSE loudly —
+    // a regex that silently skips an unmatched field would import a
+    // narrowed schema and read the table with missing columns.
+    import org.json4s.{JArray, JInt, JLong, JObject, JString, JValue}
+    import org.json4s.jackson.JsonMethods
+    val metaDoc: JValue = JsonMethods.parse(metaJson)
+    def jnum(v: JValue): Option[Long] = v match {
+      case JInt(n) => Some(n.longValue)
+      case JLong(n) => Some(n)
+      case _ => None
+    }
+    def jstring(v: JValue): Option[String] =
+      v match { case JString(x) => Some(x); case _ => None }
+    def jarr(v: JValue): List[JValue] =
+      v match { case JArray(xs) => xs; case _ => Nil }
+    def req[A](m: Option[A], what: String): A =
       m.getOrElse(throw new IllegalArgumentException(s"metadata.json has no $what"))
-    val cur = req("\"current-snapshot-id\":(\\d+)".r
-      .findFirstMatchIn(metaJson).map(_.group(1)), "current-snapshot-id")
-    val listPath = req(("\"snapshot-id\":" + cur + ",[^{]*\"manifest-list\":\"([^\"]+)\"").r
-      .findFirstMatchIn(metaJson).map(_.group(1)), s"manifest-list for snapshot $cur")
-    val schemaId = req("\"current-schema-id\":(\\d+)".r
-      .findFirstMatchIn(metaJson).map(_.group(1)), "current-schema-id")
-    val fieldsBlock = req(
-      (s"""\\{"type":"struct","schema-id":$schemaId,"fields":\\[([^\\]]*)\\]\\}""").r
-        .findFirstMatchIn(metaJson).map(_.group(1)), s"schema $schemaId")
-    val schemaFields: Seq[(Int, String, String)] =
-      """\{"id":(\d+),"name":"([^"]+)","required":(?:true|false),"type":"([^"]+)"\}""".r
-        .findAllMatchIn(fieldsBlock)
-        .map(m => (m.group(1).toInt, m.group(2), m.group(3))).toSeq
-    require(schemaFields.nonEmpty, s"schema $schemaId has no parsable fields")
+    val cur = req(jnum(metaDoc \ "current-snapshot-id"), "current-snapshot-id")
+    val listPath = req(jarr(metaDoc \ "snapshots")
+      .find(o => jnum(o \ "snapshot-id").contains(cur))
+      .flatMap(o => jstring(o \ "manifest-list")), s"manifest-list for snapshot $cur")
+    val schemaId = req(jnum(metaDoc \ "current-schema-id"), "current-schema-id")
+    val schemaObj = req(jarr(metaDoc \ "schemas")
+      .find(o => jnum(o \ "schema-id").contains(schemaId)), s"schema $schemaId")
+    val schemaFields: Seq[(Int, String, String)] = jarr(schemaObj \ "fields").map { f =>
+      val id = req(jnum(f \ "id"), s"id of a schema-$schemaId field").toInt
+      val name = req(jstring(f \ "name"), s"name of schema-$schemaId field id $id")
+      val tpe = (f \ "type") match {
+        case JString(t) => t
+        case _: JObject => throw new IllegalArgumentException(
+          s"schema $schemaId field '$name' (id $id) has a nested type " +
+            "(struct/list/map) — not importable as a graft column; flatten the " +
+            "source table or drop the column before import")
+        case other => throw new IllegalArgumentException(
+          s"schema $schemaId field '$name' (id $id) has an unparsable type: $other")
+      }
+      (id, name, tpe)
+    }
+    require(schemaFields.nonEmpty, s"schema $schemaId has no fields")
     // name mapping (optional property): field-id -> candidate file
     // column names, physical first. Absent -> files carry the logical
-    // names (Iceberg tables that never renamed).
+    // names (Iceberg tables that never renamed). The property VALUE is
+    // itself a JSON document — parse it the same way.
     val nmNames: Map[Int, Seq[String]] =
-      """"schema\.name-mapping\.default":"((?:[^"\\]|\\.)*)"""".r
-        .findFirstMatchIn(metaJson).map(_.group(1)
-          .replace("\\\"", "\"").replace("\\\\", "\\"))
-        .map { nm =>
-          """\{"field-id":(\d+),"names":\[([^\]]*)\]\}""".r.findAllMatchIn(nm)
-            .map(m => m.group(1).toInt ->
-              """"([^"]*)"""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq)
-            .toMap
-        }.getOrElse(Map.empty)
+      jstring(metaDoc \ "properties" \ "schema.name-mapping.default").map { nm =>
+        jarr(JsonMethods.parse(nm)).flatMap { e =>
+          jnum(e \ "field-id").map(fid =>
+            fid.toInt -> jarr(e \ "names").flatMap(jstring(_)))
+        }.toMap
+      }.getOrElse(Map.empty)
     def physicalOf(id: Int, logical: String): String =
       nmNames.get(id).flatMap(_.headOption).getOrElse(logical)
     // schema headers: column mapping for renamed fields, persistent
@@ -496,14 +519,20 @@ object IcebergInterop {
     }
     val fieldids = schemaFields.map { case (id, logical, _) => s"$logical=$id" }
     val coltypes = schemaFields.map { case (_, logical, t) => s"$logical=${ddlType(t)}" }
-    // day partition spec -> graft's partition header (physical source)
-    val daySource: Option[String] =
-      """\{"name":"[^"]+","transform":"day","source-id":(\d+),"field-id":\d+\}""".r
-        .findFirstMatchIn(metaJson).map(_.group(1).toInt).flatMap { srcId =>
-          schemaFields.collectFirst { case (id, logical, _) if id == srcId =>
-            physicalOf(id, logical)
-          }
+    // day partition spec -> graft's partition header (physical source):
+    // resolved from the DEFAULT spec's fields, so a day transform in a
+    // historic (non-default) spec never mis-labels the current layout
+    val defaultSpecId = jnum(metaDoc \ "default-spec-id").getOrElse(0L)
+    val daySource: Option[String] = jarr(metaDoc \ "partition-specs")
+      .find(o => jnum(o \ "spec-id").contains(defaultSpecId))
+      .flatMap(spec => jarr(spec \ "fields").collectFirst {
+        case f if jstring(f \ "transform").contains("day") => jnum(f \ "source-id")
+      }.flatten)
+      .flatMap { srcId =>
+        schemaFields.collectFirst { case (id, logical, _) if id == srcId.toInt =>
+          physicalOf(id, logical)
         }
+      }
     val idOf: Map[Int, String] = schemaFields.map { case (id, l, _) =>
       id -> physicalOf(id, l)
     }.toMap
@@ -714,6 +743,33 @@ object IcebergInterop {
     Some(lp.toString)
   }
 
+  /** Named refs as the export serves them, sorted by name: `main` (the
+    * exported head), every tag, and every branch whose head is a MAIN
+    * version (branch-LOCAL staged commits are invisible to main
+    * readers — write-audit-publish staging must not leak through the
+    * export). Refs pointing past `v` or at versions missing from
+    * `live` (expired, or simply not in the rendered snapshot list) are
+    * excluded — an Iceberg reader must never resolve a ref to a
+    * snapshot-id the same file doesn't list.
+    */
+  private def refsSeq(s: SparkSession, loc: String, v: Int,
+      live: Int => Boolean): Seq[(String, Int, String)] = {
+    val tagRefs = SnapshotTable.tags(s, loc).toSeq.collect {
+      case (n, tv) if tv <= v && live(tv) => (n, tv, "tag")
+    }
+    val branchRefs = SnapshotTable.branches(s, loc).toSeq.collect {
+      case (n, stem) if stem.matches("v\\d+") &&
+          stem.drop(1).toInt <= v && live(stem.drop(1).toInt) =>
+        (n, stem.drop(1).toInt, "branch")
+    }
+    ("main", v, "branch") +: (tagRefs ++ branchRefs).sortBy(_._1)
+  }
+
+  private def renderRefs(refs: Seq[(String, Int, String)]): String =
+    refs.map { case (n, sv, t) =>
+      s"""${jstr(n)}:{"snapshot-id":$sv,"type":${jstr(t)}}"""
+    }.mkString("{", ",", "}")
+
   /** Render Iceberg v2 table metadata for version `v` and materialize
     * it (with its Avro manifest chain) as an immutable per-version
     * `_iceberg/v{v}.metadata.json`. Returns (metadata-location,
@@ -721,7 +777,11 @@ object IcebergInterop {
     * skipped — Iceberg metadata likewise lists only live snapshots.
     * The per-version file is IMMUTABLE: once materialized it's served
     * back as-is, so a 100k-commit streaming table never pays an
-    * O(versions) walk twice.
+    * O(versions) walk twice. The one mutable exception is `refs`:
+    * tags/branches created AFTER a version's first export must still
+    * surface (real Iceberg rewrites metadata.json on every ref
+    * change), so a cached file whose refs DIFFER from the engine's
+    * current refs is regenerated — a metadata-priced comparison.
     */
   def writeMetadata(s: SparkSession, loc: String, v: Int): (String, String) = {
     val metaPath = new Path(s"$loc/_iceberg/v$v.metadata.json")
@@ -736,7 +796,37 @@ object IcebergInterop {
       // Immutability resumes for everything this renderer wrote.
       val stale = """"manifest-list":"([^"]+)"""".r
         .findAllMatchIn(cached).exists(!_.group(1).endsWith(".avro")) ||
-        !cached.contains("\"schema.name-mapping.default\"")
+        !cached.contains("\"schema.name-mapping.default\"") ||
+        // pre-refs files can't serve tag/timestamp travel to an
+        // external engine — regenerate once, like the upgrades above
+        !cached.contains("\"snapshot-log\"") ||
+        // refs drifted: a tag/branch created (or moved) after this
+        // file was rendered must surface to external readers
+        scala.util.Try {
+          import org.json4s.{JArray, JInt, JLong, JObject, JString}
+          val m = org.json4s.jackson.JsonMethods.parse(cached)
+          val listed: Set[Int] = (m \ "snapshots") match {
+            case JArray(xs) => xs.flatMap(o => (o \ "snapshot-id") match {
+              case JInt(n) => Some(n.toInt)
+              case JLong(n) => Some(n.toInt)
+              case _ => None
+            }).toSet
+            case _ => Set.empty
+          }
+          val cachedRefs: Set[(String, Int, String)] = (m \ "refs") match {
+            case JObject(fs) => fs.flatMap { case (n, o) =>
+              for {
+                sv <- (o \ "snapshot-id") match {
+                  case JInt(x) => Some(x.toInt); case JLong(x) => Some(x.toInt)
+                  case _ => None
+                }
+                t <- (o \ "type") match { case JString(x) => Some(x); case _ => None }
+              } yield (n, sv, t)
+            }.toSet
+            case _ => Set.empty
+          }
+          cachedRefs != refsSeq(s, loc, v, listed.contains).toSet
+        }.getOrElse(true)
       if (!stale) return (metaPath.toString, cached)
       // stale: fall through and regenerate — the old file is replaced
       // only at publish time (below, under the destination lock), so a
@@ -803,6 +893,15 @@ object IcebergInterop {
       ("schema.name-mapping.default" ->
         nameMappingJson(fields, SnapshotTable.columnMapping(s, loc, v),
           SnapshotTable.droppedColumns(s, loc, v)))
+    // refs + snapshot-log: the engine's travel surface, externalized.
+    // A reader resolves `FOR VERSION AS OF <tag>` through refs and
+    // `FOR TIMESTAMP AS OF <t>` through snapshot-log (latest entry
+    // with timestamp-ms <= t), purely from this JSON.
+    val liveIds = exported.map(_._1).toSet
+    val refsJson = renderRefs(refsSeq(s, loc, v, liveIds.contains))
+    val snapshotLog = exported.map { case (sv, _) =>
+      s"""{"timestamp-ms":${SnapshotTable.committedAt(s, loc, sv)},"snapshot-id":$sv}"""
+    }.mkString("[", ",", "]")
     val metadata =
       s"""{"format-version":2,"table-uuid":${jstr(tableUuid(loc))},"location":${
         jstr(loc)},"last-sequence-number":$v,"last-updated-ms":${
@@ -812,7 +911,7 @@ object IcebergInterop {
         props.toSeq.sorted
           .map { case (k, pv) => s"${jstr(k)}:${jstr(pv)}" }
           .mkString("{", ",", "}")
-      },"snapshots":[${snapshots.mkString(",")}]}"""
+      },"snapshots":[${snapshots.mkString(",")}],"refs":$refsJson,"snapshot-log":$snapshotLog}"""
     mfs.mkdirs(metaPath.getParent)
     // atomic publish, same protocol as the Avro chain: a concurrent
     // loader can never observe a truncated (or, during a renderer-
@@ -824,8 +923,24 @@ object IcebergInterop {
     val out = mfs.create(tmp, true)
     try out.write(metadata.getBytes(UTF_8)) finally out.close()
     CommitArbiter.lockFor(metaPath).synchronized {
-      if (mfs.exists(metaPath)) mfs.delete(metaPath, false) // stale renderer output
-      if (!CommitArbiter.forConf(conf(s)).publish(mfs, tmp, metaPath))
+      if (mfs.exists(metaPath)) {
+        // stale renderer output: replace ATOMICALLY where the store
+        // can — FileContext rename-OVERWRITE is one POSIX/HDFS rename,
+        // so even a CROSS-PROCESS reader never observes metadata.json
+        // absent. A scheme without FileContext support falls back to
+        // delete-then-publish, where the no-absent-window guarantee
+        // holds for same-JVM loaders only (they serialize on this
+        // lock — the REST-catalog serving case).
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(metaPath.toUri, conf(s))
+            .rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            mfs.delete(metaPath, false)
+            if (!CommitArbiter.forConf(conf(s)).publish(mfs, tmp, metaPath))
+              mfs.delete(tmp, false) // a concurrent exporter won with identical content
+        }
+      } else if (!CommitArbiter.forConf(conf(s)).publish(mfs, tmp, metaPath))
         mfs.delete(tmp, false) // a concurrent exporter won with identical content
     }
     (metaPath.toString, metadata)

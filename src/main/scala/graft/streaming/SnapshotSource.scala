@@ -108,6 +108,22 @@ class GraftSnapshotRelation(
   // relation would otherwise pay per row
   override def needConversion: Boolean = false
 
+  /** Manifest-derived table size — the statistic that lets Catalyst
+    * AUTO-BROADCAST a small lake dim in a lake⋈lake join. Without the
+    * override BaseRelation reports `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue), and every such join plans a full shuffle at any
+    * scale. Metadata-priced (`_bytes` annotations, no data read) and
+    * scaled by `spark.sql.sources.fileCompressionFactor` exactly like
+    * Spark's own HadoopFsRelation; floored at 1 so an empty table
+    * never reports 0 (the "unknown" sentinel some rules special-case).
+    */
+  override lazy val sizeInBytes: Long = {
+    val (bytes, _) = SnapshotTable.tableStats(spark, root,
+      if (version < 0) SnapshotTable.currentVersion(spark, root) else version)
+    math.max(1L,
+      (bytes * spark.sessionState.conf.fileCompressionFactor).toLong)
+  }
+
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   override def buildScan(
@@ -322,7 +338,7 @@ object SnapshotSourceProvider {
       case (f, a) =>
         val part = a.filterNot { case (k, _) =>
           k.startsWith("_min_") || k.startsWith("_max_") ||
-            k.startsWith("_bloom_") || k == "_rows" || k == "_seq"
+            k.startsWith("_bloom_") || k == "_rows" || k == "_bytes" || k == "_seq"
         }.toSeq.sortBy(_._1).map { case (k, vv) => s"$k=$vv" }.mkString("\t")
         Row(f, a.get("_rows").map(_.toLong).getOrElse(-1L),
           a.get("_seq").map(_.toLong).getOrElse(0L),

@@ -309,4 +309,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p2.contains("Join"),
       s"compacted table must read as a plain scan:\n${p2.take(1500)}")
   }
+
+  test("lake relations report manifest statistics; a small lake dim auto-broadcasts") {
+    import graft.lake.SnapshotTable
+    // DSv2 catalog path: the entry itself asserts BroadcastHashJoin on
+    // the STATIC (pre-AQE) plan — run it and re-pin here
+    val out = SparkEntry.queries("lake_broadcast_join")(spark, sf())
+    assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    // V1 relation path (USING graft-snapshot): sizeInBytes must come
+    // from the manifest, not spark.sql.defaultSizeInBytes — the r15
+    // gap that made every lake-to-lake join shuffle
+    val root = "/tmp/graft_test/v1_stats"
+    SnapshotTable.drop(spark, root)
+    val ev = sources.Tables.load(spark, sf(), "events")
+      .select("event_id", "user_id", "event_type", "value")
+    SnapshotTable.commit(spark, root, ev)
+    spark.sql("DROP TABLE IF EXISTS graft_v1_stats_t")
+    spark.sql(s"CREATE TABLE graft_v1_stats_t USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      val stats = spark.table("graft_v1_stats_t")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(stats > 0 && stats < BigInt(Long.MaxValue) / 4,
+        s"V1 lake relation must report manifest-derived size, got $stats")
+      // and the size is consistent with the files actually on disk
+      val (bytes, rows) = SnapshotTable.tableStats(spark, root)
+      assert(rows == ev.count(), s"manifest row stat off: $rows")
+      val onDisk = SnapshotTable.dataFiles(spark, root, 1).map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+      }.sum
+      assert(bytes == onDisk, s"manifest byte stat $bytes != on-disk $onDisk")
+      // a self-join through the V1 relation must auto-broadcast too
+      val t = spark.table("graft_v1_stats_t")
+      val dim = spark.table("graft_v1_stats_t").select("user_id").distinct()
+      val p = t.join(dim, "user_id").queryExecution.sparkPlan.toString
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"V1 lake join must auto-broadcast from manifest stats:\n${p.take(1500)}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_v1_stats_t")
+  }
 }
