@@ -1362,6 +1362,9 @@ object LakeOps {
     // hidden day(ts) partitioning: the export must render the REAL
     // day spec + per-file partition values, not an unpartitioned stub
     SnapshotTable.commitPartitionedByDay(s, root, ev.filter(dayofmonth(col("ts")) <= 15), "ts")
+    // a TAG at v1: the engine's travel surface must survive the
+    // export as an Iceberg ref (resolved below from the JSON alone)
+    SnapshotTable.tag(s, root, "first_half", 1)
     SnapshotTable.commitPartitionedByDay(s, root, ev.filter(dayofmonth(col("ts")) > 15), "ts")
     // a MoR delete so the export carries a DELETES manifest too
     SnapshotTable.deleteWhereMor(s, root, col("event_type") === "click")
@@ -1379,6 +1382,22 @@ object LakeOps {
     val listPath = ("\"snapshot-id\":" + cur +
       ",[^{]*\"manifest-list\":\"([^\"]+)\"").r
       .findFirstMatchIn(metaJson).get.group(1)
+    // ---- travel surface, PURELY from the exported JSON: the tag ref
+    // must resolve to its snapshot-id, and a timestamp must resolve
+    // through snapshot-log (latest entry with timestamp-ms <= t) the
+    // way an external engine serves FOR TIMESTAMP AS OF
+    val tagRef = """"first_half":\{"snapshot-id":(\d+),"type":"tag"\}""".r
+      .findFirstMatchIn(metaJson).map(_.group(1).toInt)
+    require(tagRef.contains(1),
+      s"exported refs must resolve tag first_half to snapshot 1, got $tagRef")
+    val logEntries = """\{"timestamp-ms":(\d+),"snapshot-id":(\d+)\}""".r
+      .findAllMatchIn(metaJson).map(m => (m.group(1).toLong, m.group(2).toInt)).toSeq
+    require(logEntries.nonEmpty, "exported metadata must carry a snapshot-log")
+    val t2 = SnapshotTable.committedAt(s, root, 2)
+    // id tiebreak: commits landing within the same millisecond
+    val resolved = logEntries.filter(_._1 <= t2).maxBy(e => (e._1, e._2))._2
+    require(resolved == 2,
+      s"snapshot-log must resolve v2's commit instant to snapshot 2, got $resolved")
     val manifests = IcebergInterop.readManifestList(c, listPath)
     // one decode per manifest: filter by entry status (live) AND file
     // content — a deletes manifest carries positional (1) and

@@ -480,6 +480,99 @@ class IcebergInteropSpec extends SparkSpec {
       got.toString)
   }
 
+  test("refs + snapshot-log export the travel surface; ref drift regenerates the cache") {
+    val root = "/tmp/graft_test/ice_refs"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    SnapshotTable.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    SnapshotTable.tag(spark, root, "rel-1", 1)
+    SnapshotTable.createBranch(spark, root, "audit", 2)
+    // a branch with a LOCAL staged commit must NOT export: its
+    // snapshot is invisible to main readers until publish
+    SnapshotTable.createBranch(spark, root, "staging")
+    SnapshotTable.commitToBranch(spark, root, "staging", Seq((9L, "z")).toDF("id", "v"))
+    val (_, metaJson) = IcebergInterop.writeMetadata(spark, root, 3)
+    def ref(n: String): Option[(Int, String)] =
+      (s""""$n":\\{"snapshot-id":(\\d+),"type":"(\\w+)"\\}""").r
+        .findFirstMatchIn(metaJson).map(m => (m.group(1).toInt, m.group(2)))
+    assert(ref("main") === Some((3, "branch")))
+    assert(ref("rel-1") === Some((1, "tag")))
+    assert(ref("audit") === Some((2, "branch")))
+    assert(ref("staging").isEmpty, "staged branch heads must not export")
+    // snapshot-log resolves FOR TIMESTAMP AS OF purely from the JSON
+    val log = """\{"timestamp-ms":(\d+),"snapshot-id":(\d+)\}""".r
+      .findAllMatchIn(metaJson).map(m => (m.group(1).toLong, m.group(2).toInt)).toSeq
+    assert(log.map(_._2) === Seq(1, 2, 3), s"log must list live snapshots in order: $log")
+    val t2 = SnapshotTable.committedAt(spark, root, 2)
+    assert(log.filter(_._1 <= t2).maxBy(e => (e._1, e._2))._2 === 2)
+    // ref DRIFT: a tag created after the render must surface on the
+    // next load (real Iceberg rewrites metadata.json on ref changes)
+    SnapshotTable.tag(spark, root, "rel-2", 2)
+    val (_, metaJson2) = IcebergInterop.writeMetadata(spark, root, 3)
+    assert(metaJson2.contains(""""rel-2":{"snapshot-id":2,"type":"tag"}"""),
+      "post-export tag must regenerate the cached metadata")
+    // and with no further drift the file is served verbatim (immutable)
+    val (_, metaJson3) = IcebergInterop.writeMetadata(spark, root, 3)
+    assert(metaJson3 === metaJson2)
+  }
+
+  test("import tolerates doc attrs and key order; refuses nested types loudly") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = "/tmp/graft_test/ice_imp_robust"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "score"))
+    val (mp, metaJson) = IcebergInterop.writeMetadata(spark, root, 1)
+    val fs = new Path(mp).getFileSystem(conf)
+    def write(p: Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // a foreign writer's shapes: every schema field gets a `doc`
+    // attribute and REVERSED key order — the import must bind all
+    // columns anyway (regex parsers silently dropped such fields)
+    val mangled = JsonMethods.parse(metaJson).transformField {
+      case ("fields", JArray(fields)) => ("fields", JArray(fields.map {
+        case JObject(kvs) if kvs.exists(_._1 == "id") =>
+          JObject(kvs.reverse :+ JField("doc", JString("from a foreign writer")))
+        case o => o
+      }))
+    }
+    val mangledPath = new Path("/tmp/graft_test/ice_imp_robust_meta/mangled.metadata.json")
+    fs.mkdirs(mangledPath.getParent)
+    write(mangledPath, JsonMethods.compact(JsonMethods.render(mangled)))
+    val dest = "/tmp/graft_test/ice_imp_robust_dest"
+    SnapshotTable.drop(spark, dest)
+    IcebergInterop.importChain(spark, mangledPath.toString, dest)
+    assert(SnapshotTable.read(spark, dest).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // nested types: refused with a loud, named error — never silently
+    // dropped from the imported schema
+    val nested = JsonMethods.parse(metaJson).transformField {
+      case ("fields", JArray(fields)) => ("fields", JArray(fields.map {
+        case JObject(kvs) if kvs.exists(kv => kv._1 == "name" &&
+            kv._2 == JString("score")) =>
+          JObject(kvs.map {
+            case ("type", _) => ("type", JObject(List(
+              ("type", JString("struct")), ("fields", JArray(Nil)))))
+            case kv => kv
+          })
+        case o => o
+      }))
+    }
+    val nestedPath = new Path("/tmp/graft_test/ice_imp_robust_meta/nested.metadata.json")
+    write(nestedPath, JsonMethods.compact(JsonMethods.render(nested)))
+    val dest2 = "/tmp/graft_test/ice_imp_robust_dest2"
+    SnapshotTable.drop(spark, dest2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.importChain(spark, nestedPath.toString, dest2)
+    }
+    assert(e.getMessage.contains("nested type"), e.getMessage)
+  }
+
   test("snapshots carry per-epoch schema-ids; time travel sees commit-time shape") {
     val root = "/tmp/graft_test/ice_epochs"
     SnapshotTable.drop(spark, root)

@@ -696,4 +696,66 @@ class SnapshotTableSpec extends SparkSpec {
       statsCols = Seq("x"))
     assert(SnapshotTable.dropRefusal(spark, sroot, "x").exists(_.contains("stats")))
   }
+
+  test("a column carried ONLY by middle files still reads its data") {
+    // ADVICE r15: the widened-read schema samples the newest and
+    // oldest footers; a column added, written by ONE append, then
+    // omitted by later appends (commit accepts frames missing
+    // columns) lives only in a MIDDLE file — its data must surface,
+    // not be silently replaced with typed NULLs.
+    val root = "/tmp/graft_test/snap_middle_col"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.addColumn(spark, root, "score", "double")
+    SnapshotTable.commitAppend(spark, root,
+      Seq((2L, "b", 1.5)).toDF("id", "v", "score")) // the only score-carrying file
+    SnapshotTable.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    val got = SnapshotTable.read(spark, root).orderBy("id")
+      .select("id", "score").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq === Seq(1L -> None, 2L -> Some(1.5), 3L -> None),
+      s"middle-file column data lost: ${got.toSeq}")
+    // absent-everywhere columns still materialize as typed NULLs
+    SnapshotTable.addColumn(spark, root, "never", "string")
+    val head = SnapshotTable.read(spark, root)
+    assert(head.columns.contains("never") &&
+      head.filter(org.apache.spark.sql.functions.col("never").isNotNull).count() === 0)
+  }
+
+  test("partitioned-day commits reuse persistent field ids across a rename") {
+    // ADVICE r15: commitPartitionedByDay hand-rolled its id assignment,
+    // skipping the column-mapping translation — a frame carrying a
+    // renamed column's PHYSICAL name burned a fresh id that disagreed
+    // with the exported metadata. It now shares physFieldIds.
+    val root = "/tmp/graft_test/snap_day_ids"
+    SnapshotTable.drop(spark, root)
+    def frame(id: Long) = Seq(
+      (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+      .toDF("id", "ts", "v")
+    SnapshotTable.commitPartitionedByDay(spark, root, frame(1L), "ts")
+    val ids1 = SnapshotTable.fieldIds(spark, root, 1)
+    SnapshotTable.renameColumn(spark, root, "v", "amount")
+    // a writer still shipping the PHYSICAL name: same field, same id
+    val v3 = SnapshotTable.commitPartitionedByDay(spark, root, frame(2L), "ts")
+    val ids3 = SnapshotTable.fieldIds(spark, root, v3)
+    assert(ids3("amount") === ids1("v"),
+      s"physical-name frame must keep the renamed column's id: $ids1 -> $ids3")
+    assert(ids3.values.toSeq.distinct.size === ids3.size, s"duplicate ids: $ids3")
+    assert(!ids3.contains("v"), s"no duplicate physical-keyed entry: $ids3")
+    // and the footers agree with the metadata assignment
+    val newFiles = SnapshotTable.dataFiles(spark, root, v3).toSet --
+      SnapshotTable.dataFiles(spark, root, v3 - 1).toSet
+    val footer = {
+      import scala.jdk.CollectionConverters._
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(newFiles.head),
+          spark.sparkContext.hadoopConfiguration))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+      finally r.close()
+    }
+    assert(footer.get("v").flatten === Some(ids1("v")),
+      s"footer must stamp the persistent id on the physical column: $footer")
+  }
 }
