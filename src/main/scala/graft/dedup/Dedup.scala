@@ -114,7 +114,11 @@ object Dedup {
     * operation order), capped pair generation via window functions,
     * ROUND(cos,6) ≥ 0.45 verify, min-partner rep election.
     */
-  val embeddingAnnOracle: String = {
+  /** Shared CTE chain (through the verified `good` pairs) of the
+    * [[embeddingAnn]] and [[ccAnn]] oracles — callers prepend
+    * `WITH ` / `WITH RECURSIVE ` and append their consumer CTEs.
+    */
+  private val annPairsCtes: String = {
     val dims = 64
     val planes = Seq(1L, 2L).flatMap { seed =>
       (0 until 12).map { b =>
@@ -124,7 +128,7 @@ object Dedup {
         s"($seed, $b, CAST($comps AS DOUBLE[]))"
       }
     }.mkString(",\n    ")
-    s"""WITH planes(tbl, b, comps) AS (VALUES
+    s"""planes(tbl, b, comps) AS (VALUES
        |    $planes
        |), projs AS (
        |  SELECT e.vec_id, p.tbl, p.b,
@@ -171,7 +175,13 @@ object Dedup {
        |     * sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
        |        i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (a, x) -> a + x))), 6)
        |    >= 0.45
-       |), reps AS (
+       |)""".stripMargin
+  }
+
+  /** Exact DuckDB mirror of [[embeddingAnn]]'s rep election over the
+    * shared verified-pair CTEs. */
+  val embeddingAnnOracle: String =
+    s"""WITH $annPairsCtes, reps AS (
        |  SELECT id_b AS vec_id, MIN(id_a) AS rep_cand FROM good GROUP BY id_b
        |)
        |SELECT e.vec_id,
@@ -179,7 +189,28 @@ object Dedup {
        |  COALESCE(r.rep_cand <> e.vec_id, FALSE) AS is_dup
        |FROM embeddings e LEFT JOIN reps r USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
-  }
+
+  /** Exact DuckDB mirror of [[ccAnn]]: the same verified ANN pairs,
+    * then connected components as a recursive transitive-closure CTE
+    * (min reachable id — the label pointer jumping converges to);
+    * vectors with no verified pair stay singletons.
+    */
+  val ccAnnOracle: String =
+    s"""WITH RECURSIVE $annPairsCtes, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM good
+       |  UNION SELECT id_b AS src, id_a AS dst FROM good
+       |), reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+       |), comp0 AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id),
+       |comp AS (
+       |  SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component
+       |  FROM embeddings e LEFT JOIN comp0 c USING (vec_id)
+       |), sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT c.vec_id, c.component, s.cluster_size
+       |FROM comp c JOIN sizes s USING (component)
+       |ORDER BY c.vec_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Exact dedup by content hash: every doc gets its group size and a
@@ -593,18 +624,27 @@ object Dedup {
     * rows-only; the recall harness in AnnRecallSpec measures it on
     * clustered data.
     */
-  def embeddingAnn(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+  /** LSH-bucketed, exact-cosine-verified near-dup pairs — the shared
+    * candidate generator of [[embeddingAnn]] (rep election) and
+    * [[ccAnn]] (graph clustering). Cost ∝ bucket collisions, never N².
+    */
+  private[graft] def annVerifiedPairs(
+      s: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
     val bucketed = Seq(1L, 2L).map { seed =>
       e.select(col("vec_id").as("id"), col("embedding"), lit(seed).as("band"),
         expr(s"graft_lsh_bucket(embedding, 12, $seed)").as("band_key"))
     }.reduce(_ unionByName _)
-    val cand = cappedPairs(bucketed)
+    cappedPairs(bucketed)
       .withColumnRenamed("embedding_a", "emb_a").withColumnRenamed("embedding_b", "emb_b")
       .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  def embeddingAnn(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val cand = annVerifiedPairs(s, e, threshold)
     val reps = cand.groupBy(col("id_b").as("vec_id")).agg(min("id_a").as("rep_cand"))
     e.select("vec_id").join(reps, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -741,6 +781,28 @@ object Dedup {
     // 1-NN graph via the block-grid exact kNN — no corpus broadcast
     val pairs = exactSelf1nn(s, e)
       .select(col("vec_id").as("src"), col("nn_id").as("dst"))
+    val labels = ConnectedComponents.run(
+      pairs, e.select(col("vec_id").as("id")), maxIter = 8)
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("id").as("vec_id"), col("component"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** The clustering path a 100 TB run actually takes (VERDICT r15
+    * item 5): connected components over the ANN CANDIDATE GRAPH —
+    * [[annVerifiedPairs]]' LSH-bucketed, exact-cosine-verified edges
+    * — instead of [[ccClusters]]' exact N² 1-NN graph (kept as the
+    * declared exact baseline). Edge generation costs bucket
+    * collisions, not N²; CC is the same pointer-jumping loop. Fully
+    * oracled: the LSH is deterministic, so DuckDB recomputes the
+    * identical edge set and closure.
+    */
+  def ccAnn(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val pairs = annVerifiedPairs(s, e, 0.45)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = ConnectedComponents.run(
       pairs, e.select(col("vec_id").as("id")), maxIter = 8)
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -1018,6 +1080,7 @@ object Dedup {
     Q("dedup_pipeline", dedupPipeline, Some(pipelineOracle)),
     Q("dedup_incremental", incremental, Some(incrementalOracle)),
     Q("dedup_cc_clusters", ccClusters, Some(ccClustersOracle)),
+    Q("dedup_cc_ann", ccAnn, Some(ccAnnOracle)),
     Q("dedup_exact", exact, Some(exactOracle)),
     Q("dedup_minhash_lsh", minhashLsh, Some(minhashLshOracle)),
     Q("dedup_simhash", simhash, Some(simhashOracle)),

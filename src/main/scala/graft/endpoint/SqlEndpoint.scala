@@ -356,9 +356,79 @@ object SqlEndpoint {
       |FROM events WHERE event_id % 2 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** §2H registry entry (VERDICT r15 item 7): a JOIN of two LAKE
+    * tables over JDBC, asserting the two scale-critical plan
+    * decisions SURVIVE the Thrift wire: (1) the small lake dim
+    * auto-broadcasts from its manifest statistics (EXPLAIN text
+    * fetched over the same JDBC connection — no hint anywhere), and
+    * (2) the pushed ts predicate prunes the day-partitioned fact's
+    * files through the manifest (scan-hook file counts). This is the
+    * BI dashboard shape the reference serves through Trino's
+    * stats-fed CBO over Iceberg (RUNBOOK.md §9's fact-to-dim joins) —
+    * the shape that decides whether a 100 TB fact shuffles.
+    */
+  def endpointLakeJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.lake.SnapshotTable
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val wh = s"/tmp/graft_endpoint/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/join_wh"
+    val cat = s"gjoin_${Integer.toHexString(dir.hashCode).takeRight(6)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val factRoot = s"$wh/lake/factj"
+    val dimRoot = s"$wh/lake/dimj"
+    Seq(factRoot, dimRoot).foreach(SnapshotTable.drop(s, _))
+    val ev = graft.sources.Tables.load(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    SnapshotTable.commitPartitionedByDay(s, factRoot, ev, "ts")
+    SnapshotTable.commit(s, dimRoot, ev.select("user_id").distinct()
+      .withColumn("segment", concat(lit("seg_"), pmod(col("user_id"), lit(5)))))
+    val wire =
+      s"""SELECT d.segment, COUNT(*) AS n,
+         | CAST(SUM(CAST(ROUND(f.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+         |FROM $cat.lake.factj f JOIN $cat.lake.dimj d ON f.user_id = d.user_id
+         |WHERE f.ts < TIMESTAMP '2024-01-15'
+         |GROUP BY d.segment ORDER BY d.segment""".stripMargin
+    // the broadcast decision, observed THROUGH the wire
+    val (_, planRows) = jdbcQuery(s, s"EXPLAIN $wire")
+    val planText = planRows.flatten.mkString("\n")
+    require(planText.contains("BroadcastHashJoin") && !planText.contains("SortMergeJoin"),
+      s"the lake dim must auto-broadcast over JDBC:\n${planText.take(1500)}")
+    // manifest pruning, observed on the serving session's scan hook
+    graft.streaming.GraftSnapshotRelation.recordScans = true
+    val (_, rows) =
+      try jdbcQuery(s, wire)
+      finally graft.streaming.GraftSnapshotRelation.recordScans = false
+    val total = SnapshotTable.dataFiles(s, factRoot,
+      SnapshotTable.currentVersion(s, factRoot)).size
+    val opened = graft.streaming.GraftSnapshotRelation.lastScanFilesFor(factRoot)
+    require(opened > 0 && opened < total,
+      s"the wire query's ts filter must prune day partitions: opened $opened of $total")
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("segment",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_value",
+        org.apache.spark.sql.types.DoubleType)))
+    val data = rows.map(r => org.apache.spark.sql.Row(
+      r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Number].longValue,
+      r(2).asInstanceOf[Number].doubleValue))
+    s.createDataFrame(data.asJava, schema).orderBy("segment")
+  }
+
+  val endpointLakeJoinOracle: String =
+    """SELECT ('seg_' || CAST(user_id % 5 AS VARCHAR)) AS segment, COUNT(*) AS n,
+      | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events WHERE ts < TIMESTAMP '2024-01-15'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[graft.Q] = Seq(
     graft.Q("endpoint_time_travel", endpointTimeTravel, Some(endpointTimeTravelOracle)),
     graft.Q("endpoint_sql_agg", endpointAgg, Some(endpointAggOracle)),
     graft.Q("endpoint_point_lookup", endpointPointLookup, Some(endpointPointLookupOracle)),
-    graft.Q("endpoint_lake_table", endpointLakeTable, Some(endpointLakeTableOracle)))
+    graft.Q("endpoint_lake_table", endpointLakeTable, Some(endpointLakeTableOracle)),
+    graft.Q("endpoint_lake_join", endpointLakeJoin, Some(endpointLakeJoinOracle)))
 }
