@@ -34,18 +34,13 @@ object DeltaInterop {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
-  /** Render a snapshot version as `_delta_log/00…0.json` under
-    * `exportDir`; returns the log file path. O(files) driver metadata
-    * work, zero data bytes moved.
+  /** The metaData action for a version's logical schema (renames +
+    * widens applied), each mapped field stamped with its physical
+    * in-file name — Delta column mapping, mode=name.
     */
-  def writeLog(s: SparkSession, root: String, exportDir: String,
-               version: Int = -1): Path = {
-    val v = if (version < 0) SnapshotTable.currentVersion(s, root) else version
+  private def metaDataAction(s: SparkSession, root: String, v: Int): String = {
     val stamp = SnapshotTable.committedAt(s, root, v)
-    val conf = s.sparkContext.hadoopConfiguration
     val mapping = SnapshotTable.columnMapping(s, root, v)
-    // logical schema (renames + widens applied), each field stamped
-    // with its physical in-file name when mapped
     val logical = SnapshotTable.read(s, root, v).schema
     val stamped = StructType(logical.map { f =>
       mapping.get(f.name) match {
@@ -59,25 +54,148 @@ object DeltaInterop {
       if (mapping.exists { case (l, p) => l != p })
         """"delta.columnMapping.mode":"name""""
       else ""
-    val adds = SnapshotTable.dataFiles(s, root, v).map { f =>
-      val p = new Path(f)
-      val size = p.getFileSystem(conf).getFileStatus(p).getLen
-      s"""{"add":{"path":"${esc(p.toUri.toString)}","partitionValues":{},""" +
-        s""""size":$size,"modificationTime":$stamp,"dataChange":true}}"""
-    }
-    val logLines = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"graft-delta-export","format":{"provider":"parquet",""" +
-        s""""options":{}},"schemaString":"${esc(stamped.json)}","partitionColumns":[],""" +
-        s""""configuration":{$cfg},"createdTime":$stamp}}""") ++ adds
+    s"""{"metaData":{"id":"graft-delta-export","format":{"provider":"parquet",""" +
+      s""""options":{}},"schemaString":"${esc(stamped.json)}","partitionColumns":[],""" +
+      s""""configuration":{$cfg},"createdTime":$stamp}}"""
+  }
+
+  private def addAction(s: SparkSession, f: String, stamp: Long): String = {
+    val p = new Path(f)
+    val size = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
+    s"""{"add":{"path":"${esc(p.toUri.toString)}","partitionValues":{},""" +
+      s""""size":$size,"modificationTime":$stamp,"dataChange":true}}"""
+  }
+
+  /** Render the FULL version chain as a Delta transaction log under
+    * `exportDir` — one `_delta_log/<k>.json` per engine version
+    * (graft version k+1 → Delta version k) with that commit's add and
+    * remove actions — plus a CHECKPOINT parquet at the head and the
+    * `_last_checkpoint` pointer, the way long-lived Delta tables are
+    * actually served: a reader reconstructs the current state from
+    * the checkpoint alone (no JSON replay) and time-travels through
+    * the JSON chain. Zero data bytes moved; per-version metadata work
+    * only (schema re-render only on versions whose schema headers
+    * changed). Returns the head log file path.
+    */
+  def writeLog(s: SparkSession, root: String, exportDir: String,
+               version: Int = -1): Path = {
+    val v = if (version < 0) SnapshotTable.currentVersion(s, root) else version
+    require(v >= 1, s"nothing to export at $root")
+    val conf = s.sparkContext.hadoopConfiguration
     val logDir = new Path(s"$exportDir/_delta_log")
     val fs = logDir.getFileSystem(conf)
     fs.mkdirs(logDir)
-    val logFile = new Path(logDir, "%020d.json".format(0))
-    val out = fs.create(logFile, true)
-    try out.write((logLines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    def canonOf(k: Int): Seq[String] = SnapshotTable.dataFiles(s, root, k)
+    def schemaKey(k: Int): (Map[String, String], Map[String, String], Map[String, Int]) =
+      (SnapshotTable.columnMapping(s, root, k), SnapshotTable.columnTypes(s, root, k),
+        SnapshotTable.droppedColumns(s, root, k))
+    var prevFiles = Seq.empty[String]
+    var logFile: Path = null
+    (1 to v).foreach { k =>
+      val stamp = SnapshotTable.committedAt(s, root, k)
+      val files = canonOf(k)
+      val prevSet = prevFiles.map(SnapshotTable.canon(s, _)).toSet
+      val curSet = files.map(SnapshotTable.canon(s, _)).toSet
+      val adds = files.filterNot(f => prevSet.contains(SnapshotTable.canon(s, f)))
+        .map(addAction(s, _, stamp))
+      val removes = prevFiles.filterNot(f => curSet.contains(SnapshotTable.canon(s, f)))
+        .map { f =>
+          s"""{"remove":{"path":"${esc(new Path(f).toUri.toString)}",""" +
+            s""""deletionTimestamp":$stamp,"dataChange":true}}"""
+        }
+      val header =
+        if (k == 1)
+          Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+            metaDataAction(s, root, k))
+        else if (schemaKey(k) != schemaKey(k - 1)) Seq(metaDataAction(s, root, k))
+        else Seq.empty
+      logFile = new Path(logDir, "%020d.json".format(k - 1))
+      val out = fs.create(logFile, true)
+      try out.write(((header ++ adds ++ removes).mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      prevFiles = files
+    }
+    writeCheckpoint(s, root, v, logDir)
     logFile
+  }
+
+  /** Checkpoint parquet for the head (Delta version `v-1`): the FULL
+    * reconstructed state — one protocol row, one metaData row, one
+    * add row per live file — in the standard checkpoint column layout
+    * (one nullable struct column per action type), plus the
+    * `_last_checkpoint` pointer. A reader then serves the current
+    * state from this one parquet file, paying the JSON chain only for
+    * time travel — Delta's own answer to 100k-commit log replay.
+    */
+  private def writeCheckpoint(
+      s: SparkSession, root: String, v: Int, logDir: Path): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = logDir.getFileSystem(conf)
+    val stamp = SnapshotTable.committedAt(s, root, v)
+    val mapping = SnapshotTable.columnMapping(s, root, v)
+    val logical = SnapshotTable.read(s, root, v).schema
+    val stamped = StructType(logical.map { f =>
+      mapping.get(f.name) match {
+        case Some(phys) if phys != f.name =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(PhysNameKey, phys).build())
+        case _ => f
+      }
+    })
+    val cfg: Map[String, String] =
+      if (mapping.exists { case (l, p) => l != p })
+        Map("delta.columnMapping.mode" -> "name")
+      else Map.empty
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val protoRow = Row(Row(1, 2), null, null)
+    val metaRow = Row(null, Row("graft-delta-export", Row("parquet",
+      Map.empty[String, String]), stamped.json, Seq.empty[String], cfg, stamp), null)
+    val addRows = SnapshotTable.dataFiles(s, root, v).map { f =>
+      val p = new Path(f)
+      val size = p.getFileSystem(conf).getFileStatus(p).getLen
+      Row(null, null,
+        Row(p.toUri.toString, Map.empty[String, String], size, stamp, true))
+    }
+    val rows = protoRow +: metaRow +: addRows
+    // Spark writes a directory; the checkpoint is ONE parquet file —
+    // stage, then move the single part file to the spec's name
+    val staging = new Path(logDir, s".ckpt-${java.util.UUID.randomUUID.toString.take(8)}")
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema).coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no checkpoint part under $staging"))
+    val ckpt = new Path(logDir, "%020d.checkpoint.parquet".format(v - 1))
+    if (fs.exists(ckpt)) fs.delete(ckpt, false)
+    fs.rename(part, ckpt)
+    fs.delete(staging, true)
+    val lc = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(
+      s"""{"version":${v - 1},"size":${rows.size}}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Parse a foreign `_delta_log` (every committed JSON version, in
@@ -94,19 +212,50 @@ object DeltaInterop {
     val fs = logDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir), s"no _delta_log under $tableDir")
     val VersionRe = "(\\d{20})\\.json".r
-    val logFiles = fs.listStatus(logDir).map(_.getPath).collect {
-      case p if VersionRe.pattern.matcher(p.getName).matches => p
-    }.sortBy(_.getName)
-    require(logFiles.nonEmpty, s"empty _delta_log under $tableDir")
     def str(v: JValue): Option[String] = v match {
       case JString(x) => Some(x); case _ => None
     }
     def resolve(p: String): String =
       if (java.net.URI.create(p).isAbsolute) p else s"$tableDir/$p"
-    // replay the log: adds accumulate, removes tombstone, last
-    // metaData wins — Delta's state reconstruction
+    // a _last_checkpoint pointer short-circuits the replay: state
+    // bootstraps from the checkpoint parquet, and only JSON commits
+    // NEWER than it replay on top — real Delta readers never walk a
+    // 100k-commit chain
+    val lcPath = new Path(logDir, "_last_checkpoint")
+    val ckptVersion: Option[Long] =
+      if (!fs.exists(lcPath)) None
+      else {
+        val in = fs.open(lcPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        JsonMethods.parse(txt) \ "version" match {
+          case JInt(n) => Some(n.longValue)
+          case JLong(n) => Some(n)
+          case _ => None
+        }
+      }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     var schemaString: Option[String] = None
+    ckptVersion.foreach { cv =>
+      val ckpt = new Path(logDir, "%020d.checkpoint.parquet".format(cv))
+      require(fs.exists(ckpt), s"_last_checkpoint names a missing $ckpt")
+      s.read.parquet(ckpt.toString).collect().foreach { r =>
+        val addIdx = r.fieldIndex("add")
+        if (!r.isNullAt(addIdx))
+          live += resolve(r.getStruct(addIdx).getAs[String]("path"))
+        val metaIdx = r.fieldIndex("metaData")
+        if (!r.isNullAt(metaIdx))
+          schemaString = Some(r.getStruct(metaIdx).getAs[String]("schemaString"))
+      }
+    }
+    val logFiles = fs.listStatus(logDir).map(_.getPath).collect {
+      case p if VersionRe.pattern.matcher(p.getName).matches &&
+        ckptVersion.forall(cv => p.getName.takeWhile(_ != '.').toLong > cv) => p
+    }.sortBy(_.getName)
+    require(logFiles.nonEmpty || ckptVersion.isDefined,
+      s"empty _delta_log under $tableDir")
+    // replay the (post-checkpoint) log: adds accumulate, removes
+    // tombstone, last metaData wins — Delta's state reconstruction
     logFiles.foreach { lf =>
       val in = fs.open(lf)
       val lines =

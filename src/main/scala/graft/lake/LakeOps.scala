@@ -1318,11 +1318,51 @@ object LakeOps {
     Seq(root, export).foreach(clean(s, _))
     val ev = events(s, dir)
     SnapshotTable.commit(s, root, ev.filter(dayofmonth(col("ts")) <= 15))
-    SnapshotTable.commit(s, root, ev.filter(dayofmonth(col("ts")) > 15))
-    val logFile = DeltaInterop.writeLog(s, root, export)
-    // independent read-back: the exported log is the ONLY metadata used
-    val paths = s.read.json(logFile.toString)
-      .select(col("add.path").as("p")).na.drop.as[String].collect().toSeq
+    SnapshotTable.commitAppend(s, root, ev.filter(dayofmonth(col("ts")) > 15))
+    // a CoW delete so the chain carries REMOVE actions too
+    SnapshotTable.deleteWhere(s, root, col("event_type") === "click")
+    DeltaInterop.writeLog(s, root, export)
+    val logDir = s"$export/_delta_log"
+    // ---- CURRENT state through the CHECKPOINT ALONE (r15 item 6):
+    // _last_checkpoint → checkpoint parquet → live adds; the JSON
+    // chain is NOT replayed — what a real Delta reader does on a
+    // long-lived table
+    // underscore-prefixed files are hidden from Spark readers — the
+    // pointer is driver-read, like any Delta client does
+    val lcTxt = {
+      val p = new Path(s"$logDir/_last_checkpoint")
+      val in = p.getFileSystem(s.sparkContext.hadoopConfiguration).open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val ckptV = """"version":(\d+)""".r.findFirstMatchIn(lcTxt).get.group(1).toLong
+    require(ckptV == 2, s"checkpoint must sit at the head (delta v2), got $ckptV")
+    val ckpt = s.read.parquet(f"$logDir/$ckptV%020d.checkpoint.parquet")
+    val paths = ckpt.filter(col("add").isNotNull)
+      .select(col("add.path").as("p")).as[String].collect().toSeq
+    require(ckpt.filter(col("protocol").isNotNull).count() == 1 &&
+      ckpt.filter(col("metaData").isNotNull).count() == 1,
+      "checkpoint must carry the protocol and metaData rows")
+    // ---- TIME TRAVEL through the JSON chain: replay delta v0..v1
+    // (graft v2 — before the delete) and prove the deleted rows are
+    // still there at that version
+    def replayTo(deltaV: Int): Set[String] = {
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      (0 to deltaV).foreach { k =>
+        val df = s.read.json(f"$logDir/$k%020d.json")
+        if (df.columns.contains("add"))
+          df.select(col("add.path")).na.drop.as[String].collect().foreach(live += _)
+        if (df.columns.contains("remove"))
+          df.select(col("remove.path")).na.drop.as[String].collect().foreach(live -= _)
+      }
+      live.toSet
+    }
+    val v2Paths = replayTo(1)
+    val clicksAtV2 = s.read.parquet(v2Paths.toSeq: _*)
+      .filter(col("event_type") === "click").count()
+    require(clicksAtV2 > 0, "time travel must still see the deleted rows")
+    require(replayTo(2) == paths.toSet,
+      "full JSON replay and the checkpoint must reconstruct the same state")
     s.read.parquet(paths: _*)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
@@ -1331,7 +1371,8 @@ object LakeOps {
 
   val exportDeltaLogOracle: String =
     s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
-       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+       |FROM events WHERE event_type <> 'click'
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
   /** Iceberg-format metadata export (VERDICT r12/r13 "missing" #1 —
