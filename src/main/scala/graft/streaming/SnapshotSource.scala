@@ -341,6 +341,7 @@ object SnapshotSourceProvider {
             k.startsWith("_bloom_") || k == "_rows" || k == "_bytes" || k == "_seq"
         }.toSeq.sortBy(_._1).map { case (k, vv) => s"$k=$vv" }.mkString("\t")
         Row(f, a.get("_rows").map(_.toLong).getOrElse(-1L),
+          a.get("_bytes").map(_.toLong).getOrElse(-1L),
           a.get("_seq").map(_.toLong).getOrElse(0L),
           if (part.isEmpty) null else part)
     }
@@ -348,6 +349,7 @@ object SnapshotSourceProvider {
     s.createDataFrame(rows.asJava, StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
       StructField("seq", LongType, nullable = false),
       StructField("partition", StringType, nullable = true))))
   }

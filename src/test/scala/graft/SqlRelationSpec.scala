@@ -174,9 +174,16 @@ class SqlRelationSpec extends SparkSpec {
     SnapshotTable.commitAppend(spark, root,
       (40 until 50).map(k => (k.toLong, s"r$k")).toDF("id", "v").coalesce(1))
     val files = load(root, "metadata" -> "files")
-    assert(files.columns.toSeq === Seq("file", "rows", "seq", "partition"))
+    assert(files.columns.toSeq === Seq("file", "rows", "size", "seq", "partition"))
     assert(files.count() === 5)
     assert(files.agg(org.apache.spark.sql.functions.sum("rows")).head.getLong(0) === 50)
+    // size = Iceberg's file_size_in_bytes, straight off the _bytes
+    // annotation — and it matches the files actually on disk
+    val diskTotal = SnapshotTable.dataFiles(spark, root, 2).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }.sum
+    assert(files.agg(org.apache.spark.sql.functions.sum("size")).head.getLong(0) === diskTotal)
     assert(files.select("seq").distinct().as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     val hist = load(root, "metadata" -> "history")
     assert(hist.columns.toSeq === Seq("version", "committed_at", "op", "n_rows"))
