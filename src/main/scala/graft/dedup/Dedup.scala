@@ -628,8 +628,7 @@ object Dedup {
     * candidate generator of [[embeddingAnn]] (rep election) and
     * [[ccAnn]] (graph clustering). Cost ∝ bucket collisions, never N².
     */
-  private[graft] def annVerifiedPairs(
-      s: SparkSession, e: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def annVerifiedPairs(e: DataFrame, threshold: Double): DataFrame = {
     val bucketed = Seq(1L, 2L).map { seed =>
       e.select(col("vec_id").as("id"), col("embedding"), lit(seed).as("band"),
         expr(s"graft_lsh_bucket(embedding, 12, $seed)").as("band_key"))
@@ -644,7 +643,7 @@ object Dedup {
   def embeddingAnn(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
-    val cand = annVerifiedPairs(s, e, threshold)
+    val cand = annVerifiedPairs(e, threshold)
     val reps = cand.groupBy(col("id_b").as("vec_id")).agg(min("id_a").as("rep_cand"))
     e.select("vec_id").join(reps, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -801,7 +800,7 @@ object Dedup {
   def ccAnn(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
-    val pairs = annVerifiedPairs(s, e, 0.45)
+    val pairs = annVerifiedPairs(e, 0.45)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val labels = ConnectedComponents.run(
       pairs, e.select(col("vec_id").as("id")), maxIter = 8)

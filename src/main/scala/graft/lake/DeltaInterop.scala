@@ -34,12 +34,14 @@ object DeltaInterop {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
-  /** The metaData action for a version's logical schema (renames +
-    * widens applied), each mapped field stamped with its physical
-    * in-file name — Delta column mapping, mode=name.
+  /** A version's logical schema (renames + widens applied) with each
+    * mapped field stamped with its physical in-file name (Delta column
+    * mapping, mode=name), plus the table configuration — ONE shared
+    * render for the JSON chain's metaData actions AND the checkpoint's
+    * metaData row, so the two can never drift apart.
     */
-  private def metaDataAction(s: SparkSession, root: String, v: Int): String = {
-    val stamp = SnapshotTable.committedAt(s, root, v)
+  private def stampedSchema(s: SparkSession, root: String, v: Int)
+      : (StructType, Map[String, String]) = {
     val mapping = SnapshotTable.columnMapping(s, root, v)
     val logical = SnapshotTable.read(s, root, v).schema
     val stamped = StructType(logical.map { f =>
@@ -50,13 +52,22 @@ object DeltaInterop {
         case _ => f
       }
     })
-    val cfg =
+    val cfg: Map[String, String] =
       if (mapping.exists { case (l, p) => l != p })
-        """"delta.columnMapping.mode":"name""""
-      else ""
+        Map("delta.columnMapping.mode" -> "name")
+      else Map.empty
+    (stamped, cfg)
+  }
+
+  /** The metaData action for a version — see [[stampedSchema]]. */
+  private def metaDataAction(s: SparkSession, root: String, v: Int): String = {
+    val stamp = SnapshotTable.committedAt(s, root, v)
+    val (stamped, cfg) = stampedSchema(s, root, v)
+    val cfgJson = cfg.toSeq.sorted
+      .map { case (k, v2) => s""""${esc(k)}":"${esc(v2)}"""" }.mkString(",")
     s"""{"metaData":{"id":"graft-delta-export","format":{"provider":"parquet",""" +
       s""""options":{}},"schemaString":"${esc(stamped.json)}","partitionColumns":[],""" +
-      s""""configuration":{$cfg},"createdTime":$stamp}}"""
+      s""""configuration":{$cfgJson},"createdTime":$stamp}}"""
   }
 
   private def addAction(s: SparkSession, f: String, stamp: Long): String = {
@@ -77,11 +88,29 @@ object DeltaInterop {
     * the JSON chain. Zero data bytes moved; per-version metadata work
     * only (schema re-render only on versions whose schema headers
     * changed). Returns the head log file path.
+    *
+    * Two scoped refusals/limitations: a HEAD with pending
+    * merge-on-read deletes is refused loudly (Delta's log cannot
+    * express positional/equality delete files — fold with
+    * compactDeletes first), and versions expired by retention are not
+    * rendered (the chain starts at the earliest live version, exactly
+    * like Delta's own log cleanup — readers bootstrap from the
+    * checkpoint). An INTERMEDIATE version that had pending MoR
+    * deletes renders its data files only, so time travel TO that
+    * version shows pre-delete visibility; the head state is exact.
     */
   def writeLog(s: SparkSession, root: String, exportDir: String,
                version: Int = -1): Path = {
     val v = if (version < 0) SnapshotTable.currentVersion(s, root) else version
     require(v >= 1, s"nothing to export at $root")
+    // Delta's protocol has no positional/equality delete files (that
+    // is deletion vectors, a different reader contract) — exporting a
+    // table with PENDING merge-on-read deletes would render a state
+    // that resurrects every deleted row in the foreign reader. Refuse
+    // loudly with the fix: fold them first.
+    require(SnapshotTable.lineEntries(s, root, v).forall(_.kind == 0),
+      s"$root@v$v has pending merge-on-read (positional/equality) deletes; " +
+        "run compactDeletes before the Delta export — the Delta log cannot express them")
     val conf = s.sparkContext.hadoopConfiguration
     val logDir = new Path(s"$exportDir/_delta_log")
     val fs = logDir.getFileSystem(conf)
@@ -90,9 +119,17 @@ object DeltaInterop {
     def schemaKey(k: Int): (Map[String, String], Map[String, String], Map[String, Int]) =
       (SnapshotTable.columnMapping(s, root, k), SnapshotTable.columnTypes(s, root, k),
         SnapshotTable.droppedColumns(s, root, k))
+    // versions EXPIRED by retention have no manifest (and possibly
+    // reclaimed files) — the chain starts at the earliest LIVE
+    // version, exactly like real Delta log cleanup: older JSON
+    // commits are gone and readers bootstrap from the checkpoint
+    // (the head checkpoint below always covers the full state)
+    val firstLive = (1 to v).find(k =>
+      scala.util.Try(SnapshotTable.commitMeta(s, root, k)).isSuccess).getOrElse(
+      throw new IllegalArgumentException(s"no live version of $root at or below $v"))
     var prevFiles = Seq.empty[String]
     var logFile: Path = null
-    (1 to v).foreach { k =>
+    (firstLive to v).foreach { k =>
       val stamp = SnapshotTable.committedAt(s, root, k)
       val files = canonOf(k)
       val prevSet = prevFiles.map(SnapshotTable.canon(s, _)).toSet
@@ -105,7 +142,7 @@ object DeltaInterop {
             s""""deletionTimestamp":$stamp,"dataChange":true}}"""
         }
       val header =
-        if (k == 1)
+        if (k == firstLive)
           Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
             metaDataAction(s, root, k))
         else if (schemaKey(k) != schemaKey(k - 1)) Seq(metaDataAction(s, root, k))
@@ -135,20 +172,7 @@ object DeltaInterop {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = logDir.getFileSystem(conf)
     val stamp = SnapshotTable.committedAt(s, root, v)
-    val mapping = SnapshotTable.columnMapping(s, root, v)
-    val logical = SnapshotTable.read(s, root, v).schema
-    val stamped = StructType(logical.map { f =>
-      mapping.get(f.name) match {
-        case Some(phys) if phys != f.name =>
-          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-            .putString(PhysNameKey, phys).build())
-        case _ => f
-      }
-    })
-    val cfg: Map[String, String] =
-      if (mapping.exists { case (l, p) => l != p })
-        Map("delta.columnMapping.mode" -> "name")
-      else Map.empty
+    val (stamped, cfg) = stampedSchema(s, root, v)
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),

@@ -389,7 +389,7 @@ object IcebergInterop {
     */
   private[graft] def readEntriesFull(c: Configuration, path: String,
       inheritSeq: Long = 0L)
-      : Seq[(String, Int, Int, Long, Long, Seq[Int], Option[Int])] = {
+      : Seq[(String, Int, Int, Long, Long, Seq[Int], Option[Int], Long)] = {
     import scala.jdk.CollectionConverters._
     readAvro(c, path).map { r =>
       val df = r.get("data_file").asInstanceOf[GenericRecord]
@@ -414,9 +414,21 @@ object IcebergInterop {
         case l: java.lang.Long => l.longValue
         case _ => inheritSeq
       }
+      // file_size_in_bytes feeds the imported table's statistics
+      // (_bytes annotation) so planning never falls back to per-file
+      // FileStatus probes over a zero-copy mount; 0 = writer omitted
+      // it (GenericData.Record.get THROWS on a field the writer's
+      // schema never declared, so presence-check first)
+      val bytes =
+        if (df.getSchema.getField("file_size_in_bytes") == null) 0L
+        else df.get("file_size_in_bytes") match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case _ => 0L
+        }
       (df.get("file_path").toString, df.get("content").asInstanceOf[Int],
         r.get("status").asInstanceOf[Int],
-        df.get("record_count").asInstanceOf[Long], seq, eqIds, day)
+        df.get("record_count").asInstanceOf[Long], seq, eqIds, day, bytes)
     }
   }
 
@@ -549,12 +561,12 @@ object IcebergInterop {
     val entries = listRows
       .flatMap { case (manifest, listSeq) => readEntriesFull(c, manifest, listSeq) }
       .filter(_._3 != 2) // status DELETED
-    val data = entries.filter(_._2 == 0).map { case (p, _, _, rows, seq, _, day) =>
-      (p, rows, seq,
+    val data = entries.filter(_._2 == 0).map { case (p, _, _, rows, seq, _, day, bytes) =>
+      (p, rows, bytes, seq,
         day.map(d => java.time.LocalDate.ofEpochDay(d.toLong).toString))
     }
     val posDeletes = entries.filter(_._2 == 1).map(_._1)
-    val eqDeletes = entries.filter(_._2 == 2).map { case (p, _, _, _, seq, ids, _) =>
+    val eqDeletes = entries.filter(_._2 == 2).map { case (p, _, _, _, seq, ids, _, _) =>
       // strict resolution: silently narrowing the key set would make
       // the imported delete suppress MORE rows than the source table's
       require(ids.nonEmpty, s"equality delete $p carries no equality ids")
@@ -754,11 +766,15 @@ object IcebergInterop {
     */
   private def refsSeq(s: SparkSession, loc: String, v: Int,
       live: Int => Boolean): Seq[(String, Int, String)] = {
+    // "main" is reserved for the table head (SnapshotTable refuses
+    // creating a tag/branch by that name); the filter here is defense
+    // for tables whose refs predate the refusal — a duplicate "main"
+    // key would make a last-key-wins JSON parser serve a stale head
     val tagRefs = SnapshotTable.tags(s, loc).toSeq.collect {
-      case (n, tv) if tv <= v && live(tv) => (n, tv, "tag")
+      case (n, tv) if n != "main" && tv <= v && live(tv) => (n, tv, "tag")
     }
     val branchRefs = SnapshotTable.branches(s, loc).toSeq.collect {
-      case (n, stem) if stem.matches("v\\d+") &&
+      case (n, stem) if n != "main" && stem.matches("v\\d+") &&
           stem.drop(1).toInt <= v && live(stem.drop(1).toInt) =>
         (n, stem.drop(1).toInt, "branch")
     }

@@ -635,15 +635,19 @@ object SnapshotTable {
     */
   private[lake] def commitImported(
       s: SparkSession, root: String,
-      data: Seq[(String, Long, Long, Option[String])], // (path, rows, seq, day)
+      data: Seq[(String, Long, Long, Long, Option[String])], // (path, rows, bytes, seq, day)
       posDeletes: Seq[String],
       eqDeletes: Seq[(String, Seq[String], Long)], // (path, physical eq cols, seq)
       meta: Map[String, String]): Int = {
     val cur = currentVersion(s, root)
     val v = cur + 1
     val lines =
-      data.map { case (p, rows, seq, day) =>
-        s"${canon(s, p)}\t$RowsAnnot$rows\t$SeqAnnot$seq" +
+      data.map { case (p, rows, bytes, seq, day) =>
+        // bytes 0 = the foreign writer omitted file_size_in_bytes; no
+        // annotation, tableStats falls back to FileStatus for that file
+        s"${canon(s, p)}\t$RowsAnnot$rows" +
+          (if (bytes > 0) s"\t$BytesAnnot$bytes" else "") +
+          s"\t$SeqAnnot$seq" +
           day.fold("")(d => s"\t_graft_day=$d")
       } ++
       posDeletes.map(p => s"${canon(s, p)}\t$DeleteKindAnnot") ++
@@ -2774,6 +2778,9 @@ object SnapshotTable {
   def tag(s: SparkSession, root: String, name: String, version: Int): Unit = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
       s"invalid tag name: $name")
+    // reserved: the Iceberg export serves the table head as refs.main —
+    // a user ref by that name would duplicate the key in exported JSON
+    require(name != "main", "tag name 'main' is reserved for the table head")
     val cur = currentVersion(s, root)
     require(version >= 1 && version <= cur,
       s"cannot tag version $version of $root (current: $cur)")
@@ -2841,6 +2848,8 @@ object SnapshotTable {
   def createBranch(s: SparkSession, root: String, name: String, fromVersion: Int = -1): Unit = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9_-]+"),
       s"invalid branch name: $name")
+    // reserved — see tag(); main IS the table head
+    require(name != "main", "branch name 'main' is reserved for the table head")
     val cur = currentVersion(s, root)
     val from = if (fromVersion < 0) cur else fromVersion
     require(from >= 1 && from <= cur,
@@ -3319,20 +3328,27 @@ object SnapshotTable {
   private[graft] val ScanRootKey = "graft.snapshot.root"
   private[graft] val ScanVersionKey = "graft.snapshot.version"
 
+  // marks a read covering the version's FULL data-file set — the one
+  // shape whose middle-footer probe result is valid to memoize in
+  // absentColsCache (a pruned subset proves nothing table-wide)
+  private val AllFilesKey = "graft.snapshot.allfiles"
+
   private def readFiles(
       s: SparkSession, root: String, v: Int, files: Seq[String]): DataFrame = {
     val lines = manifestLines(s, root, v)
     readFilesWith(s, root, v, files, deleteFiles(s, root, v),
-      eqDeletesOf(lines), fileSeqFn(s, lines))
+      eqDeletesOf(lines), fileSeqFn(s, lines), allFiles = true)
   }
 
   private def readFilesWith(
       s: SparkSession, root: String, v: Int, files: Seq[String],
       deletes: Seq[String],
       eqDels: Seq[EqDelete] = Seq.empty,
-      fileSeq: String => Long = _ => 0L): DataFrame =
+      fileSeq: String => Long = _ => 0L,
+      allFiles: Boolean = false): DataFrame =
     readWithSchema(s, files, columnMapping(s, root, v), columnTypes(s, root, v),
-      Map(ScanRootKey -> root, ScanVersionKey -> v.toString), deletes,
+      Map(ScanRootKey -> root, ScanVersionKey -> v.toString) ++
+        (if (allFiles) Map(AllFilesKey -> "true") else Map.empty), deletes,
       eqDels, fileSeq, droppedColumns(s, root, v).keySet)
 
   private def readWithSchema(
@@ -3378,6 +3394,12 @@ object SnapshotTable {
       else f
     })
 
+  /** (root@version) -> columns VERIFIED absent from every data file of
+    * that immutable version. See the memo guard in [[rawWidenedRead]].
+    */
+  private val absentColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
   private def rawWidenedRead(
       s: SparkSession, files: Seq[String],
       mapping: Map[String, String], types: Map[String, String],
@@ -3415,7 +3437,19 @@ object SnapshotTable {
     // header lists a column NO file ever carried (legitimate NULL
     // materialization), and stays driver-side footer reads.
     val middleOnly: Seq[org.apache.spark.sql.types.StructField] = {
-      var missing = physTypes.keySet -- inferred.fieldNames
+      // memo guard: a column the coltypes header lists but NO file of
+      // this (root, version) carries — the standard ADD COLUMN-before-
+      // backfill state — would otherwise re-probe every footer on
+      // EVERY read. Versions are immutable, so a full-set probe's
+      // "absent everywhere" verdict is cached per (root, version) and
+      // is sound to consult for subsets too (absent everywhere ⇒
+      // absent from any subset).
+      val cacheKey = for {
+        r <- tags.get(ScanRootKey); ver <- tags.get(ScanVersionKey)
+      } yield s"$r@$ver"
+      val knownAbsent: Set[String] = cacheKey
+        .flatMap(k => Option(absentColsCache.get(k))).getOrElse(Set.empty)
+      var missing = physTypes.keySet -- inferred.fieldNames -- knownAbsent
       if (missing.isEmpty || files.length <= 2) Seq.empty
       else {
         val found = scala.collection.mutable.ArrayBuffer
@@ -3436,6 +3470,10 @@ object SnapshotTable {
             found += org.apache.spark.sql.types.StructField(
               n, org.apache.spark.sql.types.DataType.fromDDL(physTypes(n)))
           }
+        }
+        if (missing.nonEmpty && tags.contains(AllFilesKey)) cacheKey.foreach { k =>
+          if (absentColsCache.size > 4096) absentColsCache.clear() // bound, never wrong
+          absentColsCache.merge(k, missing.toSet, (a, b) => a ++ b); ()
         }
         found.toSeq
       }
