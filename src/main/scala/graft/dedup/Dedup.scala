@@ -627,14 +627,26 @@ object Dedup {
   /** LSH-bucketed, exact-cosine-verified near-dup pairs — the shared
     * candidate generator of [[embeddingAnn]] (rep election) and
     * [[ccAnn]] (graph clustering). Cost ∝ bucket collisions, never N².
+    *
+    * Memory shape (r16 — found by a ccAnn heap OOM at sf5): pair
+    * generation runs on BARE (id, band, band_key) rows and the
+    * embeddings join back BY ID only for the per-pair cosine — the
+    * same payload-after-pairs shape as the text MinHash path. Carrying
+    * the 64-float vectors THROUGH cappedPairs put them in every window
+    * sort buffer and both sort-merge-join sides (×32 concurrent
+    * tasks); bare ids keep those buffers fixed-width longs. The pair
+    * SET is unchanged (the windows/min/lag order by id exactly as
+    * before — struct ordering led with id), so the DuckDB oracle —
+    * which always windowed over bare vec_ids — hash-matches untouched.
     */
   private[graft] def annVerifiedPairs(e: DataFrame, threshold: Double): DataFrame = {
     val bucketed = Seq(1L, 2L).map { seed =>
-      e.select(col("vec_id").as("id"), col("embedding"), lit(seed).as("band"),
+      e.select(col("vec_id").as("id"), lit(seed).as("band"),
         expr(s"graft_lsh_bucket(embedding, 12, $seed)").as("band_key"))
     }.reduce(_ unionByName _)
     cappedPairs(bucketed)
-      .withColumnRenamed("embedding_a", "emb_a").withColumnRenamed("embedding_b", "emb_b")
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cos", expr("graft_cosine(emb_a, emb_b)"))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
