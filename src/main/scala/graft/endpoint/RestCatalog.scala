@@ -727,6 +727,145 @@ object RestCatalog {
       }
     }
 
+    /** Standalone `set-snapshot-ref` / `remove-snapshot-ref` update
+      * actions: WIRE-side tag/branch management — the write half of
+      * the ref surface loadTable already serves (`refs` +
+      * `snapshot-log` in the exported metadata.json). The reference's
+      * catalog (Lakekeeper) accepts exactly these actions from any
+      * mounted engine (Trino creates tags/branches through it;
+      * /root/reference/etc/catalog/iceberg.properties mounts the REST
+      * catalog that brokers them). Semantics on graft's refs:
+      *
+      *  - `set-snapshot-ref` type=tag creates an immutable tag;
+      *    re-setting to the SAME snapshot is an idempotent 200,
+      *    re-setting to a DIFFERENT one 409s (graft tags are
+      *    immutable — documented delta: move = remove + set).
+      *  - `set-snapshot-ref` type=branch creates a branch at the
+      *    snapshot or MOVES an existing branch ref there (staged
+      *    branch-local commits orphan, like dropBranch).
+      *  - `ref-name` "main" is the table head: setting it to the
+      *    current snapshot is an idempotent 200, anything else 400s
+      *    (rollback is an engine operation, not a ref overwrite).
+      *  - `remove-snapshot-ref` drops the named tag/branch; 404 when
+      *    no such ref, 400 on "main".
+      *
+      * `assert-ref-snapshot-id` here resolves the REQUIREMENT's named
+      * ref (not just main): a stale replay — asserting a ref position
+      * that moved, or asserting absence of a ref that now exists —
+      * 409s, Iceberg's CommitFailedException over the wire. One ref
+      * action per request (documented delta, same separation as
+      * schema/property commits). The 200 response carries metadata
+      * whose `refs` include the change (writeMetadata regenerates on
+      * refs drift), so a second client resolves `FOR VERSION AS OF
+      * <tag>` from the exported JSON alone.
+      */
+    private def commitRefs(ex: HttpExchange, name: String, loc: String,
+        body: String, reqTypes: Seq[String], reqBlock: String): Unit = {
+      val updBlock = jarrBlock(body, "updates").getOrElse {
+        err(ex, 400, "updates must be an array"); return
+      }
+      val refActions = jfieldAll(updBlock, "action")
+        .filter(a => a == "set-snapshot-ref" || a == "remove-snapshot-ref")
+      if (refActions.size != 1) {
+        err(ex, 400, "exactly one set/remove-snapshot-ref action per " +
+          "request (documented delta)"); return
+      }
+      val rname = jfieldAll(updBlock, "ref-name").headOption.getOrElse {
+        err(ex, 400, s"${refActions.head} needs a ref-name"); return
+      }
+      if (reqTypes.contains("assert-table-uuid") &&
+          !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+        err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+      }
+      ddlLock.synchronized {
+        val cur = SnapshotTable.currentVersion(spark, loc)
+        // a ref's wire-visible position: main = the head; tags by
+        // version; branches only when their head is a MAIN version
+        // (branch-local staging is invisible to external catalogs,
+        // exactly like the refs the export serves)
+        def refVersion(n: String): Option[Long] =
+          if (n == "main") Some(cur.toLong)
+          else SnapshotTable.tags(spark, loc).get(n).map(_.toLong)
+            .orElse(SnapshotTable.branches(spark, loc).get(n).collect {
+              case stem if stem.matches("v\\d+") => stem.drop(1).toLong
+            })
+        if (reqTypes.contains("assert-ref-snapshot-id")) {
+          val reqRef = jfieldAll(reqBlock, "ref").headOption.getOrElse("main")
+          val wanted = jlong(reqBlock, "snapshot-id")
+          (refVersion(reqRef), wanted) match {
+            case (Some(have), Some(w)) if have == w => // holds
+            case (None, None) => // asserted absent, is absent
+            case (have, _) =>
+              err(ex, 409, s"requirement failed: ref $reqRef " +
+                have.fold("does not exist")(h => s"snapshot-id is $h") +
+                wanted.fold(" (asserted absent)")(w => s", not $w"))
+              return
+          }
+        }
+        val isRemove = refActions.head == "remove-snapshot-ref"
+        if (rname == "main") {
+          val sid = jlong(updBlock, "snapshot-id")
+          if (!isRemove && sid.contains(cur.toLong)) {
+            // idempotent: main already IS the head
+          } else {
+            err(ex, 400, "ref main is the table head: it cannot be removed " +
+              "or moved over the wire (use engine rollback)"); return
+          }
+        } else if (isRemove) {
+          val isTag = SnapshotTable.tags(spark, loc).contains(rname)
+          val isBranch = !isTag && SnapshotTable.branches(spark, loc).contains(rname)
+          if (isTag) SnapshotTable.dropTag(spark, loc, rname)
+          else if (isBranch) SnapshotTable.dropBranch(spark, loc, rname)
+          else { err(ex, 404, s"no ref $rname on $name"); return }
+        } else {
+          val rtype = jfieldAll(updBlock, "type").headOption.getOrElse("")
+          if (rtype != "tag" && rtype != "branch") {
+            err(ex, 400, s"set-snapshot-ref type must be tag|branch, got '$rtype'")
+            return
+          }
+          val sid = jlong(updBlock, "snapshot-id").getOrElse {
+            err(ex, 400, "set-snapshot-ref needs a snapshot-id"); return
+          }
+          if (sid < 1 || sid > cur) {
+            err(ex, 400, s"snapshot-id $sid is not a live snapshot of $name " +
+              s"(current: $cur)"); return
+          }
+          val v = sid.toInt
+          if (rtype == "tag") {
+            SnapshotTable.tags(spark, loc).get(rname) match {
+              case Some(at) if at == v => // idempotent re-set
+              case Some(at) =>
+                err(ex, 409, s"tag $rname already points at snapshot $at " +
+                  "(graft tags are immutable: remove-snapshot-ref first)")
+                return
+              case None =>
+                if (SnapshotTable.branches(spark, loc).contains(rname)) {
+                  err(ex, 409, s"ref $rname already exists as a branch"); return
+                }
+                // a CROSS-PROCESS writer can land the tag between the
+                // read above and this create (create-no-overwrite is
+                // the CAS); surface the loss as the wire's 409
+                try SnapshotTable.tag(spark, loc, rname, v)
+                catch {
+                  case e: IllegalStateException =>
+                    err(ex, 409, e.getMessage); return
+                }
+            }
+          } else {
+            if (SnapshotTable.tags(spark, loc).contains(rname)) {
+              err(ex, 409, s"ref $rname already exists as a tag"); return
+            }
+            if (SnapshotTable.branches(spark, loc).contains(rname))
+              SnapshotTable.moveBranch(spark, loc, rname, v)
+            else SnapshotTable.createBranch(spark, loc, rname, v)
+          }
+        }
+        val (metaLocation, metadata) = icebergMetadata(name, loc, cur)
+        send(ex, 200,
+          s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
+      }
+    }
+
     private def dropTable(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, kind, _, _) =>
         val v = ddlLock.synchronized {
@@ -874,7 +1013,8 @@ object RestCatalog {
         }
         val actions = jfieldAll(body, "action")
         val allowedActs =
-          Set("add-snapshot", "set-snapshot-ref", "add-schema", "set-current-schema",
+          Set("add-snapshot", "set-snapshot-ref", "remove-snapshot-ref",
+            "add-schema", "set-current-schema",
             "set-properties", "remove-properties")
         val badAct = actions.find(!allowedActs.contains(_))
         if (badAct.isDefined) {
@@ -884,17 +1024,23 @@ object RestCatalog {
         val hasSchema = actions.contains("add-schema")
         val hasProps = actions.contains("set-properties") ||
           actions.contains("remove-properties")
-        if (Seq(hasSnap, hasSchema, hasProps).count(identity) > 1) {
-          err(ex, 400, "snapshot, schema, and property updates must be " +
+        // set-snapshot-ref WITH add-snapshot is the standard rider
+        // (graft's main always tracks the latest commit); STANDALONE
+        // ref actions are wire-side tag/branch management
+        val hasRef = !hasSnap && (actions.contains("set-snapshot-ref") ||
+          actions.contains("remove-snapshot-ref"))
+        if (Seq(hasSnap, hasSchema, hasProps, hasRef).count(identity) > 1) {
+          err(ex, 400, "snapshot, schema, property, and ref updates must be " +
             "separate commits (documented delta)"); return
         }
-        if (!hasSnap && !hasSchema && !hasProps) {
+        if (!hasSnap && !hasSchema && !hasProps && !hasRef) {
           err(ex, 400, "updates must include an add-snapshot, add-schema, " +
-            "or set/remove-properties action")
+            "set/remove-snapshot-ref, or set/remove-properties action")
           return
         }
         if (hasSchema) { commitSchema(ex, name, loc, body, reqTypes, reqBlock); return }
         if (hasProps) { commitProps(ex, name, loc, body, reqTypes, reqBlock); return }
+        if (hasRef) { commitRefs(ex, name, loc, body, reqTypes, reqBlock); return }
         val files = jstrArray(body, "added-data-files")
         if (files.isEmpty) {
           err(ex, 400, "add-snapshot must carry a non-empty added-data-files array " +
@@ -1083,6 +1229,37 @@ object RestCatalog {
     }
   }
 
+  /** The body of `"key": [ … ]` (first occurrence) with bracket
+    * NESTING and quoted strings respected — the array analogue of
+    * [[jobjBlock]], for update arrays whose elements are objects
+    * (jstrArray only yields string elements). Returns the content
+    * between the outer brackets; None when absent or not an array.
+    */
+  private[graft] def jarrBlock(body: String, key: String): Option[String] = {
+    val open = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\[").r
+    open.findFirstMatchIn(body).flatMap { m =>
+      val start = m.end
+      var i = start
+      var depth = 1
+      var inStr = false
+      while (i < body.length && depth > 0) {
+        val c = body.charAt(i)
+        if (inStr) {
+          if (c == '\\') i += 1
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth == 0) Some(body.substring(start, i - 1)) else None
+    }
+  }
+
   private[graft] def jlong(body: String, key: String): Option[Long] = {
     // the lookahead rejects fractional values rather than silently
     // truncating to their digit prefix ({"keep_versions": 3.5} must
@@ -1228,7 +1405,98 @@ object RestCatalog {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: WIRE-side ref management — an external
+    * client creates a TAG over the Iceberg REST `set-snapshot-ref`
+    * update action, a conflicting replay 409s (optimistic concurrency
+    * on refs), branches are created/moved/removed over the same
+    * route, and a SECOND client then resolves `FOR VERSION AS OF
+    * <tag>` purely from the served LoadTableResult JSON (`refs` →
+    * snapshot-id → read at that version) — the loop Lakekeeper serves
+    * to Trino in the reference (etc/catalog/iceberg.properties). The
+    * emitted aggregate reads the TAGGED (v1) state of a table whose
+    * head moved on to v2, so the oracle hash proves the wire-created
+    * ref pins the right immutable snapshot.
+    */
+  def restRefs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_refs/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tableRoot = s"$base/events_refs"
+    SnapshotTable.drop(s, tableRoot)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    SnapshotTable.commit(s, tableRoot, events.filter(col("event_id") % 3 === 0))
+    SnapshotTable.commitAppend(s, tableRoot,
+      events.filter(col("event_id") % 3 === 1))
+    Catalog.register(s, dir)
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    val tablesPath = s"/v1/namespaces/${Catalog.DB}/tables/events_refs"
+    val (rc, _) = post(port, "/v1/tables",
+      s"""{"name":"events_refs","format":"graft-snapshot","location":${jstr(tableRoot)}}""")
+    require(rc == 201, s"register events_refs -> $rc")
+    // the external client creates the tag, asserting it absent first
+    val mkTag =
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"audit_v1"}],
+         |"updates":[{"action":"set-snapshot-ref","ref-name":"audit_v1",
+         |"type":"tag","snapshot-id":1}]}""".stripMargin
+    val (tc, tr) = post(port, tablesPath, mkTag)
+    require(tc == 200, s"set-snapshot-ref tag -> $tc: $tr")
+    // idempotent re-set to the same snapshot: 200
+    val (ic, _) = post(port, tablesPath, mkTag.replace(
+      """{"type":"assert-ref-snapshot-id","ref":"audit_v1"}""",
+      """{"type":"assert-ref-snapshot-id","ref":"audit_v1","snapshot-id":1}"""))
+    require(ic == 200, s"idempotent set-snapshot-ref -> $ic")
+    // conflicting replay — same absent-assertion, different target: 409
+    val (xc, xr) = post(port, tablesPath, mkTag.replace(
+      """"snapshot-id":1}]}""", """"snapshot-id":2}]}"""))
+    require(xc == 409, s"stale set-snapshot-ref -> $xc (want 409): $xr")
+    // branch lifecycle over the wire: create at v1, move to v2, remove
+    def refBody(action: String, extra: String) =
+      s"""{"updates":[{"action":"$action","ref-name":"wip"$extra}]}"""
+    val (bc, br) = post(port, tablesPath,
+      refBody("set-snapshot-ref", ""","type":"branch","snapshot-id":1"""))
+    require(bc == 200, s"create branch -> $bc: $br")
+    val (mc, _) = post(port, tablesPath,
+      refBody("set-snapshot-ref", ""","type":"branch","snapshot-id":2"""))
+    require(mc == 200, s"move branch -> $mc")
+    require(SnapshotTable.branches(s, tableRoot).get("wip").contains("v2"),
+      "wire-moved branch must point at v2 engine-side")
+    val (dc0, _) = post(port, tablesPath, refBody("remove-snapshot-ref", ""))
+    require(dc0 == 200, s"remove branch -> $dc0")
+    val (dc1, _) = post(port, tablesPath, refBody("remove-snapshot-ref", ""))
+    require(dc1 == 404, s"remove of a removed ref -> $dc1 (want 404)")
+    // the SECOND client: loadTable, resolve the tag from the JSON alone
+    val (lc, ltr) = RestCatalog.get(port, tablesPath)
+    require(lc == 200, s"loadTable -> $lc")
+    val refsBlk = jobjBlock(ltr, "refs")
+      .getOrElse(sys.error("LoadTableResult metadata has no refs"))
+    val tagBlk = jobjBlock(refsBlk, "audit_v1")
+      .getOrElse(sys.error("refs does not list audit_v1"))
+    val taggedV = jlong(tagBlk, "snapshot-id")
+      .getOrElse(sys.error("audit_v1 ref has no snapshot-id")).toInt
+    require(taggedV == 1, s"audit_v1 must resolve to snapshot 1, got $taggedV")
+    require(SnapshotTable.currentVersion(s, tableRoot) == 2,
+      "head must still be v2 (ref management moves no data)")
+    val out = SnapshotTable.read(s, tableRoot, taggedV)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+    val (delc, delr) = delete(port, "/v1/tables/events_refs")
+    require(delc == 200, s"cleanup DELETE events_refs -> $delc: $delr")
+    out
+  }
+
+  val restRefsOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 3 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
     graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
-    graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)))
+    graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)),
+    graft.Q("catalog_rest_refs", restRefs, Some(restRefsOracle)))
 }

@@ -147,11 +147,38 @@ object DeltaInterop {
             metaDataAction(s, root, k))
         else if (schemaKey(k) != schemaKey(k - 1)) Seq(metaDataAction(s, root, k))
         else Seq.empty
+      // an INTERMEDIATE version with pending MoR deletes renders its
+      // data files only — a foreign reader time-traveling there sees
+      // pre-delete visibility. That divergence must be visible ON THE
+      // WIRE, not only in our scaladoc: stamp a commitInfo marker so
+      // external tooling (and humans reading the log) can tell this
+      // commit's rendered state is wider than the engine's own view.
+      val mor =
+        if (k < v && SnapshotTable.lineEntries(s, root, k).exists(_.kind != 0))
+          Seq(s"""{"commitInfo":{"timestamp":$stamp,"operation":"graft-export",""" +
+            s""""operationParameters":{},"engineInfo":"graft-delta-export",""" +
+            s""""userMetadata":"graft: version had pending merge-on-read deletes; """ +
+            s"""rendered data files show pre-delete visibility"}}""")
+        else Seq.empty
       logFile = new Path(logDir, "%020d.json".format(k - 1))
       val out = fs.create(logFile, true)
-      try out.write(((header ++ adds ++ removes).mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write(
+        ((mor ++ header ++ adds ++ removes).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       prevFiles = files
+    }
+    // exporting an explicit OLDER version into a dir previously
+    // exported at a newer one would otherwise leave the newer
+    // %020d.json + checkpoint behind: readLog bootstraps from the new
+    // _last_checkpoint then replays every JSON above it, silently
+    // reconstructing a state NEWER than the requested export. Truncate
+    // the chain at the requested head.
+    val VersionedRe = "(\\d{20})(\\.json|\\.checkpoint\\.parquet)".r
+    fs.listStatus(logDir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case VersionedRe(n, _) if n.toLong > (v - 1).toLong => fs.delete(p, false); ()
+        case _ => ()
+      }
     }
     writeCheckpoint(s, root, v, logDir)
     logFile

@@ -2823,6 +2823,17 @@ object SnapshotTable {
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     read(s, root, tagVersion(s, root, name))
 
+  /** Delete a tag ref (Iceberg `remove-snapshot-ref` on a tag). The
+    * tagged version itself is untouched — expiry is retention's job.
+    */
+  def dropTag(s: SparkSession, root: String, name: String): Unit = {
+    val p = new Path(tagsDir(root), name)
+    val fs = fsOf(s, p)
+    require(fs.exists(p), s"no tag $name on $root")
+    fs.delete(p, false)
+    ()
+  }
+
   // ----- writable branches + write-audit-publish --------------------
   //
   // Branches are the MUTABLE half of named refs (tags are immutable):
@@ -2954,6 +2965,23 @@ object SnapshotTable {
     require(fs.exists(p), s"no branch $name on $root")
     fs.delete(p, false)
     ()
+  }
+
+  /** Move an existing branch ref to a MAIN version (Iceberg
+    * `set-snapshot-ref` type=branch on an existing ref). Any staged
+    * branch-local commits become orphans, exactly like dropBranch —
+    * the wire protocol's ref move is a pointer overwrite, and the
+    * engine's write-audit-publish staging is invisible to external
+    * catalogs anyway. Refuses a version the table doesn't have.
+    */
+  def moveBranch(s: SparkSession, root: String, name: String, toVersion: Int): Unit = {
+    val p = new Path(branchesDir(root), name)
+    val fs = fsOf(s, p)
+    require(fs.exists(p), s"no branch $name on $root")
+    val cur = currentVersion(s, root)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"cannot move branch $name of $root to version $toVersion (current: $cur)")
+    writeRef(fs, p, s"v$toVersion", overwrite = true)
   }
 
   // ----- schema evolution: rename / widen via column mapping --------
@@ -3588,5 +3616,13 @@ object SnapshotTable {
     val p = new Path(root)
     val fs = fsOf(s, p)
     if (fs.exists(p)) { fs.delete(p, true); () }
+    // the absent-column memo is keyed root@version; a table dropped and
+    // recreated at the same root restarts its version numbering, so a
+    // stale "absent everywhere" verdict from the OLD table could make a
+    // middle-file-only column of the NEW table read as typed NULLs in a
+    // long-lived session. Versions are only immutable within one table
+    // lifetime — purge the root's entries with the directory.
+    val prefix = s"$root@"
+    absentColsCache.keySet.removeIf(_.startsWith(prefix))
   }
 }

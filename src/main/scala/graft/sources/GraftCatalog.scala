@@ -53,6 +53,21 @@ import graft.streaming.GraftSnapshotRelation
   * `warehouse/_pointers`, so the catalog itself holds no driver-side
   * state and any number of sessions can mount the same warehouse.
   */
+object GraftCatalog {
+  /** Idempotently inject [[graft.plans.ForwardV1ScanStatistics]] into
+    * `session`'s experimental optimizations — the rule that re-exposes
+    * a graft V1Scan's manifest statistics after V1ScanWrapper hides
+    * them, enabling auto-broadcast of lake dims without hints.
+    */
+  private[sources] def ensureStatsRule(session: SparkSession): Unit =
+    session.experimental.synchronized {
+      val rules = session.experimental.extraOptimizations
+      if (!rules.contains(graft.plans.ForwardV1ScanStatistics))
+        session.experimental.extraOptimizations =
+          rules :+ graft.plans.ForwardV1ScanStatistics
+    }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft_lake"
@@ -75,11 +90,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // lazy injection for sessions not built with GraftExtensions
     // (same pattern as plans.AsOf.ensureStrategy): without this rule
     // V1ScanWrapper hides the scan's manifest statistics and no lake
-    // dim served by this catalog can ever auto-broadcast
-    val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(graft.plans.ForwardV1ScanStatistics))
-      spark.experimental.extraOptimizations =
-        rules :+ graft.plans.ForwardV1ScanStatistics
+    // dim served by this catalog can ever auto-broadcast. Re-ensured
+    // per scan build too (GraftTable.newScanBuilder) — initialize()
+    // runs once per catalog instance against whichever session is
+    // active at first resolution, which in multi-session deployments
+    // need not be the session that later queries.
+    GraftCatalog.ensureStatsRule(spark)
   }
 
   override def name(): String = catalogName
@@ -421,8 +437,15 @@ private[graft] class GraftTable(
       "format" -> "graft/parquet",
       "current_version" -> SnapshotTable.currentVersion(spark, root).toString).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // re-ensure the stats-forwarding rule against the session actually
+    // QUERYING, not only the one active at catalog initialize(): in
+    // multi-session deployments (Thrift server, newSession()) those can
+    // differ, and a session missing the rule silently loses lake-dim
+    // auto-broadcast (plan regression, not wrong results)
+    GraftCatalog.ensureStatsRule(spark)
     new GraftScanBuilder(root, version, schema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version < 0,

@@ -515,6 +515,21 @@ class IcebergInteropSpec extends SparkSpec {
     // and with no further drift the file is served verbatim (immutable)
     val (_, metaJson3) = IcebergInterop.writeMetadata(spark, root, 3)
     assert(metaJson3 === metaJson2)
+    // the wire's remove/move primitives drift the export the same way:
+    // a dropped tag disappears, a moved branch re-points
+    SnapshotTable.dropTag(spark, root, "rel-2")
+    SnapshotTable.moveBranch(spark, root, "audit", 3)
+    val (_, metaJson4) = IcebergInterop.writeMetadata(spark, root, 3)
+    assert(!metaJson4.contains("\"rel-2\""), "dropped tag must leave the export")
+    assert(metaJson4.contains(""""audit":{"snapshot-id":3,"type":"branch"}"""),
+      "moved branch must re-point in the export")
+    // moveBranch refuses versions the table doesn't have
+    intercept[IllegalArgumentException] {
+      SnapshotTable.moveBranch(spark, root, "audit", 9)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropTag(spark, root, "rel-2") // already dropped
+    }
   }
 
   test("import tolerates doc attrs and key order; refuses nested types loudly") {

@@ -828,4 +828,85 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (cD, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_race")
     assert(cD == 200)
   }
+
+  test("set/remove-snapshot-ref manage tags and branches over the wire") {
+    import spark.implicits._
+    val loc = s"$tableArea/restrefs"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.commitAppend(spark, loc, Seq((2L, "b")).toDF("id", "v"))
+    val (c0, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_refs","format":"graft-snapshot","location":"$loc"}""")
+    assert(c0 == 201)
+    val base = "/v1/namespaces/graft/tables/rest_spec_refs"
+    // create a tag at v1, asserting it absent (requirement without id)
+    val mk =
+      """{"requirements":[{"type":"assert-ref-snapshot-id","ref":"rel"}],
+        |"updates":[{"action":"set-snapshot-ref","ref-name":"rel","type":"tag","snapshot-id":1}]}""".stripMargin
+    val (c1, r1) = RestCatalog.post(port, base, mk)
+    assert(c1 == 200, r1)
+    assert(SnapshotTable.tags(spark, loc).get("rel").contains(1))
+    // the 200 response's metadata already serves the new ref
+    assert(RestCatalog.jobjBlock(r1, "refs").exists(_.contains("\"rel\"")), r1)
+    // absent-assertion replay now 409s (the ref exists)
+    val (c2, r2) = RestCatalog.post(port, base, mk)
+    assert(c2 == 409 && r2.contains("requirement failed"), r2)
+    // re-set to the SAME snapshot with a correct assertion: idempotent
+    val (c3, _) = RestCatalog.post(port, base,
+      """{"requirements":[{"type":"assert-ref-snapshot-id","ref":"rel","snapshot-id":1}],
+        |"updates":[{"action":"set-snapshot-ref","ref-name":"rel","type":"tag","snapshot-id":1}]}""".stripMargin)
+    assert(c3 == 200)
+    // moving an existing tag is refused (immutable; remove first)
+    val (c4, r4) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"rel","type":"tag","snapshot-id":2}]}""")
+    assert(c4 == 409 && r4.contains("immutable"), r4)
+    // main is the head: settable only to the current snapshot
+    val (c5, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"main","type":"branch","snapshot-id":2}]}""")
+    assert(c5 == 200)
+    val (c6, r6) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"main","type":"branch","snapshot-id":1}]}""")
+    assert(c6 == 400 && r6.contains("table head"), r6)
+    val (c7, r7) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"remove-snapshot-ref","ref-name":"main"}]}""")
+    assert(c7 == 400, r7)
+    // a snapshot the table doesn't have is a 400
+    val (c8, r8) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"nope","type":"tag","snapshot-id":9}]}""")
+    assert(c8 == 400 && r8.contains("not a live snapshot"), r8)
+    // branch create, move, remove; removed ref then 404s
+    val (c9, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"dev","type":"branch","snapshot-id":1}]}""")
+    assert(c9 == 200)
+    assert(SnapshotTable.branches(spark, loc).get("dev").contains("v1"))
+    val (c10, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"dev","type":"branch","snapshot-id":2}]}""")
+    assert(c10 == 200)
+    assert(SnapshotTable.branches(spark, loc).get("dev").contains("v2"))
+    // a tag and a branch cannot share a name (refs are one namespace)
+    val (c11, r11) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"dev","type":"tag","snapshot-id":1}]}""")
+    assert(c11 == 409, r11)
+    val (c12, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"remove-snapshot-ref","ref-name":"dev"}]}""")
+    assert(c12 == 200)
+    val (c13, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"remove-snapshot-ref","ref-name":"dev"}]}""")
+    assert(c13 == 404)
+    // remove the tag; loadTable's refs drop it (regeneration on drift)
+    val (c14, _) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"remove-snapshot-ref","ref-name":"rel"}]}""")
+    assert(c14 == 200)
+    val (cL, load) = RestCatalog.get(port, base)
+    assert(cL == 200)
+    val refs = RestCatalog.jobjBlock(load, "refs").get
+    assert(!refs.contains("\"rel\"") && refs.contains("\"main\""), refs)
+    // ref commits may not mix with snapshot/schema/property commits
+    val (c15, r15) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"set-snapshot-ref","ref-name":"x","type":"tag","snapshot-id":1},
+        |{"action":"set-properties","updates":{"k":"v"}}]}""".stripMargin)
+    assert(c15 == 400 && r15.contains("separate commits"), r15)
+    val (cD2, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_refs")
+    assert(cD2 == 200)
+  }
 }

@@ -722,6 +722,34 @@ class SnapshotTableSpec extends SparkSpec {
       head.filter(org.apache.spark.sql.functions.col("never").isNotNull).count() === 0)
   }
 
+  test("drop purges the absent-column memo: a recreated table re-probes") {
+    // ADVICE r16: the absent-everywhere verdict is cached per
+    // root@version; versions restart after drop, so a stale entry
+    // from the OLD table could blind the NEW table's middle-footer
+    // probe and read a middle-file-only column as typed NULLs.
+    val root = "/tmp/graft_test/snap_memo_drop"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.addColumn(spark, root, "score", "double")
+    SnapshotTable.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    SnapshotTable.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    // this read probes all footers and memoizes "score absent" @v3
+    assert(SnapshotTable.read(spark, root)
+      .filter(org.apache.spark.sql.functions.col("score").isNotNull).count() === 0)
+    // same root, new table lifetime: v3's MIDDLE file now carries score
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotTable.addColumn(spark, root, "score", "double")
+    SnapshotTable.commitAppend(spark, root,
+      Seq((2L, "b", 2.5)).toDF("id", "v", "score"))
+    SnapshotTable.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    val got = SnapshotTable.read(spark, root).orderBy("id")
+      .select("id", "score").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq === Seq(1L -> None, 2L -> Some(2.5), 3L -> None),
+      s"stale memo blinded the recreated table's probe: ${got.toSeq}")
+  }
+
   test("partitioned-day commits reuse persistent field ids across a rename") {
     // ADVICE r15: commitPartitionedByDay hand-rolled its id assignment,
     // skipping the column-mapping translation — a frame carrying a
