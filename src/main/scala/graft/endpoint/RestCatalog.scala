@@ -4,6 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.lake.SnapshotTable
@@ -133,7 +134,12 @@ object RestCatalog {
               val t = new Thread(r, "graft-rest-catalog")
               t.setDaemon(true); t
             }))
-          http.createContext("/v1", new CatalogHandler(spark, registryRoot, db, auth))
+          val handler = new CatalogHandler(spark, registryRoot, db, auth,
+            whStore = Some(new WarehouseStore(spark, registryRoot, auth)))
+          http.createContext("/v1", handler)
+          // Lakekeeper's management API lives under its own path root
+          // (RUNBOOK.md §4: POST/GET /management/v1/warehouse)
+          http.createContext("/management", handler)
           // the JDK dispatcher thread inherits daemon status from its
           // creator; start() from a short-lived daemon thread
           val starter = new Thread(() => http.start(), "graft-rest-starter")
@@ -150,9 +156,132 @@ object RestCatalog {
     servers.remove(registryRoot).foreach(_.http.stop(0))
   }
 
+  /** One named warehouse = an isolated (database, registry root) pair
+    * served by its own [[CatalogHandler]] — the Lakekeeper model
+    * (RUNBOOK.md §4: a warehouse is provisioned with a storage profile
+    * and then mounted by engines via `warehouse=<name>`;
+    * create-yfinance-warehouse.json is the reference's provisioning
+    * body). Warehouses persist as one JSON file each under
+    * `<rootRegistry>/_warehouses/` and are restored on server start.
+    * Documented deltas: the storage PROFILE is validated and recorded
+    * (served back by GET) but storage is backed by the server's local
+    * filesystem area — no object-store jars ship in this environment
+    * (FsContractSpec's relocated-FS lifecycle is the standing
+    * substitute) — and `storage-credential` secrets are neither
+    * persisted nor ever served back (Lakekeeper likewise never returns
+    * them).
+    */
+  private final class WarehouseStore(spark: SparkSession, rootRegistry: String,
+      auth: Option[(String, String)]) {
+
+    private val reserved =
+      Set("namespaces", "tables", "config", "oauth", "management", "v1")
+
+    private def whDir = new Path(s"$rootRegistry/_warehouses")
+    private def fs =
+      whDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // name -> (storage-profile JSON object body, handler)
+    private val map =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, CatalogHandler)]()
+
+    locally { // restore persisted warehouses (server restart)
+      if (fs.exists(whDir))
+        fs.listStatus(whDir).map(_.getPath)
+          .filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { p =>
+            val in = fs.open(p)
+            val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+            for {
+              name <- jfieldAll(txt, "wh_name").headOption
+              db <- jfieldAll(txt, "wh_db").headOption
+              reg <- jfieldAll(txt, "wh_registry").headOption
+            } {
+              scala.util.Try(PersistentCatalog.restore(spark, reg))
+              val profile = jobjBlock(txt, "storage-profile").getOrElse("")
+              map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
+            }
+          }
+    }
+
+    def handlerFor(name: String): Option[CatalogHandler] =
+      Option(map.get(name)).map(_._2)
+
+    def listJson: String = {
+      import scala.jdk.CollectionConverters._
+      val rows = map.asScala.toSeq.sortBy(_._1).map { case (n, (profile, _)) =>
+        s"""{"id":${jstr(n)},"name":${jstr(n)},"storage-profile":{$profile}}"""
+      }
+      s"""{"warehouses":[${rows.mkString(",")}]}"""
+    }
+
+    def detailJson(name: String): Option[String] =
+      Option(map.get(name)).map { case (profile, h) =>
+        s"""{"id":${jstr(name)},"name":${jstr(name)},""" +
+          s""""storage-profile":{$profile},""" +
+          s""""database":${jstr(h.database)},"registry":${jstr(h.registry)}}"""
+      }
+
+    /** Validate + provision; Left((status, message)) on refusal. */
+    def create(body: String): Either[(Int, String), String] = synchronized {
+      val name = jfieldAll(body, "warehouse-name").headOption.getOrElse(
+        return Left(400 -> "warehouse-name is required"))
+      if (!name.matches("[A-Za-z0-9_-]+"))
+        return Left(400 -> s"invalid warehouse-name: $name")
+      if (reserved(name))
+        return Left(400 -> s"warehouse-name $name is reserved")
+      if (map.containsKey(name))
+        return Left(409 -> s"warehouse $name already exists")
+      val profile = jobjBlock(body, "storage-profile").getOrElse(
+        return Left(400 -> "storage-profile object is required"))
+      jfieldAll(profile, "type").headOption match {
+        case None => return Left(400 -> "storage-profile.type is required")
+        case Some("s3") =>
+          if (jfieldAll(profile, "bucket").headOption.forall(_.isEmpty))
+            return Left(400 -> "s3 storage profile needs a non-empty bucket")
+        case Some("file") | Some("local") => ()
+        case Some(other) =>
+          return Left(400 -> s"unknown storage-profile type: $other")
+      }
+      val db = "graft_wh_" + name.replace('-', '_')
+      import scala.jdk.CollectionConverters._
+      if (map.asScala.values.exists(_._2.database == db))
+        return Left(409 -> (s"warehouse database $db already taken " +
+          "(names differing only in -/_ collide)"))
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val reg = s"$rootRegistry/_warehouses/$name/registry"
+      PersistentCatalog.save(spark, reg, db)
+      // persist: identity + profile only. storage-credential is
+      // deliberately NOT written (secrets never touch the store)
+      val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
+        s""""wh_registry":${jstr(reg)},"storage-profile":{$profile}}"""
+      fs.mkdirs(whDir)
+      val out = fs.create(new Path(whDir, s"$name.json"), false)
+      try out.write(rendered.getBytes(UTF_8)) finally out.close()
+      map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
+      Right(name)
+    }
+
+    /** Drop an EMPTY warehouse; Left on refusal (unknown / non-empty). */
+    def drop(name: String): Either[(Int, String), String] = synchronized {
+      val (_, h) = Option(map.get(name)).getOrElse(
+        return Left(404 -> s"no warehouse $name"))
+      if (SnapshotTable.read(spark, h.registry).count() > 0)
+        return Left(409 -> s"warehouse $name still lists tables; drop them first")
+      fs.delete(new Path(whDir, s"$name.json"), false)
+      fs.delete(new Path(s"$rootRegistry/_warehouses/$name"), true)
+      map.remove(name)
+      Right(name)
+    }
+  }
+
   private final class CatalogHandler(spark: SparkSession, registryRoot: String,
-      db: String, auth: Option[(String, String)])
+      db: String, auth: Option[(String, String)],
+      whStore: Option[WarehouseStore] = None)
       extends HttpHandler {
+
+    // the warehouse store reads these when serving detail/config
+    private[endpoint] def database: String = db
+    private[endpoint] def registry: String = registryRoot
 
     // serializes DDL (POST/DELETE): session-catalog registration and
     // the registry commit must publish as one logical step
@@ -211,14 +340,61 @@ object RestCatalog {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
       // OAuth gate: /v1/config stays open (Iceberg clients fetch it
-      // before authenticating) and /v1/oauth/tokens IS the token mint
+      // before authenticating) and /v1/oauth/tokens IS the token mint.
+      // /management and warehouse-prefixed routes are gated like the
+      // rest — Lakekeeper secures its management API the same way.
       if (auth.isDefined && path != "/v1/config" && path != "/v1/oauth/tokens"
           && !bearerOk(ex)) {
         ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
         err(ex, 401, "missing or invalid bearer token")
         return
       }
-      (method, path.split("/").drop(1).toList) match {
+      path.split("/").drop(1).toList match {
+        case "management" :: rest => management(ex, method, rest, path)
+        // Iceberg REST's {prefix} path segment: /v1/<warehouse>/… —
+        // the warehouse's own handler (db + registry) serves it; the
+        // prefix is exactly what /v1/config?warehouse=<name> returned
+        // in overrides.prefix, Lakekeeper's mounting contract
+        case "v1" :: p :: rest if whStore.exists(_.handlerFor(p).isDefined) =>
+          whStore.get.handlerFor(p).get.dispatch(ex, method, "v1" :: rest, path)
+        case segs => dispatch(ex, method, segs, path)
+      }
+    }
+
+    /** Lakekeeper-shaped management API: warehouse CRUD
+      * (RUNBOOK.md §4; create-yfinance-warehouse.json is the documented
+      * provisioning body). Root-handler only — warehouses don't nest.
+      */
+    private def management(ex: HttpExchange, method: String,
+        rest: List[String], path: String): Unit = {
+      val store = whStore.getOrElse { err(ex, 404, s"$method $path"); return }
+      (method, rest) match {
+        case ("GET", List("v1", "warehouse")) =>
+          send(ex, 200, store.listJson)
+        case ("POST", List("v1", "warehouse")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          store.create(body) match {
+            case Right(name) =>
+              send(ex, 201, s"""{"warehouse-id":${jstr(name)}}""")
+            case Left((code, msg)) => err(ex, code, msg)
+          }
+        case ("GET", List("v1", "warehouse", name)) =>
+          store.detailJson(name) match {
+            case Some(json) => send(ex, 200, json)
+            case None => err(ex, 404, s"no warehouse $name")
+          }
+        case ("DELETE", List("v1", "warehouse", name)) =>
+          store.drop(name) match {
+            case Right(_) => send(ex, 200, s"""{"dropped":${jstr(name)}}""")
+            case Left((code, msg)) => err(ex, code, msg)
+          }
+        case _ => err(ex, 404, s"$method $path")
+      }
+    }
+
+    private[endpoint] def dispatch(ex: HttpExchange, method: String,
+        segs: List[String], path: String): Unit = {
+      (method, segs) match {
         case ("POST", List("v1", "oauth", "tokens")) =>
           // OAuth2 client-credentials (the Iceberg REST catalog's
           // documented auth flow): form-encoded grant, JSON token
@@ -249,15 +425,9 @@ object RestCatalog {
 
         case ("GET", List("v1", "config")) =>
           // Iceberg REST CatalogConfig shape (defaults/overrides), the
-          // graft-specific fields ride along as extra keys
-          send(ex, 200, jobj(
-            "defaults" -> jobj("warehouse" -> jstr(registryRoot)),
-            "overrides" -> jobj(),
-            "catalog" -> jstr("graft"),
-            "database" -> jstr(db),
-            "registry" -> jstr(registryRoot),
-            "registry_version" ->
-              SnapshotTable.currentVersion(spark, registryRoot).toString))
+          // graft-specific fields ride along as extra keys; a
+          // ?warehouse=<name> query resolves a provisioned warehouse
+          configFor(ex)
 
         case ("GET", List("v1", "namespaces")) =>
           send(ex, 200, s"""{"namespaces":[[${jstr(db)}]]}""")
@@ -429,6 +599,44 @@ object RestCatalog {
           dropTable(ex, name)
 
         case _ => err(ex, 404, s"$method $path")
+      }
+    }
+
+    /** `?warehouse=<name>` on /v1/config: resolve the named warehouse
+      * (Lakekeeper's mounting flow — Trino's iceberg.properties sets
+      * `iceberg.rest-catalog.warehouse` and the catalog answers with
+      * that warehouse's addressing; reference
+      * etc/catalog/iceberg.properties:33). The response's
+      * overrides.prefix is the path prefix clients then put between
+      * /v1 and /namespaces.
+      */
+    private def configFor(ex: HttpExchange): Unit = {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val wanted = q.split("&").collectFirst {
+        case kv if kv.startsWith("warehouse=") =>
+          java.net.URLDecoder.decode(kv.stripPrefix("warehouse="), "UTF-8")
+      }
+      wanted match {
+        case Some(w) =>
+          whStore.flatMap(_.handlerFor(w)) match {
+            case Some(h) => send(ex, 200, jobj(
+              "defaults" -> jobj("warehouse" -> jstr(h.registry)),
+              "overrides" -> jobj("prefix" -> jstr(w)),
+              "catalog" -> jstr("graft"),
+              "database" -> jstr(h.database),
+              "registry" -> jstr(h.registry),
+              "registry_version" ->
+                SnapshotTable.currentVersion(spark, h.registry).toString))
+            case None => err(ex, 404, s"unknown warehouse: $w")
+          }
+        case None => send(ex, 200, jobj(
+          "defaults" -> jobj("warehouse" -> jstr(registryRoot)),
+          "overrides" -> jobj(),
+          "catalog" -> jstr("graft"),
+          "database" -> jstr(db),
+          "registry" -> jstr(registryRoot),
+          "registry_version" ->
+            SnapshotTable.currentVersion(spark, registryRoot).toString))
       }
     }
 
@@ -1495,8 +1703,147 @@ object RestCatalog {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: the Lakekeeper MANAGEMENT surface — the
+    * reference's RUNBOOK §4 loop (`POST /management/v1/warehouse` with
+    * a storage profile, then engines mount `warehouse=<name>`;
+    * create-yfinance-warehouse.json) re-expressed over graft's
+    * catalog. Two warehouses are provisioned over HTTP (unknown
+    * storage-profile types 400, duplicates 409), `/v1/config?
+    * warehouse=<name>` resolves each to its own database + registry +
+    * path prefix, a table is CREATED and COMMITTED inside each purely
+    * over the prefixed Iceberg routes, and the emitted aggregates read
+    * both tables back — hash-proving the wire DDL+commit landed the
+    * right rows in the right warehouse. Isolation is asserted
+    * in-entry: each warehouse's listing shows exactly its own table.
+    * Entry is self-cleaning (tables then warehouses dropped over the
+    * wire) so bench reps re-run it idempotently.
+    */
+  def restWarehouses(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_wh/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val registryRoot = s"$base/registry"
+    Catalog.register(s, dir)
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    val whs = Seq("fin_a" -> 0, "fin_b" -> 1)
+    // best-effort cleanup from a prior rep (tables first, then the
+    // warehouse — DELETE refuses non-empty warehouses)
+    whs.foreach { case (w, _) =>
+      val (c, _) = RestCatalog.get(port, s"/management/v1/warehouse/$w")
+      if (c == 200) {
+        val (lc, listing) = RestCatalog.get(port, s"/v1/$w/tables")
+        if (lc == 200) jfieldAll(listing, "name").foreach { t =>
+          delete(port, s"/v1/$w/tables/$t"); ()
+        }
+        delete(port, s"/management/v1/warehouse/$w"); ()
+      }
+    }
+    // provisioning validation: unknown profile type 400, missing name 400
+    val (cBad, rBad) = post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"zzz","storage-profile":{"type":"carrier-pigeon"}}""")
+    require(cBad == 400 && rBad.contains("unknown storage-profile type"),
+      s"bad profile type -> $cBad: $rBad")
+    val (cNn, _) = post(port, "/management/v1/warehouse",
+      """{"storage-profile":{"type":"s3","bucket":"b"}}""")
+    require(cNn == 400, s"missing warehouse-name -> $cNn")
+    // the reference's provisioning body shape (create-yfinance-warehouse.json)
+    def profileBody(w: String) =
+      s"""{"warehouse-name":"$w","project-id":"00000000-0000-0000-0000-000000000000",
+         |"storage-profile":{"type":"s3","bucket":"demo-bucket","key-prefix":"$w",
+         |"endpoint":"http://localhost:9000","region":"local-01",
+         |"path-style-access":true,"flavor":"minio","sts-enabled":true},
+         |"storage-credential":{"type":"s3","credential-type":"access-key",
+         |"aws-access-key-id":"u","aws-secret-access-key":"p"}}""".stripMargin
+    whs.foreach { case (w, _) =>
+      val (c, r) = post(port, "/management/v1/warehouse", profileBody(w))
+      require(c == 201, s"create warehouse $w -> $c: $r")
+    }
+    // duplicate is a 409; the listing serves both profiles back
+    val (cDup, _) = post(port, "/management/v1/warehouse", profileBody("fin_a"))
+    require(cDup == 409, s"duplicate warehouse -> $cDup")
+    val (cList, listing) = RestCatalog.get(port, "/management/v1/warehouse")
+    require(cList == 200 && Seq("fin_a", "fin_b").forall(listing.contains)
+      && listing.contains("demo-bucket") && !listing.contains("aws-secret"),
+      s"warehouse listing must serve profiles, never credentials: $listing")
+    val events = s.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "event_type", "value")
+    whs.foreach { case (w, parity) =>
+      // mount: config resolves the warehouse to its prefix + namespace
+      val (cc, cfg) = RestCatalog.get(port, s"/v1/config?warehouse=$w")
+      require(cc == 200, s"config?warehouse=$w -> $cc: $cfg")
+      val prefix = jfieldAll(jobjBlock(cfg, "overrides").getOrElse(""), "prefix")
+        .headOption.getOrElse(sys.error(s"no prefix override for $w"))
+      val ns = jfieldAll(cfg, "database").headOption
+        .getOrElse(sys.error(s"no database for $w"))
+      // DDL inside the warehouse: Iceberg createTable over the prefix
+      val (ct, ctr) = post(port, s"/v1/$prefix/namespaces/$ns/tables",
+        s"""{"name":"wh_events","schema":{"type":"struct","fields":[
+           |{"id":1,"name":"event_id","type":"long"},
+           |{"id":2,"name":"event_type","type":"string"},
+           |{"id":3,"name":"value","type":"double"}]}}""".stripMargin)
+      require(ct == 200, s"createTable in $w -> $ct: $ctr")
+      // stage this warehouse's slice and commit it over the wire
+      val staged = s"$base/staged_$w"
+      events.filter(col("event_id") % 2 === parity).coalesce(1)
+        .write.mode("overwrite").parquet(staged)
+      val hfs = new Path(staged).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = hfs.listStatus(new Path(staged))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+      val (cm, rm) = post(port, s"/v1/$prefix/namespaces/$ns/tables/wh_events",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+           |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"append"},
+           |"added-data-files":[${files.map(jstr).mkString(",")}]}}]}""".stripMargin)
+      require(cm == 200, s"wire commit in $w -> $cm: $rm")
+    }
+    // isolation: each warehouse lists exactly its own table; the root
+    // registry is untouched by warehouse DDL
+    whs.foreach { case (w, _) =>
+      val (lc, l) = RestCatalog.get(port, s"/v1/$w/tables")
+      require(lc == 200 && jfieldAll(l, "name") == Seq("wh_events"),
+        s"warehouse $w listing must contain exactly wh_events: $l")
+    }
+    val (rl, rootListing) = RestCatalog.get(port, "/v1/tables")
+    require(rl == 200 && !rootListing.contains("wh_events"),
+      "warehouse tables must not leak into the root catalog")
+    // read both slices back through the session catalog the wire DDL
+    // populated; the oracle hash proves end-to-end content
+    val out = whs.map { case (w, _) =>
+      s.table(s"graft_wh_$w.wh_events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("warehouse", lit(w))
+    }.reduce(_ unionByName _)
+      .select("warehouse", "event_type", "n", "total_value")
+      .orderBy("warehouse", "event_type")
+    val collected = out.collect()
+    // cleanup so the next rep re-provisions from scratch
+    whs.foreach { case (w, _) =>
+      val (dc, dr) = delete(port, s"/v1/$w/tables/wh_events")
+      require(dc == 200, s"drop wh_events in $w -> $dc: $dr")
+      val (wc, wr) = delete(port, s"/management/v1/warehouse/$w")
+      require(wc == 200, s"drop warehouse $w -> $wc: $wr")
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(collected.toSeq.asJava, out.schema)
+  }
+
+  val restWarehousesOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT 'fin_a' AS warehouse, event_type, COUNT(*) AS n,
+       |${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+       |UNION ALL
+       |SELECT 'fin_b' AS warehouse, event_type, COUNT(*) AS n,
+       |${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+       |ORDER BY warehouse, event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
     graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
     graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)),
-    graft.Q("catalog_rest_refs", restRefs, Some(restRefsOracle)))
+    graft.Q("catalog_rest_refs", restRefs, Some(restRefsOracle)),
+    graft.Q("catalog_warehouses", restWarehouses, Some(restWarehousesOracle)))
 }

@@ -247,8 +247,13 @@ class PlanShapeSpec extends SparkSpec {
       // ranks computed over already top-FuseDepth candidate frames
       "text_hybrid_rrf" -> "k-sized by construction (Retrieval.scala)")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val swept = SparkEntry.queries.keys.filter(n =>
-      n.startsWith("q") || n.startsWith("text_")).toSeq.sorted
+    // VERDICT r16: the r6 sweep traversed only q*/text_* — a future
+    // single-partition window in lake_/dedup_/ann_/mm_/stream_/
+    // catalog_/endpoint_ code would not trip it. Sweep EVERY registry
+    // entry. Building the plan runs each entry function (they are
+    // eager: commits, servers, streams), so this is the spec suite's
+    // one full-registry pass — sf0.001 keeps it minutes-sized.
+    val swept = SparkEntry.queries.keys.toSeq.sorted
     val offenders = swept.filter { name =>
       SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan
         .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty

@@ -909,4 +909,69 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (cD2, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_refs")
     assert(cD2 == 200)
   }
+
+  test("management API: warehouse create/list/mount; two warehouses stay isolated") {
+    // RUNBOOK §4's loop: POST /management/v1/warehouse with a storage
+    // profile, engines then mount warehouse=<name>
+    val mk =
+      """{"warehouse-name":"spec_wh_a","storage-profile":{"type":"s3",
+        |"bucket":"demo-bucket","key-prefix":"a","flavor":"minio"},
+        |"storage-credential":{"type":"s3","credential-type":"access-key",
+        |"aws-access-key-id":"u","aws-secret-access-key":"sekrit"}}""".stripMargin
+    val (c1, r1) = RestCatalog.post(port, "/management/v1/warehouse", mk)
+    assert(c1 == 201 && r1.contains("spec_wh_a"), r1)
+    // idempotency-adjacent guarantees: duplicate 409, unknown type 400,
+    // reserved name 400, bucketless s3 400
+    assert(RestCatalog.post(port, "/management/v1/warehouse", mk)._1 == 409)
+    assert(RestCatalog.post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"x","storage-profile":{"type":"gopherfs"}}""")._1 == 400)
+    assert(RestCatalog.post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"tables","storage-profile":{"type":"file"}}""")._1 == 400)
+    assert(RestCatalog.post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"y","storage-profile":{"type":"s3"}}""")._1 == 400)
+    val (c2, _) = RestCatalog.post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"spec_wh_b","storage-profile":{"type":"file"}}""")
+    assert(c2 == 201)
+    // listing serves profiles but NEVER credentials
+    val (cL, listing) = RestCatalog.get(port, "/management/v1/warehouse")
+    assert(cL == 200 && listing.contains("spec_wh_a") &&
+      listing.contains("spec_wh_b") && listing.contains("demo-bucket") &&
+      !listing.contains("sekrit"), listing)
+    // config mounts each warehouse: own prefix, own namespace
+    val (cca, cfgA) = RestCatalog.get(port, "/v1/config?warehouse=spec_wh_a")
+    assert(cca == 200 && cfgA.contains("\"prefix\":\"spec_wh_a\"") &&
+      cfgA.contains("\"database\":\"graft_wh_spec_wh_a\""), cfgA)
+    assert(RestCatalog.get(port, "/v1/config?warehouse=nope")._1 == 404)
+    // DDL + commit inside A over the prefixed Iceberg routes
+    val nsA = "graft_wh_spec_wh_a"
+    val (ct, ctr) = RestCatalog.post(port, s"/v1/spec_wh_a/namespaces/$nsA/tables",
+      """{"name":"t1","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","type":"long"},{"id":2,"name":"v","type":"string"}]}}""".stripMargin)
+    assert(ct == 200, ctr)
+    import spark.implicits._
+    val staged = s"$tableArea/wh_staged"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val file = new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(staged)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+    val (cm, rm) = RestCatalog.post(port, s"/v1/spec_wh_a/namespaces/$nsA/tables/t1",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$file"]}}]}""".stripMargin)
+    assert(cm == 200, rm)
+    assert(spark.table(s"$nsA.t1").count() === 2)
+    // isolation: A lists t1, B lists nothing, the root registry has no t1
+    val (_, lA) = RestCatalog.get(port, "/v1/spec_wh_a/tables")
+    val (_, lB) = RestCatalog.get(port, "/v1/spec_wh_b/tables")
+    val (_, lRoot) = RestCatalog.get(port, "/v1/tables")
+    assert(RestCatalog.jfieldAll(lA, "name") == Seq("t1"), lA)
+    assert(RestCatalog.jfieldAll(lB, "name").isEmpty, lB)
+    assert(!lRoot.contains("\"t1\""), "warehouse table leaked into the root catalog")
+    // a non-empty warehouse refuses DELETE; after dropping its table it goes
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_a")._1 == 409)
+    assert(RestCatalog.delete(port, "/v1/spec_wh_a/tables/t1")._1 == 200)
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_a")._1 == 200)
+    assert(RestCatalog.get(port, "/management/v1/warehouse/spec_wh_a")._1 == 404)
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_b")._1 == 200)
+  }
 }
