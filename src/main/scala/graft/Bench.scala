@@ -64,10 +64,7 @@ object Bench {
     out
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+  private def mkSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,6 +80,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    var spark = mkSession(cpus)
+    var restarts = 0
     // JIT/codegen warmup so the first measured query isn't charged
     // for JVM compilation of the whole scan/agg stack.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -90,12 +96,26 @@ object Bench {
     // optional dev filter: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the
     // swept queries (unset → full registry, the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    // dev-only resilience probe (BenchResilienceSpec): plant a
+    // synthetic entry that kills the SparkContext mid-sweep, the way
+    // a fatal executor OOM does in local mode (the r16 sf5 sweep lost
+    // every entry after one OOM — a 15-minute artifact truncated by
+    // one bad query)
+    val planted: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_PLANT").contains("die")) Seq.empty
+      else Seq("_planted_die" -> ((s: SparkSession, _: String) => {
+        s.sparkContext.stop()
+        throw new IllegalStateException("planted context death")
+      }))
     // A query whose plan throws must surface as an ERROR, never as a
     // fake sub-second "time to throw" (the round-8 sweep recorded 85
     // broken entries at 0.06 s each and the committed artifact looked
     // like a 2× speedup). First failing rep marks the query errored
-    // and skips its remaining reps.
-    val swept = SparkEntry.queries.toSeq.sortBy(_._1)
+    // and skips its remaining reps. A failure that took the
+    // SPARKCONTEXT with it (fatal executor loss / OOM stops local-mode
+    // contexts) additionally RESTARTS the session, so one bad entry
+    // records err:1 and the rest of the sweep still measures.
+    val swept = (planted ++ SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
         var err: Option[String] = None
@@ -109,6 +129,14 @@ object Bench {
           } catch { case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("\\s+", " ").take(200))
+            if (spark.sparkContext.isStopped) {
+              System.err.println(s"[graft-bench] SparkContext died during " +
+                s"$name; restarting the session for the remaining entries")
+              SparkSession.clearActiveSession()
+              SparkSession.clearDefaultSession()
+              spark = mkSession(cpus)
+              restarts += 1
+            }
           }
           rep += 1
         }
@@ -145,7 +173,7 @@ object Bench {
     val errs = failed.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":${failed.size},"queries":$qs,"spread":$spreads,"errored":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":${failed.size},"restarts":$restarts,"queries":$qs,"spread":$spreads,"errored":$errs,"sf":"$sfDir"}"""
     // detail artifact lands in the launch cwd by default (portable),
     // SPARK_GRAFT_OUT_DIR overrides; an I/O failure there must never
     // eat the summary line. Written TWICE: the canonical

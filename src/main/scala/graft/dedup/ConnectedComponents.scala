@@ -46,23 +46,40 @@ object ConnectedComponents {
           verbose: Boolean = false, hardStop: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // ~500k labels per task; a small graph runs single-task rounds
-    // instead of paying session-width scheduling 2×/round.
+    // ~500k KEYED ROWS per task, sized by max(vertices, symmetric
+    // edges) — a small graph still runs single-task rounds instead of
+    // paying session-width scheduling 2×/round, but the round cost is
+    // O(edges), not O(vertices): a clone-heavy corpus (near-dup dedup
+    // is exactly that) can carry 25× more edges than vertices, and
+    // sizing by n alone ran sf5 ccAnn's loop (100k vertices, 4.9M sym
+    // entries) on ONE partition — 36 s of single-task rounds for a
+    // ~1 s edge-generation query (r17 CcAnnProfile attribution). The
+    // edge volume is counted on the cached symmetric RDD, so the edge
+    // PIPELINE (which may be an expensive join) still runs once.
     val n = vertices.count()
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
-    val part = new HashPartitioner(
-      math.max(1L, math.min(sessionParts, n / 500000L + 1L)).toInt)
-
-    // symmetric edge set keyed by ONE endpoint: because the set is
-    // symmetric, "keyed by src" and "keyed by dst" are the same RDD —
-    // one copy serves the label-of-neighbor lookup.
-    val sym: RDD[(Long, Long)] = edges
+    val symRaw: RDD[(Long, Long)] = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
-      .distinct(part.numPartitions)
+      .cache()
+    val m = symRaw.count()
+    val part = new HashPartitioner(
+      math.max(1L, math.min(sessionParts, math.max(n, m) / 500000L + 1L)).toInt)
+
+    // symmetric edge set keyed by ONE endpoint: because the set is
+    // symmetric, "keyed by src" and "keyed by dst" are the same RDD —
+    // one copy serves the label-of-neighbor lookup. NOT deduplicated:
+    // every caller already emits distinct pairs (cappedPairs
+    // dropDuplicates / 1-NN top-1), duplicate edges would be
+    // CORRECTNESS-harmless anyway (reduceByKey(min) is idempotent —
+    // they only add join fan-out), and the old global distinct() was
+    // a full extra shuffle of the symmetric set every run.
+    val sym: RDD[(Long, Long)] = symRaw
       .partitionBy(part)
       .cache()
+    sym.count() // materialize so the pre-partition copy can be released
+    symRaw.unpersist(blocking = false)
 
     var labels: RDD[(Long, Long)] = vertices
       .select(col("id").cast("long")).as[Long].rdd

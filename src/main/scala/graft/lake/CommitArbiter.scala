@@ -52,18 +52,54 @@ object CommitArbiter {
       case other => throw new IllegalArgumentException(
         s"unknown $ConfKey: $other (rename | lockfile)")
     }
+
+  /** The plain local filesystem (scheme `file`), where POSIX gives us
+    * a TRUE atomic no-clobber primitive (hardlink / O_EXCL create)
+    * that Hadoop's exists-then-rename and exists-then-create pairs
+    * lack. Scheme-keyed on purpose: test stand-ins that re-scheme a
+    * local FS to model object stores (graftnar://, graftshift://)
+    * must keep their modeled semantics.
+    */
+  private[lake] def isPosixLocal(fs: FileSystem): Boolean =
+    fs.getUri.getScheme == "file" // getUri, not getScheme: the latter
+    // throws UnsupportedOperationException on FS impls that don't
+    // override it (RawLocalFileSystem subclasses included)
+
+  /** Atomic publish on POSIX: hardlink tmp at dst — the kernel
+    * refuses an existing destination atomically (EEXIST), so at most
+    * one of any number of PROCESSES wins, with no exists/rename
+    * window. The tmp link is removed after a win; dst has no checksum
+    * sidecar, which LocalFileSystem treats as verification-skipped.
+    */
+  private[lake] def linkCas(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(tmp.toUri.getPath)
+    val d = Paths.get(dst.toUri.getPath)
+    Files.createDirectories(d.getParent)
+    try {
+      Files.createLink(d, src)
+      fs.delete(tmp, false)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
 }
 
 /** Rename-as-CAS: correct where rename is atomic and the store refuses
-  * (HDFS) or the JVM lock prevents (same-process) an existing
-  * destination. NOT safe for multi-PROCESS writers on object stores or
-  * raw POSIX, where rename silently clobbers — use [[LockFileCas]] or
-  * an external catalog there.
+  * an existing destination (HDFS) or the JVM lock prevents one
+  * (same-process). On the PLAIN LOCAL filesystem — where POSIX rename
+  * clobbers and the exists/rename pair has a cross-process window —
+  * the publish is a HARDLINK instead (r17, CrossProcessCommitSpec):
+  * the kernel's EEXIST makes it a true multi-process CAS. NOT safe
+  * for multi-PROCESS writers on object stores, where rename is
+  * copy+delete — use [[LockFileCas]] or an external catalog there.
   */
 object RenameCas extends CommitArbiter {
   override def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     CommitArbiter.lockFor(dst).synchronized {
-      !fs.exists(dst) && fs.rename(tmp, dst)
+      if (CommitArbiter.isPosixLocal(fs)) CommitArbiter.linkCas(fs, tmp, dst)
+      else !fs.exists(dst) && fs.rename(tmp, dst)
     }
 }
 
@@ -80,8 +116,19 @@ object LockFileCas extends CommitArbiter {
     CommitArbiter.lockFor(dst).synchronized {
       val lock = new Path(dst.getParent, s".${dst.getName}.lock")
       val acquired =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        // plain local FS: O_EXCL create — Hadoop's exists-then-create
+        // has a cross-process window POSIX closes atomically. A real
+        // object store's create-exclusive is a conditional PUT, which
+        // the Hadoop call below models for the re-schemed test stores.
+        if (CommitArbiter.isPosixLocal(fs))
+          try {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(lock.toUri.getPath))
+            true
+          } catch { case _: java.io.IOException => false }
+        else
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
       if (!acquired) false
       else try {
         if (fs.exists(dst)) false

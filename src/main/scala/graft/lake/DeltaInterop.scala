@@ -70,13 +70,29 @@ object DeltaInterop {
       s""""configuration":{$cfgJson},"createdTime":$stamp}}"""
   }
 
-  private def addAction(s: SparkSession, f: String, stamp: Long): String = {
+  /** The add action's deletionVector descriptor (inline storage):
+    * (descriptor JSON fragment, payload length, cardinality).
+    */
+  private[lake] def dvDescriptor(positions: Seq[Long]): String = {
+    val payload = DeletionVectors.serialize(positions)
+    s""","deletionVector":{"storageType":"i","pathOrInlineDv":"${
+      esc(DeletionVectors.base85Encode(payload))}","sizeInBytes":${
+      payload.length},"cardinality":${positions.size}}"""
+  }
+
+  private def addAction(s: SparkSession, f: String, stamp: Long,
+      dv: Option[Seq[Long]] = None): String = {
     val p = new Path(f)
     val size = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(p).getLen
     s"""{"add":{"path":"${esc(p.toUri.toString)}","partitionValues":{},""" +
-      s""""size":$size,"modificationTime":$stamp,"dataChange":true}}"""
+      s""""size":$size,"modificationTime":$stamp,"dataChange":true${
+        dv.fold("")(dvDescriptor)}}}"""
   }
+
+  private def removeAction(f: String, stamp: Long): String =
+    s"""{"remove":{"path":"${esc(new Path(f).toUri.toString)}",""" +
+      s""""deletionTimestamp":$stamp,"dataChange":true}}"""
 
   /** Render the FULL version chain as a Delta transaction log under
     * `exportDir` — one `_delta_log/<k>.json` per engine version
@@ -89,28 +105,49 @@ object DeltaInterop {
     * only (schema re-render only on versions whose schema headers
     * changed). Returns the head log file path.
     *
-    * Two scoped refusals/limitations: a HEAD with pending
-    * merge-on-read deletes is refused loudly (Delta's log cannot
-    * express positional/equality delete files — fold with
-    * compactDeletes first), and versions expired by retention are not
-    * rendered (the chain starts at the earliest live version, exactly
-    * like Delta's own log cleanup — readers bootstrap from the
-    * checkpoint). An INTERMEDIATE version that had pending MoR
-    * deletes renders its data files only, so time travel TO that
-    * version shows pre-delete visibility; the head state is exact.
+    * A HEAD with pending POSITIONAL merge-on-read deletes exports
+    * natively (r17): each masked file's deleted row indexes render as
+    * an inline DELETION VECTOR on its add action (remove + re-add in
+    * the head commit for files added earlier — Delta's DV-update
+    * encoding), with the protocol feature-gated to reader 3 / writer 7
+    * + deletionVectors. Zero data bytes still move and the source
+    * table is untouched. Scoped refusals/limitations: pending EQUALITY
+    * deletes refuse loudly (no Delta contract expresses them — fold
+    * with compactDeletes first), and versions expired by retention are
+    * not rendered (the chain starts at the earliest live version,
+    * exactly like Delta's own log cleanup — readers bootstrap from the
+    * checkpoint). An INTERMEDIATE version that had pending MoR deletes
+    * renders its data files only (plus a commitInfo marker), so time
+    * travel TO that version shows pre-delete visibility; the head
+    * state is exact.
     */
   def writeLog(s: SparkSession, root: String, exportDir: String,
                version: Int = -1): Path = {
     val v = if (version < 0) SnapshotTable.currentVersion(s, root) else version
     require(v >= 1, s"nothing to export at $root")
-    // Delta's protocol has no positional/equality delete files (that
-    // is deletion vectors, a different reader contract) — exporting a
-    // table with PENDING merge-on-read deletes would render a state
-    // that resurrects every deleted row in the foreign reader. Refuse
-    // loudly with the fix: fold them first.
-    require(SnapshotTable.lineEntries(s, root, v).forall(_.kind == 0),
-      s"$root@v$v has pending merge-on-read (positional/equality) deletes; " +
-        "run compactDeletes before the Delta export — the Delta log cannot express them")
+    val headEntries = SnapshotTable.lineEntries(s, root, v)
+    // Delta has NO equality deletes (no reader contract expresses
+    // "suppress rows matching these key values") — a head with pending
+    // eq-deletes still refuses loudly with the fix. Pending POSITIONAL
+    // deletes export natively as deletion vectors below (r17; the r16
+    // refusal covered both).
+    require(!headEntries.exists(_.kind == 2),
+      s"$root@v$v has pending equality deletes; run compactDeletes before " +
+        "the Delta export — the Delta protocol cannot express them")
+    // pending positional deletes → per-file deletion vectors: read the
+    // (file_path, pos) delete rows — Δ-sized by construction (MoR
+    // writes O(matched rows)) — and attach each file's row-index
+    // bitmap to its add action (inline DV, readerFeatures-gated).
+    // Zero data bytes still move; the source table is untouched.
+    val dvByFile: Map[String, Seq[Long]] =
+      if (!headEntries.exists(_.kind == 1)) Map.empty
+      else {
+        val delFiles = SnapshotTable.deleteFiles(s, root, v)
+        s.read.parquet(delFiles: _*)
+          .select("file_path", "pos").collect()
+          .groupBy(r => SnapshotTable.canon(s, r.getString(0)))
+          .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq.sorted }
+      }
     val conf = s.sparkContext.hadoopConfiguration
     val logDir = new Path(s"$exportDir/_delta_log")
     val fs = logDir.getFileSystem(conf)
@@ -129,22 +166,38 @@ object DeltaInterop {
       throw new IllegalArgumentException(s"no live version of $root at or below $v"))
     var prevFiles = Seq.empty[String]
     var logFile: Path = null
+    // deletion vectors are a table FEATURE: their presence anywhere in
+    // the chain gates the protocol to reader 3 / writer 7 with the
+    // deletionVectors feature flags (Delta's feature-gating contract)
+    val protocolJson =
+      if (dvByFile.nonEmpty)
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     (firstLive to v).foreach { k =>
       val stamp = SnapshotTable.committedAt(s, root, k)
       val files = canonOf(k)
       val prevSet = prevFiles.map(SnapshotTable.canon(s, _)).toSet
       val curSet = files.map(SnapshotTable.canon(s, _)).toSet
+      // DVs attach at the HEAD commit only (intermediate MoR-pending
+      // versions render data files + the commitInfo marker below)
+      val dvOf: String => Option[Seq[Long]] =
+        f => if (k == v) dvByFile.get(SnapshotTable.canon(s, f)) else None
       val adds = files.filterNot(f => prevSet.contains(SnapshotTable.canon(s, f)))
-        .map(addAction(s, _, stamp))
+        .map(f => addAction(s, f, stamp, dvOf(f)))
       val removes = prevFiles.filterNot(f => curSet.contains(SnapshotTable.canon(s, f)))
-        .map { f =>
-          s"""{"remove":{"path":"${esc(new Path(f).toUri.toString)}",""" +
-            s""""deletionTimestamp":$stamp,"dataChange":true}}"""
-        }
+        .map(removeAction(_, stamp))
+      // a file added by an EARLIER commit that now carries deletes:
+      // Delta's DV-update encoding — remove + re-add with the DV, in
+      // that order, inside the head commit
+      val dvUpdates =
+        if (k < v) Seq.empty
+        else files
+          .filter(f => prevSet.contains(SnapshotTable.canon(s, f)) && dvOf(f).isDefined)
+          .flatMap(f => Seq(removeAction(f, stamp), addAction(s, f, stamp, dvOf(f))))
       val header =
         if (k == firstLive)
-          Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-            metaDataAction(s, root, k))
+          Seq(protocolJson, metaDataAction(s, root, k))
         else if (schemaKey(k) != schemaKey(k - 1)) Seq(metaDataAction(s, root, k))
         else Seq.empty
       // an INTERMEDIATE version with pending MoR deletes renders its
@@ -163,7 +216,8 @@ object DeltaInterop {
       logFile = new Path(logDir, "%020d.json".format(k - 1))
       val out = fs.create(logFile, true)
       try out.write(
-        ((mor ++ header ++ adds ++ removes).mkString("\n") + "\n").getBytes("UTF-8"))
+        ((mor ++ header ++ adds ++ removes ++ dvUpdates).mkString("\n") + "\n")
+          .getBytes("UTF-8"))
       finally out.close()
       prevFiles = files
     }
@@ -180,7 +234,7 @@ object DeltaInterop {
         case _ => ()
       }
     }
-    writeCheckpoint(s, root, v, logDir)
+    writeCheckpoint(s, root, v, logDir, dvByFile)
     logFile
   }
 
@@ -193,7 +247,8 @@ object DeltaInterop {
     * time travel — Delta's own answer to 100k-commit log replay.
     */
   private def writeCheckpoint(
-      s: SparkSession, root: String, v: Int, logDir: Path): Unit = {
+      s: SparkSession, root: String, v: Int, logDir: Path,
+      dvByFile: Map[String, Seq[Long]] = Map.empty): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val conf = s.sparkContext.hadoopConfiguration
@@ -203,7 +258,9 @@ object DeltaInterop {
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -218,15 +275,28 @@ object DeltaInterop {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
-    val protoRow = Row(Row(1, 2), null, null)
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
+    val protoRow =
+      if (dvByFile.nonEmpty)
+        Row(Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors")), null, null)
+      else Row(Row(1, 2, null, null), null, null)
     val metaRow = Row(null, Row("graft-delta-export", Row("parquet",
       Map.empty[String, String]), stamped.json, Seq.empty[String], cfg, stamp), null)
     val addRows = SnapshotTable.dataFiles(s, root, v).map { f =>
       val p = new Path(f)
       val size = p.getFileSystem(conf).getFileStatus(p).getLen
+      val dvRow = dvByFile.get(SnapshotTable.canon(s, f)).map { pos =>
+        val payload = DeletionVectors.serialize(pos)
+        Row("i", DeletionVectors.base85Encode(payload),
+          payload.length, pos.size.toLong)
+      }.orNull
       Row(null, null,
-        Row(p.toUri.toString, Map.empty[String, String], size, stamp, true))
+        Row(p.toUri.toString, Map.empty[String, String], size, stamp, true, dvRow))
     }
     val rows = protoRow +: metaRow +: addRows
     // Spark writes a directory; the checkpoint is ONE parquet file —
@@ -249,14 +319,54 @@ object DeltaInterop {
     finally out.close()
   }
 
+  /** Reader features this importer actually implements. Foreign logs
+    * requiring anything else (deletion vectors, v2 checkpoints, …)
+    * are refused loudly rather than silently mis-read.
+    */
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "timestampNtz", "deletionVectors")
+
+  /** Known Delta action types a zero-copy metadata import may SKIP:
+    * commitInfo is informational, txn is app-level idempotence, cdc
+    * is change-data files (not table data), domainMetadata is
+    * engine-scoped. Anything outside this set AND outside the handled
+    * set (add/remove/metaData/protocol) is logged loudly and skipped.
+    */
+  private val SkippableActions =
+    Set("commitInfo", "txn", "cdc", "domainMetadata")
+
   /** Parse a foreign `_delta_log` (every committed JSON version, in
     * order) down to the live file set + schema. Returns
     * (live add paths, schema, column mapping logical→physical).
-    * Relative add/remove paths resolve against `tableDir`, absolute
-    * URIs pass through — both are legal Delta.
+    * Real-writer log shapes are handled: relative add/remove paths
+    * resolve against `tableDir` (absolute URIs pass through — both
+    * are legal Delta), `commitInfo`/`txn`/`cdc` actions are skipped,
+    * UNKNOWN actions are skipped with a loud log line, `protocol`
+    * actions are CHECKED (reader version ≤ 2, or version 3 with
+    * readerFeatures we implement — an unsupported feature refuses the
+    * import instead of silently resurrecting/losing rows), and
+    * multi-part checkpoints (`_last_checkpoint` with `parts`) are
+    * assembled from all their part files.
     */
   def readLog(s: SparkSession, tableDir: String)
       : (Seq[String], StructType, Map[String, String]) = {
+    val (adds, schema, mapping) = readLogState(s, tableDir)
+    val masked = adds.filter(_._2.nonEmpty)
+    require(masked.isEmpty,
+      s"$tableDir carries deletion vectors on ${masked.size} file(s); a " +
+        "plain-file read would resurrect the deleted rows — consume " +
+        "readLogState (per-file deleted positions) or fold the source " +
+        "with compactDeletes and re-export")
+    (adds.map(_._1), schema, mapping)
+  }
+
+  /** [[readLog]] plus per-file DELETION VECTORS: each live add paired
+    * with its deleted row indexes (empty when unmasked). Inline DVs
+    * (storageType "i") are decoded; file-based DV storage ("u"/"p")
+    * is refused loudly rather than mis-read.
+    */
+  def readLogState(s: SparkSession, tableDir: String)
+      : (Seq[(String, Seq[Long])], StructType, Map[String, String]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val logDir = new Path(s"$tableDir/_delta_log")
@@ -266,37 +376,106 @@ object DeltaInterop {
     def str(v: JValue): Option[String] = v match {
       case JString(x) => Some(x); case _ => None
     }
+    def num(v: JValue): Option[Long] = v match {
+      case JInt(n) => Some(n.longValue); case JLong(n) => Some(n); case _ => None
+    }
+    // Delta's add.path is "relative to the table root, or an absolute
+    // URI" — and writers in the wild also emit scheme-less absolute
+    // filesystem paths, which URI.isAbsolute calls relative. Anything
+    // rooted ('/...') or schemed passes through.
     def resolve(p: String): String =
-      if (java.net.URI.create(p).isAbsolute) p else s"$tableDir/$p"
+      if (p.startsWith("/") || java.net.URI.create(p).isAbsolute) p
+      else s"$tableDir/$p"
+    def checkProtocol(j: JValue): Unit = num(j \ "minReaderVersion").foreach { v =>
+      if (v > 2) {
+        val feats = (j \ "readerFeatures") match {
+          case JArray(xs) => xs.flatMap(str)
+          case _ => Nil
+        }
+        val unsupported = feats.filterNot(SupportedReaderFeatures)
+        require(v == 3 && unsupported.isEmpty,
+          s"$tableDir requires Delta reader version $v with features " +
+            s"${feats.mkString("[", ",", "]")}; unsupported here: " +
+            s"${unsupported.mkString(",")} — refusing a silently-wrong import")
+      }
+    }
     // a _last_checkpoint pointer short-circuits the replay: state
     // bootstraps from the checkpoint parquet, and only JSON commits
     // NEWER than it replay on top — real Delta readers never walk a
     // 100k-commit chain
     val lcPath = new Path(logDir, "_last_checkpoint")
-    val ckptVersion: Option[Long] =
-      if (!fs.exists(lcPath)) None
+    val (ckptVersion, ckptParts): (Option[Long], Option[Int]) =
+      if (!fs.exists(lcPath)) (None, None)
       else {
         val in = fs.open(lcPath)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        JsonMethods.parse(txt) \ "version" match {
-          case JInt(n) => Some(n.longValue)
-          case JLong(n) => Some(n)
-          case _ => None
-        }
+        val j = JsonMethods.parse(txt)
+        (num(j \ "version"), num(j \ "parts").map(_.toInt))
       }
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    // live file -> deleted row indexes (empty = unmasked)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     var schemaString: Option[String] = None
+    def decodeDv(storageType: String, pathOrInline: String,
+        sizeInBytes: Int): Seq[Long] = {
+      require(storageType == "i",
+        s"$tableDir uses deletion-vector storageType '$storageType'; only " +
+          "inline DVs are supported here — refusing a silently-wrong import")
+      DeletionVectors.deserialize(
+        DeletionVectors.base85Decode(pathOrInline, sizeInBytes))
+    }
     ckptVersion.foreach { cv =>
-      val ckpt = new Path(logDir, "%020d.checkpoint.parquet".format(cv))
-      require(fs.exists(ckpt), s"_last_checkpoint names a missing $ckpt")
-      s.read.parquet(ckpt.toString).collect().foreach { r =>
-        val addIdx = r.fieldIndex("add")
-        if (!r.isNullAt(addIdx))
-          live += resolve(r.getStruct(addIdx).getAs[String]("path"))
-        val metaIdx = r.fieldIndex("metaData")
-        if (!r.isNullAt(metaIdx))
-          schemaString = Some(r.getStruct(metaIdx).getAs[String]("schemaString"))
+      // single-file (%020d.checkpoint.parquet) or multi-part
+      // (%020d.checkpoint.%010d.%010d.parquet, parts recorded in
+      // _last_checkpoint) — real writers emit both shapes
+      val ckptFiles: Seq[Path] = ckptParts match {
+        case Some(p) =>
+          (1 to p).map(i => new Path(logDir,
+            "%020d.checkpoint.%010d.%010d.parquet".format(cv, i, p)))
+        case None =>
+          Seq(new Path(logDir, "%020d.checkpoint.parquet".format(cv)))
+      }
+      ckptFiles.foreach(f =>
+        require(fs.exists(f), s"_last_checkpoint names a missing $f"))
+      val df = s.read.parquet(ckptFiles.map(_.toString): _*)
+      val names = df.schema.fieldNames.toSet
+      df.collect().foreach { r =>
+        if (names("add") && !r.isNullAt(r.fieldIndex("add"))) {
+          val a = r.getStruct(r.fieldIndex("add"))
+          val dv =
+            if (a.schema.fieldNames.contains("deletionVector") &&
+                !a.isNullAt(a.fieldIndex("deletionVector"))) {
+              val d = a.getStruct(a.fieldIndex("deletionVector"))
+              decodeDv(d.getAs[String]("storageType"),
+                d.getAs[String]("pathOrInlineDv"), d.getAs[Int]("sizeInBytes"))
+            } else Seq.empty[Long]
+          live.put(resolve(a.getAs[String]("path")), dv); ()
+        }
+        if (names("remove") && !r.isNullAt(r.fieldIndex("remove"))) {
+          live.remove(
+            resolve(r.getStruct(r.fieldIndex("remove")).getAs[String]("path")))
+          ()
+        }
+        if (names("metaData") && !r.isNullAt(r.fieldIndex("metaData")))
+          schemaString = Some(
+            r.getStruct(r.fieldIndex("metaData")).getAs[String]("schemaString"))
+        if (names("protocol") && !r.isNullAt(r.fieldIndex("protocol"))) {
+          val p = r.getStruct(r.fieldIndex("protocol"))
+          def intOf(n: String): Int =
+            if (p.schema.fieldNames.contains(n) && !p.isNullAt(p.fieldIndex(n)))
+              p.getInt(p.fieldIndex(n)) else 1
+          val rv = intOf("minReaderVersion")
+          val feats: Seq[String] =
+            if (p.schema.fieldNames.contains("readerFeatures") &&
+                !p.isNullAt(p.fieldIndex("readerFeatures")))
+              p.getSeq[String](p.fieldIndex("readerFeatures"))
+            else Nil
+          val unsupported = feats.filterNot(SupportedReaderFeatures)
+          require(rv <= 2 || (rv == 3 && unsupported.isEmpty),
+            s"$tableDir checkpoint requires Delta reader version $rv with " +
+              s"features ${feats.mkString("[", ",", "]")}; unsupported here: " +
+              s"${unsupported.mkString(",")} — refusing a silently-wrong import")
+        }
       }
     }
     val logFiles = fs.listStatus(logDir).map(_.getPath).collect {
@@ -307,6 +486,7 @@ object DeltaInterop {
       s"empty _delta_log under $tableDir")
     // replay the (post-checkpoint) log: adds accumulate, removes
     // tombstone, last metaData wins — Delta's state reconstruction
+    val warned = scala.collection.mutable.Set.empty[String]
     logFiles.foreach { lf =>
       val in = fs.open(lf)
       val lines =
@@ -315,9 +495,29 @@ object DeltaInterop {
         finally in.close()
       lines.foreach { line =>
         val j = JsonMethods.parse(line)
-        str(j \ "add" \ "path").foreach(p => live += resolve(p))
-        str(j \ "remove" \ "path").foreach(p => live -= resolve(p))
+        str(j \ "add" \ "path").foreach { p =>
+          val dv = (str(j \ "add" \ "deletionVector" \ "storageType"),
+            str(j \ "add" \ "deletionVector" \ "pathOrInlineDv"),
+            num(j \ "add" \ "deletionVector" \ "sizeInBytes")) match {
+            case (Some(st), Some(body), Some(sz)) => decodeDv(st, body, sz.toInt)
+            case _ => Seq.empty[Long]
+          }
+          live.put(resolve(p), dv); ()
+        }
+        str(j \ "remove" \ "path").foreach(p => { live.remove(resolve(p)); () })
         str(j \ "metaData" \ "schemaString").foreach(x => schemaString = Some(x))
+        checkProtocol(j \ "protocol")
+        j match { // loud skip for action types this importer ignores
+          case JObject(fields) => fields.map(_._1)
+            .filterNot(Set("add", "remove", "metaData", "protocol"))
+            .filterNot(SkippableActions)
+            .foreach { a =>
+              if (warned.add(a))
+                System.err.println(s"[graft-delta-import] skipping unknown " +
+                  s"Delta action '$a' in ${lf.getName} (and any later ones)")
+            }
+          case _ =>
+        }
       }
     }
     val schema = schemaString match {
