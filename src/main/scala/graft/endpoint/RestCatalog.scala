@@ -195,10 +195,17 @@ object RestCatalog {
               name <- jfieldAll(txt, "wh_name").headOption
               db <- jfieldAll(txt, "wh_db").headOption
               reg <- jfieldAll(txt, "wh_registry").headOption
-            } {
-              scala.util.Try(PersistentCatalog.restore(spark, reg))
-              val profile = jobjBlock(txt, "storage-profile").getOrElse("")
-              map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
+            } scala.util.Try(PersistentCatalog.restore(spark, reg)) match {
+              case scala.util.Success(_) =>
+                val profile = jobjBlock(txt, "storage-profile").getOrElse("")
+                map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
+                ()
+              case scala.util.Failure(e) =>
+                // a silently-mounted broken warehouse serves confusing
+                // empty listings with no operator-visible cause — skip
+                // it LOUDLY instead (r17 review finding)
+                System.err.println(s"[graft-rest] warehouse $name failed to " +
+                  s"restore from $reg: $e — not mounted")
             }
           }
     }
@@ -1065,7 +1072,14 @@ object RestCatalog {
             }
             if (SnapshotTable.branches(spark, loc).contains(rname))
               SnapshotTable.moveBranch(spark, loc, rname, v)
-            else SnapshotTable.createBranch(spark, loc, rname, v)
+            else
+              // same cross-process window as tags: a racing creator
+              // past the contains() check loses as a wire 409
+              try SnapshotTable.createBranch(spark, loc, rname, v)
+              catch {
+                case e: IllegalStateException =>
+                  err(ex, 409, e.getMessage); return
+              }
           }
         }
         val (metaLocation, metadata) = icebergMetadata(name, loc, cur)

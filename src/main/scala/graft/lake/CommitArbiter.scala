@@ -82,6 +82,14 @@ object CommitArbiter {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+           | _: java.io.IOException =>
+        // scheme 'file' but no hardlink support (exFAT/SMB/FUSE
+        // mounts): fall back to the pre-hardening exists+rename pair —
+        // same-JVM writers stay serialized by the caller's dst lock,
+        // and crashing every commit would be strictly worse than the
+        // narrow cross-process window (r17 review finding)
+        !fs.exists(dst) && fs.rename(tmp, dst)
     }
   }
 }

@@ -73,7 +73,7 @@ object DeltaInterop {
   /** The add action's deletionVector descriptor (inline storage):
     * (descriptor JSON fragment, payload length, cardinality).
     */
-  private[lake] def dvDescriptor(positions: Seq[Long]): String = {
+  private[graft] def dvDescriptor(positions: Seq[Long]): String = {
     val payload = DeletionVectors.serialize(positions)
     s""","deletionVector":{"storageType":"i","pathOrInlineDv":"${
       esc(DeletionVectors.base85Encode(payload))}","sizeInBytes":${
@@ -451,11 +451,13 @@ object DeltaInterop {
             } else Seq.empty[Long]
           live.put(resolve(a.getAs[String]("path")), dv); ()
         }
-        if (names("remove") && !r.isNullAt(r.fieldIndex("remove"))) {
-          live.remove(
-            resolve(r.getStruct(r.fieldIndex("remove")).getAs[String]("path")))
-          ()
-        }
+        // checkpoint REMOVE rows are vacuum tombstones, NOT live-state
+        // negations: Delta's replay keys actions by (path, dvUniqueId),
+        // so a DV update leaves BOTH a live add(F, dv) and a retained
+        // remove(F, no-dv) tombstone in the checkpoint, in unspecified
+        // row order — applying the tombstone here would silently drop
+        // the live file (r17 review finding). The live set is exactly
+        // the add rows.
         if (names("metaData") && !r.isNullAt(r.fieldIndex("metaData")))
           schemaString = Some(
             r.getStruct(r.fieldIndex("metaData")).getAs[String]("schemaString"))
@@ -493,18 +495,30 @@ object DeltaInterop {
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.nonEmpty).toList
         finally in.close()
+      def dvOf(action: JValue): Seq[Long] =
+        (str(action \ "deletionVector" \ "storageType"),
+          str(action \ "deletionVector" \ "pathOrInlineDv"),
+          num(action \ "deletionVector" \ "sizeInBytes")) match {
+          case (Some(st), Some(body), Some(sz)) => decodeDv(st, body, sz.toInt)
+          case _ => Seq.empty[Long]
+        }
       lines.foreach { line =>
         val j = JsonMethods.parse(line)
         str(j \ "add" \ "path").foreach { p =>
-          val dv = (str(j \ "add" \ "deletionVector" \ "storageType"),
-            str(j \ "add" \ "deletionVector" \ "pathOrInlineDv"),
-            num(j \ "add" \ "deletionVector" \ "sizeInBytes")) match {
-            case (Some(st), Some(body), Some(sz)) => decodeDv(st, body, sz.toInt)
-            case _ => Seq.empty[Long]
-          }
-          live.put(resolve(p), dv); ()
+          live.put(resolve(p), dvOf(j \ "add")); ()
         }
-        str(j \ "remove" \ "path").foreach(p => { live.remove(resolve(p)); () })
+        // Delta replay keys actions by (path, dvUniqueId) with no
+        // defined intra-commit ordering: a DV update is remove(F,
+        // old-dv) + add(F, new-dv) in EITHER line order, and the
+        // remove must only drop the incarnation it names — matching
+        // by path alone would delete the just-re-added file when the
+        // remove line lands second (r17 review finding). We compare
+        // the decoded position sets as the dv identity.
+        str(j \ "remove" \ "path").foreach { p =>
+          val rp = resolve(p)
+          val removedDv = dvOf(j \ "remove")
+          if (live.get(rp).exists(_ == removedDv)) { live.remove(rp); () }
+        }
         str(j \ "metaData" \ "schemaString").foreach(x => schemaString = Some(x))
         checkProtocol(j \ "protocol")
         j match { // loud skip for action types this importer ignores

@@ -143,6 +143,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ----- load (incl. SQL time travel) -------------------------------
 
   override def loadTable(ident: Identifier): Table = {
+    // inject the stats-forwarding rule HERE, at table RESOLUTION
+    // (analysis) — the optimizer snapshots its batch list (including
+    // experimental extraOptimizations) when execute() starts, so an
+    // injection from newScanBuilder (which runs inside the pushdown
+    // batch) cannot reach the query currently being optimized; a
+    // fresh session's FIRST lake query would plan without forwarded
+    // statistics and miss auto-broadcast (r17 review finding)
+    GraftCatalog.ensureStatsRule(spark)
     val root = rootOf(ident)
     if (!existsAt(root)) throw new NoSuchTableException(ident)
     new GraftTable(fullName(ident), root, -1, deleteMode)
@@ -150,6 +158,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `VERSION AS OF <n>` — the analyzer hands the version string here. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    GraftCatalog.ensureStatsRule(spark) // see loadTable(ident)
     val root = rootOf(ident)
     if (!existsAt(root)) throw new NoSuchTableException(ident)
     val v = try version.trim.toInt catch {
@@ -166,6 +175,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * header binary search (commit stamps are strictly monotonic).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    GraftCatalog.ensureStatsRule(spark) // see loadTable(ident)
     val root = rootOf(ident)
     if (!existsAt(root)) throw new NoSuchTableException(ident)
     val v = SnapshotTable.versionAt(spark, root, timestamp / 1000L)
@@ -438,11 +448,10 @@ private[graft] class GraftTable(
       "current_version" -> SnapshotTable.currentVersion(spark, root).toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // re-ensure the stats-forwarding rule against the session actually
-    // QUERYING, not only the one active at catalog initialize(): in
-    // multi-session deployments (Thrift server, newSession()) those can
-    // differ, and a session missing the rule silently loses lake-dim
-    // auto-broadcast (plan regression, not wrong results)
+    // safety net only: by scan-build time the optimizer has already
+    // snapshotted its batch list, so this injection reaches the
+    // session's LATER queries, not the current one — the per-query
+    // injection point is loadTable (resolution/analysis time)
     GraftCatalog.ensureStatsRule(spark)
     new GraftScanBuilder(root, version, schema)
   }

@@ -244,6 +244,35 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.readLog(spark, dir2)
     }
     assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    // DV-update in the ADVERSARIAL intra-commit order (add(F, dv) line
+    // BEFORE remove(F, no-dv)): Delta keys replay by (path, dv
+    // identity), so the remove names the OLD incarnation and must not
+    // drop the just-re-added file (r17 review finding)
+    val dir4 = "/tmp/graft_test/delta_foreign_dvorder"
+    fs.delete(new Path(dir4), true)
+    fs.mkdirs(new Path(s"$dir4/_delta_log"))
+    val fAbs = oneFile(Seq((10L, "x"), (11L, "y"), (12L, "z")),
+      s"$dir4/data/f.parquet")
+    def writeJson4(v: Int, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(s"$dir4/_delta_log/" + "%020d.json".format(v)), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    writeJson4(0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"${esc(fAbs)}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    writeJson4(1, Seq(
+      s"""{"add":{"path":"${esc(fAbs)}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true${DeltaInterop.dvDescriptor(Seq(0L))}}}""",
+      s"""{"remove":{"path":"${esc(fAbs)}","deletionTimestamp":2,"dataChange":true}}"""))
+    val (adds4, _, _) = DeltaInterop.readLogState(spark, dir4)
+    assert(adds4.map(a => (new Path(a._1).getName, a._2)) === Seq("f.parquet" -> Seq(0L)),
+      s"the remove must not drop the DV-re-added file: $adds4")
+    // and a FULL remove (naming the current dv identity) still removes
+    writeJson4(2, Seq(
+      s"""{"remove":{"path":"${esc(fAbs)}","deletionTimestamp":3,"dataChange":true${DeltaInterop.dvDescriptor(Seq(0L))}}}"""))
+    val (adds5, _, _) = DeltaInterop.readLogState(spark, dir4)
+    assert(adds5.isEmpty, s"a dv-matched remove must drop the file: $adds5")
   }
 
   test("re-export of an OLDER version truncates stale newer commits") {
