@@ -1340,10 +1340,13 @@ object RestCatalog {
     client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
   }
 
-  def delete(port: Int, path: String): (Int, String) = {
-    val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"http://localhost:$port$path")).DELETE().build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+  def delete(port: Int, path: String,
+      headers: Seq[(String, String)] = Nil): (Int, String) = {
+    val b = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://localhost:$port$path")).DELETE()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
 

@@ -379,6 +379,21 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // a fabricated token is still rejected
       assert(RestCatalog.get(aport, "/v1/tables",
         Seq("Authorization" -> "Bearer not-a-token"))._1 == 401)
+      // the management API is gated exactly like the catalog routes
+      // (Lakekeeper secures both behind the same auth)
+      assert(RestCatalog.get(aport, "/management/v1/warehouse")._1 == 401)
+      assert(RestCatalog.post(aport, "/management/v1/warehouse",
+        """{"warehouse-name":"w","storage-profile":{"type":"file"}}""")._1 == 401)
+      val bearer = Seq("Authorization" -> s"Bearer $access")
+      val (cWh, _) = RestCatalog.post(aport, "/management/v1/warehouse",
+        """{"warehouse-name":"auth_wh","storage-profile":{"type":"file"}}""", bearer)
+      assert(cWh == 201)
+      // …and so are the warehouse-PREFIXED catalog routes
+      assert(RestCatalog.get(aport, "/v1/auth_wh/tables")._1 == 401)
+      assert(RestCatalog.get(aport, "/v1/auth_wh/tables", bearer)._1 == 200)
+      assert(RestCatalog.delete(aport, "/management/v1/warehouse/auth_wh")._1 == 401)
+      assert(RestCatalog.delete(aport,
+        "/management/v1/warehouse/auth_wh", bearer)._1 == 200)
     } finally RestCatalog.stop(authRoot)
   }
 
