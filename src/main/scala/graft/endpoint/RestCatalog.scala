@@ -262,7 +262,14 @@ object RestCatalog {
       val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
         s""""wh_registry":${jstr(reg)},"storage-profile":{$profile}}"""
       fs.mkdirs(whDir)
-      val out = fs.create(new Path(whDir, s"$name.json"), false)
+      // create-no-overwrite is the cross-PROCESS arbiter: a racing
+      // creator on another server instance loses here as a 409 too
+      val out =
+        try fs.create(new Path(whDir, s"$name.json"), false)
+        catch {
+          case _: java.io.IOException =>
+            return Left(409 -> s"warehouse $name already exists")
+        }
       try out.write(rendered.getBytes(UTF_8)) finally out.close()
       map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
       Right(name)
