@@ -191,21 +191,30 @@ object RestCatalog {
           .filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { p =>
             val in = fs.open(p)
             val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-            for {
-              name <- jfieldAll(txt, "wh_name").headOption
-              db <- jfieldAll(txt, "wh_db").headOption
-              reg <- jfieldAll(txt, "wh_registry").headOption
-            } scala.util.Try(PersistentCatalog.restore(spark, reg)) match {
-              case scala.util.Success(_) =>
-                val profile = jobjBlock(txt, "storage-profile").getOrElse("")
-                map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
-                ()
-              case scala.util.Failure(e) =>
-                // a silently-mounted broken warehouse serves confusing
-                // empty listings with no operator-visible cause — skip
-                // it LOUDLY instead (r17 review finding)
-                System.err.println(s"[graft-rest] warehouse $name failed to " +
-                  s"restore from $reg: $e — not mounted")
+            (jfieldAll(txt, "wh_name").headOption,
+              jfieldAll(txt, "wh_db").headOption,
+              jfieldAll(txt, "wh_registry").headOption) match {
+              case (Some(name), Some(db), Some(reg)) =>
+                scala.util.Try(PersistentCatalog.restore(spark, reg)) match {
+                  case scala.util.Success(_) =>
+                    val profile = jobjBlock(txt, "storage-profile").getOrElse("")
+                    map.put(name,
+                      (profile, new CatalogHandler(spark, reg, db, auth)))
+                    ()
+                  case scala.util.Failure(e) =>
+                    // a silently-mounted broken warehouse serves
+                    // confusing empty listings with no operator-visible
+                    // cause — skip it LOUDLY instead (r17 review)
+                    System.err.println(s"[graft-rest] warehouse $name failed " +
+                      s"to restore from $reg: $e — not mounted")
+                }
+              case _ =>
+                // a crash between the name-reserving exclusive create
+                // and the body write leaves a truncated file: the name
+                // is CAS-wedged, so the operator must hear about it
+                System.err.println(s"[graft-rest] unparseable warehouse " +
+                  s"file $p (missing identity fields) — not mounted; " +
+                  "delete it to free the name")
             }
           }
     }
@@ -254,23 +263,36 @@ object RestCatalog {
       if (map.asScala.values.exists(_._2.database == db))
         return Left(409 -> (s"warehouse database $db already taken " +
           "(names differing only in -/_ collide)"))
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       val reg = s"$rootRegistry/_warehouses/$name/registry"
-      PersistentCatalog.save(spark, reg, db)
       // persist: identity + profile only. storage-credential is
       // deliberately NOT written (secrets never touch the store)
       val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
         s""""wh_registry":${jstr(reg)},"storage-profile":{$profile}}"""
       fs.mkdirs(whDir)
-      // create-no-overwrite is the cross-PROCESS arbiter: a racing
-      // creator on another server instance loses here as a 409 too
+      // create-no-overwrite is the cross-PROCESS arbiter, and it must
+      // be won BEFORE any side effect: a duplicate create that first
+      // re-saved the registry would wipe the WINNING warehouse's
+      // registry head (its tables would vanish from listings and the
+      // emptiness-checked DELETE would then reclaim live data) before
+      // losing the race with a 409 (r17 review finding)
+      val jsonPath = new Path(whDir, s"$name.json")
       val out =
-        try fs.create(new Path(whDir, s"$name.json"), false)
+        try fs.create(jsonPath, false)
         catch {
           case _: java.io.IOException =>
             return Left(409 -> s"warehouse $name already exists")
         }
-      try out.write(rendered.getBytes(UTF_8)) finally out.close()
+      var provisioned = false
+      try {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        PersistentCatalog.save(spark, reg, db)
+        out.write(rendered.getBytes(UTF_8))
+        provisioned = true
+      } finally {
+        try out.close() catch { case _: Throwable => () }
+        // don't wedge the name on a half-provisioned warehouse
+        if (!provisioned) { fs.delete(jsonPath, false); () }
+      }
       map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
       Right(name)
     }
@@ -630,28 +652,25 @@ object RestCatalog {
         case kv if kv.startsWith("warehouse=") =>
           java.net.URLDecoder.decode(kv.stripPrefix("warehouse="), "UTF-8")
       }
-      wanted match {
+      // resolve (prefix override, database, registry) once, render once
+      // — a config field added in only one branch would silently
+      // diverge the warehouse-mounted and root responses
+      val (prefixOpt, database, registry) = wanted match {
         case Some(w) =>
           whStore.flatMap(_.handlerFor(w)) match {
-            case Some(h) => send(ex, 200, jobj(
-              "defaults" -> jobj("warehouse" -> jstr(h.registry)),
-              "overrides" -> jobj("prefix" -> jstr(w)),
-              "catalog" -> jstr("graft"),
-              "database" -> jstr(h.database),
-              "registry" -> jstr(h.registry),
-              "registry_version" ->
-                SnapshotTable.currentVersion(spark, h.registry).toString))
-            case None => err(ex, 404, s"unknown warehouse: $w")
+            case Some(h) => (Some(w), h.database, h.registry)
+            case None => err(ex, 404, s"unknown warehouse: $w"); return
           }
-        case None => send(ex, 200, jobj(
-          "defaults" -> jobj("warehouse" -> jstr(registryRoot)),
-          "overrides" -> jobj(),
-          "catalog" -> jstr("graft"),
-          "database" -> jstr(db),
-          "registry" -> jstr(registryRoot),
-          "registry_version" ->
-            SnapshotTable.currentVersion(spark, registryRoot).toString))
+        case None => (None, db, registryRoot)
       }
+      send(ex, 200, jobj(
+        "defaults" -> jobj("warehouse" -> jstr(registry)),
+        "overrides" -> prefixOpt.fold(jobj())(w => jobj("prefix" -> jstr(w))),
+        "catalog" -> jstr("graft"),
+        "database" -> jstr(database),
+        "registry" -> jstr(registry),
+        "registry_version" ->
+          SnapshotTable.currentVersion(spark, registry).toString))
     }
 
     private def withTable(ex: HttpExchange, name: String)(
@@ -1255,9 +1274,14 @@ object RestCatalog {
           actions.contains("remove-properties")
         // set-snapshot-ref WITH add-snapshot is the standard rider
         // (graft's main always tracks the latest commit); STANDALONE
-        // ref actions are wire-side tag/branch management
-        val hasRef = !hasSnap && (actions.contains("set-snapshot-ref") ||
-          actions.contains("remove-snapshot-ref"))
+        // ref actions are wire-side tag/branch management.
+        // remove-snapshot-ref is a ref action UNCONDITIONALLY: riding
+        // it with add-snapshot would pass the allowed-actions gate and
+        // then be silently ignored by the snapshot path — a 200 whose
+        // ref still exists (r17 review finding); the category check
+        // below turns that mix into the documented 400.
+        val hasRef = actions.contains("remove-snapshot-ref") ||
+          (!hasSnap && actions.contains("set-snapshot-ref"))
         if (Seq(hasSnap, hasSchema, hasProps, hasRef).count(identity) > 1) {
           err(ex, 400, "snapshot, schema, property, and ref updates must be " +
             "separate commits (documented delta)"); return
@@ -1430,17 +1454,19 @@ object RestCatalog {
     }
   }
 
-  /** The body of `"key": { … }` (first occurrence) with brace
-    * NESTING and quoted strings respected — a `}` inside a value or a
-    * nested object cannot truncate the block the way a greedy-stop
-    * regex would. Returns the content between the outer braces; None
-    * when the key is absent or its value is not an object.
+  /** The body of `"key": <open>…<close>` (first occurrence) with
+    * delimiter NESTING and quoted strings respected — a closer inside
+    * a value or a nested block cannot truncate the block the way a
+    * greedy-stop regex would. Shared scanner of [[jobjBlock]] (braces)
+    * and [[jarrBlock]] (brackets): one escaping/nesting implementation
+    * so the two parsers can never diverge.
     */
-  private[graft] def jobjBlock(body: String, key: String): Option[String] = {
-    val open = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*\\{").r
-    open.findFirstMatchIn(body).flatMap { m =>
-      val start = m.end // first char after the opening brace
+  private def jBlock(body: String, key: String,
+      open: Char, close: Char): Option[String] = {
+    val head = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\" + open).r
+    head.findFirstMatchIn(body).flatMap { m =>
+      val start = m.end // first char after the opening delimiter
       var i = start
       var depth = 1
       var inStr = false
@@ -1449,11 +1475,10 @@ object RestCatalog {
         if (inStr) {
           if (c == '\\') i += 1 // skip the escaped char
           else if (c == '"') inStr = false
-        } else c match {
-          case '"' => inStr = true
-          case '{' => depth += 1
-          case '}' => depth -= 1
-          case _ =>
+        } else {
+          if (c == '"') inStr = true
+          else if (c == open) depth += 1
+          else if (c == close) depth -= 1
         }
         i += 1
       }
@@ -1461,36 +1486,18 @@ object RestCatalog {
     }
   }
 
-  /** The body of `"key": [ … ]` (first occurrence) with bracket
-    * NESTING and quoted strings respected — the array analogue of
-    * [[jobjBlock]], for update arrays whose elements are objects
-    * (jstrArray only yields string elements). Returns the content
-    * between the outer brackets; None when absent or not an array.
+  /** The content of `"key": { … }` — see [[jBlock]]. None when the
+    * key is absent or its value is not an object.
     */
-  private[graft] def jarrBlock(body: String, key: String): Option[String] = {
-    val open = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*\\[").r
-    open.findFirstMatchIn(body).flatMap { m =>
-      val start = m.end
-      var i = start
-      var depth = 1
-      var inStr = false
-      while (i < body.length && depth > 0) {
-        val c = body.charAt(i)
-        if (inStr) {
-          if (c == '\\') i += 1
-          else if (c == '"') inStr = false
-        } else c match {
-          case '"' => inStr = true
-          case '[' => depth += 1
-          case ']' => depth -= 1
-          case _ =>
-        }
-        i += 1
-      }
-      if (depth == 0) Some(body.substring(start, i - 1)) else None
-    }
-  }
+  private[graft] def jobjBlock(body: String, key: String): Option[String] =
+    jBlock(body, key, '{', '}')
+
+  /** The content of `"key": [ … ]` — the array analogue of
+    * [[jobjBlock]], for update arrays whose elements are objects
+    * (jstrArray only yields string elements). See [[jBlock]].
+    */
+  private[graft] def jarrBlock(body: String, key: String): Option[String] =
+    jBlock(body, key, '[', ']')
 
   private[graft] def jlong(body: String, key: String): Option[Long] = {
     // the lookahead rejects fractional values rather than silently

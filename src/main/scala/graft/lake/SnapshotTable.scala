@@ -2869,7 +2869,16 @@ object SnapshotTable {
     val fs = fsOf(s, p)
     if (fs.exists(p))
       throw new IllegalStateException(s"branch $name already exists on $root")
-    writeRef(fs, p, s"v$from", overwrite = false)
+    // a racing creator past the exists() check surfaces as the FS's
+    // FileAlreadyExistsException — normalize to the same signal the
+    // non-raced path throws, exactly like tag() (wire callers map
+    // IllegalStateException to the retryable 409)
+    try writeRef(fs, p, s"v$from", overwrite = false)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException
+           | _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"branch $name already exists on $root")
+    }
   }
 
   /** Manifest stem the branch ref points at (`v3` or `<name>.v2`). */

@@ -921,6 +921,13 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       """{"updates":[{"action":"set-snapshot-ref","ref-name":"x","type":"tag","snapshot-id":1},
         |{"action":"set-properties","updates":{"k":"v"}}]}""".stripMargin)
     assert(c15 == 400 && r15.contains("separate commits"), r15)
+    // …and remove-snapshot-ref may not RIDE an add-snapshot either —
+    // it would pass the allowed-actions gate and then be silently
+    // ignored by the snapshot path: a 200 whose ref still exists
+    val (c16, r16) = RestCatalog.post(port, base,
+      """{"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["/nope.parquet"]}},
+        |{"action":"remove-snapshot-ref","ref-name":"rel"}]}""".stripMargin)
+    assert(c16 == 400 && r16.contains("separate commits"), r16)
     val (cD2, _) = RestCatalog.delete(port, "/v1/tables/rest_spec_refs")
     assert(cD2 == 200)
   }
