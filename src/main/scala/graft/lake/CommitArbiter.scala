@@ -60,7 +60,7 @@ object CommitArbiter {
     * local FS to model object stores (graftnar://, graftshift://)
     * must keep their modeled semantics.
     */
-  private[lake] def isPosixLocal(fs: FileSystem): Boolean =
+  private[graft] def isPosixLocal(fs: FileSystem): Boolean =
     fs.getUri.getScheme == "file" // getUri, not getScheme: the latter
     // throws UnsupportedOperationException on FS impls that don't
     // override it (RawLocalFileSystem subclasses included)
@@ -76,12 +76,15 @@ object CommitArbiter {
     val src = Paths.get(tmp.toUri.getPath)
     val d = Paths.get(dst.toUri.getPath)
     Files.createDirectories(d.getParent)
-    try {
-      Files.createLink(d, src)
-      fs.delete(tmp, false)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+    // the catch is scoped to createLink ALONE: once the link has
+    // published dst this call has won, and a failure in the tmp
+    // cleanup below must not fall into the exists+rename fallback —
+    // which would see dst present, return false, and report a
+    // concurrent commit for a commit that actually landed (the retry
+    // would then append the same rows again at the next version)
+    try Files.createLink(d, src)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => return false
       case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
            | _: java.io.IOException =>
         // scheme 'file' but no hardlink support (exFAT/SMB/FUSE
@@ -89,8 +92,12 @@ object CommitArbiter {
         // same-JVM writers stay serialized by the caller's dst lock,
         // and crashing every commit would be strictly worse than the
         // narrow cross-process window (r17 review finding)
-        !fs.exists(dst) && fs.rename(tmp, dst)
+        return !fs.exists(dst) && fs.rename(tmp, dst)
     }
+    // best-effort: the tmp link is garbage once dst exists, and
+    // aborted-write maintenance reclaims anything a crash leaves
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    true
   }
 }
 

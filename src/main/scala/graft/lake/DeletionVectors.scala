@@ -56,6 +56,14 @@ object DeletionVectors {
     val magic = buf.getInt()
     require(magic == Magic, s"not a RoaringBitmapArray payload (magic $magic)")
     val n = buf.getLong()
+    // the count rides UNTRUSTED payloads (DeltaInterop.readLogState
+    // decodes inline DVs from foreign _delta_log content): bound it by
+    // what the remaining buffer could plausibly hold — each serialized
+    // bitmap is at least one byte — so a corrupt or hostile count
+    // refuses loudly instead of looping 2^63 empty-bitmap allocations
+    require(n >= 0 && n <= bytes.length,
+      s"not a RoaringBitmapArray payload (bitmap count $n " +
+        s"exceeds ${bytes.length}-byte payload)")
     (0L until n).flatMap { k =>
       val rb = new RoaringBitmap()
       // RoaringBitmap.deserialize(ByteBuffer) is documented not to
