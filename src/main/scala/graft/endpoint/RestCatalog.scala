@@ -269,31 +269,58 @@ object RestCatalog {
       val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
         s""""wh_registry":${jstr(reg)},"storage-profile":{$profile}}"""
       fs.mkdirs(whDir)
-      // create-no-overwrite is the cross-PROCESS arbiter, and it must
-      // be won BEFORE any side effect: a duplicate create that first
+      // name reservation is the cross-PROCESS arbiter, and it must be
+      // won BEFORE any side effect: a duplicate create that first
       // re-saved the registry would wipe the WINNING warehouse's
       // registry head (its tables would vanish from listings and the
       // emptiness-checked DELETE would then reclaim live data) before
-      // losing the race with a 409 (r17 review finding)
+      // losing the race with a 409 (r17 review finding). On POSIX-local
+      // stores the reservation is the kernel's O_EXCL create — the same
+      // primitive CommitArbiter.linkCas rides — because Hadoop's
+      // create(path, overwrite=false) is an exists-then-create PAIR
+      // with exactly the cross-process window the comment above warns
+      // about (r17 ADVICE).
       val jsonPath = new Path(whDir, s"$name.json")
-      val out =
-        try fs.create(jsonPath, false)
-        catch {
-          case _: java.io.IOException =>
-            return Left(409 -> s"warehouse $name already exists")
-        }
+      def reservePair(): Boolean =
+        try { fs.create(jsonPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      val won =
+        if (graft.lake.CommitArbiter.isPosixLocal(fs)) {
+          import java.nio.file.{Files, Paths}
+          try { Files.createFile(Paths.get(jsonPath.toUri.getPath)); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              reservePair() // no O_EXCL support: documented narrow window
+          }
+        } else reservePair()
+      if (!won) return Left(409 -> s"warehouse $name already exists")
       var provisioned = false
       try {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         PersistentCatalog.save(spark, reg, db)
-        out.write(rendered.getBytes(UTF_8))
+        // overwrite OUR zero-byte reservation with the identity record
+        val out = fs.create(jsonPath, true)
+        try out.write(rendered.getBytes(UTF_8)) finally out.close()
         provisioned = true
       } finally {
-        try out.close() catch { case _: Throwable => () }
         // don't wedge the name on a half-provisioned warehouse
         if (!provisioned) { fs.delete(jsonPath, false); () }
       }
-      map.put(name, (profile, new CatalogHandler(spark, reg, db, auth)))
+      val handler = new CatalogHandler(spark, reg, db, auth)
+      // modeled STS (iceberg.properties:32 vended-credentials-enabled;
+      // create-yfinance-warehouse.json sts-enabled): when the profile
+      // opts in AND a storage credential rode the provisioning body,
+      // hold it in MEMORY ONLY — it switches loadTable vending on; the
+      // secret itself is never persisted or served (the rendered
+      // record above deliberately excludes it)
+      if (jbool(profile, "sts-enabled").contains(true))
+        jobjBlock(body, "storage-credential").foreach { cred =>
+          handler.stsCredential = Some(cred)
+          jlong(profile, "sts-token-ttl-seconds").foreach(ttl =>
+            handler.stsTtlMs = ttl * 1000)
+        }
+      map.put(name, (profile, handler))
       Right(name)
     }
 
@@ -301,12 +328,23 @@ object RestCatalog {
     def drop(name: String): Either[(Int, String), String] = synchronized {
       val (_, h) = Option(map.get(name)).getOrElse(
         return Left(404 -> s"no warehouse $name"))
-      if (SnapshotTable.read(spark, h.registry).count() > 0)
-        return Left(409 -> s"warehouse $name still lists tables; drop them first")
-      fs.delete(new Path(whDir, s"$name.json"), false)
-      fs.delete(new Path(s"$rootRegistry/_warehouses/$name"), true)
-      map.remove(name)
-      Right(name)
+      // emptiness is judged UNDER the handler's DDL lock: table create
+      // on this warehouse serializes on the same lock, so a POST
+      // …/tables can no longer land between the registry count and the
+      // recursive delete and lose its registry (r17 ADVICE). Lock order
+      // is store → handler only; handler routes never call back into
+      // the store, so no inversion is possible.
+      h.ddlLock.synchronized {
+        if (SnapshotTable.read(spark, h.registry).count() > 0)
+          return Left(409 -> s"warehouse $name still lists tables; drop them first")
+        fs.delete(new Path(whDir, s"$name.json"), false)
+        fs.delete(new Path(s"$rootRegistry/_warehouses/$name"), true)
+        // the warehouse's engine-side database must not outlive it:
+        // a re-created warehouse of the same name starts empty
+        spark.sql(s"DROP DATABASE IF EXISTS ${h.database} CASCADE")
+        map.remove(name)
+        Right(name)
+      }
     }
   }
 
@@ -320,14 +358,214 @@ object RestCatalog {
     private[endpoint] def registry: String = registryRoot
 
     // serializes DDL (POST/DELETE): session-catalog registration and
-    // the registry commit must publish as one logical step
-    private val ddlLock = new Object
+    // the registry commit must publish as one logical step. Visible to
+    // WarehouseStore so drop can judge emptiness under the same lock.
+    private[endpoint] val ddlLock = new Object
+
+    /** The requirement OBJECT of `tpe` within a requirements block —
+      * commit handlers must read ref/snapshot-id/uuid from the
+      * matching requirement itself, never first-match across the
+      * whole array (see [[RestCatalog.jobjElements]]).
+      */
+    private def reqOf(reqBlock: String, tpe: String): Option[String] =
+      jobjElements(reqBlock)
+        .find(b => jfieldAll(b, "type").headOption.contains(tpe))
 
     // bearer tokens issued by /v1/oauth/tokens → expiry instant (ms).
     // Bounded by issuance rate; expired entries are reaped on check.
     private val tokens =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     private val tokenTtlMs = 3600L * 1000
+
+    // ----- vended storage credentials (modeled STS) -----------------
+    // The reference enables credential vending end-to-end:
+    // iceberg.properties:32 `vended-credentials-enabled=true`,
+    // create-yfinance-warehouse.json `sts-enabled: true` — Lakekeeper
+    // mints short-lived scoped storage credentials per table into
+    // LoadTableResult. Here the warehouse's storage credential lives
+    // ONLY in memory (set at provisioning; never persisted, never
+    // served back): its presence switches vending on, and each
+    // loadTable mints a fresh scoped token. The vended session token
+    // doubles as a SCOPED bearer (GET/HEAD on exactly its table's
+    // load/credentials routes) with expiry enforced server-side — the
+    // enforceable analog of STS scoping when storage is served by this
+    // same process. A restarted server serves the warehouse but vends
+    // nothing until re-provisioned (documented delta: Lakekeeper
+    // persists credentials encrypted).
+    @volatile private[endpoint] var stsCredential: Option[String] = None
+    @volatile private[endpoint] var stsTtlMs: Long = 3600L * 1000
+    // vended token -> (table name, expiry ms); reaped on touch
+    private val vendedTokens =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+    /** Mint one scoped credential for `name`/`loc`: returns the
+      * LoadTableResult `config` object body and the
+      * `storage-credentials` array (Iceberg REST LoadCredentials
+      * wire shape).
+      */
+    private def vendFor(name: String, loc: String): (String, String) = {
+      val now = System.currentTimeMillis()
+      vendedTokens.entrySet().removeIf(e => e.getValue._2 < now)
+      val tok = "sts-" + java.util.UUID.randomUUID().toString
+      val exp = now + stsTtlMs
+      vendedTokens.put(tok, (name, exp))
+      val cfg = s"""{"graft.vended-token":${jstr(tok)}}"""
+      val creds = s"""[{"prefix":${jstr(loc)},"config":{""" +
+        s""""s3.access-key-id":${jstr("GRAFTSTS" + tok.takeRight(8))},""" +
+        s""""s3.secret-access-key":${jstr(java.util.UUID.randomUUID().toString)},""" +
+        s""""s3.session-token":${jstr(tok)},""" +
+        s""""s3.session-token-expires-at-ms":"$exp"}}]"""
+      (cfg, creds)
+    }
+
+    // ----- nested namespaces ----------------------------------------
+    // The reference mounts the catalog with
+    // `iceberg.nested-namespace-enabled=true` (iceberg.properties:31);
+    // the Iceberg REST spec addresses multi-level namespaces by
+    // joining levels with the %1F unit separator. Each nested
+    // namespace beneath this handler's root namespace [db] is served
+    // by its OWN CatalogHandler — database `<db>__<levels…>`, registry
+    // under `<registryRoot>_ns/<levels…>/registry` — so the ENTIRE
+    // table surface (create/load/commit/maintain/drop) works beneath
+    // it unchanged: nested table routes are delegated with the ns
+    // segment rewritten to the sub-handler's database. Flat clients
+    // are unaffected (a %1F-free ns never reaches the delegation).
+    // Durability: sub-registries restore on handler construction, like
+    // warehouses.
+    private val nested =
+      new java.util.concurrent.ConcurrentHashMap[String, CatalogHandler]()
+    private def nsRoot = s"${registryRoot}_ns"
+    private def dbOfTail(tail: Seq[String]): String = (db +: tail).mkString("__")
+    private val NsSep = '\u001F'
+
+    locally { // restore nested namespaces (server restart)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val base = new Path(nsRoot)
+      val nfs = base.getFileSystem(hconf)
+      def walk(dir: Path, tail: Vector[String]): Unit =
+        if (tail.size < 5 && nfs.exists(dir))
+          nfs.listStatus(dir).filter(_.isDirectory)
+            .filterNot(_.getPath.getName == "registry").foreach { st =>
+              val t = tail :+ st.getPath.getName
+              val reg = new Path(st.getPath, "registry")
+              if (nfs.exists(reg)) {
+                val ndb = dbOfTail(t)
+                scala.util.Try {
+                  spark.sql(s"CREATE DATABASE IF NOT EXISTS $ndb")
+                  PersistentCatalog.restore(spark, reg.toString)
+                } match {
+                  case scala.util.Success(_) =>
+                    nested.put(t.mkString(NsSep.toString),
+                      new CatalogHandler(spark, reg.toString, ndb, auth))
+                    ()
+                  case scala.util.Failure(e) =>
+                    // same policy as broken warehouses: skip LOUDLY
+                    System.err.println(s"[graft-rest] nested namespace " +
+                      s"${(db +: t).mkString(".")} failed to restore from " +
+                      s"$reg: $e — not mounted")
+                }
+              }
+              walk(st.getPath, t)
+            }
+      walk(base, Vector.empty)
+    }
+
+    /** The sub-handler serving nested namespace `ns` (a %1F-joined
+      * path whose first level must be this handler's root namespace).
+      */
+    private def nestedOf(ns: String): Option[CatalogHandler] = {
+      val levels = ns.split(NsSep).toSeq
+      if (levels.headOption.contains(db) && levels.size > 1)
+        Option(nested.get(levels.drop(1).mkString(NsSep.toString)))
+      else None
+    }
+
+    private def createNamespace(ex: HttpExchange, body: String): Unit = {
+      val levels = jstrArray(body, "namespace")
+      if (levels.isEmpty) {
+        err(ex, 400, "namespace must be a non-empty array"); return
+      }
+      if (!levels.headOption.contains(db) || levels.size < 2) {
+        err(ex, 400, s"nested namespaces live beneath [$db] " +
+          s"(got ${levels.mkString(".")})"); return
+      }
+      val tail = levels.drop(1)
+      tail.find(p => !p.matches("[A-Za-z0-9_]+") || p.contains("__")) match {
+        case Some(bad) =>
+          err(ex, 400, s"invalid namespace level '$bad' " +
+            "(levels are [A-Za-z0-9_]+ and must not contain '__')")
+          return
+        case None =>
+      }
+      val key = tail.mkString(NsSep.toString)
+      ddlLock.synchronized {
+        if (nested.containsKey(key)) {
+          err(ex, 409, s"namespace ${levels.mkString(".")} already exists")
+          return
+        }
+        if (tail.size > 1 &&
+            !nested.containsKey(tail.dropRight(1).mkString(NsSep.toString))) {
+          err(ex, 404, s"parent namespace ${levels.dropRight(1).mkString(".")} " +
+            "does not exist"); return
+        }
+        val ndb = dbOfTail(tail)
+        val reg = s"$nsRoot/${tail.mkString("/")}/registry"
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $ndb")
+        PersistentCatalog.save(spark, reg, ndb)
+        nested.put(key, new CatalogHandler(spark, reg, ndb, auth))
+      }
+      send(ex, 200,
+        s"""{"namespace":[${levels.map(jstr).mkString(",")}],"properties":{}}""")
+    }
+
+    private def dropNested(ex: HttpExchange, ns: String): Unit = {
+      val levels = ns.split(NsSep).toSeq
+      val tail = levels.drop(1)
+      val key = tail.mkString(NsSep.toString)
+      ddlLock.synchronized {
+        val h = nestedOf(ns).getOrElse {
+          err(ex, 404, s"unknown namespace: ${levels.mkString(".")}"); return
+        }
+        h.ddlLock.synchronized {
+          // same guarantees as warehouse drop: emptiness judged under
+          // the sub-handler's DDL lock; the engine database goes too
+          if (SnapshotTable.read(spark, h.registry).count() > 0) {
+            err(ex, 409, s"namespace ${levels.mkString(".")} still lists " +
+              "tables; drop them first"); return
+          }
+          import scala.jdk.CollectionConverters._
+          if (nested.keySet.asScala.exists(k =>
+              k != key && k.startsWith(key + NsSep))) {
+            err(ex, 409, s"namespace ${levels.mkString(".")} has child " +
+              "namespaces; drop them first"); return
+          }
+          val p = new Path(s"$nsRoot/${tail.mkString("/")}")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          spark.sql(s"DROP DATABASE IF EXISTS ${h.database} CASCADE")
+          nested.remove(key)
+          send(ex, 200, s"""{"dropped":[${levels.map(jstr).mkString(",")}]}""")
+        }
+      }
+    }
+
+    /** Whether `tok` is a live vended credential whose scope covers
+      * this request: GET/HEAD on exactly its table's LoadTableResult
+      * or credentials-refresh route. Everything else stays 401.
+      */
+    private[endpoint] def vendedOk(method: String, segs: List[String],
+        tok: String): Boolean = {
+      val now = System.currentTimeMillis()
+      vendedTokens.entrySet().removeIf(e => e.getValue._2 < now)
+      Option(vendedTokens.get(tok)).exists { case (table, _) =>
+        (method == "GET" || method == "HEAD") && (segs match {
+          case List("v1", "namespaces", ns, "tables", t) =>
+            ns == db && t == table
+          case List("v1", "namespaces", ns, "tables", t, "credentials") =>
+            ns == db && t == table
+          case _ => false
+        })
+      }
+    }
 
     private def bearerOk(ex: HttpExchange): Boolean = {
       val now = System.currentTimeMillis()
@@ -380,7 +618,7 @@ object RestCatalog {
       // /management and warehouse-prefixed routes are gated like the
       // rest — Lakekeeper secures its management API the same way.
       if (auth.isDefined && path != "/v1/config" && path != "/v1/oauth/tokens"
-          && !bearerOk(ex)) {
+          && !bearerOk(ex) && !vendedReqOk(ex, method, path)) {
         ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
         err(ex, 401, "missing or invalid bearer token")
         return
@@ -396,6 +634,23 @@ object RestCatalog {
         case segs => dispatch(ex, method, segs, path)
       }
     }
+
+    /** A vended storage credential doubling as a SCOPED bearer: the
+      * holder may GET exactly its table's LoadTableResult or refresh
+      * its credentials — on the owning handler (warehouse-prefixed
+      * paths resolve to that warehouse's handler) — nothing else.
+      */
+    private def vendedReqOk(ex: HttpExchange, method: String,
+        path: String): Boolean =
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+        .exists { tok =>
+          path.split("/").drop(1).toList match {
+            case "v1" :: p :: rest if whStore.exists(_.handlerFor(p).isDefined) =>
+              whStore.get.handlerFor(p).get.vendedOk(method, "v1" :: rest, tok)
+            case segs => vendedOk(method, segs, tok)
+          }
+        }
 
     /** Lakekeeper-shaped management API: warehouse CRUD
       * (RUNBOOK.md §4; create-yfinance-warehouse.json is the documented
@@ -466,7 +721,44 @@ object RestCatalog {
           configFor(ex)
 
         case ("GET", List("v1", "namespaces")) =>
-          send(ex, 200, s"""{"namespaces":[[${jstr(db)}]]}""")
+          // root namespace first, then nested ones as full-level arrays
+          val all = Seq(Seq(db)) ++ {
+            import scala.jdk.CollectionConverters._
+            nested.keySet.asScala.toSeq.sorted
+              .map(k => db +: k.split(NsSep).toSeq)
+          }
+          send(ex, 200, s"""{"namespaces":[${all.map(ns =>
+            ns.map(jstr).mkString("[", ",", "]")).mkString(",")}]}""")
+
+        case ("POST", List("v1", "namespaces")) =>
+          // Iceberg CreateNamespace: {"namespace":["<db>","sub",…]}
+          createNamespace(ex,
+            new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+        case ("GET", List("v1", "namespaces", ns))
+            if ns.indexOf(NsSep.toInt) >= 0 =>
+          nestedOf(ns) match {
+            case Some(_) => send(ex, 200, s"""{"namespace":[${ns.split(NsSep)
+              .map(jstr).mkString(",")}],"properties":{}}""")
+            case None =>
+              err(ex, 404, s"unknown namespace: ${ns.split(NsSep).mkString(".")}")
+          }
+
+        case ("DELETE", List("v1", "namespaces", ns))
+            if ns.indexOf(NsSep.toInt) >= 0 =>
+          dropNested(ex, ns)
+
+        // every other route beneath a NESTED namespace delegates to
+        // its sub-handler with the ns segment rewritten to the
+        // sub-database — the full table surface, unchanged
+        case (m, "v1" :: "namespaces" :: ns :: rest)
+            if ns.indexOf(NsSep.toInt) >= 0 =>
+          nestedOf(ns) match {
+            case Some(h) =>
+              h.dispatch(ex, m, "v1" :: "namespaces" :: h.database :: rest, path)
+            case None =>
+              err(ex, 404, s"unknown namespace: ${ns.split(NsSep).mkString(".")}")
+          }
 
         // ----- Iceberg-REST-shaped routes (public OpenAPI spelling:
         // ListTablesResponse / LoadTableResult). The graft-native
@@ -483,6 +775,10 @@ object RestCatalog {
 
         case ("GET", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
           loadTableResult(ex, name)
+
+        case ("GET", List("v1", "namespaces", ns, "tables", name, "credentials"))
+            if ns == db =>
+          loadCredentials(ex, name)
 
         case ("POST", List("v1", "namespaces", ns, "tables")) if ns == db =>
           createTableIceberg(ex)
@@ -713,8 +1009,32 @@ object RestCatalog {
         if (v == 0) err(ex, 404, s"$name is not a snapshot table")
         else {
           val (metaLocation, metadata) = icebergMetadata(name, loc, v)
+          // sts-enabled warehouses vend a fresh scoped credential with
+          // every load (Lakekeeper's vended-credentials-enabled flow)
+          val (cfg, credsField) = stsCredential match {
+            case Some(_) =>
+              val (c, sc) = vendFor(name, loc)
+              (c, s""","storage-credentials":$sc""")
+            case None => ("{}", "")
+          }
           send(ex, 200,
-            s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata,"config":{}}""")
+            s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata,"config":$cfg$credsField}""")
+        }
+      }
+
+    /** Iceberg REST loadCredentials: re-vend (refresh) the scoped
+      * storage credential for one table — the route a data-plane
+      * holder polls as its vended token nears expiry.
+      */
+    private def loadCredentials(ex: HttpExchange, name: String): Unit =
+      withTable(ex, name) { case (_, _, _, loc) =>
+        stsCredential match {
+          case None => err(ex, 404,
+            "credential vending is not enabled for this catalog " +
+              "(provision the warehouse with sts-enabled + a storage-credential)")
+          case Some(_) =>
+            val (_, sc) = vendFor(name, loc)
+            send(ex, 200, s"""{"storage-credentials":$sc}""")
         }
       }
 
@@ -773,14 +1093,15 @@ object RestCatalog {
       }
       def widens(from: String, to: String): Boolean =
         SnapshotTable.isWidening(from, to)
-      if (reqTypes.contains("assert-table-uuid") &&
-          !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+      if (!reqOf(reqBlock, "assert-table-uuid")
+            .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
         err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
       }
       ddlLock.synchronized {
         val cur = SnapshotTable.currentVersion(spark, loc)
-        val wanted = jlong(reqBlock, "snapshot-id")
-        if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
+        val refReq = reqOf(reqBlock, "assert-ref-snapshot-id")
+        val wanted = refReq.flatMap(jlong(_, "snapshot-id"))
+        if (refReq.isDefined && !wanted.contains(cur.toLong)) {
           err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
             wanted.fold("")(w => s", not $w"))
           return
@@ -949,14 +1270,15 @@ object RestCatalog {
         err(ex, 400, "set-properties needs a non-empty updates object " +
           "(or remove-properties a removals array)"); return
       }
-      if (reqTypes.contains("assert-table-uuid") &&
-          !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+      if (!reqOf(reqBlock, "assert-table-uuid")
+            .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
         err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
       }
       ddlLock.synchronized {
         val cur = SnapshotTable.currentVersion(spark, loc)
-        val wanted = jlong(reqBlock, "snapshot-id")
-        if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
+        val refReq = reqOf(reqBlock, "assert-ref-snapshot-id")
+        val wanted = refReq.flatMap(jlong(_, "snapshot-id"))
+        if (refReq.isDefined && !wanted.contains(cur.toLong)) {
           err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
             wanted.fold("")(w => s", not $w"))
           return
@@ -1014,8 +1336,8 @@ object RestCatalog {
       val rname = jfieldAll(updBlock, "ref-name").headOption.getOrElse {
         err(ex, 400, s"${refActions.head} needs a ref-name"); return
       }
-      if (reqTypes.contains("assert-table-uuid") &&
-          !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+      if (!reqOf(reqBlock, "assert-table-uuid")
+            .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
         err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
       }
       ddlLock.synchronized {
@@ -1030,18 +1352,25 @@ object RestCatalog {
             .orElse(SnapshotTable.branches(spark, loc).get(n).collect {
               case stem if stem.matches("v\\d+") => stem.drop(1).toLong
             })
-        if (reqTypes.contains("assert-ref-snapshot-id")) {
-          val reqRef = jfieldAll(reqBlock, "ref").headOption.getOrElse("main")
-          val wanted = jlong(reqBlock, "snapshot-id")
-          (refVersion(reqRef), wanted) match {
-            case (Some(have), Some(w)) if have == w => // holds
-            case (None, None) => // asserted absent, is absent
-            case (have, _) =>
-              err(ex, 409, s"requirement failed: ref $reqRef " +
-                have.fold("does not exist")(h => s"snapshot-id is $h") +
-                wanted.fold(" (asserted absent)")(w => s", not $w"))
-              return
-          }
+        reqOf(reqBlock, "assert-ref-snapshot-id") match {
+          case Some(rb) =>
+            // ref and snapshot-id come from the assertion's OWN object:
+            // with several requirements in the array (assert-table-uuid
+            // carrying a snapshot-id, a second ref assertion), a
+            // whole-block scan could validate against the wrong
+            // requirement's values (r17 ADVICE)
+            val reqRef = jfieldAll(rb, "ref").headOption.getOrElse("main")
+            val wanted = jlong(rb, "snapshot-id")
+            (refVersion(reqRef), wanted) match {
+              case (Some(have), Some(w)) if have == w => // holds
+              case (None, None) => // asserted absent, is absent
+              case (have, _) =>
+                err(ex, 409, s"requirement failed: ref $reqRef " +
+                  have.fold("does not exist")(h => s"snapshot-id is $h") +
+                  wanted.fold(" (asserted absent)")(w => s", not $w"))
+                return
+            }
+          case None =>
         }
         val isRemove = refActions.head == "remove-snapshot-ref"
         if (rname == "main") {
@@ -1308,8 +1637,8 @@ object RestCatalog {
             err(ex, 400, s"added data file does not exist: $missing"); return
           case None =>
         }
-        if (reqTypes.contains("assert-table-uuid") &&
-            !jfieldAll(reqBlock, "uuid").forall(_ == tableUuid(loc))) {
+        if (!reqOf(reqBlock, "assert-table-uuid")
+              .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
           err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
         }
         // the commit itself: serialized with DDL so a registry restore
@@ -1318,8 +1647,9 @@ object RestCatalog {
         // publishes through writeManifestAtomic)
         ddlLock.synchronized {
           val cur = SnapshotTable.currentVersion(spark, loc)
-          val wanted = jlong(reqBlock, "snapshot-id")
-          if (reqTypes.contains("assert-ref-snapshot-id") && !wanted.contains(cur.toLong)) {
+          val refReq = reqOf(reqBlock, "assert-ref-snapshot-id")
+          val wanted = refReq.flatMap(jlong(_, "snapshot-id"))
+          if (refReq.isDefined && !wanted.contains(cur.toLong)) {
             err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
               wanted.fold("")(w => s", not $w"))
             return
@@ -1498,6 +1828,41 @@ object RestCatalog {
     */
   private[graft] def jarrBlock(body: String, key: String): Option[String] =
     jBlock(body, key, '[', ']')
+
+  /** Top-level OBJECT elements of a JSON array body (the text between
+    * [[jarrBlock]]'s brackets), string- and nesting-aware like
+    * [[jBlock]]. Lets requirement checks read fields from THEIR OWN
+    * requirement object instead of first-match-anywhere across the
+    * whole block (r17 ADVICE: a second requirement carrying its own
+    * snapshot-id must not satisfy — or fail — an unrelated
+    * assert-ref-snapshot-id check).
+    */
+  private[graft] def jobjElements(arrBody: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < arrBody.length) {
+      if (arrBody.charAt(i) == '{') {
+        val start = i + 1
+        var depth = 1
+        var inStr = false
+        i += 1
+        while (i < arrBody.length && depth > 0) {
+          val c = arrBody.charAt(i)
+          if (inStr) {
+            if (c == '\\') i += 1 // skip the escaped char
+            else if (c == '"') inStr = false
+          } else {
+            if (c == '"') inStr = true
+            else if (c == '{') depth += 1
+            else if (c == '}') depth -= 1
+          }
+          i += 1
+        }
+        if (depth == 0) out += arrBody.substring(start, i - 1)
+      } else i += 1
+    }
+    out.toSeq
+  }
 
   private[graft] def jlong(body: String, key: String): Option[Long] = {
     // the lookahead rejects fractional values rather than silently
@@ -1872,9 +2237,84 @@ object RestCatalog {
        |ORDER BY warehouse, event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: the REST-MOUNTED READ side — the reference's
+    * central loop, where an engine mounts the catalog OVER THE WIRE
+    * and resolves every table, ref and snapshot pointer from
+    * LoadTableResult JSON, never from a local registry (Trino mounting
+    * Lakekeeper: etc/catalog/iceberg.properties:28-31
+    * `iceberg.catalog.type=rest` + `warehouse=yfinance`). A SECOND
+    * SparkSession — fresh session state: no graft database, no
+    * registry path, nothing but the server URI — is configured with
+    * [[graft.sources.RestBackedCatalog]] and reads (a) the table HEAD
+    * and (b) `VERSION AS OF 'audit_v1'`, a tag resolved purely from
+    * the served `refs` block. The emitted union aggregates both reads,
+    * so the oracle hash proves the wire-resolved head AND the
+    * wire-resolved tag serve content-exact snapshots. The airtight
+    * twin is RestMountCrossProcessSpec: a forked JVM with no
+    * engine-side state at all runs the same loop. Scale: resolution is
+    * one GET per load; the data mount is a zero-copy manifest walk
+    * cached per immutable (table-uuid, snapshot, stamp) — data files
+    * are referenced by path, exactly how the reference's engines read
+    * MinIO objects the catalog points them at.
+    */
+  def restMount(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_mount/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tableRoot = s"$base/events_mount"
+    SnapshotTable.drop(s, tableRoot)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    SnapshotTable.commit(s, tableRoot, events.filter(col("event_id") % 3 === 0))
+    SnapshotTable.tag(s, tableRoot, "audit_v1", 1)
+    SnapshotTable.commitAppend(s, tableRoot,
+      events.filter(col("event_id") % 3 === 1))
+    Catalog.register(s, dir)
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    val (rc, _) = post(port, "/v1/tables",
+      s"""{"name":"events_mount","format":"graft-snapshot","location":${jstr(tableRoot)}}""")
+    require(rc == 201, s"register events_mount -> $rc")
+    // the second engine: a fresh session whose ONLY knowledge is the
+    // server URI — resolution must come from the wire or fail
+    val s2 = s.newSession()
+    val cat = "restmnt"
+    s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.RestBackedCatalog")
+    s2.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+    s2.conf.set(s"spark.sql.catalog.$cat.mount-root", s"$base/mounts")
+    def agg(df: DataFrame, label: String): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("at_ref", lit(label))
+    val head = agg(s2.table(s"$cat.${Catalog.DB}.events_mount"), "head")
+    val tagged = agg(s2.sql(
+      s"SELECT * FROM $cat.${Catalog.DB}.events_mount VERSION AS OF 'audit_v1'"),
+      "tag_audit_v1")
+    val out = head.unionByName(tagged)
+      .select("at_ref", "event_type", "n", "total_value")
+      .orderBy("at_ref", "event_type")
+    val (dc, dr) = delete(port, "/v1/tables/events_mount")
+    require(dc == 200, s"cleanup DELETE events_mount -> $dc: $dr")
+    out
+  }
+
+  val restMountOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT 'head' AS at_ref, event_type, COUNT(*) AS n,
+       |${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 3 IN (0, 1) GROUP BY event_type
+       |UNION ALL
+       |SELECT 'tag_audit_v1' AS at_ref, event_type, COUNT(*) AS n,
+       |${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+       |ORDER BY at_ref, event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
     graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
     graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)),
     graft.Q("catalog_rest_refs", restRefs, Some(restRefsOracle)),
+    graft.Q("catalog_rest_mount", restMount, Some(restMountOracle)),
     graft.Q("catalog_warehouses", restWarehouses, Some(restWarehousesOracle)))
 }

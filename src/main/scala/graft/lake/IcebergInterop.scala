@@ -462,7 +462,19 @@ object IcebergInterop {
     * (positional by path+pos; equality scoped by sequence number).
     * Returns the new table version (1 for a fresh destination).
     */
-  def importChain(s: SparkSession, metadataPath: String, destRoot: String): Int = {
+  def importChain(s: SparkSession, metadataPath: String, destRoot: String): Int =
+    importChain(s, metadataPath, destRoot, -1L)
+
+  /** [[importChain]] at a CHOSEN snapshot: `snapshotId >= 0` mounts
+    * that listed snapshot (its manifest-list, read under its OWN
+    * schema-id — a pre-evolution snapshot must import with THAT
+    * snapshot's shape) instead of `current-snapshot-id`. This is how a
+    * wire-mounted reader serves `FOR VERSION AS OF <tag>`: resolve the
+    * ref to a snapshot-id in the served metadata JSON, then mount that
+    * immutable snapshot zero-copy ([[graft.sources.RestBackedCatalog]]).
+    */
+  def importChain(s: SparkSession, metadataPath: String, destRoot: String,
+      snapshotId: Long): Int = {
     val c = conf(s)
     val mp = new Path(metadataPath)
     val mfs = mp.getFileSystem(c)
@@ -487,11 +499,19 @@ object IcebergInterop {
       v match { case JArray(xs) => xs; case _ => Nil }
     def req[A](m: Option[A], what: String): A =
       m.getOrElse(throw new IllegalArgumentException(s"metadata.json has no $what"))
-    val cur = req(jnum(metaDoc \ "current-snapshot-id"), "current-snapshot-id")
-    val listPath = req(jarr(metaDoc \ "snapshots")
-      .find(o => jnum(o \ "snapshot-id").contains(cur))
-      .flatMap(o => jstring(o \ "manifest-list")), s"manifest-list for snapshot $cur")
-    val schemaId = req(jnum(metaDoc \ "current-schema-id"), "current-schema-id")
+    val cur =
+      if (snapshotId >= 0) snapshotId
+      else req(jnum(metaDoc \ "current-snapshot-id"), "current-snapshot-id")
+    val snapObj = req(jarr(metaDoc \ "snapshots")
+      .find(o => jnum(o \ "snapshot-id").contains(cur)),
+      s"snapshot $cur in the snapshots list")
+    val listPath = req(jstring(snapObj \ "manifest-list"),
+      s"manifest-list for snapshot $cur")
+    // the snapshot's own schema-id when stamped (per-snapshot schema
+    // binding), else the file's current-schema-id (writers that stamp
+    // none share one schema for every snapshot)
+    val schemaId = jnum(snapObj \ "schema-id").getOrElse(
+      req(jnum(metaDoc \ "current-schema-id"), "current-schema-id"))
     val schemaObj = req(jarr(metaDoc \ "schemas")
       .find(o => jnum(o \ "schema-id").contains(schemaId)), s"schema $schemaId")
     val schemaFields: Seq[(Int, String, String)] = jarr(schemaObj \ "fields").map { f =>

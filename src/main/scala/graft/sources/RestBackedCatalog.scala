@@ -1,0 +1,320 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{IcebergInterop, SnapshotTable}
+
+/** A [[TableCatalog]] that resolves tables, refs and snapshot pointers
+  * ENTIRELY over the wire catalog ([[graft.endpoint.RestCatalog]]) —
+  * the read half of the reference's central mounting loop, where every
+  * engine mounts the catalog service over HTTP and reads data files by
+  * path from shared storage (Trino mounting Lakekeeper:
+  * /root/reference/etc/catalog/iceberg.properties:28-31
+  * `iceberg.catalog.type=rest`, `warehouse=yfinance`;
+  * docker-compose.yaml `lakekeeper`). A session configured with ONLY a
+  * server URI — no registry path, no engine-side table registration —
+  * resolves names through `GET /v1/[{prefix}/]namespaces/…`, loads the
+  * Iceberg-shaped `LoadTableResult`, and scans the parquet files the
+  * served metadata chain references:
+  *
+  * {{{
+  *   spark.sql.catalog.restmnt            = graft.sources.RestBackedCatalog
+  *   spark.sql.catalog.restmnt.uri        = http://127.0.0.1:8181
+  *   spark.sql.catalog.restmnt.warehouse  = yfinance        // optional {prefix}
+  *   spark.sql.catalog.restmnt.credential = client:secret   // OAuth2, optional
+  *
+  *   SELECT * FROM restmnt.graft.events
+  *   SELECT * FROM restmnt.graft.events VERSION AS OF 'audit_v1'  -- wire ref
+  *   SELECT * FROM restmnt.graft.events TIMESTAMP AS OF '2024-06-01'
+  * }}}
+  *
+  * Resolution is wire-first on EVERY load (a fresh GET observes the
+  * current snapshot pointer — commits by other writers are visible at
+  * the next query, Iceberg's freshness contract); the DATA mount is a
+  * zero-copy [[IcebergInterop.importChain]] of the served
+  * `metadata-location` into an engine-private scratch root, cached per
+  * (table-uuid, snapshot-id, commit-stamp) — snapshots are immutable,
+  * so a cache hit can never serve stale content, and the mount itself
+  * is metadata-priced (one Avro manifest-list + manifests walk; data,
+  * positional-delete and equality-delete parquet are referenced, never
+  * copied). The scan then rides the engine's full lake read path —
+  * partition/stats/bloom skipping, MoR delete application, manifest
+  * statistics for auto-broadcast — exactly like a locally-mounted
+  * table.
+  *
+  * Refs: `VERSION AS OF '<name>'` resolves tags/branches from the
+  * served metadata's `refs` block (what [[graft.endpoint.RestCatalog]]
+  * exports per ref change); `VERSION AS OF <n>` addresses a snapshot
+  * id directly; `TIMESTAMP AS OF` resolves through `snapshot-log`.
+  * All resolution happens from the LoadTableResult JSON alone — the
+  * second-client loop the reference's notebook runs against Trino.
+  *
+  * READ-ONLY by design: every table is served at a pinned snapshot, so
+  * the engine's write/delete surfaces refuse it; writes belong to the
+  * wire commit route (`POST /v1/namespaces/{ns}/tables/{t}`, the
+  * catalog_rest_commit loop) or to an engine session that owns the
+  * table. OAuth: a static `token` option, or `credential=id:secret`
+  * minted through `POST /v1/oauth/tokens` (re-minted once on a 401 —
+  * tokens expire server-side).
+  */
+class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft_rest"
+  private var uri: String = _
+  private var prefix: String = "" // "<warehouse>/" when mounting one
+  private var mountRoot: String = _
+  private var tokenOpt: Option[String] = None
+  private var credential: Option[(String, String)] = None
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    uri = Option(options.get("uri")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.uri is required (http://host:port)"))
+    prefix = Option(options.get("warehouse")).fold("")(w => s"$w/")
+    tokenOpt = Option(options.get("token"))
+    credential = Option(options.get("credential")).map { c =>
+      c.split(":", 2) match {
+        case Array(id, secret) => (id, secret)
+        case _ => throw new IllegalArgumentException(
+          s"spark.sql.catalog.$name.credential must be client-id:secret")
+      }
+    }
+    // engine-private scratch for zero-copy mounts; keyed by server so
+    // two catalogs against two servers can never collide
+    mountRoot = Option(options.get("mount-root")).getOrElse {
+      val key = Integer.toHexString((uri + "/" + prefix).hashCode)
+      s"${sys.props("java.io.tmpdir")}/graft_rest_mounts/$key"
+    }
+    GraftCatalog.ensureStatsRule(spark) // see GraftCatalog.initialize
+  }
+
+  override def name(): String = catalogName
+
+  // ----- wire client -------------------------------------------------
+
+  private val httpClient = java.net.http.HttpClient.newHttpClient()
+  @volatile private var minted: Option[String] = None
+
+  private def mintToken(): String = {
+    val (id, secret) = credential.getOrElse(throw new IllegalStateException(
+      s"catalog $catalogName got a 401 and has no token/credential configured"))
+    val form = s"grant_type=client_credentials&client_id=" +
+      java.net.URLEncoder.encode(id, "UTF-8") +
+      "&client_secret=" + java.net.URLEncoder.encode(secret, "UTF-8")
+    val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$uri/v1/oauth/tokens"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form)).build()
+    val resp = httpClient.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"OAuth token mint failed (${resp.statusCode()}): ${resp.body()}")
+    val tok = graft.endpoint.RestCatalog.jfieldAll(resp.body(), "access_token")
+      .headOption.getOrElse(
+        throw new IllegalStateException("token response has no access_token"))
+    minted = Some(tok)
+    tok
+  }
+
+  /** GET with auth; one transparent re-mint on 401 when credentials
+    * are configured (server-side token expiry).
+    */
+  private def get(path: String): (Int, String) = {
+    def once(tok: Option[String]): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$uri$path")).GET()
+      tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val resp = httpClient.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val tok = tokenOpt.orElse(minted)
+    val first = once(tok.orElse(credential.map(_ => mintToken())))
+    if (first._1 == 401 && credential.isDefined) once(Some(mintToken()))
+    else first
+  }
+
+  private def nsPath(namespace: Array[String]): String =
+    namespace.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("%1F")
+
+  // ----- resolution --------------------------------------------------
+
+  /** LoadTableResult for `ident`, or a loud NoSuchTableException. */
+  private def loadResult(ident: Identifier): String = {
+    val (code, body) = get(s"/v1/${prefix}namespaces/${nsPath(ident.namespace())}" +
+      s"/tables/${java.net.URLEncoder.encode(ident.name(), "UTF-8")}")
+    if (code == 404) throw new NoSuchTableException(ident)
+    require(code == 200, s"loadTable $ident over $uri -> $code: $body")
+    body
+  }
+
+  import graft.endpoint.RestCatalog.{jfieldAll, jlong, jobjBlock}
+
+  /** Mount the snapshot `snapId` of the table the LoadTableResult
+    * describes, zero-copy, into the per-snapshot scratch root; reuse
+    * an existing mount (snapshots are immutable; the commit stamp in
+    * the key fends off a dropped-and-recreated table at the same
+    * location reusing snapshot ids).
+    */
+  private def mountSnapshot(ltr: String, snapId: Long): String = {
+    val metaLocation = jfieldAll(ltr, "metadata-location").headOption.getOrElse(
+      sys.error("LoadTableResult has no metadata-location"))
+    val uuid = jfieldAll(ltr, "table-uuid").headOption.getOrElse(
+      sys.error("LoadTableResult metadata has no table-uuid"))
+    val stamp = {
+      // the chosen snapshot's own commit stamp, from snapshot-log
+      // (ordered, one entry per listed snapshot)
+      val logBlk = graft.endpoint.RestCatalog.jarrBlock(ltr, "snapshot-log")
+      logBlk.toSeq.flatMap(graft.endpoint.RestCatalog.jobjElements)
+        .find(e => jlong(e, "snapshot-id").contains(snapId))
+        .flatMap(e => jlong(e, "timestamp-ms")).getOrElse(0L)
+    }
+    val mount = s"$mountRoot/$uuid/snap-$snapId-$stamp"
+    if (SnapshotTable.currentVersion(spark, mount) == 0)
+      IcebergInterop.importChain(spark, metaLocation, mount, snapId)
+    mount
+  }
+
+  private def serve(ident: Identifier, ltr: String, snapId: Long): Table = {
+    val mount = mountSnapshot(ltr, snapId)
+    val v = SnapshotTable.currentVersion(spark, mount)
+    // the PINNED version refuses every write/delete/row-level surface
+    // (GraftTable guards them with version < 0) — wire mounts are
+    // read-only; commits go through the catalog's HTTP commit route
+    new GraftTable(
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
+      mount, v)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    GraftCatalog.ensureStatsRule(spark)
+    val ltr = loadResult(ident)
+    val snapId = jlong(ltr, "current-snapshot-id").getOrElse(
+      sys.error(s"LoadTableResult for $ident has no current-snapshot-id"))
+    serve(ident, ltr, snapId)
+  }
+
+  /** `VERSION AS OF` — an integer addresses a snapshot id; any other
+    * string is a REF (tag/branch) resolved from the served metadata's
+    * `refs` block, the external-reader loop the wire catalog's ref
+    * commits exist to serve.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    GraftCatalog.ensureStatsRule(spark)
+    val ltr = loadResult(ident)
+    val snapId = version.trim.toLongOption.getOrElse {
+      val refs = jobjBlock(ltr, "refs").getOrElse(
+        sys.error(s"LoadTableResult for $ident serves no refs"))
+      jobjBlock(refs, version.trim).flatMap(jlong(_, "snapshot-id")).getOrElse(
+        throw new IllegalArgumentException(
+          s"table $ident has no ref '${version.trim}' in the wire catalog"))
+    }
+    serve(ident, ltr, snapId)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (micros, per the DSv2 contract): latest
+    * snapshot-log entry at or before the instant — resolved from the
+    * served JSON alone, like refs.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    GraftCatalog.ensureStatsRule(spark)
+    val ltr = loadResult(ident)
+    val ms = timestamp / 1000L
+    val entries = graft.endpoint.RestCatalog.jarrBlock(ltr, "snapshot-log")
+      .toSeq.flatMap(graft.endpoint.RestCatalog.jobjElements)
+      .flatMap(e => for {
+        t <- jlong(e, "timestamp-ms"); sid <- jlong(e, "snapshot-id")
+      } yield (t, sid))
+    val snapId = entries.filter(_._1 <= ms).sortBy(_._1).lastOption.map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $ident has no snapshot at or before timestamp-ms $ms"))
+    serve(ident, ltr, snapId)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadResult(ident); true } catch { case _: NoSuchTableException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (code, body) =
+      get(s"/v1/${prefix}namespaces/${nsPath(namespace)}/tables")
+    require(code == 200, s"listTables over $uri -> $code: $body")
+    jfieldAll(body, "name").map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (code, body) = get(s"/v1/${prefix}namespaces")
+    require(code == 200, s"listNamespaces over $uri -> $code: $body")
+    // {"namespaces":[["db"],["a","b"],…]} — string elements per array
+    graft.endpoint.RestCatalog.jarrBlock(body, "namespaces").toArray.flatMap {
+      blk =>
+        // each top-level [...] element is one namespace path
+        var i = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+        while (i < blk.length) {
+          if (blk.charAt(i) == '[') {
+            val end = blk.indexOf(']', i)
+            require(end > i, s"unterminated namespace element in $body")
+            out += "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+              .findAllMatchIn(blk.substring(i + 1, end)).map(_.group(1)).toArray
+            i = end + 1
+          } else i += 1
+        }
+        out
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    listNamespaces().filter(ns =>
+      ns.length > namespace.length && ns.startsWith(namespace))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    require(namespaceExists(namespace),
+      s"no namespace ${namespace.mkString(".")} in the wire catalog")
+    java.util.Collections.emptyMap()
+  }
+
+  // ----- read-only: mutation surfaces refuse --------------------------
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a read-only wire mount — $op belongs to the " +
+        "catalog's HTTP routes (POST /v1/namespaces/{ns}/tables[/{t}]) " +
+        "or to an engine session that owns the table")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly(s"CREATE TABLE $ident")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly(s"ALTER TABLE $ident")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly(s"DROP TABLE $ident")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly(s"RENAME TABLE $oldIdent")
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    readOnly(s"CREATE NAMESPACE ${namespace.mkString(".")}")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    readOnly(s"ALTER NAMESPACE ${namespace.mkString(".")}")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly(s"DROP NAMESPACE ${namespace.mkString(".")}")
+}

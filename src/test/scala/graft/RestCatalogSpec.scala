@@ -32,7 +32,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // fresh registry + table area per JVM: stale versions from a prior
     // run would otherwise restore tables whose locations are gone
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(registryRoot, tableArea).foreach { d =>
+    Seq(registryRoot, s"${registryRoot}_ns", tableArea).foreach { d =>
       val p = new Path(d); p.getFileSystem(conf).delete(p, true)
     }
     Catalog.register(spark, sf())
@@ -995,5 +995,312 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_a")._1 == 200)
     assert(RestCatalog.get(port, "/management/v1/warehouse/spec_wh_a")._1 == 404)
     assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_b")._1 == 200)
+  }
+
+  test("warehouse DELETE also drops its engine-side database (r17 ADVICE)") {
+    val (c1, _) = RestCatalog.post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"spec_wh_c","storage-profile":{"type":"file"}}""")
+    assert(c1 == 201)
+    assert(spark.catalog.databaseExists("graft_wh_spec_wh_c"))
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_c")._1 == 200)
+    // a re-created warehouse of the same name must start EMPTY — the
+    // old database (and any tables registered in it) must not outlive
+    // the warehouse
+    assert(!spark.catalog.databaseExists("graft_wh_spec_wh_c"),
+      "dropped warehouse left its database registered")
+  }
+
+  test("commit requirements are read per-object, not first-match-anywhere") {
+    import spark.implicits._
+    val root = s"$tableArea/rest_spec_req"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val (rc, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_req","format":"graft-snapshot","location":"$root"}""")
+    assert(rc == 201)
+    val (lc, ltr) = RestCatalog.get(port, "/v1/namespaces/graft/tables/rest_spec_req")
+    assert(lc == 200, ltr)
+    val uuid = RestCatalog.jfieldAll(ltr, "table-uuid").head
+    // the FIRST requirement carries a stray snapshot-id field (999); a
+    // whole-block scan would bind the assert-ref check to 999 and 409
+    // a perfectly valid commit (r17 ADVICE). Per-object parsing reads
+    // the ref assertion's OWN snapshot-id (1) and the commit lands.
+    val body =
+      s"""{"requirements":[
+         |{"type":"assert-table-uuid","uuid":"$uuid","snapshot-id":999},
+         |{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"set-properties","updates":{"graft.spec":"req-scope"}}]}""".stripMargin
+    val (cc, cr) = RestCatalog.post(port, "/v1/namespaces/graft/tables/rest_spec_req", body)
+    assert(cc == 200, s"compound-requirements commit -> $cc: $cr")
+    // and a WRONG snapshot-id in the ref assertion itself still 409s,
+    // even with the valid-looking stray value in the other object
+    val stale = body.replace(""""ref":"main","snapshot-id":1""",
+      """"ref":"main","snapshot-id":77""")
+    assert(RestCatalog.post(port, "/v1/namespaces/graft/tables/rest_spec_req",
+      stale)._1 == 409)
+    assert(RestCatalog.delete(port, "/v1/tables/rest_spec_req")._1 == 200)
+  }
+
+  test("RestBackedCatalog: a second session resolves everything from the wire") {
+    import spark.implicits._
+    val root = s"$tableArea/rest_spec_mnt"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root,
+      (1L to 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"))
+    SnapshotTable.tag(spark, root, "spec_tag", 1)
+    Thread.sleep(20) // distinct commit stamps for TIMESTAMP AS OF
+    SnapshotTable.commitAppend(spark, root,
+      (31L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"))
+    val (rc, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_spec_mnt","format":"graft-snapshot","location":"$root"}""")
+    assert(rc == 201)
+    try {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.restspec", "graft.sources.RestBackedCatalog")
+      s2.conf.set("spark.sql.catalog.restspec.uri", s"http://127.0.0.1:$port")
+      s2.conf.set("spark.sql.catalog.restspec.mount-root",
+        s"$tableArea/restspec_mounts")
+      // head, tag-as-version, integer snapshot id, timestamp — all
+      // resolved from LoadTableResult JSON, no registry access
+      assert(s2.table("restspec.graft.rest_spec_mnt").count() === 50)
+      assert(s2.sql(
+        "SELECT * FROM restspec.graft.rest_spec_mnt VERSION AS OF 'spec_tag'")
+        .count() === 30)
+      assert(s2.sql(
+        "SELECT * FROM restspec.graft.rest_spec_mnt VERSION AS OF 1")
+        .count() === 30)
+      val t1 = SnapshotTable.committedAt(spark, root, 1)
+      val iso = java.time.Instant.ofEpochMilli(t1).toString
+      assert(s2.sql(
+        s"SELECT * FROM restspec.graft.rest_spec_mnt TIMESTAMP AS OF '$iso'")
+        .count() === 30)
+      // SHOW NAMESPACES rides GET /v1/namespaces
+      assert(s2.sql("SHOW NAMESPACES IN restspec").collect()
+        .map(_.getString(0)).contains("graft"))
+      // unknown table → analysis-time TABLE_OR_VIEW_NOT_FOUND (the 404)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.table("restspec.graft.no_such_table").collect()
+      }
+      // unknown ref: loud, names the ref
+      val e1 = intercept[Exception] {
+        s2.sql("SELECT * FROM restspec.graft.rest_spec_mnt VERSION AS OF 'nope'")
+          .collect()
+      }
+      assert(e1.getMessage.contains("no ref 'nope'"), e1.getMessage)
+      // read-only: DDL refuses with the wire-mount message, writes
+      // refuse via the pinned snapshot
+      val e2 = intercept[Exception] {
+        s2.sql("DROP TABLE restspec.graft.rest_spec_mnt").collect()
+      }
+      assert(e2.getMessage.contains("read-only wire mount"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        s2.sql("INSERT INTO restspec.graft.rest_spec_mnt VALUES (99, 'x')")
+          .collect()
+      }
+      assert(e3.getMessage.contains("cannot write"), e3.getMessage)
+    } finally {
+      RestCatalog.delete(port, "/v1/tables/rest_spec_mnt")
+      ()
+    }
+  }
+
+  test("RestBackedCatalog OAuth: credential mints a token; tokenless is refused") {
+    val authRoot = "/tmp/graft_rest_spec_auth2_registry"
+    val root = s"$tableArea/rest_spec_auth_mnt"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(authRoot); p.getFileSystem(conf).delete(p, true)
+    import spark.implicits._
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    PersistentCatalog.save(spark, authRoot)
+    val aport = RestCatalog.serve(spark, authRoot, auth = Some("engine" -> "pw"))
+    val (tc, tok) = RestCatalog.post(aport, "/v1/oauth/tokens",
+      "grant_type=client_credentials&client_id=engine&client_secret=pw",
+      Seq("Content-Type" -> "application/x-www-form-urlencoded"))
+    assert(tc == 200, tok)
+    val bearer = RestCatalog.jfieldAll(tok, "access_token").head
+    val (rc, _) = RestCatalog.post(aport, "/v1/tables",
+      s"""{"name":"rest_spec_auth_mnt","format":"graft-snapshot","location":"$root"}""",
+      Seq("Authorization" -> s"Bearer $bearer"))
+    assert(rc == 201)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.authmnt", "graft.sources.RestBackedCatalog")
+    s2.conf.set("spark.sql.catalog.authmnt.uri", s"http://127.0.0.1:$aport")
+    s2.conf.set("spark.sql.catalog.authmnt.credential", "engine:pw")
+    s2.conf.set("spark.sql.catalog.authmnt.mount-root",
+      s"$tableArea/authmnt_mounts")
+    assert(s2.table("authmnt.graft.rest_spec_auth_mnt").count() === 2)
+    // and with NO credential every resolution is a refused 401
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.catalog.noauth", "graft.sources.RestBackedCatalog")
+    s3.conf.set("spark.sql.catalog.noauth.uri", s"http://127.0.0.1:$aport")
+    val e = intercept[Exception] {
+      s3.table("noauth.graft.rest_spec_auth_mnt").collect()
+    }
+    assert(e.getMessage.contains("401"), e.getMessage)
+    RestCatalog.stop(authRoot)
+  }
+
+  test("vended credentials: scoped, expiring, secrets never served") {
+    port // ensure the graft db + base registry exist first
+    // a SECURED server, so scoping is enforceable end-to-end
+    val authRoot = "/tmp/graft_rest_spec_sts_registry"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(authRoot); p.getFileSystem(conf).delete(p, true)
+    PersistentCatalog.save(spark, authRoot)
+    val aport = RestCatalog.serve(spark, authRoot, auth = Some("engine" -> "pw"))
+    val form = Seq("Content-Type" -> "application/x-www-form-urlencoded")
+    val (_, tokBody) = RestCatalog.post(aport, "/v1/oauth/tokens",
+      "grant_type=client_credentials&client_id=engine&client_secret=pw", form)
+    val bearer = Seq("Authorization" ->
+      s"Bearer ${RestCatalog.jfieldAll(tokBody, "access_token").head}")
+    // sts-enabled warehouse with an (in-memory-only) storage credential
+    // and a 2-second vend TTL so expiry is testable
+    val (cw, rw) = RestCatalog.post(aport, "/management/v1/warehouse",
+      """{"warehouse-name":"sts_wh","storage-profile":{"type":"s3",
+        |"bucket":"demo-bucket","sts-enabled":true,"sts-token-ttl-seconds":2},
+        |"storage-credential":{"type":"s3","credential-type":"access-key",
+        |"aws-access-key-id":"AKIA123","aws-secret-access-key":"sts-sekrit"}}""".stripMargin,
+      bearer)
+    assert(cw == 201, rw)
+    val ns = "graft_wh_sts_wh"
+    // two tables: one to vend for, one to prove the scope boundary
+    Seq("t_sts", "t_other").foreach { t =>
+      val (ct, ctr) = RestCatalog.post(aport, s"/v1/sts_wh/namespaces/$ns/tables",
+        s"""{"name":"$t","schema":{"type":"struct","fields":[
+           |{"id":1,"name":"id","type":"long"}]}}""".stripMargin, bearer)
+      assert(ct == 200, ctr)
+    }
+    import spark.implicits._
+    val staged = s"$tableArea/sts_staged"
+    Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staged)
+    val file = new Path(staged).getFileSystem(conf)
+      .listStatus(new Path(staged)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+    val (cm, _) = RestCatalog.post(aport, s"/v1/sts_wh/namespaces/$ns/tables/t_sts",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$file"]}}]}""".stripMargin,
+      bearer)
+    assert(cm == 200)
+    // loadTable vends: storage-credentials with expiry; the STORED
+    // secret appears nowhere on the wire (load, listing, detail)
+    val (lc, ltr) = RestCatalog.get(aport,
+      s"/v1/sts_wh/namespaces/$ns/tables/t_sts", bearer)
+    assert(lc == 200, ltr)
+    assert(ltr.contains("\"storage-credentials\"") &&
+      ltr.contains("s3.session-token-expires-at-ms"), ltr)
+    assert(!ltr.contains("sts-sekrit") && !ltr.contains("AKIA123"), ltr)
+    val (_, whList) = RestCatalog.get(aport, "/management/v1/warehouse", bearer)
+    assert(!whList.contains("sts-sekrit"), whList)
+    val vended = RestCatalog.jfieldAll(ltr, "s3.session-token").head
+    val vBearer = Seq("Authorization" -> s"Bearer $vended")
+    // the vended token is a SCOPED bearer: its own table's load +
+    // credentials refresh only; other tables / writes / listings 401
+    assert(RestCatalog.get(aport,
+      s"/v1/sts_wh/namespaces/$ns/tables/t_sts", vBearer)._1 == 200)
+    assert(RestCatalog.get(aport,
+      s"/v1/sts_wh/namespaces/$ns/tables/t_sts/credentials", vBearer)._1 == 200)
+    assert(RestCatalog.get(aport,
+      s"/v1/sts_wh/namespaces/$ns/tables/t_other", vBearer)._1 == 401)
+    assert(RestCatalog.get(aport, "/v1/sts_wh/tables", vBearer)._1 == 401)
+    assert(RestCatalog.post(aport, s"/v1/sts_wh/namespaces/$ns/tables/t_sts",
+      """{"updates":[]}""", vBearer)._1 == 401)
+    // a mount riding ONLY the vended credential reads the table
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.stsmnt", "graft.sources.RestBackedCatalog")
+    s2.conf.set("spark.sql.catalog.stsmnt.uri", s"http://127.0.0.1:$aport")
+    s2.conf.set("spark.sql.catalog.stsmnt.warehouse", "sts_wh")
+    s2.conf.set("spark.sql.catalog.stsmnt.token", vended)
+    s2.conf.set("spark.sql.catalog.stsmnt.mount-root", s"$tableArea/sts_mounts")
+    assert(s2.table(s"stsmnt.$ns.t_sts").count() === 3)
+    // expiry is enforced server-side: past the TTL the token is 401
+    Thread.sleep(2300)
+    assert(RestCatalog.get(aport,
+      s"/v1/sts_wh/namespaces/$ns/tables/t_sts", vBearer)._1 == 401)
+    // a token-free catalog (no sts) vends nothing: flat loads keep
+    // serving config {} and /credentials says vending is off
+    val (fl, fltr) = RestCatalog.get(port, "/v1/namespaces/graft/tables/lineitem")
+    assert(fl == 404 || !fltr.contains("storage-credentials"))
+    // cleanup
+    Seq("t_sts", "t_other").foreach { t =>
+      RestCatalog.delete(aport, s"/v1/sts_wh/tables/$t", bearer)
+    }
+    assert(RestCatalog.delete(aport,
+      "/management/v1/warehouse/sts_wh", bearer)._1 == 200)
+    RestCatalog.stop(authRoot)
+  }
+
+  test("nested namespaces: %1F lifecycle, tables beneath, flat unaffected") {
+    // namespace levels join with the %1F unit separator ON THE WIRE
+    // (percent-encoded in the request path; the server decodes it)
+    val sep = "%1F"
+    // create graft.analytics, then graft.analytics.daily beneath it
+    val (c1, r1) = RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["graft","analytics"]}""")
+    assert(c1 == 200, r1)
+    assert(RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["graft","analytics"]}""")._1 == 409)
+    // parent must exist; levels are validated
+    assert(RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["graft","nope","deep"]}""")._1 == 404)
+    assert(RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["graft","bad__name"]}""")._1 == 400)
+    assert(RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["other_root","x"]}""")._1 == 400)
+    val (c2, _) = RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["graft","analytics","daily"]}""")
+    assert(c2 == 200)
+    // listing serves the nested paths as arrays; detail resolves
+    val (cl, listing) = RestCatalog.get(port, "/v1/namespaces")
+    assert(cl == 200 && listing.contains("""["graft","analytics"]""") &&
+      listing.contains("""["graft","analytics","daily"]"""), listing)
+    val nsPath = s"graft${sep}analytics"
+    val (cd, detail) = RestCatalog.get(port, s"/v1/namespaces/$nsPath")
+    assert(cd == 200 && detail.contains("\"analytics\""), detail)
+    assert(RestCatalog.get(port, s"/v1/namespaces/graft${sep}zzz")._1 == 404)
+    // the FULL table surface works beneath a nested namespace: create,
+    // commit, load, list — delegated to the sub-handler
+    val ndb = "graft__analytics"
+    val (ct, ctr) = RestCatalog.post(port, s"/v1/namespaces/$nsPath/tables",
+      """{"name":"nested_t","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","type":"long"}]}}""".stripMargin)
+    assert(ct == 200, ctr)
+    import spark.implicits._
+    val staged = s"$tableArea/nested_staged"
+    Seq(10L, 20L).toDF("id").coalesce(1).write.mode("overwrite").parquet(staged)
+    val file = new Path(staged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(staged)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+    val (cm, rm) = RestCatalog.post(port, s"/v1/namespaces/$nsPath/tables/nested_t",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"added-data-files":["$file"]}}]}""".stripMargin)
+    assert(cm == 200, rm)
+    assert(spark.table(s"$ndb.nested_t").count() === 2)
+    val (ll, loadBody) = RestCatalog.get(port,
+      s"/v1/namespaces/$nsPath/tables/nested_t")
+    assert(ll == 200 && loadBody.contains("current-snapshot-id"), loadBody)
+    // RestBackedCatalog addresses it as a multi-part identifier
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.nestmnt", "graft.sources.RestBackedCatalog")
+    s2.conf.set("spark.sql.catalog.nestmnt.uri", s"http://127.0.0.1:$port")
+    s2.conf.set("spark.sql.catalog.nestmnt.mount-root", s"$tableArea/nest_mounts")
+    assert(s2.table("nestmnt.graft.analytics.nested_t").count() === 2)
+    assert(s2.sql("SHOW NAMESPACES IN nestmnt").collect()
+      .map(_.getString(0)).exists(_.contains("analytics")))
+    // flat clients unaffected: root listing has no nested table
+    val (_, rootListing) = RestCatalog.get(port, "/v1/tables")
+    assert(!rootListing.contains("nested_t"), rootListing)
+    // drop: non-empty 409; child-bearing 409; then bottom-up, and the
+    // engine databases go with them
+    assert(RestCatalog.delete(port, s"/v1/namespaces/$nsPath")._1 == 409)
+    assert(RestCatalog.delete(port, s"/v1/namespaces/$nsPath/tables/nested_t")._1 == 200)
+    assert(RestCatalog.delete(port, s"/v1/namespaces/$nsPath")._1 == 409,
+      "child namespace must block the drop")
+    assert(RestCatalog.delete(port,
+      s"/v1/namespaces/graft${sep}analytics${sep}daily")._1 == 200)
+    assert(RestCatalog.delete(port, s"/v1/namespaces/$nsPath")._1 == 200)
+    assert(!spark.catalog.databaseExists(ndb))
+    assert(!spark.catalog.databaseExists("graft__analytics__daily"))
   }
 }
