@@ -185,6 +185,12 @@ object RestCatalog {
     private val map =
       new java.util.concurrent.ConcurrentHashMap[String, (String, CatalogHandler)]()
 
+    // name -> delete-protection flag (Lakekeeper's protection switch:
+    // a protected warehouse refuses DELETE until unset); persisted in
+    // the warehouse's identity record
+    private val protectedFlags =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
     locally { // restore persisted warehouses (server restart)
       if (fs.exists(whDir))
         fs.listStatus(whDir).map(_.getPath)
@@ -200,6 +206,8 @@ object RestCatalog {
                     val profile = jobjBlock(txt, "storage-profile").getOrElse("")
                     map.put(name,
                       (profile, new CatalogHandler(spark, reg, db, auth)))
+                    protectedFlags.put(name, java.lang.Boolean.valueOf(
+                      jbool(txt, "delete-protection").getOrElse(false)))
                     ()
                   case scala.util.Failure(e) =>
                     // a silently-mounted broken warehouse serves
@@ -264,10 +272,13 @@ object RestCatalog {
         return Left(409 -> (s"warehouse database $db already taken " +
           "(names differing only in -/_ collide)"))
       val reg = s"$rootRegistry/_warehouses/$name/registry"
-      // persist: identity + profile only. storage-credential is
-      // deliberately NOT written (secrets never touch the store)
+      val protect = jbool(body, "delete-protection").getOrElse(false)
+      // persist: identity + profile + protection flag only.
+      // storage-credential is deliberately NOT written (secrets never
+      // touch the store)
       val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
-        s""""wh_registry":${jstr(reg)},"storage-profile":{$profile}}"""
+        s""""wh_registry":${jstr(reg)},"delete-protection":$protect,""" +
+        s""""storage-profile":{$profile}}"""
       fs.mkdirs(whDir)
       // name reservation is the cross-PROCESS arbiter, and it must be
       // won BEFORE any side effect: a duplicate create that first
@@ -321,13 +332,108 @@ object RestCatalog {
             handler.stsTtlMs = ttl * 1000)
         }
       map.put(name, (profile, handler))
+      protectedFlags.put(name, java.lang.Boolean.valueOf(protect))
       Right(name)
     }
+
+    /** Re-render + atomically republish one warehouse's identity
+      * record (rename / protection updates share this shape; the
+      * registry itself never moves).
+      */
+    private def rewriteRecord(name: String, db: String, reg: String,
+        protect: Boolean, profile: String): Unit = {
+      val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
+        s""""wh_registry":${jstr(reg)},"delete-protection":$protect,""" +
+        s""""storage-profile":{$profile}}"""
+      val out = fs.create(new Path(whDir, s"$name.json"), true)
+      try out.write(rendered.getBytes(UTF_8)) finally out.close()
+    }
+
+    /** RENAME a warehouse: the ADDRESSABLE name changes, the
+      * underlying identity (database, registry root, contents) stays —
+      * Lakekeeper's model exactly (the warehouse-id is stable; rename
+      * touches the name). Left on refusal.
+      */
+    def rename(oldName: String, body: String): Either[(Int, String), String] =
+      synchronized {
+        val (profile, h) = Option(map.get(oldName)).getOrElse(
+          return Left(404 -> s"no warehouse $oldName"))
+        val newName = jfieldAll(body, "new-name").headOption.getOrElse(
+          return Left(400 -> "new-name is required"))
+        if (newName == oldName) return Right(newName) // idempotent
+        if (!newName.matches("[A-Za-z0-9_-]+"))
+          return Left(400 -> s"invalid warehouse-name: $newName")
+        if (reserved(newName))
+          return Left(400 -> s"warehouse-name $newName is reserved")
+        if (map.containsKey(newName))
+          return Left(409 -> s"warehouse $newName already exists")
+        // reserve the NEW name with the same cross-process arbiter as
+        // create, then retire the old record
+        val newJson = new Path(whDir, s"$newName.json")
+        val won =
+          if (graft.lake.CommitArbiter.isPosixLocal(fs)) {
+            import java.nio.file.{Files, Paths}
+            try { Files.createFile(Paths.get(newJson.toUri.getPath)); true }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+              case _: UnsupportedOperationException | _: java.io.IOException =>
+                try { fs.create(newJson, false).close(); true }
+                catch { case _: java.io.IOException => false }
+            }
+          } else {
+            try { fs.create(newJson, false).close(); true }
+            catch { case _: java.io.IOException => false }
+          }
+        if (!won) return Left(409 -> s"warehouse $newName already exists")
+        val protect = Option(protectedFlags.get(oldName)).exists(_.booleanValue)
+        rewriteRecord(newName, h.database, h.registry, protect, profile)
+        fs.delete(new Path(whDir, s"$oldName.json"), false)
+        map.put(newName, (profile, h))
+        map.remove(oldName)
+        protectedFlags.put(newName, java.lang.Boolean.valueOf(protect))
+        protectedFlags.remove(oldName)
+        Right(newName)
+      }
+
+    /** Set/unset delete-protection (Lakekeeper's protection switch);
+      * persisted so a restart keeps refusing the drop.
+      */
+    def setProtection(name: String, body: String): Either[(Int, String), Boolean] =
+      synchronized {
+        val (profile, h) = Option(map.get(name)).getOrElse(
+          return Left(404 -> s"no warehouse $name"))
+        val want = jbool(body, "protected").getOrElse(
+          return Left(400 -> "protected (boolean) is required"))
+        protectedFlags.put(name, java.lang.Boolean.valueOf(want))
+        rewriteRecord(name, h.database, h.registry, want, profile)
+        Right(want)
+      }
+
+    def isProtected(name: String): Boolean =
+      Option(protectedFlags.get(name)).exists(_.booleanValue)
+
+    /** Metadata-sized statistics for one warehouse, from its registry:
+      * table/view counts plus the registry version (Lakekeeper's
+      * GET /management/v1/warehouse/{id}/statistics shape).
+      */
+    def statsJson(name: String): Option[String] =
+      Option(map.get(name)).map { case (_, h) =>
+        val rows = SnapshotTable.read(spark, h.registry)
+          .select("kind").collect().map(_.getString(0))
+        val tables = rows.count(_ != "view")
+        val views = rows.length - tables
+        s"""{"warehouse":${jstr(name)},"number-of-tables":$tables,""" +
+          s""""number-of-views":$views,"delete-protection":${isProtected(name)},""" +
+          s""""registry-version":${SnapshotTable.currentVersion(spark, h.registry)}}"""
+      }
 
     /** Drop an EMPTY warehouse; Left on refusal (unknown / non-empty). */
     def drop(name: String): Either[(Int, String), String] = synchronized {
       val (_, h) = Option(map.get(name)).getOrElse(
         return Left(404 -> s"no warehouse $name"))
+      if (isProtected(name))
+        return Left(409 -> (s"warehouse $name is delete-protected; " +
+          "unset protection first"))
       // emptiness is judged UNDER the handler's DDL lock: table create
       // on this warehouse serializes on the same lock, so a POST
       // …/tables can no longer land between the registry count and the
@@ -337,12 +443,19 @@ object RestCatalog {
       h.ddlLock.synchronized {
         if (SnapshotTable.read(spark, h.registry).count() > 0)
           return Left(409 -> s"warehouse $name still lists tables; drop them first")
+        if (h.hasNested)
+          return Left(409 -> (s"warehouse $name still has nested namespaces; " +
+            "drop them first"))
         fs.delete(new Path(whDir, s"$name.json"), false)
-        fs.delete(new Path(s"$rootRegistry/_warehouses/$name"), true)
+        // the registry dir keeps its PROVISION-time name across
+        // renames (stable identity) — reclaim by the registry's actual
+        // parent, not the current addressable name
+        fs.delete(new Path(h.registry).getParent, true)
         // the warehouse's engine-side database must not outlive it:
         // a re-created warehouse of the same name starts empty
         spark.sql(s"DROP DATABASE IF EXISTS ${h.database} CASCADE")
         map.remove(name)
+        protectedFlags.remove(name)
         Right(name)
       }
     }
@@ -469,6 +582,9 @@ object RestCatalog {
             }
       walk(base, Vector.empty)
     }
+
+    // a warehouse drop must not silently take nested namespaces with it
+    private[endpoint] def hasNested: Boolean = !nested.isEmpty
 
     /** The sub-handler serving nested namespace `ns` (a %1F-joined
       * path whose first level must be this handler's root namespace).
@@ -678,6 +794,23 @@ object RestCatalog {
           store.drop(name) match {
             case Right(_) => send(ex, 200, s"""{"dropped":${jstr(name)}}""")
             case Left((code, msg)) => err(ex, code, msg)
+          }
+        case ("POST", List("v1", "warehouse", name, "rename")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          store.rename(name, body) match {
+            case Right(n) => send(ex, 200, s"""{"warehouse-id":${jstr(n)}}""")
+            case Left((code, msg)) => err(ex, code, msg)
+          }
+        case ("POST", List("v1", "warehouse", name, "protection")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          store.setProtection(name, body) match {
+            case Right(p) => send(ex, 200, s"""{"protected":$p}""")
+            case Left((code, msg)) => err(ex, code, msg)
+          }
+        case ("GET", List("v1", "warehouse", name, "statistics")) =>
+          store.statsJson(name) match {
+            case Some(json) => send(ex, 200, json)
+            case None => err(ex, 404, s"no warehouse $name")
           }
         case _ => err(ex, 404, s"$method $path")
       }
@@ -1910,8 +2043,30 @@ object RestCatalog {
     val root = "/tmp/graft_rest_registry_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     PersistentCatalog.save(s, root)
     val port = serve(s, root)
+    // nested-namespace loop (iceberg.properties:31
+    // nested-namespace-enabled): create graft.staging over the wire,
+    // register a table BENEATH it, list it there — and prove the flat
+    // root listing (the emitted, oracled output below) is unaffected.
+    // Self-cleaning so bench reps re-run idempotently.
+    val nsPath = s"${Catalog.DB}%1Fstaging"
+    val (cn, _) = post(port, "/v1/namespaces",
+      s"""{"namespace":[${jstr(Catalog.DB)},"staging"]}""")
+    require(cn == 200 || cn == 409, s"create nested namespace -> $cn")
+    val (ctn, ctr) = post(port, s"/v1/namespaces/$nsPath/tables",
+      """{"name":"nested_probe","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","type":"long"}]}}""".stripMargin)
+    require(ctn == 200, s"create nested table -> $ctn: $ctr")
+    val (ln, nestedListing) = get(port, s"/v1/namespaces/$nsPath/tables")
+    require(ln == 200 && jfieldAll(nestedListing, "name").contains("nested_probe"),
+      s"nested namespace must list its table: $nestedListing")
+    require(delete(port, s"/v1/namespaces/$nsPath/tables/nested_probe")._1 == 200,
+      "nested table cleanup failed")
+    require(delete(port, s"/v1/namespaces/$nsPath")._1 == 200,
+      "nested namespace cleanup failed")
     val (code, listing) = get(port, "/v1/tables")
     require(code == 200, s"GET /v1/tables -> $code: $listing")
+    require(!listing.contains("nested_probe"),
+      "nested table leaked into the flat root listing")
     val names = jfieldAll(listing, "name")
     val rows = names.map { n =>
       val (c2, stats) = get(port, s"/v1/tables/$n/stats")

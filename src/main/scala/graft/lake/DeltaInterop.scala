@@ -122,7 +122,8 @@ object DeltaInterop {
     * state is exact.
     */
   def writeLog(s: SparkSession, root: String, exportDir: String,
-               version: Int = -1): Path = {
+               version: Int = -1,
+               checkpointPartActions: Int = 10000): Path = {
     val v = if (version < 0) SnapshotTable.currentVersion(s, root) else version
     require(v >= 1, s"nothing to export at $root")
     val headEntries = SnapshotTable.lineEntries(s, root, v)
@@ -227,14 +228,17 @@ object DeltaInterop {
     // _last_checkpoint then replays every JSON above it, silently
     // reconstructing a state NEWER than the requested export. Truncate
     // the chain at the requested head.
-    val VersionedRe = "(\\d{20})(\\.json|\\.checkpoint\\.parquet)".r
+    // matches single-file AND multi-part checkpoint spellings — a
+    // stale newer MULTI-part checkpoint must truncate like the rest
+    val VersionedRe =
+      "(\\d{20})(\\.json|\\.checkpoint\\.parquet|\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet)".r
     fs.listStatus(logDir).map(_.getPath).foreach { p =>
       p.getName match {
         case VersionedRe(n, _) if n.toLong > (v - 1).toLong => fs.delete(p, false); ()
         case _ => ()
       }
     }
-    writeCheckpoint(s, root, v, logDir, dvByFile)
+    writeCheckpoint(s, root, v, logDir, dvByFile, checkpointPartActions)
     logFile
   }
 
@@ -245,10 +249,21 @@ object DeltaInterop {
     * `_last_checkpoint` pointer. A reader then serves the current
     * state from this one parquet file, paying the JSON chain only for
     * time travel — Delta's own answer to 100k-commit log replay.
+    *
+    * Past `partActions` actions the checkpoint SPLITS into the spec's
+    * multi-part shape — `%020d.checkpoint.%010d.%010d.parquet` with
+    * `parts` + `sizeInBytes` recorded in `_last_checkpoint` (r18; the
+    * r17 reader already assembles foreign multi-part checkpoints, and
+    * a 100k-file table must not funnel through one giant parquet
+    * render). Parts are written by a distributed round-robin
+    * repartition — the Delta spec allows any action distribution
+    * across parts, and each part file carries the full checkpoint
+    * schema.
     */
   private def writeCheckpoint(
       s: SparkSession, root: String, v: Int, logDir: Path,
-      dvByFile: Map[String, Seq[Long]] = Map.empty): Unit = {
+      dvByFile: Map[String, Seq[Long]] = Map.empty,
+      partActions: Int = 10000): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val conf = s.sparkContext.hadoopConfiguration
@@ -299,23 +314,54 @@ object DeltaInterop {
         Row(p.toUri.toString, Map.empty[String, String], size, stamp, true, dvRow))
     }
     val rows = protoRow +: metaRow +: addRows
-    // Spark writes a directory; the checkpoint is ONE parquet file —
-    // stage, then move the single part file to the spec's name
+    val nParts = math.max(1,
+      math.ceil(rows.size.toDouble / math.max(1, partActions)).toInt)
+    // Spark writes a directory; stage, then move the part file(s) to
+    // the spec's name(s)
     val staging = new Path(logDir, s".ckpt-${java.util.UUID.randomUUID.toString.take(8)}")
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.asJava, schema).coalesce(1)
-      .write.mode("overwrite").parquet(staging.toString)
-    val part = fs.listStatus(staging).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no checkpoint part under $staging"))
-    val ckpt = new Path(logDir, "%020d.checkpoint.parquet".format(v - 1))
-    if (fs.exists(ckpt)) fs.delete(ckpt, false)
-    fs.rename(part, ckpt)
+    val df = s.createDataFrame(rows.asJava, schema)
+    val pointer =
+      if (nParts == 1) {
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no checkpoint part under $staging"))
+        val ckpt = new Path(logDir, "%020d.checkpoint.parquet".format(v - 1))
+        // a prior MULTI-part export of this same version leaves
+        // differently-split part files — remove every same-version
+        // checkpoint spelling before publishing the single file
+        fs.listStatus(logDir).map(_.getPath)
+          .filter(_.getName.startsWith("%020d.checkpoint.".format(v - 1)))
+          .foreach(p => fs.delete(p, false))
+        fs.rename(part, ckpt)
+        val bytes = fs.getFileStatus(ckpt).getLen
+        s"""{"version":${v - 1},"size":${rows.size},"sizeInBytes":$bytes}"""
+      } else {
+        // multi-part: N part files, each a complete-schema parquet;
+        // stale single-file or differently-split checkpoints of the
+        // same version are removed so the directory matches the pointer
+        df.repartition(nParts).write.mode("overwrite").parquet(staging.toString)
+        val parts = fs.listStatus(staging).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val single = new Path(logDir, "%020d.checkpoint.parquet".format(v - 1))
+        if (fs.exists(single)) fs.delete(single, false)
+        fs.listStatus(logDir).map(_.getPath)
+          .filter(_.getName.startsWith("%020d.checkpoint.".format(v - 1)))
+          .foreach(p => fs.delete(p, false))
+        var bytes = 0L
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val dst = new Path(logDir,
+            "%020d.checkpoint.%010d.%010d.parquet".format(v - 1, i + 1, parts.length))
+          fs.rename(p, dst)
+          bytes += fs.getFileStatus(dst).getLen
+        }
+        s"""{"version":${v - 1},"size":${rows.size},"parts":${parts.length},"sizeInBytes":$bytes}"""
+      }
     fs.delete(staging, true)
     val lc = new Path(logDir, "_last_checkpoint")
     val out = fs.create(lc, true)
-    try out.write(
-      s"""{"version":${v - 1},"size":${rows.size}}""".getBytes("UTF-8"))
+    try out.write(pointer.getBytes("UTF-8"))
     finally out.close()
   }
 

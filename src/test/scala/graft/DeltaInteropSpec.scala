@@ -299,4 +299,51 @@ class DeltaInteropSpec extends SparkSpec {
     assert(spark.read.parquet(files: _*).select("id").as[Long].collect().toSet
       === Set(1L, 2L), "re-exported dir must reconstruct exactly v2")
   }
+
+  test("multi-part checkpoint WRITE: parts split, pointer fields, checkpoint-alone read") {
+    // VERDICT r17 task 5: past a file-count threshold the export's own
+    // checkpoint must split into the spec's multi-part shape (the r17
+    // reader already assembles foreign ones) — at 100k files a single
+    // driver-rendered checkpoint parquet is the wrong write path
+    val root = "/tmp/graft_test/delta_multipart"
+    SnapshotTable.drop(spark, root)
+    // 12 files across two commits (coalesce pins file counts)
+    SnapshotTable.commit(spark, root,
+      (0 until 60).map(k => (k.toLong, s"a$k")).toDF("id", "v").repartition(8))
+    SnapshotTable.commitAppend(spark, root,
+      (60 until 90).map(k => (k.toLong, s"b$k")).toDF("id", "v").repartition(4))
+    val export = "/tmp/graft_test/delta_multipart_out"
+    SnapshotTable.drop(spark, export)
+    // 14 actions (protocol + metaData + 12 adds) at 4 per part → 4 parts
+    DeltaInterop.writeLog(spark, root, export, checkpointPartActions = 4)
+    val logDir = new Path(s"$export/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(logDir).map(_.getPath.getName).toSet
+    assert(!names.contains("%020d.checkpoint.parquet".format(1)),
+      "multi-part export must not also leave a single-file checkpoint")
+    val partRe = "\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet".r
+    val partNames = names.filter(n => partRe.pattern.matcher(n).matches()).toSeq.sorted
+    assert(partNames.size === 4, names.toString)
+    assert(partNames.head ===
+      "%020d.checkpoint.%010d.%010d.parquet".format(1, 1, 4), partNames.toString)
+    val in = fs.open(new Path(logDir, "_last_checkpoint"))
+    val lc = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(lc.contains("\"parts\":4") && lc.contains("\"sizeInBytes\":"), lc)
+    // checkpoint-ALONE reconstruction: delete every JSON commit; the
+    // reader must rebuild the exact head from the parts + pointer
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).foreach(fs.delete(_, false))
+    val (files2, _, _) = DeltaInterop.readLog(spark, export)
+    assert(spark.read.parquet(files2: _*).select("id").as[Long].collect().toSet
+      === (0L until 90L).toSet, "checkpoint-alone state must equal the head")
+    // a RE-export at default threshold collapses back to one file and
+    // truncates the stale parts (the multi-part spelling is versioned)
+    DeltaInterop.writeLog(spark, root, export)
+    val names2 = fs.listStatus(logDir).map(_.getPath.getName).toSet
+    assert(names2.contains("%020d.checkpoint.parquet".format(1)), names2.toString)
+    assert(!names2.exists(n => partRe.pattern.matcher(n).matches()),
+      "stale multi-part files must not survive a single-file re-export")
+    val (files3, _, _) = DeltaInterop.readLog(spark, export)
+    assert(spark.read.parquet(files3: _*).count() === 90)
+  }
 }

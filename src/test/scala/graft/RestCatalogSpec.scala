@@ -997,6 +997,50 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(RestCatalog.delete(port, "/management/v1/warehouse/spec_wh_b")._1 == 200)
   }
 
+  test("management API: rename, delete-protection, statistics") {
+    // Lakekeeper's remaining RUNBOOK-visible verbs: rename (stable
+    // identity, new addressable name), the protection switch, and the
+    // metadata-sized statistics route
+    val mk =
+      """{"warehouse-name":"mgmt_wh","delete-protection":true,
+        |"storage-profile":{"type":"file"}}""".stripMargin
+    assert(RestCatalog.post(port, "/management/v1/warehouse", mk)._1 == 201)
+    // protected at birth: DELETE refuses until the flag is unset
+    val (dp, dpr) = RestCatalog.delete(port, "/management/v1/warehouse/mgmt_wh")
+    assert(dp == 409 && dpr.contains("delete-protected"), dpr)
+    // a table created through the warehouse shows up in statistics
+    val ns = "graft_wh_mgmt_wh"
+    val (ct, _) = RestCatalog.post(port, s"/v1/mgmt_wh/namespaces/$ns/tables",
+      """{"name":"s1","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","type":"long"}]}}""".stripMargin)
+    assert(ct == 200)
+    val (cs, stats) = RestCatalog.get(port,
+      "/management/v1/warehouse/mgmt_wh/statistics")
+    assert(cs == 200 && stats.contains("\"number-of-tables\":1") &&
+      stats.contains("\"delete-protection\":true"), stats)
+    // rename: new name answers, old 404s, contents + database SURVIVE
+    val (cr, rr) = RestCatalog.post(port,
+      "/management/v1/warehouse/mgmt_wh/rename", """{"new-name":"mgmt_wh2"}""")
+    assert(cr == 200, rr)
+    assert(RestCatalog.get(port, "/management/v1/warehouse/mgmt_wh")._1 == 404)
+    assert(RestCatalog.get(port, "/management/v1/warehouse/mgmt_wh2")._1 == 200)
+    val (lc, l) = RestCatalog.get(port, "/v1/mgmt_wh2/tables")
+    assert(lc == 200 && RestCatalog.jfieldAll(l, "name") == Seq("s1"), l)
+    // rename collisions / validation refuse
+    assert(RestCatalog.post(port, "/management/v1/warehouse/mgmt_wh2/rename",
+      """{"new-name":"tables"}""")._1 == 400)
+    assert(RestCatalog.post(port, "/management/v1/warehouse/nope/rename",
+      """{"new-name":"x"}""")._1 == 404)
+    // protection survives the rename; unset, then the lifecycle closes
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/mgmt_wh2")._1 == 409)
+    assert(RestCatalog.post(port, "/management/v1/warehouse/mgmt_wh2/protection",
+      """{"protected":false}""")._1 == 200)
+    assert(RestCatalog.delete(port, s"/v1/mgmt_wh2/tables/s1")._1 == 200)
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/mgmt_wh2")._1 == 200)
+    assert(!spark.catalog.databaseExists(ns),
+      "renamed warehouse drop must still clean the provision-time database")
+  }
+
   test("warehouse DELETE also drops its engine-side database (r17 ADVICE)") {
     val (c1, _) = RestCatalog.post(port, "/management/v1/warehouse",
       """{"warehouse-name":"spec_wh_c","storage-profile":{"type":"file"}}""")
