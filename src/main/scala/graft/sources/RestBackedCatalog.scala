@@ -64,6 +64,14 @@ import graft.lake.{IcebergInterop, SnapshotTable}
   * minted through `POST /v1/oauth/tokens` (re-minted once on a 401 —
   * tokens expire server-side).
   */
+object RestBackedCatalog {
+  // per-mount-path JVM lock: first-mount of an immutable snapshot is
+  // write-once; concurrent loaders in one JVM serialize instead of
+  // racing the import's commit CAS
+  private val mountLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
 class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft_rest"
@@ -180,8 +188,14 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
         .flatMap(e => jlong(e, "timestamp-ms")).getOrElse(0L)
     }
     val mount = s"$mountRoot/$uuid/snap-$snapId-$stamp"
-    if (SnapshotTable.currentVersion(spark, mount) == 0)
-      IcebergInterop.importChain(spark, metaLocation, mount, snapId)
+    // same-JVM loaders racing the FIRST mount of a snapshot serialize
+    // here (cross-process, the import's commit CAS makes the loser
+    // fail loudly rather than corrupt — retry-able, never wrong)
+    RestBackedCatalog.mountLocks
+      .computeIfAbsent(mount, _ => new Object).synchronized {
+        if (SnapshotTable.currentVersion(spark, mount) == 0)
+          IcebergInterop.importChain(spark, metaLocation, mount, snapId)
+      }
     mount
   }
 
@@ -212,7 +226,10 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table = {
     GraftCatalog.ensureStatsRule(spark)
     val ltr = loadResult(ident)
-    val snapId = version.trim.toLongOption.getOrElse {
+    // only NON-NEGATIVE integers address snapshot ids — "-1" must fall
+    // through to ref resolution (and fail loudly), never silently
+    // serve the head
+    val snapId = version.trim.toLongOption.filter(_ >= 0).getOrElse {
       val refs = jobjBlock(ltr, "refs").getOrElse(
         sys.error(s"LoadTableResult for $ident serves no refs"))
       jobjBlock(refs, version.trim).flatMap(jlong(_, "snapshot-id")).getOrElse(

@@ -1131,6 +1131,13 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
           .collect()
       }
       assert(e1.getMessage.contains("no ref 'nope'"), e1.getMessage)
+      // a negative "version" is NOT a snapshot id — it must fall
+      // through to ref resolution and fail, never serve the head
+      val eNeg = intercept[Exception] {
+        s2.sql("SELECT * FROM restspec.graft.rest_spec_mnt VERSION AS OF '-1'")
+          .collect()
+      }
+      assert(eNeg.getMessage.contains("no ref '-1'"), eNeg.getMessage)
       // read-only: DDL refuses with the wire-mount message, writes
       // refuse via the pinned snapshot
       val e2 = intercept[Exception] {
