@@ -59,7 +59,7 @@ object RestCatalog {
   // minimal JSON emit/extract (flat payloads only — documented
   // contract of this endpoint; no external parser jars exist here)
 
-  private def jstr(s: String): String = {
+  private[graft] def jstr(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
       case '"' => b.append("\\\"")
@@ -2466,10 +2466,76 @@ object RestCatalog {
        |ORDER BY at_ref, event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: wire WRITE-THROUGH — the full engine-switch
+    * loop. A second engine (fresh SparkSession; only the server URI)
+    * INSERTs INTO a REST-mounted table: [[graft.sources
+    * .RestBackedCatalog]]'s write path stages parquet into the table's
+    * shared-storage location (the data plane Lakekeeper's vended
+    * credentials authorize) and lands the snapshot over the catalog's
+    * `updateTable` route with a FRESH `assert-ref-snapshot-id` — the
+    * same CAS every other writer rides, so concurrent commits 409
+    * loudly. The emitted aggregate then READS the table back through
+    * the wire mount (post-commit head), so the oracle hash proves the
+    * whole control-plane/data-plane loop is content-exact:
+    * name→metadata over HTTP, files by path, commit over HTTP, fresh
+    * read over HTTP. Trino INSERTing through Lakekeeper is exactly
+    * this shape (reference RUNBOOK §7/§9). Scale: the INSERT ships
+    * only file paths over the wire; staging is a normal distributed
+    * parquet write; commit cost is O(files in the commit).
+    */
+  def restMountWrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_mount_write/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tableRoot = s"$base/events_wiredml"
+    SnapshotTable.drop(s, tableRoot)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    SnapshotTable.commit(s, tableRoot, events.filter(col("event_id") % 3 === 0))
+    Catalog.register(s, dir)
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    val (rc, _) = post(port, "/v1/tables",
+      s"""{"name":"events_wiredml","format":"graft-snapshot","location":${jstr(tableRoot)}}""")
+    require(rc == 201, s"register events_wiredml -> $rc")
+    val s2 = s.newSession()
+    val cat = "restw"
+    s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.RestBackedCatalog")
+    s2.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+    s2.conf.set(s"spark.sql.catalog.$cat.mount-root", s"$base/mounts")
+    // the second engine reads source rows from the shared data plane
+    // and commits them through the CATALOG — no registry, no engine
+    // API, just the wire
+    s2.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") % 3 === 1)
+      .writeTo(s"$cat.${Catalog.DB}.events_wiredml").append()
+    require(SnapshotTable.currentVersion(s, tableRoot) == 2,
+      "the wire INSERT must have landed exactly version 2")
+    // read the post-commit head back through the wire mount
+    val out = s2.table(s"$cat.${Catalog.DB}.events_wiredml")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+    val cnt = out.count() // materialize before un-registering
+    require(cnt > 0, "wire-mounted read returned no groups")
+    val (dc, dr) = delete(port, "/v1/tables/events_wiredml")
+    require(dc == 200, s"cleanup DELETE events_wiredml -> $dc: $dr")
+    out
+  }
+
+  val restMountWriteOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 3 IN (0, 1)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
     graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
     graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)),
     graft.Q("catalog_rest_refs", restRefs, Some(restRefsOracle)),
     graft.Q("catalog_rest_mount", restMount, Some(restMountOracle)),
+    graft.Q("catalog_rest_mount_write", restMountWrite, Some(restMountWriteOracle)),
     graft.Q("catalog_warehouses", restWarehouses, Some(restWarehousesOracle)))
 }

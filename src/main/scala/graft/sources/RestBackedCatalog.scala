@@ -6,6 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -56,11 +58,14 @@ import graft.lake.{IcebergInterop, SnapshotTable}
   * All resolution happens from the LoadTableResult JSON alone — the
   * second-client loop the reference's notebook runs against Trino.
   *
-  * READ-ONLY by design: every table is served at a pinned snapshot, so
-  * the engine's write/delete surfaces refuse it; writes belong to the
-  * wire commit route (`POST /v1/namespaces/{ns}/tables/{t}`, the
-  * catalog_rest_commit loop) or to an engine session that owns the
-  * table. OAuth: a static `token` option, or `credential=id:secret`
+  * Writes: INSERT INTO (append) WRITES THROUGH THE WIRE — parquet is
+  * staged into the table's shared-storage location and the snapshot
+  * committed over the catalog's `updateTable` route with a fresh
+  * `assert-ref-snapshot-id` (concurrent writers 409 loudly), exactly
+  * how engines write through Lakekeeper. Everything else — overwrite,
+  * DELETE/UPDATE/MERGE, DDL — refuses: the read side is a pinned
+  * immutable snapshot, and restatements belong to an owning engine
+  * session. OAuth: a static `token` option, or `credential=id:secret`
   * minted through `POST /v1/oauth/tokens` (re-minted once on a 401 —
   * tokens expire server-side).
   */
@@ -134,13 +139,22 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
     tok
   }
 
-  /** GET with auth; one transparent re-mint on 401 when credentials
-    * are configured (server-side token expiry).
+  /** GET/POST with auth; one transparent re-mint on 401 when
+    * credentials are configured (server-side token expiry).
     */
-  private def get(path: String): (Int, String) = {
+  private def send(method: String, path: String,
+      body: Option[String]): (Int, String) = {
     def once(tok: Option[String]): (Int, String) = {
       val b = java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"$uri$path")).GET()
+        java.net.URI.create(s"$uri$path"))
+      body match {
+        case Some(payload) =>
+          b.header("Content-Type", "application/json")
+          b.method(method,
+            java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+        case None => b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.noBody())
+      }
       tok.foreach(t => b.header("Authorization", s"Bearer $t"))
       val resp = httpClient.send(b.build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -152,15 +166,22 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
     else first
   }
 
+  private def get(path: String): (Int, String) = send("GET", path, None)
+  private def post(path: String, body: String): (Int, String) =
+    send("POST", path, Some(body))
+
   private def nsPath(namespace: Array[String]): String =
     namespace.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("%1F")
 
   // ----- resolution --------------------------------------------------
 
+  private def tablesPath(ident: Identifier): String =
+    s"/v1/${prefix}namespaces/${nsPath(ident.namespace())}" +
+      s"/tables/${java.net.URLEncoder.encode(ident.name(), "UTF-8")}"
+
   /** LoadTableResult for `ident`, or a loud NoSuchTableException. */
   private def loadResult(ident: Identifier): String = {
-    val (code, body) = get(s"/v1/${prefix}namespaces/${nsPath(ident.namespace())}" +
-      s"/tables/${java.net.URLEncoder.encode(ident.name(), "UTF-8")}")
+    val (code, body) = get(tablesPath(ident))
     if (code == 404) throw new NoSuchTableException(ident)
     require(code == 200, s"loadTable $ident over $uri -> $code: $body")
     body
@@ -202,12 +223,71 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
   private def serve(ident: Identifier, ltr: String, snapId: Long): Table = {
     val mount = mountSnapshot(ltr, snapId)
     val v = SnapshotTable.currentVersion(spark, mount)
-    // the PINNED version refuses every write/delete/row-level surface
-    // (GraftTable guards them with version < 0) — wire mounts are
-    // read-only; commits go through the catalog's HTTP commit route
-    new GraftTable(
+    // reads come from the PINNED immutable mount; the pinned version
+    // also refuses every delete/row-level/overwrite surface (GraftTable
+    // guards them with version < 0). APPENDs, though, WRITE THROUGH THE
+    // WIRE: stage parquet into the table's shared-storage location,
+    // then commit over the catalog's updateTable route — the full
+    // Lakekeeper loop (engines write data files to storage, the
+    // catalog arbitrates the commit)
+    val loc = jfieldAll(ltr, "location").headOption.getOrElse("")
+    new WireMountTable(
       (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
-      mount, v)
+      mount, v, ident, loc)
+  }
+
+  /** A mounted table whose INSERT path is the wire commit: data files
+    * land in the table's own location (the shared-storage data plane —
+    * what Lakekeeper's vended credentials exist to authorize), the
+    * snapshot lands via `POST {tablesPath}` with a fresh
+    * `assert-ref-snapshot-id` (the catalog's CAS; a concurrent writer
+    * 409s and the INSERT fails loudly — retryable, never silent).
+    * Overwrite/truncate are refused: restatements belong to an owning
+    * engine session.
+    */
+  private class WireMountTable(tableName: String, mount: String, v: Int,
+      ident: Identifier, location: String)
+    extends GraftTable(tableName, mount, v) {
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            (data, overwriteFlag) => {
+              require(!overwrite && !overwriteFlag,
+                s"$tableName is a wire mount: INSERT INTO (append) commits " +
+                  "through the catalog; OVERWRITE belongs to an owning engine session")
+              require(location.nonEmpty,
+                s"$tableName's LoadTableResult carries no location to stage into")
+              val s = data.sparkSession
+              val staged = s"$location/_wire_staged/" +
+                java.util.UUID.randomUUID.toString.take(12)
+              data.write.parquet(staged)
+              val sp = new org.apache.hadoop.fs.Path(staged)
+              val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+              val files = fs.listStatus(sp).map(_.getPath.toString)
+                .filter(_.endsWith(".parquet")).sorted
+              // freshest head for the CAS assertion — the mount's
+              // pinned snapshot may be stale by commit time
+              val ltr = loadResult(ident)
+              val head = jlong(ltr, "current-snapshot-id").getOrElse(
+                sys.error(s"$tableName: no current-snapshot-id at commit time"))
+              val body =
+                s"""{"requirements":[{"type":"assert-ref-snapshot-id",""" +
+                  s""""ref":"main","snapshot-id":$head}],""" +
+                  s""""updates":[{"action":"add-snapshot","snapshot":""" +
+                  s"""{"summary":{"operation":"append"},"added-data-files":[${
+                    files.map(f => graft.endpoint.RestCatalog.jstr(f)).mkString(",")}]}}]}"""
+              val (code, resp) = post(tablesPath(ident), body)
+              require(code == 200, s"wire commit for $tableName -> $code: $resp" +
+                (if (code == 409) " (a concurrent writer won the CAS; retry the INSERT)"
+                 else ""))
+              ()
+            }
+        }
+      }
   }
 
   override def loadTable(ident: Identifier): Table = {

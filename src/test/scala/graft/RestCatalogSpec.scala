@@ -1055,6 +1055,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("commit requirements are read per-object, not first-match-anywhere") {
+    port // the lazy init DELETES tableArea — force it before creating state there
     import spark.implicits._
     val root = s"$tableArea/rest_spec_req"
     SnapshotTable.drop(spark, root)
@@ -1086,6 +1087,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("RestBackedCatalog: a second session resolves everything from the wire") {
+    port // the lazy init DELETES tableArea — force it before creating state there
     import spark.implicits._
     val root = s"$tableArea/rest_spec_mnt"
     SnapshotTable.drop(spark, root)
@@ -1095,9 +1097,9 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     Thread.sleep(20) // distinct commit stamps for TIMESTAMP AS OF
     SnapshotTable.commitAppend(spark, root,
       (31L to 50L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"))
-    val (rc, _) = RestCatalog.post(port, "/v1/tables",
+    val (rc, rcBody) = RestCatalog.post(port, "/v1/tables",
       s"""{"name":"rest_spec_mnt","format":"graft-snapshot","location":"$root"}""")
-    assert(rc == 201)
+    assert(rc == 201, rcBody)
     try {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.catalog.restspec", "graft.sources.RestBackedCatalog")
@@ -1138,17 +1140,31 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
           .collect()
       }
       assert(eNeg.getMessage.contains("no ref '-1'"), eNeg.getMessage)
-      // read-only: DDL refuses with the wire-mount message, writes
-      // refuse via the pinned snapshot
+      // DDL refuses with the wire-mount message
       val e2 = intercept[Exception] {
         s2.sql("DROP TABLE restspec.graft.rest_spec_mnt").collect()
       }
       assert(e2.getMessage.contains("read-only wire mount"), e2.getMessage)
+      // APPEND writes THROUGH THE WIRE: parquet staged into the
+      // table's location, snapshot committed over updateTable with a
+      // fresh CAS assertion — the engine-side table sees v3
+      s2.sql("INSERT INTO restspec.graft.rest_spec_mnt " +
+        "VALUES (CAST(99 AS BIGINT), 'gx')").collect()
+      assert(SnapshotTable.currentVersion(spark, root) === 3,
+        "wire INSERT must land as an engine commit")
+      assert(s2.table("restspec.graft.rest_spec_mnt").count() === 51)
+      assert(SnapshotTable.read(spark, root)
+        .where("id = 99 and grp = 'gx'").count() === 1)
+      // the tagged snapshot stays immutable under the append
+      assert(s2.sql(
+        "SELECT * FROM restspec.graft.rest_spec_mnt VERSION AS OF 'spec_tag'")
+        .count() === 30)
+      // OVERWRITE refuses — restatements belong to an owning session
       val e3 = intercept[Exception] {
-        s2.sql("INSERT INTO restspec.graft.rest_spec_mnt VALUES (99, 'x')")
-          .collect()
+        s2.sql("INSERT OVERWRITE restspec.graft.rest_spec_mnt " +
+          "VALUES (CAST(1 AS BIGINT), 'gy')").collect()
       }
-      assert(e3.getMessage.contains("cannot write"), e3.getMessage)
+      assert(e3.getMessage.contains("OVERWRITE belongs"), e3.getMessage)
     } finally {
       RestCatalog.delete(port, "/v1/tables/rest_spec_mnt")
       ()
@@ -1156,6 +1172,7 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("RestBackedCatalog OAuth: credential mints a token; tokenless is refused") {
+    port // the lazy init DELETES tableArea — force it before creating state there
     val authRoot = "/tmp/graft_rest_spec_auth2_registry"
     val root = s"$tableArea/rest_spec_auth_mnt"
     val conf = spark.sparkContext.hadoopConfiguration
