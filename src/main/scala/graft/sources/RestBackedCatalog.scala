@@ -269,21 +269,35 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
               val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
               val files = fs.listStatus(sp).map(_.getPath.toString)
                 .filter(_.endsWith(".parquet")).sorted
-              // freshest head for the CAS assertion — the mount's
-              // pinned snapshot may be stale by commit time
-              val ltr = loadResult(ident)
-              val head = jlong(ltr, "current-snapshot-id").getOrElse(
-                sys.error(s"$tableName: no current-snapshot-id at commit time"))
-              val body =
-                s"""{"requirements":[{"type":"assert-ref-snapshot-id",""" +
-                  s""""ref":"main","snapshot-id":$head}],""" +
-                  s""""updates":[{"action":"add-snapshot","snapshot":""" +
-                  s"""{"summary":{"operation":"append"},"added-data-files":[${
-                    files.map(f => graft.endpoint.RestCatalog.jstr(f)).mkString(",")}]}}]}"""
-              val (code, resp) = post(tablesPath(ident), body)
-              require(code == 200, s"wire commit for $tableName -> $code: $resp" +
-                (if (code == 409) " (a concurrent writer won the CAS; retry the INSERT)"
-                 else ""))
+              if (files.isEmpty) {
+                // zero-row INSERT: a correct no-op, not a 400 from an
+                // empty added-data-files list
+                fs.delete(sp, true)
+              } else {
+                // freshest head for the CAS assertion — the mount's
+                // pinned snapshot may be stale by commit time
+                val ltr = loadResult(ident)
+                val head = jlong(ltr, "current-snapshot-id").getOrElse(
+                  sys.error(s"$tableName: no current-snapshot-id at commit time"))
+                val body =
+                  s"""{"requirements":[{"type":"assert-ref-snapshot-id",""" +
+                    s""""ref":"main","snapshot-id":$head}],""" +
+                    s""""updates":[{"action":"add-snapshot","snapshot":""" +
+                    s"""{"summary":{"operation":"append"},"added-data-files":[${
+                      files.map(f => graft.endpoint.RestCatalog.jstr(f)).mkString(",")}]}}]}"""
+                val (code, resp) = post(tablesPath(ident), body)
+                if (code != 200) {
+                  // reclaim the staging eagerly; anything a crash
+                  // leaves is ordinary aborted-write-orphan territory
+                  // (the table's maintenance grace-reclaims it)
+                  try fs.delete(sp, true) catch { case _: java.io.IOException => () }
+                  throw new IllegalStateException(
+                    s"wire commit for $tableName -> $code: $resp" +
+                      (if (code == 409)
+                        " (a concurrent writer won the CAS; retry the INSERT)"
+                       else ""))
+                }
+              }
               ()
             }
         }
