@@ -2052,6 +2052,10 @@ object RestCatalog {
     val (cn, _) = post(port, "/v1/namespaces",
       s"""{"namespace":[${jstr(Catalog.DB)},"staging"]}""")
     require(cn == 200 || cn == 409, s"create nested namespace -> $cn")
+    // a PRIOR PROCESS crashing mid-entry leaves the probe table in the
+    // persisted registry (restored at serve) — clear it best-effort so
+    // re-runs self-heal instead of wedging on the create below
+    delete(port, s"/v1/namespaces/$nsPath/tables/nested_probe")
     val (ctn, ctr) = post(port, s"/v1/namespaces/$nsPath/tables",
       """{"name":"nested_probe","schema":{"type":"struct","fields":[
         |{"id":1,"name":"id","type":"long"}]}}""".stripMargin)
