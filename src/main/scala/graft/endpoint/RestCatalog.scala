@@ -192,11 +192,33 @@ object RestCatalog {
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
     locally { // restore persisted warehouses (server restart)
-      if (fs.exists(whDir))
-        fs.listStatus(whDir).map(_.getPath)
-          .filter(_.getName.endsWith(".json")).sortBy(_.getName).foreach { p =>
-            val in = fs.open(p)
+      if (fs.exists(whDir)) {
+        val records = fs.listStatus(whDir)
+          .filter(_.getPath.getName.endsWith(".json")).sortBy(_.getPath.getName)
+          .map { st =>
+            val in = fs.open(st.getPath)
             val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+            (st.getPath, st.getModificationTime, txt)
+          }
+        // a crash between rename's publish-new and delete-old leaves
+        // BOTH names pointing at ONE registry; mounting both would put
+        // two handlers over the same database, and dropping either
+        // would reclaim the survivor's registry. The NEWER record is
+        // the rename's fully-published target — completing the
+        // interrupted rename means mounting it and retiring the stale
+        // file (r18 ADVICE).
+        val stale = records
+          .groupBy { case (_, _, txt) => jfieldAll(txt, "wh_registry").headOption }
+          .collect { case (Some(_), dups) if dups.size > 1 =>
+            dups.sortBy { case (_, mtime, _) => mtime }.dropRight(1)
+          }.flatten.map(_._1).toSet
+        stale.foreach { p =>
+          System.err.println(s"[graft-rest] warehouse record $p shares its " +
+            "registry with a newer record (interrupted rename) — retiring " +
+            "the stale name")
+          fs.delete(p, false)
+        }
+        records.filterNot { case (p, _, _) => stale(p) }.foreach { case (p, _, txt) =>
             (jfieldAll(txt, "wh_name").headOption,
               jfieldAll(txt, "wh_db").headOption,
               jfieldAll(txt, "wh_registry").headOption) match {
@@ -225,6 +247,7 @@ object RestCatalog {
                   "delete it to free the name")
             }
           }
+      }
     }
 
     def handlerFor(name: String): Option[CatalogHandler] =
@@ -424,6 +447,7 @@ object RestCatalog {
         val views = rows.length - tables
         s"""{"warehouse":${jstr(name)},"number-of-tables":$tables,""" +
           s""""number-of-views":$views,"delete-protection":${isProtected(name)},""" +
+          s""""metrics-reports":${h.metricsReportCount},""" +
           s""""registry-version":${SnapshotTable.currentVersion(spark, h.registry)}}"""
       }
 
@@ -475,14 +499,56 @@ object RestCatalog {
     // WarehouseStore so drop can judge emptiness under the same lock.
     private[endpoint] val ddlLock = new Object
 
-    /** The requirement OBJECT of `tpe` within a requirements block —
-      * commit handlers must read ref/snapshot-id/uuid from the
-      * matching requirement itself, never first-match across the
-      * whole array (see [[RestCatalog.jobjElements]]).
+    /** ALL requirement objects of `tpe` within a requirements block —
+      * commit handlers must validate EVERY matching requirement and
+      * read ref/snapshot-id/uuid from each matching object itself
+      * (Iceberg semantics: a commit carrying main PLUS a tag assertion
+      * fails when either is stale; first-match validation silently
+      * ignored the rest — r18 ADVICE).
       */
-    private def reqOf(reqBlock: String, tpe: String): Option[String] =
+    private def reqsOf(reqBlock: String, tpe: String): Seq[String] =
       jobjElements(reqBlock)
-        .find(b => jfieldAll(b, "type").headOption.contains(tpe))
+        .filter(b => jfieldAll(b, "type").headOption.contains(tpe))
+
+    /** The failure message of the first violated `assert-table-uuid`
+      * requirement, if any (every matching requirement is checked).
+      */
+    private def uuidAssertionFailure(loc: String, reqBlock: String): Option[String] =
+      if (reqsOf(reqBlock, "assert-table-uuid")
+            .exists(b => !jfieldAll(b, "uuid").forall(_ == tableUuid(loc))))
+        Some(s"requirement failed: table-uuid is ${tableUuid(loc)}")
+      else None
+
+    /** Validate EVERY `assert-ref-snapshot-id` requirement against the
+      * table's refs at `cur` — a requirement may name any ref (main,
+      * a tag, a branch whose head is a main version); asserting a
+      * snapshot-id checks position, omitting it asserts ABSENCE.
+      * Returns the first violated assertion's message, if any.
+      */
+    private def refAssertionFailure(loc: String, cur: Int,
+        reqBlock: String): Option[String] = {
+      // a ref's wire-visible position: main = the head; tags by
+      // version; branches only when their head is a MAIN version
+      // (branch-local staging is invisible to external catalogs)
+      def refVersion(n: String): Option[Long] =
+        if (n == "main") Some(cur.toLong)
+        else SnapshotTable.tags(spark, loc).get(n).map(_.toLong)
+          .orElse(SnapshotTable.branches(spark, loc).get(n).collect {
+            case stem if stem.matches("v\\d+") => stem.drop(1).toLong
+          })
+      reqsOf(reqBlock, "assert-ref-snapshot-id").iterator.flatMap { rb =>
+        val reqRef = jfieldAll(rb, "ref").headOption.getOrElse("main")
+        val wanted = jlong(rb, "snapshot-id")
+        (refVersion(reqRef), wanted) match {
+          case (Some(have), Some(w)) if have == w => None // holds
+          case (None, None) => None // asserted absent, is absent
+          case (have, _) =>
+            Some(s"requirement failed: ref $reqRef " +
+              have.fold("does not exist")(h => s"snapshot-id is $h") +
+              wanted.fold(" (asserted absent)")(w => s", not $w"))
+        }
+      }.nextOption()
+    }
 
     // bearer tokens issued by /v1/oauth/tokens → expiry instant (ms).
     // Bounded by issuance rate; expired entries are reaped on check.
@@ -665,8 +731,14 @@ object RestCatalog {
     }
 
     /** Whether `tok` is a live vended credential whose scope covers
-      * this request: GET/HEAD on exactly its table's LoadTableResult
-      * or credentials-refresh route. Everything else stays 401.
+      * this request: GET/HEAD on exactly its table's LoadTableResult —
+      * NOT the credentials-refresh route. Refresh requires the full
+      * catalog bearer: if a vended token could re-vend itself, a
+      * data-plane holder polling before expiry would hold storage
+      * access forever and the server-enforced TTL would bound nothing
+      * (r18 ADVICE) — real STS/Lakekeeper scopes refresh to the
+      * catalog credential for the same reason. Everything else stays
+      * 401.
       */
     private[endpoint] def vendedOk(method: String, segs: List[String],
         tok: String): Boolean = {
@@ -675,8 +747,6 @@ object RestCatalog {
       Option(vendedTokens.get(tok)).exists { case (table, _) =>
         (method == "GET" || method == "HEAD") && (segs match {
           case List("v1", "namespaces", ns, "tables", t) =>
-            ns == db && t == table
-          case List("v1", "namespaces", ns, "tables", t, "credentials") =>
             ns == db && t == table
           case _ => false
         })
@@ -718,6 +788,45 @@ object RestCatalog {
           Option(r.getAs[String]("location")).getOrElse("")))
         .sortBy(_._1).toSeq
 
+    /** Iceberg REST list-route pagination (`?pageToken=…&pageSize=N`
+      * — Trino paginates every listing against big catalogs). The
+      * token is the LAST key of the previous page: keys are served
+      * sorted, so the cursor is stable under concurrent create/drop
+      * (an index cursor would skip or repeat around a mutation).
+      * Returns the page and the `next-page-token` to serve, if more
+      * remain. No pageSize → the whole (remaining) listing, no token.
+      */
+    private def paged[T](ex: HttpExchange, all: Seq[T], keyOf: T => String)
+        : (Seq[T], Option[String]) = {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").toSeq.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val sorted = all.sortBy(keyOf)
+      val rest = params.get("pageToken")
+        .fold(sorted)(t => sorted.dropWhile(keyOf(_) <= t))
+      params.get("pageSize").flatMap(_.toIntOption).filter(_ > 0) match {
+        case None => (rest, None)
+        case Some(n) =>
+          val page = rest.take(n)
+          (page, if (rest.size > n) page.lastOption.map(keyOf) else None)
+      }
+    }
+
+    // the next-page-token field, rendered only when a next page exists
+    private def nextTokenField(next: Option[String]): String =
+      next.fold("")(t => s""","next-page-token":${jstr(t)}""")
+
+    // metrics reports accepted per table (Iceberg ReportMetricsRequest
+    // — engines POST scan/commit reports after reads); metadata-sized
+    // accounting, served back through warehouse statistics
+    private val metricsReports =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private[endpoint] def metricsReportCount: Long = {
+      import scala.jdk.CollectionConverters._
+      metricsReports.values.asScala.map(_.longValue).sum
+    }
+
     override def handle(ex: HttpExchange): Unit =
       try route(ex)
       catch {
@@ -752,9 +861,10 @@ object RestCatalog {
     }
 
     /** A vended storage credential doubling as a SCOPED bearer: the
-      * holder may GET exactly its table's LoadTableResult or refresh
-      * its credentials — on the owning handler (warehouse-prefixed
-      * paths resolve to that warehouse's handler) — nothing else.
+      * holder may GET exactly its table's LoadTableResult — on the
+      * owning handler (warehouse-prefixed paths resolve to that
+      * warehouse's handler) — nothing else. Credentials REFRESH
+      * requires the full catalog bearer (see [[vendedOk]]).
       */
     private def vendedReqOk(ex: HttpExchange, method: String,
         path: String): Boolean =
@@ -860,8 +970,10 @@ object RestCatalog {
             nested.keySet.asScala.toSeq.sorted
               .map(k => db +: k.split(NsSep).toSeq)
           }
-          send(ex, 200, s"""{"namespaces":[${all.map(ns =>
-            ns.map(jstr).mkString("[", ",", "]")).mkString(",")}]}""")
+          val (page, next) = paged(ex, all, (_: Seq[String]).mkString(" "))
+          send(ex, 200, s"""{"namespaces":[${page.map(ns =>
+            ns.map(jstr).mkString("[", ",", "]")).mkString(",")}]${
+            nextTokenField(next)}}""")
 
         case ("POST", List("v1", "namespaces")) =>
           // Iceberg CreateNamespace: {"namespace":["<db>","sub",…]}
@@ -901,10 +1013,11 @@ object RestCatalog {
             s"""{"namespace":[${jstr(db)}],"properties":{}}""")
 
         case ("GET", List("v1", "namespaces", ns, "tables")) if ns == db =>
-          val ids = registryRows().map { case (n, _, _, _) =>
-            s"""{"namespace":[${jstr(db)}],"name":${jstr(n)}}"""
-          }
-          send(ex, 200, s"""{"identifiers":[${ids.mkString(",")}]}""")
+          val (page, next) = paged(ex, registryRows().map(_._1), identity[String])
+          val ids = page.map(n =>
+            s"""{"namespace":[${jstr(db)}],"name":${jstr(n)}}""")
+          send(ex, 200,
+            s"""{"identifiers":[${ids.mkString(",")}]${nextTokenField(next)}}""")
 
         case ("GET", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
           loadTableResult(ex, name)
@@ -930,6 +1043,61 @@ object RestCatalog {
 
         case ("POST", List("v1", "namespaces", ns, "tables", name)) if ns == db =>
           commitTable(ex, name)
+
+        case ("POST", List("v1", "namespaces", ns, "tables", name, "metrics"))
+            if ns == db =>
+          // Iceberg REST metrics-report sink (engines POST scan/commit
+          // reports after every read) — tolerant accept-and-account:
+          // the report body is engine-specific, so any non-empty JSON
+          // object counts; the tally is served in warehouse statistics
+          withTable(ex, name) { _ =>
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            if (body.trim.isEmpty || !body.trim.startsWith("{"))
+              err(ex, 400, "metrics report must be a JSON object")
+            else {
+              metricsReports.merge(name, 1L, (a, b) =>
+                java.lang.Long.valueOf(a.longValue + b.longValue))
+              ex.sendResponseHeaders(204, -1)
+              ex.close()
+            }
+          }
+
+        // ----- Iceberg REST views: the registry's views served over
+        // the wire, so a mounted session resolves a VIEW the way
+        // catalog_tables serves it locally (list/load here;
+        // create/drop delegate to engine DDL under the same lock as
+        // every other registry mutation)
+        case ("GET", List("v1", "namespaces", ns, "views")) if ns == db =>
+          val (page, next) =
+            paged(ex, registryRows().filter(_._2 == "view").map(_._1),
+              identity[String])
+          val ids = page.map(n =>
+            s"""{"namespace":[${jstr(db)}],"name":${jstr(n)}}""")
+          send(ex, 200,
+            s"""{"identifiers":[${ids.mkString(",")}]${nextTokenField(next)}}""")
+
+        case ("GET", List("v1", "namespaces", ns, "views", name)) if ns == db =>
+          loadViewResult(ex, name)
+
+        case ("HEAD", List("v1", "namespaces", ns, "views", name)) if ns == db =>
+          val isView = registryRows().exists(r => r._1 == name && r._2 == "view")
+          ex.sendResponseHeaders(if (isView) 204 else 404, -1)
+          ex.close()
+
+        case ("POST", List("v1", "namespaces", ns, "views")) if ns == db =>
+          createViewIceberg(ex)
+
+        case ("DELETE", List("v1", "namespaces", ns, "views", name)) if ns == db =>
+          withTable(ex, name) { case (_, kind, _, _) =>
+            if (kind != "view") err(ex, 404, s"$name is not a view")
+            else dropTable(ex, name)
+          }
+
+        // Iceberg REST multi-table transaction: every change's
+        // requirements validated, then all tables committed
+        // all-or-nothing (the route Trino uses for multi-table writes)
+        case ("POST", List("v1", "transactions", "commit")) =>
+          commitTransaction(ex)
 
         case ("GET", List("v1", "tables")) =>
           val rows = registryRows().map { case (n, kind, fmt, loc) =>
@@ -1156,8 +1324,10 @@ object RestCatalog {
       }
 
     /** Iceberg REST loadCredentials: re-vend (refresh) the scoped
-      * storage credential for one table — the route a data-plane
-      * holder polls as its vended token nears expiry.
+      * storage credential for one table. Callable only with the full
+      * catalog bearer — a vended token cannot refresh itself, so a
+      * lease's lifetime is bounded by its TTL unless the holder also
+      * holds catalog credentials (r18 ADVICE).
       */
     private def loadCredentials(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, _, _, loc) =>
@@ -1177,6 +1347,101 @@ object RestCatalog {
       */
     private def tableUuid(loc: String): String =
       graft.lake.IcebergInterop.tableUuid(loc)
+
+    /** The defining SQL of view `name` in this handler's database,
+      * from the session catalog's stored view text (the exact query
+      * CREATE VIEW ran — SHOW CREATE TABLE re-renders it, the metadata
+      * stores it verbatim).
+      */
+    private def viewText(name: String): Option[String] =
+      scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db))))
+        .toOption.flatMap(_.viewText)
+
+    /** Iceberg REST `LoadViewResult` for a registry view: view-uuid,
+      * one SQL representation (dialect `spark`), the view's output
+      * schema as Iceberg struct fields, and a materialized
+      * metadata-location under `<registry>_views/` an external reader
+      * can fetch without this server. Documented delta: graft views
+      * are single-version (CREATE OR REPLACE restates; there is no
+      * retained version history), so `versions` always carries exactly
+      * the current one.
+      */
+    private def loadViewResult(ex: HttpExchange, name: String): Unit =
+      withTable(ex, name) { case (_, kind, _, _) =>
+        if (kind != "view") { err(ex, 404, s"$name is not a view"); return }
+        val sql = viewText(name).getOrElse {
+          err(ex, 500, s"view $name has no stored definition"); return
+        }
+        val fields = spark.table(s"$db.$name").schema.zipWithIndex.map {
+          case (f, i) =>
+            s"""{"id":${i + 1},"name":${jstr(f.name)},"required":false,""" +
+              s""""type":${jstr(graft.lake.IcebergInterop.icebergType(
+                f.dataType.simpleString))}}"""
+        }
+        val uuid = tableUuid(s"$registryRoot/_views/$name")
+        val ts = System.currentTimeMillis()
+        val metadata =
+          s"""{"view-uuid":${jstr(uuid)},"format-version":1,""" +
+            s""""location":${jstr(s"${registryRoot}_views/$name")},""" +
+            s""""current-version-id":1,"versions":[{"version-id":1,""" +
+            s""""schema-id":0,"timestamp-ms":$ts,"summary":{},""" +
+            s""""default-namespace":[${jstr(db)}],""" +
+            s""""representations":[{"type":"sql","sql":${jstr(sql)},""" +
+            s""""dialect":"spark"}]}],""" +
+            s""""version-log":[{"version-id":1,"timestamp-ms":$ts}],""" +
+            s""""schemas":[{"schema-id":0,"type":"struct",""" +
+            s""""fields":[${fields.mkString(",")}]}],"properties":{}}"""
+        // materialize so an external reader can walk to the definition
+        // by path, like table metadata.json (the sql hash keys the
+        // file: a REPLACEd view serves a fresh location, an unchanged
+        // one re-serves the same immutable file)
+        val metaPath = new Path(s"${registryRoot}_views/$name",
+          s"v1-${Integer.toHexString(sql.hashCode)}.metadata.json")
+        val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!mfs.exists(metaPath)) {
+          val out = mfs.create(metaPath, true)
+          try out.write(metadata.getBytes(UTF_8)) finally out.close()
+        }
+        send(ex, 200,
+          s"""{"metadata-location":${jstr(metaPath.toString)},"metadata":$metadata}""")
+      }
+
+    /** Iceberg REST `createView` (CreateViewRequest → POST
+      * /v1/namespaces/{ns}/views): the body carries `name` and a
+      * `view-version` whose `representations` include a
+      * dialect-`spark` (or sole) SQL entry; the catalog runs the
+      * engine DDL and registers durably, so the view appears in every
+      * listing and loads back over [[loadViewResult]]. An existing
+      * view or table of the name 409s (AlreadyExists).
+      */
+    private def createViewIceberg(ex: HttpExchange): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val name = jfield(body, "name").getOrElse {
+        err(ex, 400, "missing field: name"); return
+      }
+      if (!name.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+        err(ex, 400, s"invalid view name: $name"); return
+      }
+      // the spark-dialect representation, or the only one present
+      val reps = jarrBlock(body, "representations").toSeq
+        .flatMap(jobjElements)
+      val sql = reps.find(r => jfieldAll(r, "dialect").headOption
+          .forall(d => d == "spark" || d == "default"))
+        .flatMap(r => jfieldAll(r, "sql").headOption).map(junescape)
+        .getOrElse {
+          err(ex, 400, "view-version.representations needs a sql entry " +
+            "(dialect spark)"); return
+        }
+      ddlLock.synchronized {
+        if (spark.catalog.tableExists(s"$db.$name")) {
+          err(ex, 409, s"view or table $name already exists"); return
+        }
+        spark.sql(s"CREATE VIEW $db.$name AS $sql")
+        PersistentCatalog.save(spark, registryRoot, db)
+      }
+      loadViewResult(ex, name)
+    }
 
     /** Render Iceberg v2 table metadata for version `v`, materialized
       * as an immutable per-version file under `_iceberg/` together
@@ -1226,18 +1491,13 @@ object RestCatalog {
       }
       def widens(from: String, to: String): Boolean =
         SnapshotTable.isWidening(from, to)
-      if (!reqOf(reqBlock, "assert-table-uuid")
-            .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
-        err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+      uuidAssertionFailure(loc, reqBlock).foreach { msg =>
+        err(ex, 409, msg); return
       }
       ddlLock.synchronized {
         val cur = SnapshotTable.currentVersion(spark, loc)
-        val refReq = reqOf(reqBlock, "assert-ref-snapshot-id")
-        val wanted = refReq.flatMap(jlong(_, "snapshot-id"))
-        if (refReq.isDefined && !wanted.contains(cur.toLong)) {
-          err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
-            wanted.fold("")(w => s", not $w"))
-          return
+        refAssertionFailure(loc, cur, reqBlock).foreach { msg =>
+          err(ex, 409, msg); return
         }
         val have = SnapshotTable.read(spark, loc).schema
           .map(f => f.name -> f.dataType.simpleString)
@@ -1403,18 +1663,13 @@ object RestCatalog {
         err(ex, 400, "set-properties needs a non-empty updates object " +
           "(or remove-properties a removals array)"); return
       }
-      if (!reqOf(reqBlock, "assert-table-uuid")
-            .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
-        err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+      uuidAssertionFailure(loc, reqBlock).foreach { msg =>
+        err(ex, 409, msg); return
       }
       ddlLock.synchronized {
         val cur = SnapshotTable.currentVersion(spark, loc)
-        val refReq = reqOf(reqBlock, "assert-ref-snapshot-id")
-        val wanted = refReq.flatMap(jlong(_, "snapshot-id"))
-        if (refReq.isDefined && !wanted.contains(cur.toLong)) {
-          err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
-            wanted.fold("")(w => s", not $w"))
-          return
+        refAssertionFailure(loc, cur, reqBlock).foreach { msg =>
+          err(ex, 409, msg); return
         }
         val nv = SnapshotTable.setProperties(spark, loc, updates, removals)
         val (metaLocation, metadata) = icebergMetadata(name, loc, nv)
@@ -1469,41 +1724,15 @@ object RestCatalog {
       val rname = jfieldAll(updBlock, "ref-name").headOption.getOrElse {
         err(ex, 400, s"${refActions.head} needs a ref-name"); return
       }
-      if (!reqOf(reqBlock, "assert-table-uuid")
-            .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
-        err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+      uuidAssertionFailure(loc, reqBlock).foreach { msg =>
+        err(ex, 409, msg); return
       }
       ddlLock.synchronized {
         val cur = SnapshotTable.currentVersion(spark, loc)
-        // a ref's wire-visible position: main = the head; tags by
-        // version; branches only when their head is a MAIN version
-        // (branch-local staging is invisible to external catalogs,
-        // exactly like the refs the export serves)
-        def refVersion(n: String): Option[Long] =
-          if (n == "main") Some(cur.toLong)
-          else SnapshotTable.tags(spark, loc).get(n).map(_.toLong)
-            .orElse(SnapshotTable.branches(spark, loc).get(n).collect {
-              case stem if stem.matches("v\\d+") => stem.drop(1).toLong
-            })
-        reqOf(reqBlock, "assert-ref-snapshot-id") match {
-          case Some(rb) =>
-            // ref and snapshot-id come from the assertion's OWN object:
-            // with several requirements in the array (assert-table-uuid
-            // carrying a snapshot-id, a second ref assertion), a
-            // whole-block scan could validate against the wrong
-            // requirement's values (r17 ADVICE)
-            val reqRef = jfieldAll(rb, "ref").headOption.getOrElse("main")
-            val wanted = jlong(rb, "snapshot-id")
-            (refVersion(reqRef), wanted) match {
-              case (Some(have), Some(w)) if have == w => // holds
-              case (None, None) => // asserted absent, is absent
-              case (have, _) =>
-                err(ex, 409, s"requirement failed: ref $reqRef " +
-                  have.fold("does not exist")(h => s"snapshot-id is $h") +
-                  wanted.fold(" (asserted absent)")(w => s", not $w"))
-                return
-            }
-          case None =>
+        // ref and snapshot-id come from each assertion's OWN object,
+        // and EVERY assertion in the block must hold (r17 + r18 ADVICE)
+        refAssertionFailure(loc, cur, reqBlock).foreach { msg =>
+          err(ex, 409, msg); return
         }
         val isRemove = refActions.head == "remove-snapshot-ref"
         if (rname == "main") {
@@ -1770,9 +1999,8 @@ object RestCatalog {
             err(ex, 400, s"added data file does not exist: $missing"); return
           case None =>
         }
-        if (!reqOf(reqBlock, "assert-table-uuid")
-              .forall(b => jfieldAll(b, "uuid").forall(_ == tableUuid(loc)))) {
-          err(ex, 409, s"requirement failed: table-uuid is ${tableUuid(loc)}"); return
+        uuidAssertionFailure(loc, reqBlock).foreach { msg =>
+          err(ex, 409, msg); return
         }
         // the commit itself: serialized with DDL so a registry restore
         // never sees a half-applied step; engine-side writers racing
@@ -1780,12 +2008,16 @@ object RestCatalog {
         // publishes through writeManifestAtomic)
         ddlLock.synchronized {
           val cur = SnapshotTable.currentVersion(spark, loc)
-          val refReq = reqOf(reqBlock, "assert-ref-snapshot-id")
-          val wanted = refReq.flatMap(jlong(_, "snapshot-id"))
-          if (refReq.isDefined && !wanted.contains(cur.toLong)) {
-            err(ex, 409, s"requirement failed: ref main snapshot-id is $cur" +
-              wanted.fold("")(w => s", not $w"))
-            return
+          refAssertionFailure(loc, cur, reqBlock).foreach { msg =>
+            err(ex, 409, msg); return
+          }
+          // staged files are validated against the table's schema AS
+          // OF THIS COMMIT (under the lock): a schema commit landing
+          // between the client's write planning and this commit must
+          // surface as a 409 — the schema analog of the snapshot CAS —
+          // never land files in an outdated shape (r18 ADVICE)
+          stagedSchemaConflict(loc, files).foreach { msg =>
+            err(ex, 409, msg); return
           }
           val nv =
             try SnapshotTable.commitFiles(spark, loc, files, append = true)
@@ -1798,6 +2030,151 @@ object RestCatalog {
             s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
         }
       }
+
+    /** Whether `files` (parquet a wire client staged) fit the table's
+      * CURRENT schema: a staged field may be ABSENT from a file (reads
+      * as NULL under the bound schema), but a field unknown to the
+      * current schema, or carrying a different type, is a conflict —
+      * the staged write was planned against a schema that has since
+      * evolved, and the files must be re-staged. Cost: one footer read
+      * per file, the same order as commitFiles' own row-count stamping.
+      */
+    private def stagedSchemaConflict(loc: String,
+        files: Seq[String]): Option[String] = {
+      val curTypes = SnapshotTable.read(spark, loc).schema
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      files.iterator.flatMap { f =>
+        spark.read.parquet(f).schema.iterator.flatMap { sf =>
+          curTypes.get(sf.name) match {
+            case Some(t) if t == sf.dataType.simpleString => None
+            case Some(t) => Some(s"staged file $f column ${sf.name} has type " +
+              s"${sf.dataType.simpleString} but the table's current schema has " +
+              s"$t — the schema evolved since write planning; re-stage and retry")
+            case None => Some(s"staged file $f carries column ${sf.name} not " +
+              "present in the table's current schema — the schema evolved " +
+              "since write planning; re-stage and retry")
+          }
+        }
+      }.nextOption()
+    }
+
+    /** Iceberg REST `POST /v1/transactions/commit`
+      * (CommitTransactionRequest): atomic commits spanning tables —
+      * the route Trino uses for multi-table writes. Each
+      * `table-changes` entry carries its identifier, requirements and
+      * an `add-snapshot` update (the documented per-table commit
+      * shape; other actions 400 — schema/property/ref changes stay
+      * single-table commits). EVERY table's requirements and staged
+      * schemas are validated under the DDL lock BEFORE any commit, so
+      * one stale assertion 409s the whole transaction with nothing
+      * applied. Wire writers serialize on the same lock; the only
+      * mid-apply loser is an engine-side writer racing a manifest CAS
+      * from outside the endpoint — then the already-committed tables
+      * are compensated by [[SnapshotTable.rollback]] (a restating
+      * commit, the engine's rollback shape) and the transaction 409s.
+      * Success is the spec's 204 (no content).
+      */
+    private def commitTransaction(ex: HttpExchange): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val changes = jarrBlock(body, "table-changes").toSeq.flatMap(jobjElements)
+      if (changes.isEmpty) {
+        err(ex, 400, "table-changes must be a non-empty array of " +
+          "per-table commit objects"); return
+      }
+      val rows = registryRows()
+      val hconf = spark.sparkContext.hadoopConfiguration
+      case class Change(name: String, loc: String, reqBlock: String,
+        files: Seq[String])
+      val parsed = changes.map { ch =>
+        val ident = jobjBlock(ch, "identifier").getOrElse {
+          err(ex, 400, "every table change needs an identifier " +
+            "{namespace, name}"); return
+        }
+        val ns = jstrArray(ident, "namespace")
+        if (ns != Seq(db)) {
+          err(ex, 400, s"transaction identifiers must live in [$db] " +
+            s"(got ${ns.mkString(".")}) — cross-namespace transactions " +
+            "are a documented delta"); return
+        }
+        val name = jfieldAll(ident, "name").headOption.getOrElse {
+          err(ex, 400, "identifier needs a name"); return
+        }
+        val loc = rows.find(_._1 == name).map(_._4).getOrElse {
+          err(ex, 404, s"unknown table: $name"); return
+        }
+        if (loc.isEmpty || SnapshotTable.currentVersion(spark, loc) == 0) {
+          err(ex, 404, s"$name is not a snapshot table"); return
+        }
+        val actions = jfieldAll(ch, "action")
+        if (actions.isEmpty || actions.exists(_ != "add-snapshot")) {
+          err(ex, 400, s"$name: transactions support add-snapshot updates " +
+            "only (documented delta — schema/property/ref changes are " +
+            "single-table commits)"); return
+        }
+        val reqBlock = "(?s)\"requirements\"\\s*:\\s*\\[(.*?)\\]".r
+          .findFirstMatchIn(ch).map(_.group(1)).getOrElse("")
+        val badReq = jfieldAll(reqBlock, "type").find(t =>
+          t != "assert-ref-snapshot-id" && t != "assert-table-uuid")
+        badReq.foreach { t =>
+          err(ex, 400, s"$name: unsupported requirement type: $t"); return
+        }
+        val files = jstrArray(ch, "added-data-files")
+        if (files.isEmpty) {
+          err(ex, 400, s"$name: add-snapshot must carry a non-empty " +
+            "added-data-files array"); return
+        }
+        files.find { f =>
+          val p = new Path(f); !p.getFileSystem(hconf).exists(p)
+        }.foreach { missing =>
+          err(ex, 400, s"$name: added data file does not exist: $missing")
+          return
+        }
+        Change(name, loc, reqBlock, files)
+      }
+      if (parsed.map(_.name).distinct.size != parsed.size) {
+        err(ex, 400, "a table may appear at most once per transaction")
+        return
+      }
+      ddlLock.synchronized {
+        // phase 1: validate EVERYTHING before committing ANYTHING
+        parsed.foreach { c =>
+          uuidAssertionFailure(c.loc, c.reqBlock).foreach { m =>
+            err(ex, 409, s"${c.name}: $m — transaction aborted, nothing " +
+              "applied"); return
+          }
+          val cur = SnapshotTable.currentVersion(spark, c.loc)
+          refAssertionFailure(c.loc, cur, c.reqBlock).foreach { m =>
+            err(ex, 409, s"${c.name}: $m — transaction aborted, nothing " +
+              "applied"); return
+          }
+          stagedSchemaConflict(c.loc, c.files).foreach { m =>
+            err(ex, 409, s"${c.name}: $m — transaction aborted, nothing " +
+              "applied"); return
+          }
+        }
+        // phase 2: publish all-or-nothing
+        val applied = scala.collection.mutable.ArrayBuffer.empty[(Change, Int)]
+        parsed.foreach { c =>
+          val before = SnapshotTable.currentVersion(spark, c.loc)
+          try {
+            SnapshotTable.commitFiles(spark, c.loc, c.files, append = true)
+            applied += ((c, before))
+            ()
+          } catch {
+            case e: IllegalStateException =>
+              applied.reverseIterator.foreach { case (a, prev) =>
+                scala.util.Try(SnapshotTable.rollback(spark, a.loc, prev))
+              }
+              err(ex, 409, s"transaction failed at ${c.name} (an engine-side " +
+                s"writer won the manifest CAS): ${e.getMessage} — " +
+                s"${applied.size} already-applied table(s) rolled back")
+              return
+          }
+        }
+        ex.sendResponseHeaders(204, -1)
+        ex.close()
+      }
+    }
   }
 
   // ---------------------------------------------------------------
@@ -2535,11 +2912,194 @@ object RestCatalog {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: the REST VIEWS surface — a view CREATED over
+    * the wire (`POST /v1/namespaces/{ns}/views`, Iceberg's
+    * CreateViewRequest) and then RESOLVED by a second engine entirely
+    * over the wire: the view's spark-dialect SQL representation from
+    * `GET …/views/{name}` (LoadViewResult), its base table through the
+    * wire mount — the loop Lakekeeper serves when Trino creates a view
+    * one engine and queries it from another. The emitted aggregate
+    * reads THROUGH the wire-resolved view, so the oracle hash proves
+    * the served definition is content-exact. In-entry assertions pin
+    * the lifecycle: duplicate create 409s, HEAD sees it, the DSv2
+    * [[graft.sources.RestBackedCatalog]] ViewCatalog lists and loads
+    * it, DELETE retires it. Scale: a view is pure metadata — create/
+    * load/list are O(1) wire calls; the resolved query rides the full
+    * lake read path of its base tables (pruning, stats, broadcast).
+    */
+  def restViews(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_views/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tableRoot = s"$base/events_vbase"
+    SnapshotTable.drop(s, tableRoot)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    SnapshotTable.commit(s, tableRoot, events)
+    Catalog.register(s, dir)
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    s.sql(s"DROP VIEW IF EXISTS ${Catalog.DB}.events_wview")
+    val (rc, _) = post(port, "/v1/tables",
+      s"""{"name":"events_vbase","format":"graft-snapshot","location":${jstr(tableRoot)}}""")
+    require(rc == 201, s"register events_vbase -> $rc")
+    val mkView =
+      s"""{"name":"events_wview","view-version":{"version-id":1,
+         |"default-namespace":["${Catalog.DB}"],
+         |"representations":[{"type":"sql","sql":
+         |"SELECT event_type, value FROM ${Catalog.DB}.events_vbase WHERE event_id % 3 = 0",
+         |"dialect":"spark"}]}}""".stripMargin
+    val (vc, vr) = post(port, s"/v1/namespaces/${Catalog.DB}/views", mkView)
+    require(vc == 200, s"createView -> $vc: $vr")
+    val (dupc, _) = post(port, s"/v1/namespaces/${Catalog.DB}/views", mkView)
+    require(dupc == 409, s"duplicate createView -> $dupc (want 409)")
+    require(head(port, s"/v1/namespaces/${Catalog.DB}/views/events_wview") == 204,
+      "HEAD on the created view must be 204")
+    // the second engine: only the server URI; view SQL + base table
+    // both resolve over the wire
+    val s2 = s.newSession()
+    val cat = "restvw"
+    s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.RestBackedCatalog")
+    s2.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+    s2.conf.set(s"spark.sql.catalog.$cat.mount-root", s"$base/mounts")
+    val rbc = {
+      val prev = SparkSession.getActiveSession
+      SparkSession.setActiveSession(s2)
+      try s2.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[graft.sources.RestBackedCatalog]
+      finally prev.foreach(SparkSession.setActiveSession)
+    }
+    require(rbc.listViews(Catalog.DB).exists(_.name == "events_wview"),
+      "wire listViews must include events_wview")
+    val out = graft.sources.RestBackedCatalog
+      .wireView(s2, cat, Catalog.DB, "events_wview")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+    val cnt = out.count()
+    require(cnt > 0, "wire-resolved view returned no groups")
+    val (delc, delr) = RestCatalog.delete(port,
+      s"/v1/namespaces/${Catalog.DB}/views/events_wview")
+    require(delc == 200, s"cleanup DELETE events_wview -> $delc: $delr")
+    require(head(port, s"/v1/namespaces/${Catalog.DB}/views/events_wview") == 404,
+      "dropped view must HEAD 404")
+    val (dtc, _) = RestCatalog.delete(port, "/v1/tables/events_vbase")
+    require(dtc == 200, "cleanup DELETE events_vbase")
+    out
+  }
+
+  val restViewsOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 3 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** §2B registry entry: MULTI-TABLE TRANSACTIONS —
+    * `POST /v1/transactions/commit` (Iceberg's CommitTransactionRequest,
+    * the route engines use for atomic multi-table writes). Two
+    * snapshot tables are seeded engine-side; an external writer stages
+    * parquet for BOTH and lands ONE transaction: every table's
+    * `assert-ref-snapshot-id` validated under the catalog's lock, then
+    * both commits published all-or-nothing. A second transaction
+    * carrying one stale assertion is asserted 409 in-entry with
+    * NEITHER table advancing — the atomicity contract. The emitted
+    * union aggregate reads both tables after the transaction, so the
+    * oracle hash proves both halves landed content-exact. Scale: the
+    * wire carries file PATHS only; validation is O(files) footer
+    * reads (same order as commit stamping); publication cost is one
+    * O(files) manifest commit per table.
+    */
+  def restTxn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_txn/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val rootA = s"$base/events_txn_a"
+    val rootB = s"$base/events_txn_b"
+    SnapshotTable.drop(s, rootA)
+    SnapshotTable.drop(s, rootB)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    SnapshotTable.commit(s, rootA, events.filter(col("event_id") % 4 === 0))
+    SnapshotTable.commit(s, rootB, events.filter(col("event_id") % 4 === 2))
+    Catalog.register(s, dir)
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    Seq("events_txn_a" -> rootA, "events_txn_b" -> rootB).foreach {
+      case (n, loc) =>
+        val (rc, _) = post(port, "/v1/tables",
+          s"""{"name":"$n","format":"graft-snapshot","location":${jstr(loc)}}""")
+        require(rc == 201, s"register $n -> $rc")
+    }
+    // the external writer stages files for both tables
+    val hconf = s.sparkContext.hadoopConfiguration
+    def stage(sub: String, mod: Int): Seq[String] = {
+      val dirOut = s"$base/staged_$sub"
+      events.filter(col("event_id") % 4 === mod).coalesce(2)
+        .write.mode("overwrite").parquet(dirOut)
+      val p = new org.apache.hadoop.fs.Path(dirOut)
+      p.getFileSystem(hconf).listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    val stagedA = stage("a", 1)
+    val stagedB = stage("b", 3)
+    def change(name: String, files: Seq[String], assertSnap: Long): String =
+      s"""{"identifier":{"namespace":["${Catalog.DB}"],"name":"$name"},
+         |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertSnap}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"append"},
+         |"added-data-files":[${files.map(jstr).mkString(",")}]}}]}""".stripMargin
+    // ...and lands ONE transaction across both
+    val (tc, tr) = post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("events_txn_a", stagedA, 1)},${
+        change("events_txn_b", stagedB, 1)}]}""")
+    require(tc == 204, s"transactions/commit -> $tc: $tr")
+    require(SnapshotTable.currentVersion(s, rootA) == 2 &&
+      SnapshotTable.currentVersion(s, rootB) == 2,
+      "the transaction must have landed BOTH tables at v2")
+    // a stale replay must 409 with NEITHER table advancing (atomicity)
+    val (xc, xr) = post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("events_txn_a", stagedA, 2)},${
+        change("events_txn_b", stagedB, 1)}]}""")
+    require(xc == 409, s"stale transaction -> $xc (want 409): $xr")
+    require(SnapshotTable.currentVersion(s, rootA) == 2 &&
+      SnapshotTable.currentVersion(s, rootB) == 2,
+      "a failed transaction must leave every table untouched")
+    def agg(root: String, label: String): DataFrame =
+      SnapshotTable.read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+        .withColumn("tbl", lit(label))
+    val out = agg(rootA, "a").unionByName(agg(rootB, "b"))
+      .select("tbl", "event_type", "n", "total_value")
+      .orderBy("tbl", "event_type")
+    Seq("events_txn_a", "events_txn_b").foreach { n =>
+      val (dc, dr) = delete(port, s"/v1/tables/$n")
+      require(dc == 200, s"cleanup DELETE $n -> $dc: $dr")
+    }
+    out
+  }
+
+  val restTxnOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT 'a' AS tbl, event_type, COUNT(*) AS n,
+       |${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 4 IN (0, 1) GROUP BY event_type
+       |UNION ALL
+       |SELECT 'b' AS tbl, event_type, COUNT(*) AS n,
+       |${sqlSumMoney("value", "total_value")}
+       |FROM events WHERE event_id % 4 IN (2, 3) GROUP BY event_type
+       |ORDER BY tbl, event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
     graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
     graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)),
     graft.Q("catalog_rest_refs", restRefs, Some(restRefsOracle)),
     graft.Q("catalog_rest_mount", restMount, Some(restMountOracle)),
     graft.Q("catalog_rest_mount_write", restMountWrite, Some(restMountWriteOracle)),
+    graft.Q("catalog_rest_views", restViews, Some(restViewsOracle)),
+    graft.Q("catalog_rest_txn", restTxn, Some(restTxnOracle)),
     graft.Q("catalog_warehouses", restWarehouses, Some(restWarehousesOracle)))
 }

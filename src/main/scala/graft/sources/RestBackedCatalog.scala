@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchViewException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -75,14 +75,55 @@ object RestBackedCatalog {
   // racing the import's commit CAS
   private val mountLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Resolve a VIEW served over the wire catalog `cat`
+    * (`GET /v1/[{prefix}/]namespaces/{ns}/views/{name}`): load its
+    * spark-dialect SQL representation through [[RestBackedCatalog
+    * .loadView]] and analyze it with `cat`.`ns` as the current
+    * catalog/namespace, so every table the view references resolves
+    * back THROUGH THE WIRE MOUNT — the engine-switch loop for views
+    * (Trino resolving a view Lakekeeper serves). Spark 4.1's built-in
+    * analyzer does not yet consume the DSv2 [[ViewCatalog]] interface
+    * in name resolution, so this helper is the documented client
+    * entry point; the server side is the standard Iceberg REST views
+    * route.
+    */
+  def wireView(s: SparkSession, cat: String, ns: String,
+      name: String): org.apache.spark.sql.DataFrame = {
+    // catalog-plugin loading reads the ACTIVE session's SQLConf — pin
+    // it to `s` so the caller's thread-active session (often the
+    // parent of a newSession) can't hide `s`'s catalog registration
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s)
+    try {
+      val rbc = s.sessionState.catalogManager.catalog(cat) match {
+        case r: RestBackedCatalog => r
+        case other => throw new IllegalArgumentException(
+          s"catalog $cat is ${other.getClass.getName}, not a RestBackedCatalog")
+      }
+      val v = rbc.loadView(Identifier.of(Array(ns), name))
+      val prevCat = s.catalog.currentCatalog()
+      val prevDb = s.catalog.currentDatabase
+      s.catalog.setCurrentCatalog(cat)
+      try {
+        s.sql(s"USE `$ns`")
+        s.sql(v.query()) // analyzed HERE, under the wire catalog
+      } finally {
+        s.catalog.setCurrentCatalog(prevCat)
+        scala.util.Try(s.catalog.setCurrentDatabase(prevDb))
+      }
+    } finally prevActive.foreach(SparkSession.setActiveSession)
+  }
 }
 
-class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
+class RestBackedCatalog extends TableCatalog with SupportsNamespaces
+    with ViewCatalog {
 
   private var catalogName: String = "graft_rest"
   private var uri: String = _
   private var prefix: String = "" // "<warehouse>/" when mounting one
   private var mountRoot: String = _
+  private var mountRetain: Int = 8
   private var tokenOpt: Option[String] = None
   private var credential: Option[(String, String)] = None
 
@@ -108,6 +149,9 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
       val key = Integer.toHexString((uri + "/" + prefix).hashCode)
       s"${sys.props("java.io.tmpdir")}/graft_rest_mounts/$key"
     }
+    mountRetain = Option(options.get("mount-retain")).map(_.toInt).getOrElse(8)
+    require(mountRetain >= 1,
+      s"spark.sql.catalog.$name.mount-retain must be >= 1")
     GraftCatalog.ensureStatsRule(spark) // see GraftCatalog.initialize
   }
 
@@ -212,12 +256,54 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
     // same-JVM loaders racing the FIRST mount of a snapshot serialize
     // here (cross-process, the import's commit CAS makes the loser
     // fail loudly rather than corrupt — retry-able, never wrong)
+    var fresh = false
     RestBackedCatalog.mountLocks
       .computeIfAbsent(mount, _ => new Object).synchronized {
-        if (SnapshotTable.currentVersion(spark, mount) == 0)
+        if (SnapshotTable.currentVersion(spark, mount) == 0) {
           IcebergInterop.importChain(spark, metaLocation, mount, snapId)
+          fresh = true
+        } else {
+          // LRU touch: a cache hit refreshes the mount's mtime so
+          // retention evicts by recency of USE, not of first mount
+          val p = new org.apache.hadoop.fs.Path(mount)
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .setTimes(p, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
       }
+    // retention: under the freshness contract every foreign commit
+    // mints a NEW immutable mount and nothing else would ever evict
+    // the old ones — a disk leak for a long-lived session against a
+    // streaming table (r18 VERDICT). Prune only when a fresh mount was
+    // added (cache hits don't grow the set), keeping the newest
+    // `mount-retain` per table; an evicted snapshot re-mounts
+    // correctly on its next load (the cache key is deterministic and
+    // the import is idempotent).
+    if (fresh) pruneMounts(uuid, mount)
     mount
+  }
+
+  /** Keep the `mountRetain` most-recently-used snapshot mounts of one
+    * table; delete the rest (never the mount just served). A reader
+    * still scanning an evicted mount in another session re-loads and
+    * re-mounts on its next query — same contract as any metadata
+    * cache expiry.
+    */
+  private def pruneMounts(uuid: String, keepMount: String): Unit = {
+    val parent = new org.apache.hadoop.fs.Path(s"$mountRoot/$uuid")
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(parent)) return
+    val snaps = fs.listStatus(parent)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+      .sortBy(-_.getModificationTime)
+    val keepName = new org.apache.hadoop.fs.Path(keepMount).getName
+    snaps.drop(mountRetain).foreach { st =>
+      if (st.getPath.getName != keepName) {
+        fs.delete(st.getPath, true)
+        RestBackedCatalog.mountLocks.remove(s"$mountRoot/$uuid/${st.getPath.getName}")
+        ()
+      }
+    }
   }
 
   private def serve(ident: Identifier, ltr: String, snapId: Long): Table = {
@@ -274,27 +360,48 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
                 // empty added-data-files list
                 fs.delete(sp, true)
               } else {
-                // freshest head for the CAS assertion — the mount's
-                // pinned snapshot may be stale by commit time
-                val ltr = loadResult(ident)
-                val head = jlong(ltr, "current-snapshot-id").getOrElse(
-                  sys.error(s"$tableName: no current-snapshot-id at commit time"))
-                val body =
-                  s"""{"requirements":[{"type":"assert-ref-snapshot-id",""" +
-                    s""""ref":"main","snapshot-id":$head}],""" +
-                    s""""updates":[{"action":"add-snapshot","snapshot":""" +
-                    s"""{"summary":{"operation":"append"},"added-data-files":[${
-                      files.map(f => graft.endpoint.RestCatalog.jstr(f)).mkString(",")}]}}]}"""
-                val (code, resp) = post(tablesPath(ident), body)
-                if (code != 200) {
+                // bounded CAS retry: two wire writers racing the same
+                // table should BOTH land, the way Lakekeeper clients
+                // retry CommitFailedException internally (r18 VERDICT).
+                // The data is already staged — only the fresh-head GET
+                // + CAS POST repeats, so a lost race costs one wire
+                // round-trip, never a re-write. A schema conflict also
+                // rides 409 (the server validates staged footers
+                // against the CURRENT schema) but re-asserting cannot
+                // cure it — the bound keeps that loud instead of
+                // infinite.
+                val maxAttempts = 5
+                var attempt = 0
+                var last: (Int, String) = (0, "")
+                var landed = false
+                while (!landed && attempt < maxAttempts) {
+                  // freshest head for the CAS assertion — the mount's
+                  // pinned snapshot may be stale by commit time
+                  val ltr = loadResult(ident)
+                  val head = jlong(ltr, "current-snapshot-id").getOrElse(
+                    sys.error(s"$tableName: no current-snapshot-id at commit time"))
+                  val body =
+                    s"""{"requirements":[{"type":"assert-ref-snapshot-id",""" +
+                      s""""ref":"main","snapshot-id":$head}],""" +
+                      s""""updates":[{"action":"add-snapshot","snapshot":""" +
+                      s"""{"summary":{"operation":"append"},"added-data-files":[${
+                        files.map(f => graft.endpoint.RestCatalog.jstr(f)).mkString(",")}]}}]}"""
+                  last = post(tablesPath(ident), body)
+                  attempt += 1
+                  if (last._1 == 200) landed = true
+                  else if (last._1 == 409 && attempt < maxAttempts)
+                    Thread.sleep(20L * attempt) // brief backoff, then re-assert
+                  else attempt = maxAttempts // non-409: no retry can cure it
+                }
+                if (!landed) {
                   // reclaim the staging eagerly; anything a crash
                   // leaves is ordinary aborted-write-orphan territory
                   // (the table's maintenance grace-reclaims it)
                   try fs.delete(sp, true) catch { case _: java.io.IOException => () }
                   throw new IllegalStateException(
-                    s"wire commit for $tableName -> $code: $resp" +
-                      (if (code == 409)
-                        " (a concurrent writer won the CAS; retry the INSERT)"
+                    s"wire commit for $tableName -> ${last._1}: ${last._2}" +
+                      (if (last._1 == 409)
+                        s" (CAS lost $maxAttempts times or schema conflict; retry the INSERT)"
                        else ""))
                 }
               }
@@ -396,6 +503,97 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces {
       s"no namespace ${namespace.mkString(".")} in the wire catalog")
     java.util.Collections.emptyMap()
   }
+
+  // ----- DSv2 ViewCatalog over the wire views routes ------------------
+  // Spark 4.1's analyzer does not yet consume this interface during
+  // name resolution — [[RestBackedCatalog.wireView]] is the documented
+  // query entry point — but the catalog IS a full ViewCatalog: list/
+  // load/exists read the served LoadViewResult, create/drop delegate
+  // to the catalog's DDL routes, so tooling coded against the DSv2
+  // view API works unchanged when the analyzer wiring lands.
+
+  private def viewsPath(ident: Identifier): String =
+    s"/v1/${prefix}namespaces/${nsPath(ident.namespace())}" +
+      s"/views/${java.net.URLEncoder.encode(ident.name(), "UTF-8")}"
+
+  // Iceberg primitive type name -> Spark DDL type (the inverse of the
+  // server's schema export)
+  private def sparkDdlType(t: String): String = t match {
+    case "long" => "bigint"
+    case "timestamptz" => "timestamp"
+    case "timestamp" => "timestamp_ntz"
+    case other => other // int, string, double, float, boolean, date, binary, decimal(p,s)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val (code, body) =
+      get(s"/v1/${prefix}namespaces/${nsPath(namespace.toArray)}/views")
+    require(code == 200, s"listViews over $uri -> $code: $body")
+    jfieldAll(body, "name").map(Identifier.of(namespace.toArray, _)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val (code, body) = get(viewsPath(ident))
+    if (code == 404) throw new NoSuchViewException(ident)
+    require(code == 200, s"loadView $ident over $uri -> $code: $body")
+    val reps = graft.endpoint.RestCatalog.jarrBlock(body, "representations")
+      .toSeq.flatMap(graft.endpoint.RestCatalog.jobjElements)
+    val sql = reps.find(r => jfieldAll(r, "dialect").headOption
+        .forall(d => d == "spark" || d == "default"))
+      .flatMap(r => jfieldAll(r, "sql").headOption)
+      .map(graft.endpoint.RestCatalog.junescape)
+      .getOrElse(sys.error(s"LoadViewResult for $ident has no spark sql " +
+        "representation"))
+    val fields = graft.endpoint.RestCatalog.jarrBlock(body, "fields")
+      .toSeq.flatMap(graft.endpoint.RestCatalog.jobjElements)
+      .flatMap { f =>
+        for {
+          n <- jfieldAll(f, "name").headOption
+          t <- jfieldAll(f, "type").headOption
+        } yield s"`$n` ${sparkDdlType(t)}"
+      }
+    val viewSchema =
+      if (fields.isEmpty) new StructType()
+      else StructType.fromDDL(fields.mkString(", "))
+    val fullName = (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+    new View {
+      override def name(): String = fullName
+      override def query(): String = sql
+      override def currentCatalog(): String = catalogName
+      override def currentNamespace(): Array[String] = ident.namespace()
+      override def schema(): StructType = viewSchema
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] =
+        java.util.Collections.emptyMap()
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val body =
+      s"""{"name":${graft.endpoint.RestCatalog.jstr(info.ident.name)},""" +
+        s""""view-version":{"version-id":1,""" +
+        s""""default-namespace":[${info.ident.namespace.map(
+          graft.endpoint.RestCatalog.jstr).mkString(",")}],""" +
+        s""""representations":[{"type":"sql",""" +
+        s""""sql":${graft.endpoint.RestCatalog.jstr(info.sql)},""" +
+        s""""dialect":"spark"}]}}"""
+    val (code, resp) = post(
+      s"/v1/${prefix}namespaces/${nsPath(info.ident.namespace)}/views", body)
+    require(code == 200,
+      s"createView ${info.ident} over $uri -> $code: $resp")
+    loadView(info.ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    send("DELETE", viewsPath(ident), None)._1 == 200
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    readOnly(s"ALTER VIEW $ident")
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly(s"RENAME VIEW $oldIdent")
 
   // ----- read-only: mutation surfaces refuse --------------------------
 

@@ -1262,12 +1262,16 @@ class RestCatalogSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!whList.contains("sts-sekrit"), whList)
     val vended = RestCatalog.jfieldAll(ltr, "s3.session-token").head
     val vBearer = Seq("Authorization" -> s"Bearer $vended")
-    // the vended token is a SCOPED bearer: its own table's load +
-    // credentials refresh only; other tables / writes / listings 401
+    // the vended token is a SCOPED bearer: its own table's load ONLY;
+    // other tables / writes / listings 401 — and it CANNOT refresh
+    // itself (self-refresh would make the TTL bound nothing; refresh
+    // requires the full catalog bearer, like real STS/Lakekeeper)
     assert(RestCatalog.get(aport,
       s"/v1/sts_wh/namespaces/$ns/tables/t_sts", vBearer)._1 == 200)
     assert(RestCatalog.get(aport,
-      s"/v1/sts_wh/namespaces/$ns/tables/t_sts/credentials", vBearer)._1 == 200)
+      s"/v1/sts_wh/namespaces/$ns/tables/t_sts/credentials", vBearer)._1 == 401)
+    assert(RestCatalog.get(aport,
+      s"/v1/sts_wh/namespaces/$ns/tables/t_sts/credentials", bearer)._1 == 200)
     assert(RestCatalog.get(aport,
       s"/v1/sts_wh/namespaces/$ns/tables/t_other", vBearer)._1 == 401)
     assert(RestCatalog.get(aport, "/v1/sts_wh/tables", vBearer)._1 == 401)

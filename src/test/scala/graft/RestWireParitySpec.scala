@@ -1,0 +1,404 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.endpoint.RestCatalog
+import graft.lake.SnapshotTable
+import graft.sources.{Catalog, PersistentCatalog, RestBackedCatalog}
+
+/** Round-19 wire-parity surface: list-route pagination, the metrics
+  * report sink, the REST views routes (server + the DSv2 ViewCatalog
+  * client + wireView resolution), multi-table transactions,
+  * every-requirement validation, staged-schema conflict detection,
+  * concurrent wire INSERT retry, wire-mount retention, and the
+  * rename-crash warehouse-restore dedupe — the tails a real mounting
+  * engine (Trino against Lakekeeper, reference
+  * etc/catalog/iceberg.properties) touches on every session.
+  */
+class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getAs[String]("tableName"))
+      .filter(_.startsWith("rest_w19_"))
+      .foreach { n =>
+        val isView = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(n, Some("graft")))
+          .tableType.name == "VIEW").getOrElse(false)
+        if (isView) spark.sql(s"DROP VIEW IF EXISTS graft.$n")
+        else spark.sql(s"DROP TABLE IF EXISTS graft.$n")
+      }
+    super.afterAll()
+  }
+
+  private val registryRoot = "/tmp/graft_wire19_registry"
+  private val tableArea = "/tmp/graft_wire19_tables"
+
+  private lazy val port: Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(registryRoot, s"${registryRoot}_ns", s"${registryRoot}_views",
+      tableArea).foreach { d =>
+      val p = new Path(d); p.getFileSystem(conf).delete(p, true)
+    }
+    Catalog.register(spark, sf())
+    PersistentCatalog.save(spark, registryRoot)
+    RestCatalog.serve(spark, registryRoot)
+  }
+
+  private def mkSnapshotTable(name: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val loc = s"$tableArea/$name"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, rows.toDF("id", "v"))
+    val (rc, rr) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"$name","format":"graft-snapshot","location":${RestCatalog.jstr(loc)}}""")
+    assert(rc == 201, rr)
+    loc
+  }
+
+  private def stageOne(name: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = s"$tableArea/staged_$name"
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+  }
+
+  // ----- pagination --------------------------------------------------
+
+  test("paged table listing walks to exactly the unpaged listing") {
+    val (c0, unpaged) = RestCatalog.get(port, "/v1/namespaces/graft/tables")
+    assert(c0 == 200, unpaged)
+    val all = RestCatalog.jfieldAll(unpaged, "name")
+    assert(all.size >= 10, all.toString) // the registered sf tables
+    assert(!unpaged.contains("next-page-token"), unpaged)
+    var token = Option.empty[String]
+    var pages = Vector.empty[Seq[String]]
+    var guard = 0
+    while (guard == 0 || token.isDefined) {
+      guard += 1; assert(guard < 20, "pagination did not terminate")
+      val q = "?pageSize=3" + token.fold("")(t =>
+        s"&pageToken=${java.net.URLEncoder.encode(t, "UTF-8")}")
+      val (c, body) = RestCatalog.get(port, s"/v1/namespaces/graft/tables$q")
+      assert(c == 200, body)
+      pages :+= RestCatalog.jfieldAll(body, "name")
+      token = RestCatalog.jfieldAll(body, "next-page-token").headOption
+    }
+    assert(pages.init.forall(_.size == 3), pages.toString)
+    assert(pages.flatten == all.sorted, pages.flatten.toString)
+  }
+
+  test("paged namespaces listing serves the root page with no token") {
+    val (c, body) = RestCatalog.get(port, "/v1/namespaces?pageSize=5")
+    assert(c == 200 && body.contains("\"graft\""), body)
+    assert(!body.contains("next-page-token"), body)
+  }
+
+  // ----- metrics sink -------------------------------------------------
+
+  test("metrics reports are accepted, accounted, and served in statistics") {
+    port
+    val (cw, rw) = RestCatalog.post(port, "/management/v1/warehouse",
+      """{"warehouse-name":"w19_metrics","storage-profile":{"type":"file"}}""")
+    assert(cw == 201, rw)
+    val ns = "graft_wh_w19_metrics"
+    val (ct, ctr) = RestCatalog.post(port, s"/v1/w19_metrics/namespaces/$ns/tables",
+      """{"name":"t_m","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","type":"long"}]}}""".stripMargin)
+    assert(ct == 200, ctr)
+    val report =
+      """{"report-type":"scan-report","table-name":"t_m","snapshot-id":1,
+        |"metrics":{"total-planning-duration":{"count":1}}}""".stripMargin
+    val (m1, _) = RestCatalog.post(port,
+      s"/v1/w19_metrics/namespaces/$ns/tables/t_m/metrics", report)
+    val (m2, _) = RestCatalog.post(port,
+      s"/v1/w19_metrics/namespaces/$ns/tables/t_m/metrics", report)
+    assert(m1 == 204 && m2 == 204)
+    // garbage is a client error, unknown tables 404
+    assert(RestCatalog.post(port,
+      s"/v1/w19_metrics/namespaces/$ns/tables/t_m/metrics", "")._1 == 400)
+    assert(RestCatalog.post(port,
+      s"/v1/w19_metrics/namespaces/$ns/tables/nope/metrics", report)._1 == 404)
+    val (sc, stats) = RestCatalog.get(port,
+      "/management/v1/warehouse/w19_metrics/statistics")
+    assert(sc == 200, stats)
+    assert(RestCatalog.jlong(stats, "metrics-reports").contains(2L), stats)
+    RestCatalog.delete(port, "/v1/w19_metrics/tables/t_m")
+    assert(RestCatalog.delete(port, "/management/v1/warehouse/w19_metrics")._1 == 200)
+  }
+
+  // ----- views over the wire -------------------------------------------
+
+  test("views: wire create -> list/head/load -> client resolution -> drop") {
+    mkSnapshotTable("rest_w19_base", Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    val mkView =
+      """{"name":"rest_w19_view","view-version":{"version-id":1,
+        |"default-namespace":["graft"],
+        |"representations":[{"type":"sql",
+        |"sql":"SELECT id, v FROM graft.rest_w19_base WHERE id >= 2",
+        |"dialect":"spark"}]}}""".stripMargin
+    val (vc, vr) = RestCatalog.post(port, "/v1/namespaces/graft/views", mkView)
+    assert(vc == 200, vr)
+    // duplicate create: AlreadyExists
+    assert(RestCatalog.post(port, "/v1/namespaces/graft/views", mkView)._1 == 409)
+    // listing includes it (and the registry's events view)
+    val (lc, listing) = RestCatalog.get(port, "/v1/namespaces/graft/views")
+    val names = RestCatalog.jfieldAll(listing, "name").toSet
+    assert(lc == 200 && names.contains("rest_w19_view") && names.contains("events"),
+      listing)
+    assert(RestCatalog.head(port, "/v1/namespaces/graft/views/rest_w19_view") == 204)
+    assert(RestCatalog.head(port, "/v1/namespaces/graft/views/no_such_view") == 404)
+    // a TABLE is not served on the views route (and vice versa)
+    assert(RestCatalog.get(port, "/v1/namespaces/graft/views/rest_w19_base")._1 == 404)
+    // load: sql representation + a materialized metadata-location
+    val (gc, lvr) = RestCatalog.get(port, "/v1/namespaces/graft/views/rest_w19_view")
+    assert(gc == 200, lvr)
+    assert(RestCatalog.jfieldAll(lvr, "sql").head.contains("rest_w19_base"), lvr)
+    val metaLoc = RestCatalog.jfieldAll(lvr, "metadata-location").head
+    val mp = new Path(metaLoc)
+    assert(mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp),
+      metaLoc)
+    // the second engine resolves the view ENTIRELY over the wire: view
+    // SQL from the views route, base table through the wire mount
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.w19v", "graft.sources.RestBackedCatalog")
+    s2.conf.set("spark.sql.catalog.w19v.uri", s"http://127.0.0.1:$port")
+    s2.conf.set("spark.sql.catalog.w19v.mount-root", s"$tableArea/view_mounts")
+    val rows = RestBackedCatalog.wireView(s2, "w19v", "graft", "rest_w19_view")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(2L -> "b", 3L -> "c"), rows.mkString(","))
+    // the DSv2 ViewCatalog surface rides the same routes
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val rbc = s2.sessionState.catalogManager.catalog("w19v")
+      .asInstanceOf[RestBackedCatalog]
+    assert(rbc.listViews("graft").map(_.name).contains("rest_w19_view"))
+    val v = rbc.loadView(Identifier.of(Array("graft"), "rest_w19_view"))
+    assert(v.query().contains("rest_w19_base"))
+    assert(v.schema().fieldNames.toSeq == Seq("id", "v"), v.schema().treeString)
+    // drop over the wire; the engine-side view is gone too
+    assert(rbc.dropView(Identifier.of(Array("graft"), "rest_w19_view")))
+    assert(RestCatalog.head(port, "/v1/namespaces/graft/views/rest_w19_view") == 404)
+    assert(!spark.catalog.tableExists("graft.rest_w19_view"))
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchViewException] {
+      rbc.loadView(Identifier.of(Array("graft"), "rest_w19_view"))
+    }
+  }
+
+  // ----- multi-table transactions ---------------------------------------
+
+  test("transactions commit all tables or none") {
+    mkSnapshotTable("rest_w19_txna", Seq(1L -> "a"))
+    mkSnapshotTable("rest_w19_txnb", Seq(10L -> "x"))
+    val fa = stageOne("txna", Seq(2L -> "b"))
+    val fb = stageOne("txnb", Seq(11L -> "y"))
+    def change(name: String, file: String, assertSnap: Long): String =
+      s"""{"identifier":{"namespace":["graft"],"name":"$name"},
+         |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertSnap}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"append"},
+         |"added-data-files":[${RestCatalog.jstr(file)}]}}]}""".stripMargin
+    // both land atomically
+    val (tc, tr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("rest_w19_txna", fa, 1)},${change("rest_w19_txnb", fb, 1)}]}""")
+    assert(tc == 204, tr)
+    assert(SnapshotTable.currentVersion(spark, s"$tableArea/rest_w19_txna") == 2)
+    assert(SnapshotTable.currentVersion(spark, s"$tableArea/rest_w19_txnb") == 2)
+    assert(SnapshotTable.read(spark, s"$tableArea/rest_w19_txna").count() == 2)
+    // one stale requirement aborts the WHOLE transaction: b's
+    // assertion is fresh (2) but a's is stale (1) -> 409, NOTHING lands
+    val (xc, xr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("rest_w19_txna", fa, 1)},${change("rest_w19_txnb", fb, 2)}]}""")
+    assert(xc == 409 && xr.contains("nothing applied"), xr)
+    assert(SnapshotTable.currentVersion(spark, s"$tableArea/rest_w19_txna") == 2)
+    assert(SnapshotTable.currentVersion(spark, s"$tableArea/rest_w19_txnb") == 2)
+    // non-add-snapshot actions and duplicate tables are client errors
+    val badAct = change("rest_w19_txna", fa, 2)
+      .replace("add-snapshot", "set-properties")
+    assert(RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[$badAct]}""")._1 == 400)
+    assert(RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("rest_w19_txna", fa, 2)},${change("rest_w19_txna", fa, 2)}]}""")._1 == 400)
+    assert(RestCatalog.post(port, "/v1/transactions/commit",
+      """{"table-changes":[]}""")._1 == 400)
+  }
+
+  // ----- every requirement must hold (r18 ADVICE) -----------------------
+
+  test("a commit carrying several ref assertions validates ALL of them") {
+    mkSnapshotTable("rest_w19_multi", Seq(1L -> "a"))
+    val loc = s"$tableArea/rest_w19_multi"
+    SnapshotTable.commitAppend(spark, loc,
+      { import spark.implicits._; Seq(2L -> "b").toDF("id", "v") })
+    SnapshotTable.tag(spark, loc, "keep", 1)
+    val f = stageOne("multi", Seq(3L -> "c"))
+    def body(keepAt: Long): String =
+      s"""{"requirements":[
+         |{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":2},
+         |{"type":"assert-ref-snapshot-id","ref":"keep","snapshot-id":$keepAt}],
+         |"updates":[{"action":"add-snapshot","snapshot":{
+         |"added-data-files":[${RestCatalog.jstr(f)}]}}]}""".stripMargin
+    // main holds but the SECOND assertion (tag keep at 2) is stale:
+    // first-match validation would silently ignore it and land
+    val (c1, r1) = RestCatalog.post(port,
+      "/v1/namespaces/graft/tables/rest_w19_multi", body(2))
+    assert(c1 == 409 && r1.contains("keep"), r1)
+    assert(SnapshotTable.currentVersion(spark, loc) == 2)
+    // with every assertion true the same commit lands
+    val (c2, r2) = RestCatalog.post(port,
+      "/v1/namespaces/graft/tables/rest_w19_multi", body(1))
+    assert(c2 == 200, r2)
+    assert(SnapshotTable.currentVersion(spark, loc) == 3)
+  }
+
+  // ----- staged-schema conflicts (r18 ADVICE) ----------------------------
+
+  test("add-snapshot 409s staged files whose schema no longer matches") {
+    mkSnapshotTable("rest_w19_schema", Seq(1L -> "a"))
+    val loc = s"$tableArea/rest_w19_schema"
+    import spark.implicits._
+    // staged against a WRONG type for v (double, table has string) —
+    // the shape a client staged before a concurrent schema evolution
+    val badDir = s"$tableArea/staged_badtype"
+    Seq((2L, 2.5)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(badDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def one(dir: String): String = {
+      val p = new Path(dir)
+      p.getFileSystem(conf).listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).head
+    }
+    def commit(file: String): (Int, String) = RestCatalog.post(port,
+      "/v1/namespaces/graft/tables/rest_w19_schema",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+         |"snapshot-id":${SnapshotTable.currentVersion(spark, loc)}}],
+         |"updates":[{"action":"add-snapshot","snapshot":{
+         |"added-data-files":[${RestCatalog.jstr(file)}]}}]}""".stripMargin)
+    val (bc, br) = commit(one(badDir))
+    assert(bc == 409 && br.contains("schema"), br)
+    assert(SnapshotTable.currentVersion(spark, loc) == 1)
+    // an UNKNOWN staged column is the same conflict
+    val extraDir = s"$tableArea/staged_extracol"
+    Seq((2L, "b", 9L)).toDF("id", "v", "zz").coalesce(1)
+      .write.mode("overwrite").parquet(extraDir)
+    val (ec, er) = commit(one(extraDir))
+    assert(ec == 409 && er.contains("zz"), er)
+    // a MISSING column is fine: the bound schema reads it as NULL
+    val subsetDir = s"$tableArea/staged_subset"
+    Seq(Tuple1(5L)).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(subsetDir)
+    val (sc, sr) = commit(one(subsetDir))
+    assert(sc == 200, sr)
+    val got = SnapshotTable.read(spark, loc).where("id = 5").collect()
+    assert(got.length == 1 && got.head.isNullAt(1), got.mkString(","))
+  }
+
+  // ----- concurrent wire INSERTs (bounded CAS retry) ---------------------
+
+  test("concurrent wire INSERTs all land via bounded CAS retry") {
+    mkSnapshotTable("rest_w19_cc", Seq(0L -> "seed"))
+    val writers = 3
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { i =>
+      new Thread(() => {
+        try {
+          val s = spark.newSession()
+          val cat = s"w19cc$i"
+          s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.RestBackedCatalog")
+          s.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+          s.conf.set(s"spark.sql.catalog.$cat.mount-root", s"$tableArea/cc_mounts$i")
+          import s.implicits._
+          (1 to 10).map(k => (i * 100L + k, s"w$i")).toDF("id", "v")
+            .writeTo(s"$cat.graft.rest_w19_cc").append()
+        } catch { case t: Throwable => errs.add(t); () }
+      }, s"wire-writer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val loc = s"$tableArea/rest_w19_cc"
+    // every writer landed its own snapshot: v1 seed + one per writer
+    assert(SnapshotTable.currentVersion(spark, loc) == 1 + writers)
+    assert(SnapshotTable.read(spark, loc).count() == 1 + writers * 10)
+  }
+
+  // ----- wire-mount retention --------------------------------------------
+
+  test("mount retention keeps last-N and re-mounts evicted snapshots") {
+    import spark.implicits._
+    val loc = s"$tableArea/rest_w19_ret"
+    SnapshotTable.drop(spark, loc)
+    SnapshotTable.commit(spark, loc, Seq(1L -> "a").toDF("id", "v"))
+    (2 to 4).foreach(k => SnapshotTable.commitAppend(spark, loc,
+      Seq(k.toLong -> s"r$k").toDF("id", "v")))
+    val (rc, _) = RestCatalog.post(port, "/v1/tables",
+      s"""{"name":"rest_w19_ret","format":"graft-snapshot","location":${RestCatalog.jstr(loc)}}""")
+    assert(rc == 201)
+    val s3 = spark.newSession()
+    val mroot = s"$tableArea/ret_mounts"
+    s3.conf.set("spark.sql.catalog.w19r", "graft.sources.RestBackedCatalog")
+    s3.conf.set("spark.sql.catalog.w19r.uri", s"http://127.0.0.1:$port")
+    s3.conf.set("spark.sql.catalog.w19r.mount-root", mroot)
+    s3.conf.set("spark.sql.catalog.w19r.mount-retain", "2")
+    def readAt(v: Int): Long =
+      s3.sql(s"SELECT * FROM w19r.graft.rest_w19_ret VERSION AS OF $v").count()
+    (1 to 4).foreach(v => assert(readAt(v) == v.toLong))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(mroot)
+    val fs = root.getFileSystem(conf)
+    def snapDirs(): Seq[String] = {
+      val uuidDirs = fs.listStatus(root).filter(_.isDirectory)
+      assert(uuidDirs.length == 1, uuidDirs.map(_.getPath).mkString(","))
+      fs.listStatus(uuidDirs.head.getPath)
+        .filter(_.getPath.getName.startsWith("snap-"))
+        .map(_.getPath.getName).toSeq.sorted
+    }
+    assert(snapDirs().size == 2, snapDirs().mkString(","))
+    // an evicted snapshot re-mounts correctly on its next load
+    assert(readAt(1) == 1L)
+    assert(snapDirs().size == 2, snapDirs().mkString(","))
+    RestCatalog.delete(port, "/v1/tables/rest_w19_ret")
+    ()
+  }
+
+  // ----- rename-crash restore dedupe (r18 ADVICE) --------------------------
+
+  test("restore dedupes warehouse records sharing one registry") {
+    port // ensure the graft db exists (solo-filtered runs)
+    val whRoot = "/tmp/graft_w19_whrestore"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(whRoot)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    PersistentCatalog.save(spark, whRoot)
+    val p1 = RestCatalog.serve(spark, whRoot)
+    val (cw, rw) = RestCatalog.post(p1, "/management/v1/warehouse",
+      """{"warehouse-name":"ren_a","storage-profile":{"type":"file"}}""")
+    assert(cw == 201, rw)
+    RestCatalog.stop(whRoot)
+    // simulate a crash mid-rename: the NEW record (ren_b) was
+    // published, the OLD one (ren_a) was never deleted — both point at
+    // the same registry
+    val aPath = new Path(s"$whRoot/_warehouses/ren_a.json")
+    val in = fs.open(aPath)
+    val aTxt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val bPath = new Path(s"$whRoot/_warehouses/ren_b.json")
+    val out = fs.create(bPath, true)
+    try out.write(aTxt.replace("\"wh_name\":\"ren_a\"", "\"wh_name\":\"ren_b\"")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    // the new record is strictly newer, like a real rename
+    val aLocal = new java.io.File(aPath.toUri.getPath)
+    assert(aLocal.setLastModified(aLocal.lastModified() - 10000))
+    val p2 = RestCatalog.serve(spark, whRoot)
+    val (lc, listing) = RestCatalog.get(p2, "/management/v1/warehouse")
+    assert(lc == 200, listing)
+    val names = RestCatalog.jfieldAll(listing, "name").toSet
+    assert(names.contains("ren_b") && !names.contains("ren_a"), listing)
+    // the stale record was retired (the interrupted rename completed),
+    // and the survivor is fully functional: drop reclaims cleanly
+    assert(!fs.exists(aPath))
+    assert(RestCatalog.delete(p2, "/management/v1/warehouse/ren_b")._1 == 200)
+    RestCatalog.stop(whRoot)
+  }
+}
