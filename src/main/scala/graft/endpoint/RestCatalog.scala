@@ -1437,7 +1437,17 @@ object RestCatalog {
         if (spark.catalog.tableExists(s"$db.$name")) {
           err(ex, 409, s"view or table $name already exists"); return
         }
-        spark.sql(s"CREATE VIEW $db.$name AS $sql")
+        // a definition that doesn't analyze (unknown table, bad SQL)
+        // is the CLIENT's error, not a server fault
+        try spark.sql(s"CREATE VIEW $db.$name AS $sql")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            err(ex, 400, s"view definition does not analyze: ${e.getMessage}")
+            return
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            err(ex, 400, s"view definition does not parse: ${e.getMessage}")
+            return
+        }
         PersistentCatalog.save(spark, registryRoot, db)
       }
       loadViewResult(ex, name)

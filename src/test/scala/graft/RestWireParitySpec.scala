@@ -143,6 +143,13 @@ class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
     assert(vc == 200, vr)
     // duplicate create: AlreadyExists
     assert(RestCatalog.post(port, "/v1/namespaces/graft/views", mkView)._1 == 409)
+    // a definition that doesn't analyze is the client's 400, and
+    // nothing is registered
+    val (badc, badr) = RestCatalog.post(port, "/v1/namespaces/graft/views",
+      mkView.replace("rest_w19_view", "rest_w19_badview")
+        .replace("rest_w19_base", "rest_w19_no_such_table"))
+    assert(badc == 400, badr)
+    assert(RestCatalog.head(port, "/v1/namespaces/graft/views/rest_w19_badview") == 404)
     // listing includes it (and the registry's events view)
     val (lc, listing) = RestCatalog.get(port, "/v1/namespaces/graft/views")
     val names = RestCatalog.jfieldAll(listing, "name").toSet
