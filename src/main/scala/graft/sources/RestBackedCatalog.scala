@@ -462,12 +462,9 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     try { loadResult(ident); true } catch { case _: NoSuchTableException => false }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val (code, body) =
-      get(s"/v1/${prefix}namespaces/${nsPath(namespace)}/tables")
-    require(code == 200, s"listTables over $uri -> $code: $body")
-    jfieldAll(body, "name").map(Identifier.of(namespace, _)).toArray
-  }
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    pagedNames(s"/v1/${prefix}namespaces/${nsPath(namespace)}/tables",
+      "listTables").map(Identifier.of(namespace, _)).toArray
 
   override def listNamespaces(): Array[Array[String]] = {
     val (code, body) = get(s"/v1/${prefix}namespaces")
@@ -525,12 +522,32 @@ class RestBackedCatalog extends TableCatalog with SupportsNamespaces
     case other => other // int, string, double, float, boolean, date, binary, decimal(p,s)
   }
 
-  override def listViews(namespace: String*): Array[Identifier] = {
-    val (code, body) =
-      get(s"/v1/${prefix}namespaces/${nsPath(namespace.toArray)}/views")
-    require(code == 200, s"listViews over $uri -> $code: $body")
-    jfieldAll(body, "name").map(Identifier.of(namespace.toArray, _)).toArray
+  /** Walk a paginated list route to exhaustion like a real engine
+    * client: bounded pages (so a 100k-table catalog never ships one
+    * giant listing) following `next-page-token` until the server
+    * stops serving one.
+    */
+  private def pagedNames(basePath: String, what: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var token = Option.empty[String]
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      val q = "?pageSize=1000" + token.fold("")(t =>
+        "&pageToken=" + java.net.URLEncoder.encode(t, "UTF-8"))
+      val (code, body) = get(s"$basePath$q")
+      require(code == 200, s"$what over $uri -> $code: $body")
+      // identifier objects carry exactly one "name" key each; the
+      // token rides its own "next-page-token" key, never a "name"
+      token = jfieldAll(body, "next-page-token").headOption
+      out ++= jfieldAll(body, "name")
+    }
+    out.toSeq
   }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    pagedNames(s"/v1/${prefix}namespaces/${nsPath(namespace.toArray)}/views",
+      "listViews").map(Identifier.of(namespace.toArray, _)).toArray
 
   override def loadView(ident: Identifier): View = {
     val (code, body) = get(viewsPath(ident))

@@ -184,6 +184,18 @@ class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
     val v = rbc.loadView(Identifier.of(Array("graft"), "rest_w19_view"))
     assert(v.query().contains("rest_w19_base"))
     assert(v.schema().fieldNames.toSeq == Seq("id", "v"), v.schema().treeString)
+    // createView through the DSv2 interface rides the same wire route
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      Identifier.of(Array("graft"), "rest_w19_view2"),
+      "SELECT id FROM graft.rest_w19_base WHERE id = 1",
+      "w19v", Array("graft"),
+      new org.apache.spark.sql.types.StructType(),
+      Array.empty, Array.empty, Array.empty,
+      java.util.Collections.emptyMap())
+    val created = rbc.createView(info)
+    assert(created.query().contains("id = 1"))
+    assert(rbc.viewExists(Identifier.of(Array("graft"), "rest_w19_view2")))
+    assert(rbc.dropView(Identifier.of(Array("graft"), "rest_w19_view2")))
     // drop over the wire; the engine-side view is gone too
     assert(rbc.dropView(Identifier.of(Array("graft"), "rest_w19_view")))
     assert(RestCatalog.head(port, "/v1/namespaces/graft/views/rest_w19_view") == 404)
