@@ -780,7 +780,7 @@ object RestCatalog {
     private def err(ex: HttpExchange, code: Int, msg: String): Unit =
       send(ex, code, jobj("error" -> jstr(msg)))
 
-    private def registryRows(): Seq[(String, String, String, String)] =
+    private[endpoint] def registryRows(): Seq[(String, String, String, String)] =
       SnapshotTable.read(spark, registryRoot)
         .collect()
         .map(r => (r.getAs[String]("table_name"), r.getAs[String]("kind"),
@@ -2074,14 +2074,21 @@ object RestCatalog {
       * `table-changes` entry carries its identifier, requirements and
       * an `add-snapshot` update (the documented per-table commit
       * shape; other actions 400 — schema/property/ref changes stay
-      * single-table commits). EVERY table's requirements and staged
-      * schemas are validated under the DDL lock BEFORE any commit, so
-      * one stale assertion 409s the whole transaction with nothing
-      * applied. Wire writers serialize on the same lock; the only
-      * mid-apply loser is an engine-side writer racing a manifest CAS
-      * from outside the endpoint — then the already-committed tables
-      * are compensated by [[SnapshotTable.rollback]] (a restating
-      * commit, the engine's rollback shape) and the transaction 409s.
+      * single-table commits). A transaction may span THIS handler's
+      * namespace and any NESTED namespace beneath it (the {prefix}
+      * scopes the request, Iceberg's model); each table commits
+      * through its own handler, and every involved handler's DDL lock
+      * is acquired in one global deterministic order (registry path;
+      * parent before child, the same order dropNested uses) so
+      * overlapping transactions cannot deadlock. EVERY table's
+      * requirements and staged schemas are validated under the locks
+      * BEFORE any commit, so one stale assertion 409s the whole
+      * transaction with nothing applied. Wire writers serialize on
+      * the same locks; the only mid-apply loser is an engine-side
+      * writer racing a manifest CAS from outside the endpoint — then
+      * the already-committed tables are compensated by
+      * [[SnapshotTable.rollback]] (a restating commit, the engine's
+      * rollback shape) and the transaction 409s.
       * Success is the spec's 204 (no content).
       */
     private def commitTransaction(ex: HttpExchange): Unit = {
@@ -2091,26 +2098,35 @@ object RestCatalog {
         err(ex, 400, "table-changes must be a non-empty array of " +
           "per-table commit objects"); return
       }
-      val rows = registryRows()
       val hconf = spark.sparkContext.hadoopConfiguration
       case class Change(name: String, loc: String, reqBlock: String,
-        files: Seq[String])
+        files: Seq[String], handler: CatalogHandler)
       val parsed = changes.map { ch =>
         val ident = jobjBlock(ch, "identifier").getOrElse {
           err(ex, 400, "every table change needs an identifier " +
             "{namespace, name}"); return
         }
         val ns = jstrArray(ident, "namespace")
-        if (ns != Seq(db)) {
-          err(ex, 400, s"transaction identifiers must live in [$db] " +
-            s"(got ${ns.mkString(".")}) — cross-namespace transactions " +
-            "are a documented delta"); return
-        }
+        // a transaction may span THIS handler's namespace and any
+        // nested namespace beneath it (Iceberg REST: the {prefix}
+        // scopes the whole request, identifiers address namespaces
+        // within it); each table commits through its own handler
+        val handler: CatalogHandler =
+          if (ns == Seq(db)) this
+          else if (ns.headOption.contains(db) && ns.size > 1)
+            Option(nested.get(ns.drop(1).mkString(NsSep.toString))).getOrElse {
+              err(ex, 404, s"unknown namespace: ${ns.mkString(".")}"); return
+            }
+          else {
+            err(ex, 400, s"transaction identifiers must live in [$db] " +
+              s"or a namespace nested beneath it (got ${ns.mkString(".")})")
+            return
+          }
         val name = jfieldAll(ident, "name").headOption.getOrElse {
           err(ex, 400, "identifier needs a name"); return
         }
-        val loc = rows.find(_._1 == name).map(_._4).getOrElse {
-          err(ex, 404, s"unknown table: $name"); return
+        val loc = handler.registryRows().find(_._1 == name).map(_._4).getOrElse {
+          err(ex, 404, s"unknown table: ${ns.mkString(".")}.$name"); return
         }
         if (loc.isEmpty || SnapshotTable.currentVersion(spark, loc) == 0) {
           err(ex, 404, s"$name is not a snapshot table"); return
@@ -2139,13 +2155,24 @@ object RestCatalog {
           err(ex, 400, s"$name: added data file does not exist: $missing")
           return
         }
-        Change(name, loc, reqBlock, files)
+        Change(name, loc, reqBlock, files, handler)
       }
-      if (parsed.map(_.name).distinct.size != parsed.size) {
+      if (parsed.map(c => (c.handler.registry, c.name)).distinct.size
+          != parsed.size) {
         err(ex, 400, "a table may appear at most once per transaction")
         return
       }
-      ddlLock.synchronized {
+      // every involved handler's DDL lock, acquired in a GLOBAL
+      // deterministic order (registry path — a nested registry sorts
+      // after its parent's, matching dropNested's parent→child order)
+      // so two transactions over overlapping namespace sets can never
+      // deadlock
+      val handlers = parsed.map(_.handler).distinct.sortBy(_.registry).toList
+      def withLocks[T](hs: List[CatalogHandler])(body: => T): T = hs match {
+        case Nil => body
+        case h :: rest => h.ddlLock.synchronized(withLocks(rest)(body))
+      }
+      withLocks(handlers) {
         // phase 1: validate EVERYTHING before committing ANYTHING
         parsed.foreach { c =>
           uuidAssertionFailure(c.loc, c.reqBlock).foreach { m =>

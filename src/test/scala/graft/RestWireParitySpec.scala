@@ -242,6 +242,53 @@ class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
       """{"table-changes":[]}""")._1 == 400)
   }
 
+  test("transactions span nested namespaces under one prefix") {
+    port
+    // a nested namespace with its own table, plus a root-namespace one
+    val (nc, nr) = RestCatalog.post(port, "/v1/namespaces",
+      """{"namespace":["graft","txnspace"]}""")
+    assert(nc == 200, nr)
+    // the Iceberg REST multi-level namespace path segment: levels
+    // joined by the PERCENT-ENCODED unit separator
+    val nestedNs = java.net.URLEncoder.encode("graft\u001Ftxnspace", "UTF-8")
+    // the nested table is born over the wire (Iceberg createTable,
+    // catalog-assigned location, v1 = empty)
+    val (rc, rr) = RestCatalog.post(port, s"/v1/namespaces/$nestedNs/tables",
+      """{"name":"nested_txn_t","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","type":"long"},
+        |{"id":2,"name":"v","type":"string"}]}}""".stripMargin)
+    assert(rc == 200, rr)
+    val nestedLoc = RestCatalog.jfieldAll(rr, "location").head
+    mkSnapshotTable("rest_w19_txnroot", Seq(1L -> "r"))
+    val fRoot = stageOne("txnroot", Seq(2L -> "r2"))
+    val fNested = stageOne("txnnested", Seq(101L -> "n2"))
+    def change(nsJson: String, name: String, file: String, snap: Long): String =
+      s"""{"identifier":{"namespace":[$nsJson],"name":"$name"},
+         |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$snap}],
+         |"updates":[{"action":"add-snapshot","snapshot":{
+         |"added-data-files":[${RestCatalog.jstr(file)}]}}]}""".stripMargin
+    // one transaction lands a root-namespace table AND a nested one
+    val (tc, tr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("\"graft\"", "rest_w19_txnroot", fRoot, 1)},${
+        change("\"graft\",\"txnspace\"", "nested_txn_t", fNested, 1)}]}""")
+    assert(tc == 204, tr)
+    assert(SnapshotTable.currentVersion(spark, s"$tableArea/rest_w19_txnroot") == 2)
+    assert(SnapshotTable.currentVersion(spark, nestedLoc) == 2)
+    // a stale assertion on the NESTED half aborts the whole thing
+    val (xc, xr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("\"graft\"", "rest_w19_txnroot", fRoot, 2)},${
+        change("\"graft\",\"txnspace\"", "nested_txn_t", fNested, 1)}]}""")
+    assert(xc == 409 && xr.contains("nothing applied"), xr)
+    assert(SnapshotTable.currentVersion(spark, s"$tableArea/rest_w19_txnroot") == 2)
+    assert(SnapshotTable.currentVersion(spark, nestedLoc) == 2)
+    // unknown nested namespace is a loud 404
+    assert(RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${change("\"graft\",\"nope\"", "t", fRoot, 1)}]}""")._1 == 404)
+    // cleanup: drop the nested table + namespace
+    RestCatalog.delete(port, s"/v1/namespaces/$nestedNs/tables/nested_txn_t")
+    assert(RestCatalog.delete(port, s"/v1/namespaces/$nestedNs")._1 == 200)
+  }
+
   // ----- every requirement must hold (r18 ADVICE) -----------------------
 
   test("a commit carrying several ref assertions validates ALL of them") {
