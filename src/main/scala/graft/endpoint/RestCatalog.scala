@@ -970,7 +970,7 @@ object RestCatalog {
             nested.keySet.asScala.toSeq.sorted
               .map(k => db +: k.split(NsSep).toSeq)
           }
-          val (page, next) = paged(ex, all, (_: Seq[String]).mkString(" "))
+          val (page, next) = paged(ex, all, (_: Seq[String]).mkString(NsSep.toString))
           send(ex, 200, s"""{"namespaces":[${page.map(ns =>
             ns.map(jstr).mkString("[", ",", "]")).mkString(",")}]${
             nextTokenField(next)}}""")
@@ -1380,29 +1380,39 @@ object RestCatalog {
                 f.dataType.simpleString))}}"""
         }
         val uuid = tableUuid(s"$registryRoot/_views/$name")
-        val ts = System.currentTimeMillis()
-        val metadata =
-          s"""{"view-uuid":${jstr(uuid)},"format-version":1,""" +
-            s""""location":${jstr(s"${registryRoot}_views/$name")},""" +
-            s""""current-version-id":1,"versions":[{"version-id":1,""" +
-            s""""schema-id":0,"timestamp-ms":$ts,"summary":{},""" +
-            s""""default-namespace":[${jstr(db)}],""" +
-            s""""representations":[{"type":"sql","sql":${jstr(sql)},""" +
-            s""""dialect":"spark"}]}],""" +
-            s""""version-log":[{"version-id":1,"timestamp-ms":$ts}],""" +
-            s""""schemas":[{"schema-id":0,"type":"struct",""" +
-            s""""fields":[${fields.mkString(",")}]}],"properties":{}}"""
         // materialize so an external reader can walk to the definition
         // by path, like table metadata.json (the sql hash keys the
         // file: a REPLACEd view serves a fresh location, an unchanged
-        // one re-serves the same immutable file)
+        // one re-serves the same IMMUTABLE file — the response body is
+        // always the file's exact bytes, so metadata-location and the
+        // inline metadata can never drift apart across loads)
+        // the definition hash covers the OUTPUT SCHEMA too: a base
+        // table evolving under an unchanged view sql must mint a fresh
+        // metadata file, not re-serve the pre-evolution schema
         val metaPath = new Path(s"${registryRoot}_views/$name",
-          s"v1-${Integer.toHexString(sql.hashCode)}.metadata.json")
+          s"v1-${Integer.toHexString((sql + fields.mkString).hashCode)}.metadata.json")
         val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!mfs.exists(metaPath)) {
-          val out = mfs.create(metaPath, true)
-          try out.write(metadata.getBytes(UTF_8)) finally out.close()
-        }
+        val metadata =
+          if (mfs.exists(metaPath)) {
+            val in = mfs.open(metaPath)
+            try new String(in.readAllBytes(), UTF_8) finally in.close()
+          } else {
+            val ts = System.currentTimeMillis()
+            val rendered =
+              s"""{"view-uuid":${jstr(uuid)},"format-version":1,""" +
+                s""""location":${jstr(s"${registryRoot}_views/$name")},""" +
+                s""""current-version-id":1,"versions":[{"version-id":1,""" +
+                s""""schema-id":0,"timestamp-ms":$ts,"summary":{},""" +
+                s""""default-namespace":[${jstr(db)}],""" +
+                s""""representations":[{"type":"sql","sql":${jstr(sql)},""" +
+                s""""dialect":"spark"}]}],""" +
+                s""""version-log":[{"version-id":1,"timestamp-ms":$ts}],""" +
+                s""""schemas":[{"schema-id":0,"type":"struct",""" +
+                s""""fields":[${fields.mkString(",")}]}],"properties":{}}"""
+            val out = mfs.create(metaPath, true)
+            try out.write(rendered.getBytes(UTF_8)) finally out.close()
+            rendered
+          }
         send(ex, 200,
           s"""{"metadata-location":${jstr(metaPath.toString)},"metadata":$metadata}""")
       }
