@@ -191,6 +191,16 @@ object RestCatalog {
     private val protectedFlags =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+    // monotonic record sequence, persisted as wh_seq in every identity
+    // record: the restore dedupe's tie-break. Filesystem mtime alone
+    // has coarse granularity on some stores — a rename's publish-new
+    // and the crash-orphaned old record can land in the same
+    // timestamp, and a lexicographic tie-break could then delete the
+    // rename TARGET and resurrect the old name (r19 ADVICE). The seq
+    // is strictly increasing across every record write, so the
+    // rename target always carries the higher one.
+    private val recordSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
     locally { // restore persisted warehouses (server restart)
       if (fs.exists(whDir)) {
         val records = fs.listStatus(whDir)
@@ -206,11 +216,18 @@ object RestCatalog {
         // would reclaim the survivor's registry. The NEWER record is
         // the rename's fully-published target — completing the
         // interrupted rename means mounting it and retiring the stale
-        // file (r18 ADVICE).
+        // file (r18 ADVICE). Newest = highest persisted wh_seq (the
+        // monotonic write counter — immune to coarse-mtime ties);
+        // mtime only breaks ties among pre-seq-format records.
+        recordSeq.set(records.iterator
+          .map { case (_, _, txt) => jlong(txt, "wh_seq").getOrElse(0L) }
+          .maxOption.getOrElse(0L))
         val stale = records
           .groupBy { case (_, _, txt) => jfieldAll(txt, "wh_registry").headOption }
           .collect { case (Some(_), dups) if dups.size > 1 =>
-            dups.sortBy { case (_, mtime, _) => mtime }.dropRight(1)
+            dups.sortBy { case (_, mtime, txt) =>
+              (jlong(txt, "wh_seq").getOrElse(0L), mtime)
+            }.dropRight(1)
           }.flatten.map(_._1).toSet
         stale.foreach { p =>
           System.err.println(s"[graft-rest] warehouse record $p shares its " +
@@ -301,6 +318,7 @@ object RestCatalog {
       // touch the store)
       val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
         s""""wh_registry":${jstr(reg)},"delete-protection":$protect,""" +
+        s""""wh_seq":${recordSeq.incrementAndGet()},""" +
         s""""storage-profile":{$profile}}"""
       fs.mkdirs(whDir)
       // name reservation is the cross-PROCESS arbiter, and it must be
@@ -367,6 +385,7 @@ object RestCatalog {
         protect: Boolean, profile: String): Unit = {
       val rendered = s"""{"wh_name":${jstr(name)},"wh_db":${jstr(db)},""" +
         s""""wh_registry":${jstr(reg)},"delete-protection":$protect,""" +
+        s""""wh_seq":${recordSeq.incrementAndGet()},""" +
         s""""storage-profile":{$profile}}"""
       val out = fs.create(new Path(whDir, s"$name.json"), true)
       try out.write(rendered.getBytes(UTF_8)) finally out.close()
@@ -498,6 +517,10 @@ object RestCatalog {
     // the registry commit must publish as one logical step. Visible to
     // WarehouseStore so drop can judge emptiness under the same lock.
     private[endpoint] val ddlLock = new Object
+
+    // newest view-metadata files kept per view across REPLACE/schema
+    // churn (the r19 mount-retention pattern; see loadViewResult)
+    private val viewMetaRetain = 8
 
     /** ALL requirement objects of `tpe` within a requirements block —
       * commit handlers must validate EVERY matching requirement and
@@ -1389,8 +1412,15 @@ object RestCatalog {
         // the definition hash covers the OUTPUT SCHEMA too: a base
         // table evolving under an unchanged view sql must mint a fresh
         // metadata file, not re-serve the pre-evolution schema
+        // cryptographic digest, NOT String.hashCode: the file is
+        // treated as content-exact and never revalidated, so a 32-bit
+        // collision between two versions of one view would re-serve
+        // the stale pre-REPLACE definition forever (r19 ADVICE)
+        val defDigest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest((sql + fields.mkString).getBytes(UTF_8))
+          .map("%02x".format(_)).mkString
         val metaPath = new Path(s"${registryRoot}_views/$name",
-          s"v1-${Integer.toHexString((sql + fields.mkString).hashCode)}.metadata.json")
+          s"v1-$defDigest.metadata.json")
         val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val metadata =
           if (mfs.exists(metaPath)) {
@@ -1411,6 +1441,21 @@ object RestCatalog {
                 s""""fields":[${fields.mkString(",")}]}],"properties":{}}"""
             val out = mfs.create(metaPath, true)
             try out.write(rendered.getBytes(UTF_8)) finally out.close()
+            // retention (the r19 mount-retention pattern): REPLACE /
+            // base-schema churn mints a fresh immutable file per
+            // definition and nothing else would ever evict the old
+            // ones — a metadata leak per long-lived churning view
+            // (r19 VERDICT #2). Keep the newest `viewMetaRetain`
+            // (never the file just written); an in-flight reader of an
+            // evicted location re-loads and gets the current one, the
+            // same contract as any metadata cache expiry.
+            val dir = metaPath.getParent
+            mfs.listStatus(dir)
+              .filter(st => st.getPath.getName.endsWith(".metadata.json") &&
+                st.getPath.getName != metaPath.getName)
+              .sortBy(-_.getModificationTime)
+              .drop(viewMetaRetain - 1)
+              .foreach { st => mfs.delete(st.getPath, false); () }
             rendered
           }
         send(ex, 200,
@@ -1451,11 +1496,13 @@ object RestCatalog {
         // is the CLIENT's error, not a server fault
         try spark.sql(s"CREATE VIEW $db.$name AS $sql")
         catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            err(ex, 400, s"view definition does not analyze: ${e.getMessage}")
-            return
+          // ParseException IS an AnalysisException in Spark 4 — it
+          // must match first or its arm is dead code
           case e: org.apache.spark.sql.catalyst.parser.ParseException =>
             err(ex, 400, s"view definition does not parse: ${e.getMessage}")
+            return
+          case e: org.apache.spark.sql.AnalysisException =>
+            err(ex, 400, s"view definition does not analyze: ${e.getMessage}")
             return
         }
         PersistentCatalog.save(spark, registryRoot, db)
@@ -1828,7 +1875,16 @@ object RestCatalog {
     private def dropTable(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, kind, _, _) =>
         val v = ddlLock.synchronized {
-          if (kind == "view") spark.sql(s"DROP VIEW IF EXISTS $db.$name")
+          if (kind == "view") {
+            spark.sql(s"DROP VIEW IF EXISTS $db.$name")
+            // reclaim the view's materialized wire-metadata files —
+            // without this, ${registryRoot}_views/<name>/ outlives the
+            // view forever (r19 VERDICT #2); a re-created same-name
+            // view mints a fresh file on its next load
+            val vdir = new Path(s"${registryRoot}_views/$name")
+            val vfs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (vfs.exists(vdir)) { vfs.delete(vdir, true); () }
+          }
           else spark.sql(s"DROP TABLE IF EXISTS $db.$name")
           PersistentCatalog.save(spark, registryRoot, db)
         }
@@ -1952,7 +2008,12 @@ object RestCatalog {
       * the engine stamps row counts from the footers and commits
       * zero-copy through [[SnapshotTable.commitFiles]] (the Iceberg
       * `add_files` path), so REST writers and engine writers share the
-      * same CAS-guarded manifest chain.
+      * same CAS-guarded manifest chain. Row-level deletes ride the
+      * same shape: `added-delete-files` ([[parseDeleteFiles]]) lands
+      * positional and equality delete files with upsertEq's sequence
+      * stamping through [[SnapshotTable.commitFilesWithDeletes]], so
+      * an external CDC writer commits (delete k, insert k) batches
+      * entirely over HTTP.
       */
     private def commitTable(ex: HttpExchange, name: String): Unit =
       withTable(ex, name) { case (_, _, _, loc) =>
@@ -2006,17 +2067,22 @@ object RestCatalog {
         if (hasProps) { commitProps(ex, name, loc, body, reqTypes, reqBlock); return }
         if (hasRef) { commitRefs(ex, name, loc, body, reqTypes, reqBlock); return }
         val files = jstrArray(body, "added-data-files")
-        if (files.isEmpty) {
-          err(ex, 400, "add-snapshot must carry a non-empty added-data-files array " +
-            "(this catalog's documented commit shape — see README)"); return
+        val (posDels, eqDels) = parseDeleteFiles(body) match {
+          case Left(m) => err(ex, 400, m); return
+          case Right(parsed) => parsed
+        }
+        if (files.isEmpty && posDels.isEmpty && eqDels.isEmpty) {
+          err(ex, 400, "add-snapshot must carry a non-empty added-data-files " +
+            "or added-delete-files array (this catalog's documented commit " +
+            "shape — see README)"); return
         }
         val hconf = spark.sparkContext.hadoopConfiguration
-        files.find { f =>
+        (files ++ posDels ++ eqDels.map(_._1)).find { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           !p.getFileSystem(hconf).exists(p)
         } match {
           case Some(missing) =>
-            err(ex, 400, s"added data file does not exist: $missing"); return
+            err(ex, 400, s"added file does not exist: $missing"); return
           case None =>
         }
         uuidAssertionFailure(loc, reqBlock).foreach { msg =>
@@ -2039,9 +2105,17 @@ object RestCatalog {
           stagedSchemaConflict(loc, files).foreach { msg =>
             err(ex, 409, msg); return
           }
+          deleteSchemaConflict(loc, posDels, eqDels).foreach {
+            case (status, msg) => err(ex, status, msg); return
+          }
           val nv =
-            try SnapshotTable.commitFiles(spark, loc, files, append = true)
-            catch {
+            try {
+              if (posDels.isEmpty && eqDels.isEmpty)
+                SnapshotTable.commitFiles(spark, loc, files, append = true)
+              else
+                SnapshotTable.commitFilesWithDeletes(spark, loc, files,
+                  posDels, eqDels)
+            } catch {
               case e: IllegalStateException =>
                 err(ex, 409, s"commit lost the version CAS: ${e.getMessage}"); return
             }
@@ -2050,6 +2124,72 @@ object RestCatalog {
             s"""{"metadata-location":${jstr(metaLocation)},"metadata":$metadata}""")
         }
       }
+
+    /** Parse an add-snapshot's `added-delete-files` array — ROW-LEVEL
+      * delete files the wire client already staged, Iceberg content
+      * naming (`position-deletes` / `equality-deletes`). Equality keys
+      * are declared by NAME (`equality-field-names`) rather than field
+      * id — the documented delta of a catalog whose clients see the
+      * served schema's names, not an id registry. This is what lets an
+      * external CDC writer land the upsert shape (one eq-delete + one
+      * append per batch) entirely over HTTP — the Flink-CDC-against-
+      * Lakekeeper loop (reference RUNBOOK.md §7: Trino row-level DML
+      * on Iceberg through the same catalog). Left = client error.
+      */
+    private def parseDeleteFiles(body: String)
+        : Either[String, (Seq[String], Seq[(String, Seq[String])])] = {
+      val objs = jarrBlock(body, "added-delete-files").toSeq.flatMap(jobjElements)
+      val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+      val eq = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+      objs.foreach { o =>
+        val path = jfieldAll(o, "path").headOption.getOrElse(
+          return Left("every added-delete-files entry needs a path"))
+        jfieldAll(o, "content").headOption match {
+          case Some("position-deletes") => pos += path
+          case Some("equality-deletes") =>
+            val cols = jstrArray(o, "equality-field-names")
+            if (cols.isEmpty)
+              return Left(s"equality delete $path needs a non-empty " +
+                "equality-field-names array")
+            eq += ((path, cols))
+          case other => return Left(
+            "added-delete-files content must be position-deletes or " +
+              s"equality-deletes (got ${other.getOrElse("no content field")} " +
+              s"for $path)")
+        }
+      }
+      Right((pos.toSeq, eq.toSeq))
+    }
+
+    /** Validate staged row-level delete files against the table's
+      * CURRENT schema, under the commit lock — the delete analog of
+      * [[stagedSchemaConflict]]. A positional file must carry
+      * (file_path string, pos bigint) — Iceberg's position-delete
+      * shape; an equality file must carry every declared key column,
+      * and its columns must fit the table's schema (names and types —
+      * a key staged as the wrong type would silently anti-join
+      * nothing, so it 409s here instead). Returns (status, message).
+      */
+    private def deleteSchemaConflict(loc: String,
+        posDels: Seq[String], eqDels: Seq[(String, Seq[String])])
+        : Option[(Int, String)] = {
+      posDels.iterator.flatMap { f =>
+        val sch = spark.read.parquet(f).schema
+        def typ(n: String) = sch.find(_.name == n).map(_.dataType.simpleString)
+        if (typ("file_path").contains("string") && typ("pos").contains("bigint"))
+          None
+        else Some(400 -> (s"positional delete file $f must carry " +
+          "(file_path string, pos bigint); got " +
+          sch.map(x => s"${x.name} ${x.dataType.simpleString}").mkString(", ")))
+      }.nextOption().orElse {
+        eqDels.iterator.flatMap { case (f, cols) =>
+          val fileCols = spark.read.parquet(f).schema.fieldNames.toSet
+          cols.find(!fileCols.contains(_)).map(c => 400 ->
+            (s"equality delete file $f does not carry declared key column $c"))
+            .orElse(stagedSchemaConflict(loc, Seq(f)).map(409 -> _))
+        }.nextOption()
+      }
+    }
 
     /** Whether `files` (parquet a wire client staged) fit the table's
       * CURRENT schema: a staged field may be ABSENT from a file (reads
@@ -2082,9 +2222,13 @@ object RestCatalog {
       * (CommitTransactionRequest): atomic commits spanning tables —
       * the route Trino uses for multi-table writes. Each
       * `table-changes` entry carries its identifier, requirements and
-      * an `add-snapshot` update (the documented per-table commit
-      * shape; other actions 400 — schema/property/ref changes stay
-      * single-table commits). A transaction may span THIS handler's
+      * EITHER `add-snapshot` update(s) — data files AND/OR row-level
+      * delete files ([[parseDeleteFiles]]), so an external CDC writer
+      * can land a multi-table upsert batch atomically — OR exactly one
+      * `set-snapshot-ref` (tag/branch several tables at one consistent
+      * point: the "release a coherent snapshot set" flow). Other
+      * actions 400 — schema/property/ref-removal changes stay
+      * single-table commits. A transaction may span THIS handler's
       * namespace and any NESTED namespace beneath it (the {prefix}
       * scopes the request, Iceberg's model); each table commits
       * through its own handler, and every involved handler's DDL lock
@@ -2109,8 +2253,15 @@ object RestCatalog {
           "per-table commit objects"); return
       }
       val hconf = spark.sparkContext.hadoopConfiguration
+      // a change is EITHER an add-snapshot commit (data files and/or
+      // row-level delete files) OR one set-snapshot-ref (`ref` set:
+      // name, tag|branch, snapshot version) — the "release a coherent
+      // snapshot set" flow that tags several tables at one consistent
+      // point (r19 VERDICT #5)
       case class Change(name: String, loc: String, reqBlock: String,
-        files: Seq[String], handler: CatalogHandler)
+        files: Seq[String], posDels: Seq[String],
+        eqDels: Seq[(String, Seq[String])],
+        ref: Option[(String, String, Long)], handler: CatalogHandler)
       val parsed = changes.map { ch =>
         val ident = jobjBlock(ch, "identifier").getOrElse {
           err(ex, 400, "every table change needs an identifier " +
@@ -2142,30 +2293,63 @@ object RestCatalog {
           err(ex, 404, s"$name is not a snapshot table"); return
         }
         val actions = jfieldAll(ch, "action")
-        if (actions.isEmpty || actions.exists(_ != "add-snapshot")) {
+        val isSnap = actions.nonEmpty && actions.forall(_ == "add-snapshot")
+        val isRef = actions == Seq("set-snapshot-ref")
+        if (!isSnap && !isRef) {
           err(ex, 400, s"$name: transactions support add-snapshot updates " +
-            "only (documented delta — schema/property/ref changes are " +
-            "single-table commits)"); return
+            "or exactly one set-snapshot-ref per table (documented delta — " +
+            "schema/property/ref-removal changes are single-table commits)")
+          return
         }
-        val reqBlock = "(?s)\"requirements\"\\s*:\\s*\\[(.*?)\\]".r
-          .findFirstMatchIn(ch).map(_.group(1)).getOrElse("")
+        // string- and nesting-aware extraction: a lazy regex would stop
+        // at the first ']' — one inside a string value (e.g. a ref
+        // name) truncates the block and silently skips later
+        // requirements' validation (r19 ADVICE, the r17 class)
+        val reqBlock = jarrBlock(ch, "requirements").getOrElse("")
         val badReq = jfieldAll(reqBlock, "type").find(t =>
           t != "assert-ref-snapshot-id" && t != "assert-table-uuid")
         badReq.foreach { t =>
           err(ex, 400, s"$name: unsupported requirement type: $t"); return
         }
-        val files = jstrArray(ch, "added-data-files")
-        if (files.isEmpty) {
-          err(ex, 400, s"$name: add-snapshot must carry a non-empty " +
-            "added-data-files array"); return
+        if (isRef) {
+          // ref fields are read from the UPDATES block only — "type"
+          // and "snapshot-id" keys also live in requirement objects
+          val updBlock = jarrBlock(ch, "updates").getOrElse("")
+          val rname = jfieldAll(updBlock, "ref-name").headOption.getOrElse {
+            err(ex, 400, s"$name: set-snapshot-ref needs a ref-name"); return
+          }
+          if (rname == "main") {
+            err(ex, 400, s"$name: ref main is the table head — it cannot " +
+              "be moved in a transaction (use engine rollback)"); return
+          }
+          val rtype = jfieldAll(updBlock, "type").headOption.getOrElse("")
+          if (rtype != "tag" && rtype != "branch") {
+            err(ex, 400, s"$name: set-snapshot-ref type must be tag|branch, " +
+              s"got '$rtype'"); return
+          }
+          val sid = jlong(updBlock, "snapshot-id").getOrElse {
+            err(ex, 400, s"$name: set-snapshot-ref needs a snapshot-id"); return
+          }
+          Change(name, loc, reqBlock, Seq.empty, Seq.empty, Seq.empty,
+            Some((rname, rtype, sid)), handler)
+        } else {
+          val files = jstrArray(ch, "added-data-files")
+          val (posDels, eqDels) = parseDeleteFiles(ch) match {
+            case Left(m) => err(ex, 400, s"$name: $m"); return
+            case Right(parsed) => parsed
+          }
+          if (files.isEmpty && posDels.isEmpty && eqDels.isEmpty) {
+            err(ex, 400, s"$name: add-snapshot must carry a non-empty " +
+              "added-data-files or added-delete-files array"); return
+          }
+          (files ++ posDels ++ eqDels.map(_._1)).find { f =>
+            val p = new Path(f); !p.getFileSystem(hconf).exists(p)
+          }.foreach { missing =>
+            err(ex, 400, s"$name: added file does not exist: $missing")
+            return
+          }
+          Change(name, loc, reqBlock, files, posDels, eqDels, None, handler)
         }
-        files.find { f =>
-          val p = new Path(f); !p.getFileSystem(hconf).exists(p)
-        }.foreach { missing =>
-          err(ex, 400, s"$name: added data file does not exist: $missing")
-          return
-        }
-        Change(name, loc, reqBlock, files, handler)
       }
       if (parsed.map(c => (c.handler.registry, c.name)).distinct.size
           != parsed.size) {
@@ -2198,23 +2382,104 @@ object RestCatalog {
             err(ex, 409, s"${c.name}: $m — transaction aborted, nothing " +
               "applied"); return
           }
+          deleteSchemaConflict(c.loc, c.posDels, c.eqDels).foreach {
+            case (status, m) =>
+              err(ex, status, s"${c.name}: $m — transaction aborted, " +
+                "nothing applied"); return
+          }
+          c.ref.foreach { case (rname, rtype, sid) =>
+            if (sid < 1 || sid > cur) {
+              err(ex, 400, s"${c.name}: snapshot-id $sid is not a live " +
+                s"snapshot (current: $cur) — transaction aborted, nothing " +
+                "applied"); return
+            }
+            val tags = SnapshotTable.tags(spark, c.loc)
+            val branches = SnapshotTable.branches(spark, c.loc)
+            if (rtype == "tag") {
+              tags.get(rname) match {
+                case Some(at) if at != sid.toInt =>
+                  err(ex, 409, s"${c.name}: tag $rname already points at " +
+                    s"snapshot $at (graft tags are immutable) — transaction " +
+                    "aborted, nothing applied"); return
+                case None if branches.contains(rname) =>
+                  err(ex, 409, s"${c.name}: ref $rname already exists as a " +
+                    "branch — transaction aborted, nothing applied"); return
+                case _ => // free, or idempotent re-set
+              }
+            } else if (tags.contains(rname)) {
+              err(ex, 409, s"${c.name}: ref $rname already exists as a tag " +
+                "— transaction aborted, nothing applied"); return
+            } else branches.get(rname).foreach { head =>
+              // a DIVERGED branch (branch-local head, not a main
+              // version) can't be compensated by a pointer move-back —
+              // refuse up front rather than break all-or-nothing
+              if (!head.matches("v\\d+")) {
+                err(ex, 409, s"${c.name}: branch $rname has branch-local " +
+                  "commits (head $head) — move it in a single-table commit " +
+                  "— transaction aborted, nothing applied"); return
+              }
+            }
+          }
         }
-        // phase 2: publish all-or-nothing
-        val applied = scala.collection.mutable.ArrayBuffer.empty[(Change, Int)]
+        // phase 2: publish all-or-nothing. Every applied step records
+        // its own UNDO (snapshot rollback / drop created ref / move a
+        // branch back) so a mid-apply loser compensates in reverse.
+        val applied =
+          scala.collection.mutable.ArrayBuffer.empty[(Change, () => Unit)]
         parsed.foreach { c =>
-          val before = SnapshotTable.currentVersion(spark, c.loc)
           try {
-            SnapshotTable.commitFiles(spark, c.loc, c.files, append = true)
-            applied += ((c, before))
+            c.ref match {
+              case Some((rname, "tag", sid)) =>
+                if (!SnapshotTable.tags(spark, c.loc).get(rname)
+                    .contains(sid.toInt)) {
+                  SnapshotTable.tag(spark, c.loc, rname, sid.toInt)
+                  applied += ((c,
+                    () => SnapshotTable.dropTag(spark, c.loc, rname)))
+                }
+              case Some((rname, _, sid)) =>
+                SnapshotTable.branches(spark, c.loc).get(rname) match {
+                  case Some(prev) if prev == s"v${sid.toInt}" => // idempotent
+                  case Some(prev) =>
+                    // phase 1 guaranteed prev is a main version stem
+                    val prevV = prev.stripPrefix("v").toInt
+                    SnapshotTable.moveBranch(spark, c.loc, rname, sid.toInt)
+                    applied += ((c, () =>
+                      SnapshotTable.moveBranch(spark, c.loc, rname, prevV)))
+                  case None =>
+                    SnapshotTable.createBranch(spark, c.loc, rname, sid.toInt)
+                    applied += ((c,
+                      () => SnapshotTable.dropBranch(spark, c.loc, rname)))
+                }
+              case None =>
+                val before = SnapshotTable.currentVersion(spark, c.loc)
+                if (c.posDels.isEmpty && c.eqDels.isEmpty)
+                  SnapshotTable.commitFiles(spark, c.loc, c.files, append = true)
+                else
+                  SnapshotTable.commitFilesWithDeletes(spark, c.loc, c.files,
+                    c.posDels, c.eqDels)
+                applied += ((c, () => {
+                  SnapshotTable.rollback(spark, c.loc, before); ()
+                }))
+            }
             ()
           } catch {
-            case e: IllegalStateException =>
-              applied.reverseIterator.foreach { case (a, prev) =>
-                scala.util.Try(SnapshotTable.rollback(spark, a.loc, prev))
+            // ANY mid-apply failure — CAS loss (IllegalStateException)
+            // but also IO/Analysis errors from an unreadable footer or
+            // a full disk — must run the same reverse-order
+            // compensation, or the advertised all-or-nothing contract
+            // breaks with earlier tables already committed (r19 ADVICE)
+            case e if scala.util.control.NonFatal(e) =>
+              applied.reverseIterator.foreach { case (_, undo) =>
+                scala.util.Try(undo())
               }
-              err(ex, 409, s"transaction failed at ${c.name} (an engine-side " +
-                s"writer won the manifest CAS): ${e.getMessage} — " +
-                s"${applied.size} already-applied table(s) rolled back")
+              val (status, why) = e match {
+                case _: IllegalStateException =>
+                  (409, "an engine-side writer won the manifest CAS")
+                case _ => (500, "the per-table commit failed mid-apply")
+              }
+              err(ex, status, s"transaction failed at ${c.name} ($why): " +
+                s"${e.getMessage} — ${applied.size} already-applied " +
+                "step(s) rolled back")
               return
           }
         }
@@ -3140,6 +3405,97 @@ object RestCatalog {
        |ORDER BY tbl, event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** §2B registry entry: ROW-LEVEL DELETES THROUGH THE WIRE — the
+    * external-CDC-writer loop (reference RUNBOOK.md §7: Flink CDC
+    * landing row-level DML on Iceberg through the same Lakekeeper
+    * catalog Trino reads). A snapshot table is seeded engine-side;
+    * then a wire client — raw HTTP, no engine API — lands ONE
+    * `add-snapshot` commit carrying BOTH an equality-delete file
+    * (CDC update keys) and the replacement data files: the
+    * lake_upsert_eq shape entirely over the catalog route
+    * (`added-delete-files`, Iceberg content naming). Sequence
+    * scoping is pinned by construction: the batch's own rows share
+    * the delete's sequence number, so the strict `<` comparison
+    * suppresses the v1 copies of the updated keys while the SAME
+    * commit's replacements survive. The emitted aggregate reads the
+    * post-upsert head back THROUGH THE WIRE MOUNT (fresh session,
+    * URI only), so the oracle hash proves delete application —
+    * server-side seq stamping, Iceberg metadata export (content=2 +
+    * equality_ids), zero-copy import, MoR anti-join — is
+    * content-exact end to end. Scale: the wire carries file PATHS;
+    * the eq delete is O(batch) with NO table read (the
+    * streaming-writer property that makes per-batch CDC viable at
+    * 100 TB); validation is O(files) footer reads under the commit
+    * lock.
+    */
+  def restUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OracleSafe.sumMoney
+    val base = "/tmp/graft_rest_upsert/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tableRoot = s"$base/events_cdc"
+    SnapshotTable.drop(s, tableRoot)
+    val events = s.read.parquet(s"$dir/events.parquet")
+    SnapshotTable.commit(s, tableRoot, events.filter(col("event_id") % 3 === 0))
+    Catalog.register(s, dir)
+    val registryRoot = s"$base/registry"
+    PersistentCatalog.save(s, registryRoot)
+    val port = serve(s, registryRoot)
+    val (rc, _) = post(port, "/v1/tables",
+      s"""{"name":"events_cdc","format":"graft-snapshot","location":${jstr(tableRoot)}}""")
+    require(rc == 201, s"register events_cdc -> $rc")
+    // the external CDC writer's batch: UPDATE every event_id%6==3 row
+    // (negated value) — staged as one eq-delete key file + data files
+    val hconf = s.sparkContext.hadoopConfiguration
+    def staged(dirOut: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dirOut)
+      p.getFileSystem(hconf).listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+    val batch = events.filter(col("event_id") % 6 === 3)
+      .withColumn("value", -col("value"))
+    val dataDir = s"$base/staged_data"
+    batch.coalesce(2).write.mode("overwrite").parquet(dataDir)
+    val keyDir = s"$base/staged_keys"
+    batch.select("event_id").distinct().coalesce(1)
+      .write.mode("overwrite").parquet(keyDir)
+    val delEntries = staged(keyDir).map(f =>
+      s"""{"content":"equality-deletes","path":${jstr(f)},"equality-field-names":["event_id"]}""")
+    val (uc, ur) = post(port, s"/v1/namespaces/${Catalog.DB}/tables/events_cdc",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{"summary":{"operation":"overwrite"},
+         |"added-data-files":[${staged(dataDir).map(jstr).mkString(",")}],
+         |"added-delete-files":[${delEntries.mkString(",")}]}}]}""".stripMargin)
+    require(uc == 200, s"wire upsert commit -> $uc: $ur")
+    require(SnapshotTable.currentVersion(s, tableRoot) == 2,
+      "the wire upsert must have landed exactly version 2")
+    // read the post-upsert head back through the wire mount: a fresh
+    // session whose only knowledge is the server URI
+    val s2 = s.newSession()
+    val cat = "restu"
+    s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.RestBackedCatalog")
+    s2.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+    s2.conf.set(s"spark.sql.catalog.$cat.mount-root", s"$base/mounts")
+    val out = s2.table(s"$cat.${Catalog.DB}.events_cdc")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("event_type")
+    val cnt = out.count() // materialize before un-registering
+    require(cnt > 0, "wire-mounted post-upsert read returned no groups")
+    val (dc, dr) = delete(port, "/v1/tables/events_cdc")
+    require(dc == 200, s"cleanup DELETE events_cdc -> $dc: $dr")
+    out
+  }
+
+  val restUpsertOracle: String = {
+    import graft.operators.OracleSafe.sqlSumMoney
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value", "total_value")}
+       |FROM (SELECT event_type, value FROM events WHERE event_id % 6 = 0
+       |      UNION ALL
+       |      SELECT event_type, -value AS value FROM events WHERE event_id % 6 = 3)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def queries: Seq[graft.Q] = Seq(
     graft.Q("catalog_rest", restListing, Some(Catalog.tablesOracleSql)),
     graft.Q("catalog_rest_commit", restCommit, Some(restCommitOracle)),
@@ -3148,5 +3504,6 @@ object RestCatalog {
     graft.Q("catalog_rest_mount_write", restMountWrite, Some(restMountWriteOracle)),
     graft.Q("catalog_rest_views", restViews, Some(restViewsOracle)),
     graft.Q("catalog_rest_txn", restTxn, Some(restTxnOracle)),
+    graft.Q("catalog_rest_upsert", restUpsert, Some(restUpsertOracle)),
     graft.Q("catalog_warehouses", restWarehouses, Some(restWarehousesOracle)))
 }

@@ -621,6 +621,75 @@ object SnapshotTable {
     v
   }
 
+  /** Register STAGED data files AND row-level delete files — parquet a
+    * wire client already wrote — as ONE commit, zero-copy: the
+    * external-CDC-writer shape (one equality delete + one append per
+    * batch, [[upsertEq]]'s layout) landed through the catalog instead
+    * of the engine. Sequence semantics are exactly upsertEq's: every
+    * file in the commit shares ONE fresh sequence number, so the
+    * equality deletes suppress matching rows of STRICTLY OLDER data
+    * files while the same commit's own appended rows survive — the
+    * ordering that makes a CDC stream (delete k, insert k) converge.
+    * Positional delete files are parquet of (file_path, pos) naming
+    * suppressed rows directly; `eqDeletes` pairs each staged
+    * key-value parquet with its LOGICAL key columns (mapped to
+    * physical here, like every engine-side delete writer). Only
+    * footers are read (row-count stamping); nothing is rewritten.
+    * Returns the new version.
+    */
+  def commitFilesWithDeletes(
+      s: SparkSession, root: String,
+      dataFiles: Seq[String],
+      posDeletes: Seq[String],
+      eqDeletes: Seq[(String, Seq[String])],
+      meta: Map[String, String] = Map.empty): Int = {
+    val cur = currentVersion(s, root)
+    require(cur > 0, s"no snapshot table at $root")
+    eqDeletes.foreach { case (_, cols) =>
+      require(cols.nonEmpty, "equality delete requires at least one key column")
+      requireKeyColsInSchema(s, root, cur, cols)
+    }
+    val mapping = columnMapping(s, root, cur)
+    val seq = nextSeqAt(s, root, cur)
+    val v = cur + 1
+    val dataLines =
+      stampSeq(annotateRows(s, dataFiles.map(f => canon(s, f))), seq)
+    val posLines =
+      annotateRows(s, posDeletes.map(p => s"${canon(s, p)}\t$DeleteKindAnnot"))
+    val eqLines = annotateRows(s, eqDeletes.zipWithIndex.map {
+      case ((p, cols), i) =>
+        val phys = cols.map(c => mapping.getOrElse(c, c))
+        // a wire client stages key files under the LOGICAL names the
+        // served schema shows; the read side selects the annotation's
+        // PHYSICAL names from the file. Identical unless the table has
+        // renames — then rewrite the (O(batch)-small) key file once
+        // under the physical names; data files are still never touched
+        val path =
+          if (phys == cols) p
+          else {
+            val dir = s"$root/deletes/v$v-wire-eq$i"
+            s.read.parquet(p)
+              .select(cols.map(c => col(c).as(mapping.getOrElse(c, c))): _*)
+              .repartition(1).write.mode("overwrite").parquet(dir)
+            val dp = new Path(dir)
+            fsOf(s, dp).listStatus(dp).map(_.getPath.toString)
+              .filter(_.endsWith(".parquet")).min
+          }
+        s"${canon(s, path)}\t$EqDeleteKindAnnot\t$EqColsAnnot${phys.mkString(",")}\t$EqSeqAnnot$seq"
+    })
+    val lines = eqLines ++ posLines ++ dataLines
+    val newRef =
+      if (lines.isEmpty) Seq.empty
+      else Seq(writeFragment(s, root, s"v$v", lines))
+    writeManifestAtomic(s, root, v,
+      schemaMeta(s, root, cur) ++
+        (if (eqDeletes.nonEmpty || posDeletes.nonEmpty)
+           Map("op" -> (if (dataFiles.nonEmpty) "upsert_wire" else "delete_wire"))
+         else Map.empty[String, String]) ++ meta,
+      listBody(s, root, s"v$cur") ++ newRef)
+    v
+  }
+
   /** Register an IMPORTED Iceberg file set — data files with explicit
     * rows/sequence numbers, per-file day partition values, and
     * positional/equality delete files — as one commit, ZERO-COPY (the

@@ -6,13 +6,18 @@ import graft.endpoint.RestCatalog
 import graft.lake.SnapshotTable
 import graft.sources.{Catalog, PersistentCatalog, RestBackedCatalog}
 
-/** Round-19 wire-parity surface: list-route pagination, the metrics
-  * report sink, the REST views routes (server + the DSv2 ViewCatalog
-  * client + wireView resolution), multi-table transactions,
-  * every-requirement validation, staged-schema conflict detection,
-  * concurrent wire INSERT retry, wire-mount retention, and the
-  * rename-crash warehouse-restore dedupe — the tails a real mounting
-  * engine (Trino against Lakekeeper, reference
+/** Round-19/20 wire-parity surface: list-route pagination, the
+  * metrics report sink, the REST views routes (server + the DSv2
+  * ViewCatalog client + wireView resolution), multi-table
+  * transactions, every-requirement validation, staged-schema conflict
+  * detection, concurrent wire INSERT retry, wire-mount retention, the
+  * rename-crash warehouse-restore dedupe — plus the round-20 tails:
+  * row-level deletes THROUGH the wire (eq/positional delete files on
+  * add-snapshot and transactions, upsertEq sequence scoping),
+  * set-snapshot-ref transactions (coherent cross-table tagging),
+  * fail-fast on uncurable schema-409s, bounded view-metadata
+  * retention, and the wh_seq restore tie-break — the tails a real
+  * mounting engine (Trino against Lakekeeper, reference
   * etc/catalog/iceberg.properties) touches on every session.
   */
 class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
@@ -20,7 +25,7 @@ class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
   override def afterAll(): Unit = {
     spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getAs[String]("tableName"))
-      .filter(_.startsWith("rest_w19_"))
+      .filter(n => n.startsWith("rest_w19_") || n.startsWith("rest_w20_"))
       .foreach { n =>
         val isView = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(n, Some("graft")))
@@ -427,6 +432,305 @@ class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
     ()
   }
 
+  // ----- wire row-level deletes (r19 VERDICT #1) ---------------------------
+
+  private def stageKeys(name: String, ids: Seq[Long]): String = {
+    import spark.implicits._
+    val dir = s"$tableArea/staged_keys_$name"
+    ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).head
+  }
+
+  private def rows(loc: String): Set[(Long, String)] =
+    SnapshotTable.read(spark, loc).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSet
+
+  test("wire upsert: one commit lands eq-delete + append with upsertEq seq scoping") {
+    val loc = mkSnapshotTable("rest_w20_cdc",
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    val data = stageOne("w20cdc", Seq(2L -> "B2"))
+    val keys = stageKeys("w20cdc", Seq(2L))
+    def commit(assertSnap: Int, dataFiles: Seq[String],
+        delEntries: Seq[String]): (Int, String) =
+      RestCatalog.post(port, "/v1/namespaces/graft/tables/rest_w20_cdc",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$assertSnap}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"summary":{"operation":"overwrite"},
+           |"added-data-files":[${dataFiles.map(RestCatalog.jstr).mkString(",")}],
+           |"added-delete-files":[${delEntries.mkString(",")}]}}]}""".stripMargin)
+    def eqEntry(path: String): String =
+      s"""{"content":"equality-deletes","path":${RestCatalog.jstr(path)},
+         |"equality-field-names":["id"]}""".stripMargin
+    // the CDC update batch: delete key 2, insert its replacement — ONE
+    // commit; the same commit's own row survives (shared sequence
+    // number, strict < comparison)
+    val (uc, ur) = commit(1, Seq(data), Seq(eqEntry(keys)))
+    assert(uc == 200, ur)
+    assert(SnapshotTable.currentVersion(spark, loc) == 2)
+    assert(rows(loc) == Set(1L -> "a", 3L -> "c", 2L -> "B2"), rows(loc))
+    // a delete-ONLY wire commit (no data files) is legal
+    val delOnlyKeys = stageKeys("w20cdc2", Seq(1L))
+    val (dc, dr) = commit(2, Seq.empty, Seq(eqEntry(delOnlyKeys)))
+    assert(dc == 200, dr)
+    assert(rows(loc) == Set(3L -> "c", 2L -> "B2"), rows(loc))
+    // seq scoping ACROSS commits: a later re-insert of a deleted key
+    // survives — the delete suppresses only strictly older rows
+    val reins = stageOne("w20cdc3", Seq(1L -> "A4"))
+    val (ac, ar) = commit(3, Seq(reins), Seq.empty)
+    assert(ac == 200, ar)
+    assert(rows(loc) == Set(3L -> "c", 2L -> "B2", 1L -> "A4"), rows(loc))
+    RestCatalog.delete(port, "/v1/tables/rest_w20_cdc")
+    ()
+  }
+
+  test("wire positional deletes suppress exactly the named rows") {
+    import org.apache.spark.sql.functions.col
+    val loc = mkSnapshotTable("rest_w20_pos",
+      Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // the wire client names the row to kill by (file_path, pos) — read
+    // off the data files the way any Iceberg positional writer does
+    val files = SnapshotTable.dataFiles(spark, loc, 1)
+    val posDir = s"$tableArea/staged_pos_w20"
+    spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .where("id = 3").drop("id")
+      .coalesce(1).write.mode("overwrite").parquet(posDir)
+    val pp = new Path(posDir)
+    val posFile = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(pp).map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    val (uc, ur) = RestCatalog.post(port,
+      "/v1/namespaces/graft/tables/rest_w20_pos",
+      s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+         |"snapshot-id":1}],
+         |"updates":[{"action":"add-snapshot","snapshot":{
+         |"summary":{"operation":"delete"},
+         |"added-delete-files":[{"content":"position-deletes",
+         |"path":${RestCatalog.jstr(posFile)}}]}}]}""".stripMargin)
+    assert(uc == 200, ur)
+    assert(rows(loc) == Set(1L -> "a", 2L -> "b", 4L -> "d"), rows(loc))
+    RestCatalog.delete(port, "/v1/tables/rest_w20_pos")
+    ()
+  }
+
+  test("wire delete-file validation: malformed 400, schema conflicts 409") {
+    mkSnapshotTable("rest_w20_dval", Seq(1L -> "a"))
+    def commit(delEntries: String): (Int, String) =
+      RestCatalog.post(port, "/v1/namespaces/graft/tables/rest_w20_dval",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":1}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"added-delete-files":[$delEntries]}}]}""".stripMargin)
+    val keys = stageKeys("w20dval", Seq(1L))
+    // no content field / unknown content / missing field names / a
+    // path that doesn't exist — all client errors
+    assert(commit(s"""{"path":${RestCatalog.jstr(keys)}}""")._1 == 400)
+    assert(commit(s"""{"content":"verschmutzt","path":${
+      RestCatalog.jstr(keys)}}""")._1 == 400)
+    assert(commit(s"""{"content":"equality-deletes","path":${
+      RestCatalog.jstr(keys)}}""")._1 == 400)
+    assert(commit(s"""{"content":"equality-deletes","path":"/nope.parquet",
+      |"equality-field-names":["id"]}""".stripMargin)._1 == 400)
+    // empty everything is the documented 400
+    assert(RestCatalog.post(port, "/v1/namespaces/graft/tables/rest_w20_dval",
+      """{"requirements":[],"updates":[{"action":"add-snapshot",
+        |"snapshot":{"added-data-files":[]}}]}""".stripMargin)._1 == 400)
+    // a positional file without (file_path, pos) is a 400 naming the shape
+    val badPos = stageOne("w20dvalpos", Seq(9L -> "z"))
+    val (pc, pr) = commit(s"""{"content":"position-deletes","path":${
+      RestCatalog.jstr(badPos)}}""")
+    assert(pc == 400 && pr.contains("file_path"), pr)
+    // an eq file whose declared column the file carries but the TABLE
+    // schema does not — the schema-evolution 409 class
+    import spark.implicits._
+    val zzDir = s"$tableArea/staged_zz_w20"
+    Seq(Tuple1(5L)).toDF("zz").coalesce(1)
+      .write.mode("overwrite").parquet(zzDir)
+    val zp = new Path(zzDir)
+    val zzFile = zp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(zp).map(_.getPath.toString).filter(_.endsWith(".parquet")).head
+    val (zc, zr) = commit(s"""{"content":"equality-deletes","path":${
+      RestCatalog.jstr(zzFile)},"equality-field-names":["zz"]}""")
+    assert(zc == 409 && zr.contains("re-stage"), zr)
+    // a declared key column the FILE does not carry is a 400
+    val (mc, mr) = commit(s"""{"content":"equality-deletes","path":${
+      RestCatalog.jstr(keys)},"equality-field-names":["id","vv"]}""")
+    assert(mc == 400 && mr.contains("vv"), mr)
+    // nothing landed through any of that
+    assert(SnapshotTable.currentVersion(spark,
+      s"$tableArea/rest_w20_dval") == 1)
+    RestCatalog.delete(port, "/v1/tables/rest_w20_dval")
+    ()
+  }
+
+  test("transactions land mixed append/delete changes atomically") {
+    val locD = mkSnapshotTable("rest_w20_txd", Seq(1L -> "a", 2L -> "b"))
+    val locE = mkSnapshotTable("rest_w20_txe", Seq(10L -> "x"))
+    val upData = stageOne("w20txd", Seq(1L -> "A2"))
+    val upKeys = stageKeys("w20txd", Seq(1L))
+    val appData = stageOne("w20txe", Seq(11L -> "y"))
+    def tx(assertD: Int, assertE: Int): (Int, String) =
+      RestCatalog.post(port, "/v1/transactions/commit",
+        s"""{"table-changes":[
+           |{"identifier":{"namespace":["graft"],"name":"rest_w20_txd"},
+           |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertD}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"added-data-files":[${RestCatalog.jstr(upData)}],
+           |"added-delete-files":[{"content":"equality-deletes",
+           |"path":${RestCatalog.jstr(upKeys)},"equality-field-names":["id"]}]}}]},
+           |{"identifier":{"namespace":["graft"],"name":"rest_w20_txe"},
+           |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertE}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |"added-data-files":[${RestCatalog.jstr(appData)}]}}]}]}""".stripMargin)
+    // a stale assertion on the APPEND half aborts the upsert half too
+    val (xc, xr) = tx(1, 9)
+    assert(xc == 409 && xr.contains("nothing applied"), xr)
+    assert(SnapshotTable.currentVersion(spark, locD) == 1)
+    assert(SnapshotTable.currentVersion(spark, locE) == 1)
+    // fresh assertions: the CDC upsert AND the append land atomically
+    val (tc, tr) = tx(1, 1)
+    assert(tc == 204, tr)
+    assert(rows(locD) == Set(1L -> "A2", 2L -> "b"), rows(locD))
+    assert(rows(locE) == Set(10L -> "x", 11L -> "y"), rows(locE))
+    Seq("rest_w20_txd", "rest_w20_txe").foreach(n =>
+      RestCatalog.delete(port, s"/v1/tables/$n"))
+    ()
+  }
+
+  // ----- set-snapshot-ref in transactions (r19 VERDICT #5) -----------------
+
+  test("transactions tag a coherent snapshot set across tables") {
+    import spark.implicits._
+    val locA = mkSnapshotTable("rest_w20_tga", Seq(1L -> "a"))
+    val locB = mkSnapshotTable("rest_w20_tgb", Seq(10L -> "x"))
+    Seq(locA, locB).foreach(l => SnapshotTable.commitAppend(spark, l,
+      Seq(99L -> "more").toDF("id", "v")))
+    def refChange(name: String, ref: String, rtype: String, sid: Int,
+        assertSnap: Int): String =
+      s"""{"identifier":{"namespace":["graft"],"name":"$name"},
+         |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertSnap}],
+         |"updates":[{"action":"set-snapshot-ref","ref-name":"$ref",
+         |"type":"$rtype","snapshot-id":$sid}]}""".stripMargin
+    // one transaction tags BOTH tables at one consistent point
+    val (tc, tr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${refChange("rest_w20_tga", "release_1", "tag", 2, 2)},${
+        refChange("rest_w20_tgb", "release_1", "tag", 2, 2)}]}""")
+    assert(tc == 204, tr)
+    assert(SnapshotTable.tags(spark, locA).get("release_1").contains(2))
+    assert(SnapshotTable.tags(spark, locB).get("release_1").contains(2))
+    // a stale ref assertion aborts BOTH: neither table gets release_2
+    val (xc, xr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${refChange("rest_w20_tga", "release_2", "tag", 2, 2)},${
+        refChange("rest_w20_tgb", "release_2", "tag", 2, 1)}]}""")
+    assert(xc == 409 && xr.contains("nothing applied"), xr)
+    assert(!SnapshotTable.tags(spark, locA).contains("release_2"))
+    assert(!SnapshotTable.tags(spark, locB).contains("release_2"))
+    // change kinds compose: one append + one branch in one transaction
+    val f = stageOne("w20tga", Seq(2L -> "b"))
+    val (mc, mr) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[
+         |{"identifier":{"namespace":["graft"],"name":"rest_w20_tga"},
+         |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":2}],
+         |"updates":[{"action":"add-snapshot","snapshot":{
+         |"added-data-files":[${RestCatalog.jstr(f)}]}}]},${
+        refChange("rest_w20_tgb", "dev", "branch", 1, 2)}]}""".stripMargin)
+    assert(mc == 204, mr)
+    assert(SnapshotTable.currentVersion(spark, locA) == 3)
+    assert(SnapshotTable.branches(spark, locB).get("dev").contains("v1"))
+    // main is refused; an immutable-tag move is a 409 refusing atomically
+    assert(RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${refChange("rest_w20_tga", "main", "tag", 1, 3)}]}""")._1 == 400)
+    val (ic, ir) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${refChange("rest_w20_tga", "release_1", "tag", 1, 3)}]}""")
+    assert(ic == 409 && ir.contains("immutable"), ir)
+    // a DIVERGED branch refuses the move up front (no compensation lie)
+    SnapshotTable.commitToBranch(spark, locB,
+      "dev", Seq(500L -> "local").toDF("id", "v"))
+    val (bc, br) = RestCatalog.post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${refChange("rest_w20_tgb", "dev", "branch", 2, 2)}]}""")
+    assert(bc == 409 && br.contains("branch-local"), br)
+    Seq("rest_w20_tga", "rest_w20_tgb").foreach(n =>
+      RestCatalog.delete(port, s"/v1/tables/$n"))
+    ()
+  }
+
+  // ----- fail-fast on uncurable wire-commit 409s (r19 VERDICT #8) ----------
+
+  test("staged-schema 409 fails fast; CAS 409 retries to the bound") {
+    var posts = 0
+    val schemaErr = intercept[IllegalStateException] {
+      RestBackedCatalog.commitStagedWithRetry("t", () => 1L,
+        _ => { posts += 1
+          (409, "staged file x carries column zz not present in the " +
+            "table's current schema — the schema evolved since write " +
+            "planning; re-stage and retry") },
+        Seq("/tmp/f.parquet"))
+    }
+    assert(posts == 1, s"schema conflict must fail after ONE attempt, got $posts")
+    assert(schemaErr.getMessage.contains("failed fast"), schemaErr.getMessage)
+    posts = 0
+    val casErr = intercept[IllegalStateException] {
+      RestBackedCatalog.commitStagedWithRetry("t", () => 1L,
+        _ => { posts += 1; (409, "commit lost the version CAS") },
+        Seq("/tmp/f.parquet"))
+    }
+    assert(posts == 5, s"a CAS race must burn the full budget, got $posts")
+    assert(casErr.getMessage.contains("CAS lost 5 times"), casErr.getMessage)
+    // a race that clears mid-budget lands silently
+    posts = 0
+    RestBackedCatalog.commitStagedWithRetry("t", () => 1L,
+      _ => { posts += 1
+        if (posts < 3) (409, "commit lost the version CAS") else (200, "{}") },
+      Seq("/tmp/f.parquet"))
+    assert(posts == 3, posts.toString)
+    // non-409 statuses never retry
+    posts = 0
+    intercept[IllegalStateException] {
+      RestBackedCatalog.commitStagedWithRetry("t", () => 1L,
+        _ => { posts += 1; (500, "boom") }, Seq("/tmp/f.parquet"))
+    }
+    assert(posts == 1, posts.toString)
+  }
+
+  // ----- view-metadata retention + reclamation (r19 VERDICT #2) ------------
+
+  test("view metadata files are retained bounded and reclaimed on drop") {
+    port
+    val name = "rest_w20_vlife"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vdir = new Path(s"${registryRoot}_views/$name")
+    val vfs = vdir.getFileSystem(conf)
+    def metaFiles(): Seq[String] =
+      if (!vfs.exists(vdir)) Seq.empty
+      else vfs.listStatus(vdir).map(_.getPath.getName)
+        .filter(_.endsWith(".metadata.json")).toSeq
+    def mkView(k: Int): Unit = {
+      val (c, r) = RestCatalog.post(port, "/v1/tables",
+        s"""{"name":"$name","view_sql":"SELECT $k AS k"}""")
+      assert(c == 201, r)
+      val (lc, lr) = RestCatalog.get(port, s"/v1/namespaces/graft/views/$name")
+      assert(lc == 200 && lr.contains(s"SELECT $k AS k"), lr)
+    }
+    // REPLACE churn mints one immutable file per definition; retention
+    // keeps the newest 8 instead of leaking one per REPLACE forever
+    (1 to 10).foreach(mkView)
+    assert(metaFiles().size == 8, metaFiles().mkString(","))
+    // DROP VIEW reclaims the whole metadata dir
+    val (dc, dr) = RestCatalog.delete(port, s"/v1/namespaces/graft/views/$name")
+    assert(dc == 200, dr)
+    assert(!vfs.exists(vdir), "dropped view must not leak its metadata dir")
+    // a re-created same-name view serves a correct FRESH file
+    mkView(99)
+    assert(metaFiles().size == 1, metaFiles().mkString(","))
+    RestCatalog.delete(port, s"/v1/namespaces/graft/views/$name")
+    ()
+  }
+
   // ----- rename-crash restore dedupe (r18 ADVICE) --------------------------
 
   test("restore dedupes warehouse records sharing one registry") {
@@ -465,6 +769,49 @@ class RestWireParitySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
     // and the survivor is fully functional: drop reclaims cleanly
     assert(!fs.exists(aPath))
     assert(RestCatalog.delete(p2, "/management/v1/warehouse/ren_b")._1 == 200)
+    RestCatalog.stop(whRoot)
+  }
+
+  test("restore tie-breaks same-mtime duplicate records by wh_seq") {
+    port
+    val whRoot = "/tmp/graft_w20_whseq"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(whRoot)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    PersistentCatalog.save(spark, whRoot)
+    val p1 = RestCatalog.serve(spark, whRoot)
+    val (cw, rw) = RestCatalog.post(p1, "/management/v1/warehouse",
+      """{"warehouse-name":"tie_z","storage-profile":{"type":"file"}}""")
+    assert(cw == 201, rw)
+    RestCatalog.stop(whRoot)
+    // crash mid-rename tie_z -> tie_a on a store with COARSE mtime:
+    // both records land in one timestamp. The old name sorts AFTER the
+    // new one, so a name-order tie-break would keep the WRONG record
+    // (deleting the rename target and resurrecting the old name); the
+    // persisted wh_seq — strictly higher on the rename target — must
+    // decide instead (r19 ADVICE)
+    val zPath = new Path(s"$whRoot/_warehouses/tie_z.json")
+    val in = fs.open(zPath)
+    val zTxt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    assert(zTxt.contains("\"wh_seq\":"), zTxt)
+    val aPath = new Path(s"$whRoot/_warehouses/tie_a.json")
+    val out = fs.create(aPath, true)
+    try out.write(zTxt.replace("\"wh_name\":\"tie_z\"", "\"wh_name\":\"tie_a\"")
+      .replaceAll("\"wh_seq\":\\d+", "\"wh_seq\":99")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    val sameStamp = 1700000000000L
+    Seq(zPath, aPath).foreach { f =>
+      assert(new java.io.File(f.toUri.getPath).setLastModified(sameStamp))
+    }
+    val p2 = RestCatalog.serve(spark, whRoot)
+    val (lc, listing) = RestCatalog.get(p2, "/management/v1/warehouse")
+    assert(lc == 200, listing)
+    val names = RestCatalog.jfieldAll(listing, "name").toSet
+    assert(names.contains("tie_a") && !names.contains("tie_z"), listing)
+    assert(!fs.exists(zPath))
+    assert(RestCatalog.delete(p2, "/management/v1/warehouse/tie_a")._1 == 200)
     RestCatalog.stop(whRoot)
   }
 }
