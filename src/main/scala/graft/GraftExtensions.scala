@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // DSv2 ViewCatalog views in plain spark.sql — Spark 4.1's analyzer
+    // doesn't consult the interface itself (see ResolveWireViews)
+    e.injectResolutionRule(s => graft.plans.ResolveWireViews(s))
     e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     e.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)

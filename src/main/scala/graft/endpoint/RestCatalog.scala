@@ -3231,14 +3231,19 @@ object RestCatalog {
     * over the wire: the view's spark-dialect SQL representation from
     * `GET …/views/{name}` (LoadViewResult), its base table through the
     * wire mount — the loop Lakekeeper serves when Trino creates a view
-    * one engine and queries it from another. The emitted aggregate
-    * reads THROUGH the wire-resolved view, so the oracle hash proves
-    * the served definition is content-exact. In-entry assertions pin
-    * the lifecycle: duplicate create 409s, HEAD sees it, the DSv2
-    * [[graft.sources.RestBackedCatalog]] ViewCatalog lists and loads
-    * it, DELETE retires it. Scale: a view is pure metadata — create/
-    * load/list are O(1) wire calls; the resolved query rides the full
-    * lake read path of its base tables (pruning, stats, broadcast).
+    * one engine and queries it from another. Resolution is PLAIN
+    * `spark.sql` through the injected [[graft.plans.ResolveWireViews]]
+    * analyzer rule (r20 — Spark 4.1's analyzer does not consult the
+    * DSv2 ViewCatalog itself); the wireView shim stays pinned in-entry
+    * as the documented fallback for pre-materialized sessions. The
+    * emitted aggregate reads THROUGH the wire-resolved view, so the
+    * oracle hash proves the served definition is content-exact.
+    * In-entry assertions pin the lifecycle: duplicate create 409s,
+    * HEAD sees it, the DSv2 [[graft.sources.RestBackedCatalog]]
+    * ViewCatalog lists and loads it, DELETE retires it. Scale: a view
+    * is pure metadata — create/load/list are O(1) wire calls; the
+    * resolved query rides the full lake read path of its base tables
+    * (pruning, stats, broadcast).
     */
   def restViews(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -3269,7 +3274,11 @@ object RestCatalog {
     require(head(port, s"/v1/namespaces/${Catalog.DB}/views/events_wview") == 204,
       "HEAD on the created view must be 204")
     // the second engine: only the server URI; view SQL + base table
-    // both resolve over the wire
+    // both resolve over the wire. ensureViewResolution BEFORE the
+    // newSession so its analyzer carries ResolveWireViews — PLAIN
+    // spark.sql then resolves the wire view with no shim (r20; the
+    // production install is spark.sql.extensions=graft.GraftExtensions)
+    graft.sources.RestBackedCatalog.ensureViewResolution(s)
     val s2 = s.newSession()
     val cat = "restvw"
     s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.RestBackedCatalog")
@@ -3284,13 +3293,19 @@ object RestCatalog {
     }
     require(rbc.listViews(Catalog.DB).exists(_.name == "events_wview"),
       "wire listViews must include events_wview")
-    val out = graft.sources.RestBackedCatalog
-      .wireView(s2, cat, Catalog.DB, "events_wview")
+    val out = s2.sql(s"SELECT * FROM $cat.${Catalog.DB}.events_wview")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
       .orderBy("event_type")
-    val cnt = out.count()
-    require(cnt > 0, "wire-resolved view returned no groups")
+    val groups = out.collect()
+    require(groups.nonEmpty, "wire-resolved view returned no groups")
+    // the wireView shim stays pinned as the documented fallback for
+    // sessions whose analyzer predates the rule: same row universe
+    val viewRows = groups.map(_.getAs[Long]("n")).sum
+    val shimRows = graft.sources.RestBackedCatalog
+      .wireView(s2, cat, Catalog.DB, "events_wview").count()
+    require(shimRows == viewRows,
+      s"shim ($shimRows rows) and analyzer-rule ($viewRows rows) resolution diverge")
     val (delc, delr) = RestCatalog.delete(port,
       s"/v1/namespaces/${Catalog.DB}/views/events_wview")
     require(delc == 200, s"cleanup DELETE events_wview -> $delc: $delr")

@@ -76,6 +76,30 @@ object RestBackedCatalog {
   private val mountLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // extensions objects already carrying ResolveWireViews (weak: an
+  // extensions instance dies with its session tree)
+  private val viewRuleInjected = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSessionExtensions,
+      java.lang.Boolean]())
+
+  /** Runtime install of [[graft.plans.ResolveWireViews]] for sessions
+    * not built with `spark.sql.extensions=graft.GraftExtensions`:
+    * injects the rule into `s`'s (shared) extensions, so every
+    * session MATERIALIZED afterwards — e.g. the `newSession()` a
+    * second engine runs — resolves DSv2 ViewCatalog views in plain
+    * `spark.sql`. `s`'s own analyzer, if already built, is fixed;
+    * [[wireView]] remains the documented fallback there. Idempotent
+    * per extensions instance.
+    */
+  def ensureViewResolution(s: SparkSession): Unit =
+    viewRuleInjected.synchronized {
+      val ext = org.apache.spark.sql.GraftSqlInternals.extensionsOf(s)
+      if (viewRuleInjected.add(ext)) {
+        ext.injectResolutionRule(sess => graft.plans.ResolveWireViews(sess))
+        ()
+      }
+    }
+
   /** Resolve a VIEW served over the wire catalog `cat`
     * (`GET /v1/[{prefix}/]namespaces/{ns}/views/{name}`): load its
     * spark-dialect SQL representation through [[RestBackedCatalog

@@ -10,6 +10,15 @@ object GraftSqlInternals {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's [[SparkSessionExtensions]] — shared with every
+    * [[SparkSession.newSession]] descendant, so a rule injected here
+    * at runtime is active in every session MATERIALIZED afterwards
+    * (the already-built analyzer of the current session is fixed;
+    * production installs ride `spark.sql.extensions` instead).
+    */
+  def extensionsOf(spark: SparkSession): SparkSessionExtensions =
+    spark.asInstanceOf[classic.SparkSession].extensions
+
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
