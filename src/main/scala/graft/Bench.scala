@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   * carries the totals plus a HEADLINE subset of per-query medians
   * (TPC-H sweep + one flagship per operator family) and is pinned
   * under 1800 chars by BenchLineSpec; the complete per-query
-  * median/spread detail goes to bench_full.json next to the repo.
+  * median/spread/per-rep detail goes to bench_full.json next to the
+  * repo.
   */
 object Bench {
   private def fmt(d: Double): String = f"$d%.3f"
@@ -143,7 +144,7 @@ object Bench {
         err match {
           case Some(m) =>
             System.err.println(s"[graft-bench] $name FAILED: $m")
-            (name, Left(m): Either[String, (Double, Double)])
+            (name, Left(m): Either[String, (Double, Double, List[Double])])
           case None =>
             val sortedT = times.sorted
             // TRUE median: even rep counts average the middle two
@@ -154,11 +155,11 @@ object Bench {
             val median =
               if (sortedT.length % 2 == 1) sortedT(mid)
               else (sortedT(mid - 1) + sortedT(mid)) / 2.0
-            (name, Right((median, sortedT.last - sortedT.head))
-              : Either[String, (Double, Double)])
+            (name, Right((median, sortedT.last - sortedT.head, times.toList))
+              : Either[String, (Double, Double, List[Double])])
         }
       }
-    val results = swept.collect { case (k, Right((m, s))) => (k, m, s) }
+    val results = swept.collect { case (k, Right((m, s, ts))) => (k, m, s, ts) }
     val failed = swept.collect { case (k, Left(m)) => (k, m) }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -166,14 +167,22 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + fmt(m) }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
+    val spreads = results.map { case (k, _, s, _) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
+    // per-rep times IN RUN ORDER (rep 1 = coldest): the decode-bound
+    // entries (mm_phash_pixels, mm_video_frames) carry wide GC/JIT
+    // spreads, and without the raw reps every cross-sweep delta cost
+    // a quiet re-run to attribute (r19 VERDICT #7) — now the artifact
+    // itself shows whether a mover was a one-rep outlier
+    val repTimes = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":${failed.size},"restarts":$restarts,"queries":$qs,"spread":$spreads,"errored":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":${failed.size},"restarts":$restarts,"queries":$qs,"spread":$spreads,"rep_times":$repTimes,"errored":$errs,"sf":"$sfDir"}"""
     // detail artifact lands in the launch cwd by default (portable),
     // SPARK_GRAFT_OUT_DIR overrides; an I/O failure there must never
     // eat the summary line. Written TWICE: the canonical
@@ -194,7 +203,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[graft-bench] could not write $fullPath: $e") }
     }
-    println(buildLine(results.map(r => (r._1, r._2)), reps, sfDir,
+    println(buildLine(results.map(r => (r._1, r._2)).toSeq, reps, sfDir,
       errors = failed.size))
     spark.stop()
     // A sweep with failures must be visible in the exit code too.
