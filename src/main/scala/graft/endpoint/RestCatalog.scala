@@ -2174,7 +2174,7 @@ object RestCatalog {
         posDels: Seq[String], eqDels: Seq[(String, Seq[String])])
         : Option[(Int, String)] = {
       posDels.iterator.flatMap { f =>
-        val sch = spark.read.parquet(f).schema
+        val sch = graft.sources.Footer.schemaOf(spark, f)
         def typ(n: String) = sch.find(_.name == n).map(_.dataType.simpleString)
         if (typ("file_path").contains("string") && typ("pos").contains("bigint"))
           None
@@ -2183,7 +2183,7 @@ object RestCatalog {
           sch.map(x => s"${x.name} ${x.dataType.simpleString}").mkString(", ")))
       }.nextOption().orElse {
         eqDels.iterator.flatMap { case (f, cols) =>
-          val fileCols = spark.read.parquet(f).schema.fieldNames.toSet
+          val fileCols = graft.sources.Footer.schemaOf(spark, f).fieldNames.toSet
           cols.find(!fileCols.contains(_)).map(c => 400 ->
             (s"equality delete file $f does not carry declared key column $c"))
             .orElse(stagedSchemaConflict(loc, Seq(f)).map(409 -> _))
@@ -2204,7 +2204,7 @@ object RestCatalog {
       val curTypes = SnapshotTable.read(spark, loc).schema
         .map(f => f.name -> f.dataType.simpleString).toMap
       files.iterator.flatMap { f =>
-        spark.read.parquet(f).schema.iterator.flatMap { sf =>
+        graft.sources.Footer.schemaOf(spark, f).iterator.flatMap { sf =>
           curTypes.get(sf.name) match {
             case Some(t) if t == sf.dataType.simpleString => None
             case Some(t) => Some(s"staged file $f column ${sf.name} has type " +

@@ -370,13 +370,18 @@ object SnapshotTable {
     val counts: Map[String, (Long, Long)] =
       if (files.size <= 64) {
         val conf = s.sparkContext.hadoopConfiguration
-        files.map { f =>
+        // concurrent footer reads (commonPool): the loop is pure
+        // per-file I/O, and serializing ~3 ms × N files was visible
+        // driver dead time between jobs on multi-file commits
+        import scala.jdk.CollectionConverters._
+        files.asJava.parallelStream().map[(String, (Long, Long))] { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try canon(s, f) -> ((r.getRecordCount, in.getLength))
           finally r.close()
-        }.toMap
+        }.collect(java.util.stream.Collectors.toList[(String, (Long, Long))])
+          .asScala.toMap
       } else {
         import org.apache.spark.sql.functions.{count => fcount, first}
         s.read.parquet(files: _*)
@@ -885,11 +890,14 @@ object SnapshotTable {
     validateStatsCols(conf, files.head, cols)
     val colSet = cols.toSet
     val byFile: Map[String, String] =
-      if (files.size <= 64)
-        files.map { f =>
+      if (files.size <= 64) {
+        // concurrent footer reads — same rationale as annotateRows
+        import scala.jdk.CollectionConverters._
+        files.asJava.parallelStream().map[(String, String)] { f =>
           canon(s, f) -> footerBoundsAnnots(conf, f, colSet).mkString("\t")
-        }.toMap
-      else {
+        }.collect(java.util.stream.Collectors.toList[(String, String)])
+          .asScala.toMap
+      } else {
         val confEntries: Array[(String, String)] = {
           val it = conf.iterator()
           val b = Array.newBuilder[(String, String)]
@@ -1408,7 +1416,7 @@ object SnapshotTable {
       s: SparkSession, root: String, cur: Int, keyCols: Seq[String]): Unit = {
     val files = dataFiles(s, root, cur)
     if (files.isEmpty) return
-    val physical = s.read.parquet(files.head).schema.fieldNames.toSeq
+    val physical = graft.sources.Footer.schemaOf(s, files.head).fieldNames.toSeq
     val reverse = columnMapping(s, root, cur).map(_.swap)
     val logical = physical.map(p => reverse.getOrElse(p, p))
     val missing = keyCols.filterNot(logical.contains)
@@ -2018,14 +2026,37 @@ object SnapshotTable {
     */
   def commitPartitionedByDay(
       s: SparkSession, root: String, df: DataFrame, source: String,
-      append: Boolean = true, saltBuckets: Int = 4): Int = {
+      append: Boolean = true, saltBuckets: Int = -1): Int = {
     val cur = currentVersion(s, root)
     val v = cur + 1
     val pcol = "_graft_day"
     val day = org.apache.spark.sql.functions.date_format(col(source), "yyyy-MM-dd")
+    // Scale-adaptive hot-day salting (opt guide §2.5 + §6): the salt
+    // exists so ONE hot day can spread across several write tasks and
+    // files — that matters once a day's bytes approach a target data
+    // file, and only hurts below it (a megabyte batch salted 4 ways
+    // shreds into day×salt fragments that every later scan task,
+    // footer read and manifest line pays for; at sf0.1 the default
+    // salt made every downstream read of these tables a ~115-task
+    // scan where ~31 files carry the same rows). Default (-1) derives
+    // the bucket count from the optimizer's size estimate — one
+    // bucket per saltTargetBytes of batch, capped at the old fixed
+    // default — so cluster-scale batches keep the full spread while
+    // small ones write one file per day. Size-derived, not
+    // core-count-derived: the same code takes the same decision at
+    // any --master width. Callers pinning a spread shape pass an
+    // explicit count.
+    val effSalt =
+      if (saltBuckets > 0) saltBuckets
+      else {
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(s.conf.get("spark.graft.write.saltTargetBytes",
+          (128L * 1024 * 1024).toString).toLong.max(1L))
+        ((est + target - 1) / target).min(BigInt(4)).max(BigInt(1)).toInt
+      }
     val salt = org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.xxhash64(
-        df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets))
+        df.columns.map(col).toIndexedSeq: _*), lit(effSalt))
     val dataDir = s"$root/data/v$v"
     // explicit partition count: AQE would otherwise coalesce the
     // write shuffle and undo the salt spread on small batches
@@ -3521,11 +3552,15 @@ object SnapshotTable {
     // stripped downstream) — the union covers both evolution
     // directions, where a single arbitrary footer (Spark's own
     // no-mergeSchema pick) can silently lose either side.
-    val newest = s.read.parquet(files.last).schema
+    // footer probes run on the DRIVER (graft.sources.Footer): going
+    // through s.read.parquet(f).schema schedules a 1-task inference
+    // job per probe — two jobs' scheduling latency on EVERY read of
+    // every snapshot table, for 2 ms of actual footer I/O
+    val newest = graft.sources.Footer.schemaOf(s, files.last)
     val inferred =
       if (files.length == 1) newest
       else {
-        val oldest = s.read.parquet(files.head).schema
+        val oldest = graft.sources.Footer.schemaOf(s, files.head)
         org.apache.spark.sql.types.StructType(
           newest ++ oldest.filterNot(f => newest.fieldNames.contains(f.name)))
       }

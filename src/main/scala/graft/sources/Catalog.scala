@@ -22,26 +22,74 @@ object Catalog {
   /** Idempotent (re)registration of every lake table under `graft.*`.
     * At cluster scale `dir` is an object-store prefix and this is the
     * one-time DDL a platform team runs; here it doubles as test setup.
+    *
+    * Steady-state fast path (opt guide §1.2 — DDL is one-time work,
+    * not per-query work): when every table is ALREADY registered at
+    * exactly these locations and the events view already points at
+    * this dir, re-issuing ~21 DDL statements per entry is pure
+    * overhead — a visible slice of every catalog/REST/endpoint
+    * entry's wall time. The check reads only session-catalog
+    * metadata (no jobs, no data); ANY mismatch — missing table,
+    * different location, different dir, dropped db — falls through
+    * to the full re-registration, so behavior is unchanged.
     */
   def register(s: SparkSession, dir: String): Unit = {
+    if (alreadyRegistered(s, dir)) return
     s.sql(s"CREATE DATABASE IF NOT EXISTS $DB")
     // events.parquet's physical ts layout varies by driver run (nanos
     // or micros): expose a view rebuilding a proper TimestampType, so
     // `graft.events` shows the same schema a DuckDB/Trino user sees.
     // The expression must match what the raw file loads as — same
     // normalization contract as Tables.load.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.all.filterNot(_ == "events").foreach { n =>
       s.sql(s"DROP TABLE IF EXISTS $DB.$n")
-      s.catalog.createTable(s"$DB.$n", "parquet", Map("path" -> s"$dir/$n.parquet"))
+      // explicit footer schema: registering with schema inference
+      // schedules a 1-task job per table; the footer probe is the
+      // same information read driver-side
+      s.catalog.createTable(s"$DB.$n", "parquet",
+        Footer.schemaOf(s, s"$dir/$n.parquet"),
+        Map("path" -> s"$dir/$n.parquet"))
     }
-    val rawTs = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    s.sql(
-      s"""CREATE OR REPLACE VIEW $DB.events AS
-         |SELECT event_id, ${Tables.eventsTsSql(rawTs)} AS ts,
-         |       user_id, event_type, value, props
-         |FROM parquet.`$dir/events.parquet`""".stripMargin)
+    s.sql(s"CREATE OR REPLACE VIEW $DB.events AS\n${eventsViewSelect(s, dir)}")
   }
+
+  /** The events view body — shared by [[register]] and the fast-path
+    * equality check (stored viewText must match char-for-char).
+    * Footer probe runs on the driver: no 1-task inference job.
+    */
+  private def eventsViewSelect(s: SparkSession, dir: String): String = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawTs = Footer.schemaOf(s, s"$dir/events.parquet")("ts").dataType
+    s"""SELECT event_id, ${Tables.eventsTsSql(rawTs)} AS ts,
+       |       user_id, event_type, value, props
+       |FROM parquet.`$dir/events.parquet`""".stripMargin
+  }
+
+  private def alreadyRegistered(s: SparkSession, dir: String): Boolean =
+    try {
+      if (!s.catalog.databaseExists(DB)) return false
+      val cat = s.sessionState.catalog
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+      def located(n: String): Boolean = {
+        val id = TableIdentifier(n, Some(DB))
+        cat.tableExists(id) && {
+          val m = cat.getTableMetadata(id)
+          m.provider.exists(_.equalsIgnoreCase("parquet")) &&
+            m.storage.locationUri.exists(u =>
+              new org.apache.hadoop.fs.Path(u).toUri.getPath ==
+                new org.apache.hadoop.fs.Path(s"$dir/$n.parquet").toUri.getPath)
+        }
+      }
+      Tables.all.filterNot(_ == "events").forall(located) && {
+        val id = TableIdentifier("events", Some(DB))
+        cat.tableExists(id) && {
+          val m = cat.getTableMetadata(id)
+          m.tableType == CatalogTableType.VIEW &&
+            m.viewText.contains(eventsViewSelect(s, dir))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** SHOW TABLES equivalent: names straight from the catalog listing
     * (filtered to the database — temp views excluded), one count(*)

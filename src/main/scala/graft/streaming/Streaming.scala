@@ -206,7 +206,7 @@ object Streaming {
     // driver wrote — long-of-nanos under nanosAsLong, or µs
     // timestamps), with the TimestampType recovered in the plan
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = graft.sources.Footer.schemaOf(s, s"$dir/events.parquet")
     graft.sources.Tables.normalizeEventsTs(
       s.readStream
         .schema(raw)

@@ -51,7 +51,11 @@ class OptimizeBinpackSpec extends SparkSpec {
       (i.toLong, java.sql.Timestamp.valueOf(
         if (i % 2 == 0) "2024-01-01 10:00:00" else "2024-01-02 10:00:00"))
     }
-    SnapshotTable.commitPartitionedByDay(spark, root, rows.toDF("id", "ts"), "ts")
+    // explicit salt: this test wants the many-small-files shape to
+    // compact (the adaptive default writes one file per day for a
+    // batch this small)
+    SnapshotTable.commitPartitionedByDay(spark, root, rows.toDF("id", "ts"), "ts",
+      saltBuckets = 4)
     val before = SnapshotTable.dataFilesWithPartitions(spark, root, 1)
     assert(before.size > 2, "salted partitioned write must produce several files")
     val v = SnapshotTable.compactSmallFiles(spark, root,

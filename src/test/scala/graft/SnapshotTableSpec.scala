@@ -446,6 +446,39 @@ class SnapshotTableSpec extends SparkSpec {
     assert(odd.count() === 1000)
   }
 
+  test("adaptive day-salting: small batches write one file per day; size target restores the spread") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      (lit("2024-02-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, CAST(id % 96 AS INT), 0, 0)")).as("ts"))
+    def filesPerDay(root: String) =
+      SnapshotTable.dataFilesWithPartitions(spark, root, 1)
+        .groupBy(_._2.get("_graft_day")).map { case (d, fs) => d -> fs.size }
+    // default: the batch is far below one target file per day, so the
+    // salt collapses and each day lands as exactly one file
+    val root = "/tmp/graft_test/snap_salt_adaptive"
+    SnapshotTable.drop(spark, root)
+    SnapshotTable.commitPartitionedByDay(spark, root, df, "ts")
+    val small = filesPerDay(root)
+    assert(small.keySet.flatten.size === 4)
+    assert(small.values.forall(_ === 1),
+      s"small batch must write one file per day, got $small")
+    // a batch past the size target (simulated by lowering it) keeps
+    // the hot-day spread — the cluster-scale behavior
+    val root2 = "/tmp/graft_test/snap_salt_adaptive_big"
+    SnapshotTable.drop(spark, root2)
+    spark.conf.set("spark.graft.write.saltTargetBytes", "1")
+    try SnapshotTable.commitPartitionedByDay(spark, root2, df, "ts")
+    finally spark.conf.unset("spark.graft.write.saltTargetBytes")
+    val spread = filesPerDay(root2)
+    assert(spread.values.exists(_ > 1) && spread.values.forall(_ <= 4),
+      s"big batch must salt-spread each day into 2-4 files, got $spread")
+    // layout is the only difference: both tables read back identically
+    assert(SnapshotTable.read(spark, root).count() === 2000)
+    assert(SnapshotTable.read(spark, root2).count() === 2000)
+  }
+
   test("branch staging is invisible to main; publish fast-forwards zero-copy") {
     val root = "/tmp/graft_test/snap_branch"
     SnapshotTable.drop(spark, root)
