@@ -65,10 +65,16 @@ object PersistentCatalog {
             throw new IllegalStateException(s"$db.$n has no Location — " +
               "managed tables without a path cannot be re-registered")), null)
     }
-    import scala.jdk.CollectionConverters._
-    // O(tables) rows of metadata — one part file, no shuffle
-    val df = s.createDataFrame(rows.toSeq.asJava, schema).coalesce(1)
-    SnapshotTable.commit(s, registryRoot, df, append = false,
+    // O(tables) rows of metadata: write the single part file on the
+    // DRIVER (no Spark job — the distributed write of ten rows cost a
+    // full job+commit round, paid on EVERY wire DDL's re-save) and
+    // register it zero-copy. Same commit semantics as before:
+    // overwrite, one version per save (registry versions are catalog
+    // history — pinned by PersistentCatalogSpec).
+    val v = SnapshotTable.currentVersion(s, registryRoot) + 1
+    val file = s"$registryRoot/data/v$v/part-00000.parquet"
+    GraftDriverParquet.writeRows(s, schema, rows.toSeq, file)
+    SnapshotTable.commitFiles(s, registryRoot, Seq(file), append = false,
       meta = Map(DbKey -> db))
   }
 
