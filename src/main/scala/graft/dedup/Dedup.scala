@@ -969,8 +969,12 @@ object Dedup {
   private val SpanW = 15
 
   def spanRemoval(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"),
-      filter(split(col("text"), "\\s+"), t => length(t) > lit(0)).as("tl"))
+    // spread before the window-hash stage: ~n_tokens × SpanW string
+    // builds per row over a possibly-1-split input (see
+    // Tables.spreadForCompute — a no-op at cluster scale)
+    val base = graft.sources.Tables.spreadForCompute(docs(s, dir))
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => length(t) > lit(0)).as("tl"))
     val occ = base.filter(size(col("tl")) >= SpanW)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(tl) - $SpanW), i -> concat_ws(' ', slice(tl, i + 1, $SpanW)))")))

@@ -21,6 +21,16 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream path spools EVERY encode/decode through a
+  // disk-backed FileCache image stream (useCache=true): one temp-file
+  // create+write+delete per image, for payloads that are already byte
+  // arrays in memory. Memory-backed cache is byte-identical and cuts
+  // the per-image I/O round (opt guide §1.2 step 2: per-task work) —
+  // the decode entries run one ImageIO call per row. The object
+  // initializer runs once per JVM that touches any member, driver or
+  // executor, before the first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One decoded media row. */
   final case class MediaMeta(
       doc_id: Long, n_bytes: Long, format: String,

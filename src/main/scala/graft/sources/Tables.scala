@@ -56,4 +56,21 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a COMPUTE-DENSE stage to cluster width when its scan
+    * arrives narrower (opt guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read"):
+    * tokenize/window/decode stages do ~10³× the work per byte of a
+    * plain scan, so a table that arrives as one small file leaves the
+    * rest of the cluster idle for the whole stage. No-op whenever the
+    * scan already carries at least `defaultParallelism` splits — at
+    * cluster scale the input is many splits and NOTHING is inserted,
+    * so this can never add a shuffle to a big read. Only apply it
+    * under per-row work heavy enough to dwarf one pass of the rows
+    * over the wire.
+    */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
