@@ -42,10 +42,22 @@ object Footer {
     case other => other
   }
 
-  /** Spark schema of one parquet file, footer-only, no Spark job. */
+  /** Spark schema of one parquet file OR directory-shaped table (a
+    * Spark-written table is a dir of uniform-schema part files — one
+    * leaf's footer is exactly what no-mergeSchema inference reads),
+    * footer-only, no Spark job.
+    */
   def schemaOf(s: SparkSession, file: String): StructType = {
     val conf = s.sparkContext.hadoopConfiguration
-    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val p0 = new Path(file)
+    val fs = p0.getFileSystem(conf)
+    val leaf =
+      if (!fs.getFileStatus(p0).isDirectory) p0
+      else fs.listStatus(p0).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .headOption.getOrElse(
+          throw new IllegalArgumentException(s"no parquet leaves under $file"))
+    val in = HadoopInputFile.fromPath(leaf, conf)
     val r = ParquetFileReader.open(in)
     val (msg, kv) =
       try (r.getFileMetaData.getSchema, r.getFileMetaData.getKeyValueMetaData)
