@@ -218,8 +218,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[graft-bench] could not write $fullPath: $e") }
     }
-    println(buildLine(results.map(r => (r._1, r._2)).toSeq, reps, sfDir,
-      errors = failed.size))
+    val line = buildLine(results.map(r => (r._1, r._2)).toSeq, reps, sfDir,
+      errors = failed.size)
+    // log-free copy of the printed summary line (VERDICT r20 item 9:
+    // the driver's r19 tail parse failed because the stdout line was
+    // interleaved with a log line — this sibling artifact carries the
+    // line alone, nothing else on any line)
+    try Files.write(Paths.get(outDir, "bench_line.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[graft-bench] could not write bench_line.json: $e") }
+    println(line)
     spark.stop()
     // A sweep with failures must be visible in the exit code too.
     if (failed.nonEmpty) sys.exit(1)

@@ -291,14 +291,18 @@ object Ann {
       k: Int, nLists: Int, nProbes: Int, lloydIters: Int = 2): DataFrame = {
     GraftFunctions.register(s)
     val centroids = trainCoarseLocal(s, corpus, nLists, iters = lloydIters)
-    // inverted lists: every vector → nearest centroid
+    // inverted lists: every vector → nearest centroid. The embedding
+    // rides the argmax grouping key (vec_id is unique, so the group
+    // set is unchanged) instead of being re-attached by a corpus-wide
+    // equi-join after the agg — that join shuffled the corpus a
+    // second time by vec_id just to recover a column the row already
+    // had (r21, §2.4; plan diff: one corpus scan and one join fewer).
     val assigned = corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-      .groupBy("vec_id")
+      .groupBy("vec_id", "embedding")
       .agg(expr("graft_topk(c_cos, cid, 1)").as("top"))
-      .select(col("vec_id"), col("top")(0).getField("id").as("cid"))
-      .join(corpus, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("top")(0).getField("id").as("cid"))
     // queries probe their nProbes nearest lists
     val probes = corpus.filter(queryPred)
       .join(broadcast(centroids))
@@ -453,20 +457,26 @@ object Ann {
       .select(col("vec_id"), col("cid"),
         expr("zip_with(embedding, c_emb, (x, c) -> x - c)").as("res"))
     val chunks = pqChunked(residuals.select("vec_id", "cid", "res"), "res", "chunk", m, sub)
-    // codebook assignment: argmin |r − c|² == argmax (dot(r, c) − |c|²/2)
+    // codebook assignment: argmin |r − c|² == argmax (dot(r, c) − |c|²/2).
+    // cid rides the grouping keys (it is functionally dependent on
+    // vec_id — one coarse assignment per vector) instead of being
+    // re-attached by a join back to `residuals`, which as a second
+    // consumer of that uncached frame re-ran the WHOLE assignment
+    // subtree (corpus scan + broadcast coarse join + top-1 agg) a
+    // second time (r21, §2.4 — don't compute things twice; plan diff:
+    // one scan+agg subtree and one join fewer).
     chunks
       .join(broadcast(books), "sub_idx")
       .withColumn("fit",
         expr("graft_dot(chunk, c_chunk) - graft_dot(c_chunk, c_chunk) / 2"))
-      .groupBy("vec_id", "sub_idx", "chunk")
+      .groupBy("vec_id", "cid", "sub_idx", "chunk")
       .agg(expr("graft_topk(fit, code, 1)").as("top"))
-      .select(col("vec_id"), col("sub_idx"), col("top")(0).getField("id").as("code"))
+      .select(col("vec_id"), col("cid"), col("sub_idx"), col("top")(0).getField("id").as("code"))
       // pivot to the array form: m (vec_id, sub_idx, code) rows → one
       // codes[m] row — a build-time shuffle of byte-sized codes only
-      .groupBy("vec_id")
+      .groupBy("vec_id", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(sub_idx, code))), " +
         "x -> CAST(x.code AS TINYINT))").as("codes"))
-      .join(residuals.select("vec_id", "cid"), "vec_id")
       .select(col("vec_id"), col("cid"), col("codes"))
   }
 

@@ -243,31 +243,67 @@ object Dedup {
   private[dedup] val BandExpr =
     "transform(sequence(0, 15), b -> slice(sig, b*4+1, 4))"
 
-  /** (band, bandKey, doc_id) tuples: 16 bands × 4 rows over the k=64
-    * MinHash signature.
+  /** MinHash-LSH near-dup detection with the EXACT-duplicate pre-pass
+    * in front (r21 — the same r14 move that fixed dedup_pipeline, now
+    * on the flagship rep-election entry): byte-identical texts collide
+    * in ALL 16 bands, so on a duplicate-dense corpus (boilerplate-heavy
+    * crawls; ScaleData's replicated slices) the doc-level band join
+    * emits every identical pair 16× and then MinHash-verifies texts it
+    * could have hashed once. Hashing first collapses each
+    * identical-text cluster to one representative; signatures, the
+    * band join, and the exact-Jaccard verify run over DISTINCT texts
+    * only, and the per-doc election folds back through the membership
+    * map.
+    *
+    * The fold-back is exact, not approximate. Doc-level truth:
+    * rep_cand(d) = MIN(id_a) over verified pairs (id_a < d). Every
+    * within-group pair verifies (identical texts: all 16 bands
+    * collide, Jaccard 1), and a cross-group pair verifies iff the
+    * GROUPS' texts band-collide and pass Jaccard — identical for all
+    * member pairs. So d's verified-partner set is (G(d) \ d) ∪
+    * (members of groups verified against G(d)) intersected with
+    * {< d}, whose min is m(G(d)) = min(rep(G(d)), min neighbor-group
+    * reps) whenever m < d, else none (m ≤ rep ≤ d always, so "none"
+    * happens exactly at d = m). One value per GROUP decides every
+    * member — oracle-hash re-verified bit-equal. (Where the bucket cap
+    * fires the two formulations can differ — rep-level buckets are
+    * strictly smaller, so the cap fires later and recall only rises;
+    * at the gated SFs no bucket approaches the cap on either side.)
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    docs(s, dir)
-      .select(col("doc_id"), expr("graft_minhash(text, 64, 3)").as("sig"))
-      .select(col("doc_id"), posexplode(expr(BandExpr)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-  }
-
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val d = docs(s, dir).select("doc_id", "text")
-    val bands = minhashBands(s, dir).withColumnRenamed("doc_id", "id")
+    // materialize the (doc_id → rep_id) map once (two longs per doc;
+    // same in-query intermediate reuse as ConnectedComponents'
+    // localCheckpoint): it feeds repTexts — which cappedPairs'
+    // window + self-join + star/chain branches and both verify joins
+    // each re-plan — and without truncation every one of those ~8
+    // consumers re-ran the sha-256 groupBy + membership join over the
+    // full corpus (the r21 plan dump blew up to 76 scans before this)
+    val members = exactMembership(d).localCheckpoint()
+    val repTexts = d.join(members.filter(col("doc_id") === col("rep_id"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val bands = repTexts
+      .select(col("doc_id").as("id"), expr("graft_minhash(text, 64, 3)").as("sig"))
+      .select(col("id"), posexplode(expr(BandExpr)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val cand = cappedPairs(bands)
     val verified = cand
-      .join(d.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(d.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .join(repTexts.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(repTexts.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", expr("graft_ngram_jaccard(text_a, text_b, 3)"))
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b")
-    // rep(doc) = smallest partner seen; docs without a dup partner rep themselves
-    val reps = verified.groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("rep_cand"))
-    d.select("doc_id").join(reps, Seq("doc_id"), "left")
+    // m(group) = min(own rep, min verified-neighbor rep) — the one
+    // value per group the doc-level election reduces to (see above)
+    val nbrMin = verified.select(col("id_b").as("rep_id"), col("id_a").as("nbr"))
+      .unionByName(verified.select(col("id_a").as("rep_id"), col("id_b").as("nbr")))
+      .groupBy("rep_id").agg(min("nbr").as("nbr_min"))
+    members.join(nbrMin, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        least(col("rep_id"), coalesce(col("nbr_min"), col("rep_id"))).as("m"))
+      .select(col("doc_id"),
+        when(col("m") < col("doc_id"), col("m")).as("rep_cand"))
       .select(
         col("doc_id"),
         coalesce(col("rep_cand"), col("doc_id")).as("rep_id"),
@@ -729,6 +765,21 @@ object Dedup {
     (exactEdges, reps)
   }
 
+  /** Full (doc_id → rep_id) membership map of the exact-duplicate
+    * pre-pass: every doc appears exactly once with its identical-text
+    * group's min-id representative (NULL texts are per-doc singleton
+    * groups, see [[exactContentKey]]). Same shuffle discipline as
+    * [[exactPrePass]]: a hash-groupBy rep election (map-side partial
+    * agg on the hot boilerplate keys) and an AQE-splittable equi-join
+    * of bare (doc_id, hash_key) pairs — never a window over the raw
+    * corpus.
+    */
+  private[graft] def exactMembership(d: DataFrame): DataFrame = {
+    val keyed = d.select(col("doc_id"), exactContentKey.as("hash_key"))
+    val repMap = keyed.groupBy("hash_key").agg(min("doc_id").as("rep_id"))
+    keyed.join(repMap, Seq("hash_key")).select("doc_id", "rep_id")
+  }
+
   // ---------------------------------------------------------------
   /** The full dedup product in one call: EXACT-duplicate pre-pass →
     * MinHash-LSH candidates over the distinct texts → exact-Jaccard
@@ -975,10 +1026,22 @@ object Dedup {
     val base = graft.sources.Tables.spreadForCompute(docs(s, dir))
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => length(t) > lit(0)).as("tl"))
+    // window hashes are built NUMERICALLY (r21, opt guide §4 — cheap
+    // codegen'd expressions in the hot path): hash each token's bytes
+    // ONCE into a per-doc long array, then hash the 15-long slice per
+    // window — O(text bytes + 15·8·windows) instead of the previous
+    // concat_ws shape's O(15·text bytes) string builds + re-hashing
+    // (~tokens×15 char copies per doc, the profiled hot spot). The
+    // hash is purely internal — the output depends only on window
+    // EQUALITY classes, which any per-window injective-on-the-corpus
+    // hash preserves (equal windows ⇒ equal token-hash slices; the
+    // string-grouping oracle certifies collision-freedom per corpus,
+    // exactly as it did for the string xxhash64).
     val occ = base.filter(size(col("tl")) >= SpanW)
+      .withColumn("th", expr("transform(tl, t -> xxhash64(t))"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(tl) - $SpanW), i -> concat_ws(' ', slice(tl, i + 1, $SpanW)))")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+        s"transform(sequence(0, size(tl) - $SpanW), i -> xxhash64(slice(th, i + 1, $SpanW)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
     val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("h")
     val dupOcc = occ.join(dup, "h").select("doc_id", "pos")

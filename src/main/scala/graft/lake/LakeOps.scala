@@ -831,10 +831,16 @@ object LakeOps {
     val d11 = lit("2024-01-11").cast("timestamp")
     val d21 = lit("2024-01-21").cast("timestamp")
     SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
-    // the per-batch MoR applies (planning window + broadcast joins)
-    // run over Δ-sized batches — state-store-width shuffles, not
-    // batch-width ones (same sizing as the streaming entries)
-    graft.streaming.Streaming.withStatePartitions(s) {
+    // NOT wrapped in withStatePartitions (r21, §2): the CDC query has
+    // no stateful operator — foreachBatch is stateless, so there are
+    // NO state stores whose per-store load/commit cycle the 8-wide
+    // clamp existed to bound — while the per-batch MoR apply (the
+    // planning join + per-image window over Δ plus a replica-wide
+    // matching scan on delete waves) inherited the clamp and ran
+    // 8-wide on a 32-slot session (profiled: the delete wave was the
+    // dominant phase). Batch-apply shuffles now use the session's
+    // width; tiny Δ batches stay cheap via AQE partition coalescing.
+    locally {
       val cdc = s.readStream.format("graft-snapshot").option("path", src).load()
       val q = LakeSink.startCdc(cdc, dst, ckpt)
       try {
@@ -884,9 +890,9 @@ object LakeOps {
     val d21 = lit("2024-01-21").cast("timestamp")
     SnapshotTable.commit(s, src, ev.filter(col("ts") < d11))
     def cdc = s.readStream.format("graft-snapshot").option("path", src).load()
-    // Δ-sized per-batch applies: state-store-width shuffles (see
+    // no state stores in the CDC query → no 8-wide clamp (see
     // replicaSync)
-    graft.streaming.Streaming.withStatePartitions(s) {
+    locally {
       // run 1: applies version 1, then dies
       val q1 = LakeSink.startCdc(cdc, dst, ckpt)
       try q1.processAllAvailable() finally q1.stop()

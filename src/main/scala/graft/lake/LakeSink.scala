@@ -15,12 +15,20 @@ object LakeSink {
   /** Highest streaming batch id already committed to `root`, or -1.
     * Batch ids are stamped into manifest headers at commit time, so
     * this survives restarts with no side-channel state.
+    *
+    * Scanned NEWEST-version-first with an early stop (r21, §1.2):
+    * foreachBatch ids rise monotonically with commit order, so the
+    * newest stamped version holds the max — the per-micro-batch cost
+    * is O(maintenance commits since the last batch), typically one
+    * header read, instead of one header read per version of the
+    * table's whole history on every micro-batch.
     */
   def lastCommittedBatch(stream: DataFrame, root: String): Long = {
     val s = stream.sparkSession
-    (1 to SnapshotTable.currentVersion(s, root))
+    (SnapshotTable.currentVersion(s, root) to 1 by -1).iterator
       .flatMap(v => SnapshotTable.commitMeta(s, root, v).get("streaming_batch"))
-      .map(_.toLong).foldLeft(-1L)(math.max)
+      .map(_.toLong)
+      .nextOption().getOrElse(-1L)
   }
 
   /** foreachBatch writer committing each micro-batch to `root`.

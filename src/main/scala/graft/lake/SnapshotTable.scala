@@ -180,8 +180,15 @@ object SnapshotTable {
       else Seq(l)
     }
 
+  // headers come off the RAW manifest lines: [[writeManifestAtomicAt]]
+  // always writes them as the file's prefix and [[writeFragment]]ed
+  // fragments carry data lines only, so resolving fragment refs here
+  // (as this did through r20) read every fragment file of the version
+  // just to discard the contents — O(commits) extra driver-side file
+  // reads per header lookup, paid by EVERY schemaMeta/commitMeta/
+  // committedAt call on every read and commit (r21, §1.2).
   private def headerAt(s: SparkSession, root: String, stem: String): Map[String, String] =
-    manifestLinesAt(s, root, stem).takeWhile(_.startsWith("#")).flatMap { l =>
+    rawManifestLines(s, root, stem).takeWhile(_.startsWith("#")).flatMap { l =>
       l.drop(1).split("=", 2) match {
         case Array(k, v) => Some(k -> v)
         case _ => None
@@ -1290,11 +1297,17 @@ object SnapshotTable {
             dels, eqDeletesOf(curLines), fileSeqFn(s, curLines), keepRowId = true),
           mapping, types, droppedColumns(s, root, cur).keySet)
         val cols = deleteImages.columns.toSeq
-        // image multiplicities broadcast; null-safe equality on every
-        // column; rank per image group caps removals at multiplicity
-        val imgs = org.apache.spark.sql.functions.broadcast(
-          deleteImages.groupBy(cols.map(c => col(c).as(s"_img_$c")): _*)
-            .agg(org.apache.spark.sql.functions.count(lit(1)).as("_img_m")))
+        // image multiplicities; null-safe equality on every column;
+        // rank per image group caps removals at multiplicity. NOT
+        // hint-broadcast (r21, §3.1): a trickle-delete Δ broadcasts
+        // via the optimizer's own estimate anyway (CDC batches arrive
+        // persisted, so sizes are real), while a BIG delete wave —
+        // replicating a source-side predicate delete, 1M full-width
+        // images at sf5 — made the forced broadcast collect+ship the
+        // whole image set through the driver (seconds locally, an OOM
+        // at scale); AQE picks the join side/strategy per batch.
+        val imgs = deleteImages.groupBy(cols.map(c => col(c).as(s"_img_$c")): _*)
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("_img_m"))
         val joinCond = cols.map(c => col(c) <=> col(s"_img_$c")).reduce(_ && _)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(cols.map(c => col(s"_img_$c")): _*)
@@ -2046,17 +2059,15 @@ object SnapshotTable {
     // core-count-derived: the same code takes the same decision at
     // any --master width. Callers pinning a spread shape pass an
     // explicit count.
+    val saltTarget = s.conf.get("spark.graft.write.saltTargetBytes",
+      (128L * 1024 * 1024).toString).toLong.max(1L)
+    val SaltCap = 4 // the pre-r20 fixed spread — the estimate can only
+                    // choose FEWER buckets than the old default, never more
+    def saltFor(bytes: BigInt): Int =
+      ((bytes + saltTarget - 1) / saltTarget).min(BigInt(SaltCap)).max(BigInt(1)).toInt
     val effSalt =
       if (saltBuckets > 0) saltBuckets
-      else {
-        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val target = BigInt(s.conf.get("spark.graft.write.saltTargetBytes",
-          (128L * 1024 * 1024).toString).toLong.max(1L))
-        ((est + target - 1) / target).min(BigInt(4)).max(BigInt(1)).toInt
-      }
-    val salt = org.apache.spark.sql.functions.pmod(
-      org.apache.spark.sql.functions.xxhash64(
-        df.columns.map(col).toIndexedSeq: _*), lit(effSalt))
+      else saltFor(df.queryExecution.optimizedPlan.stats.sizeInBytes)
     val dataDir = s"$root/data/v$v"
     // explicit partition count: AQE would otherwise coalesce the
     // write shuffle and undo the salt spread on small batches
@@ -2075,31 +2086,64 @@ object SnapshotTable {
       df.columns.map(c => c -> idMapping.getOrElse(c, c)).toMap
     val physAssigned = physFieldIds(s, root, cur, df.columns.toSeq.map(physOfDf))
     val ids = df.columns.map(c => c -> physAssigned(physOfDf(c))).toMap
-    writingMicrosTimestamps(s) {
-      withFieldIds(df, ids).withColumn(pcol, day)
-        .repartition(shufflePartitions, col(pcol), salt)
-        .write.mode("overwrite").partitionBy(pcol).parquet(dataDir)
+    def writeData(nSalt: Int): Unit = {
+      val salt = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          df.columns.map(col).toIndexedSeq: _*), lit(nSalt))
+      writingMicrosTimestamps(s) {
+        withFieldIds(df, ids).withColumn(pcol, day)
+          .repartition(shufflePartitions, col(pcol), salt)
+          .write.mode("overwrite").partitionBy(pcol).parquet(dataDir)
+      }
     }
     // recursive listing: files live under data/vN/_graft_day=…/ —
     // via plain listStatus recursion, not listFiles(recursive), whose
     // LocatedFileStatus permission loading throws on non-"file"
-    // schemes (see removeOrphans)
+    // schemes (see removeOrphans). Returns (manifest line, byte size)
+    // — the sizes feed the post-write salt check below.
     val dataPath = new Path(dataDir)
     val fs = fsOf(s, dataPath)
-    val annotated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stack = scala.collection.mutable.Stack[Path](dataPath)
-    while (stack.nonEmpty) {
-      fs.listStatus(stack.pop()).foreach { st =>
-        val f = st.getPath
-        if (st.isDirectory) stack.push(f)
-        else if (f.getName.endsWith(".parquet")) {
-          val dayVal = f.getParent.getName.split("=", 2).lift(1).getOrElse("")
-          annotated += s"${f.toString}\t$pcol=$dayVal"
+    def listData(): Seq[(String, Long)] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val stack = scala.collection.mutable.Stack[Path](dataPath)
+      while (stack.nonEmpty) {
+        fs.listStatus(stack.pop()).foreach { st =>
+          val f = st.getPath
+          if (st.isDirectory) stack.push(f)
+          else if (f.getName.endsWith(".parquet")) {
+            val dayVal = f.getParent.getName.split("=", 2).lift(1).getOrElse("")
+            acc += ((s"${f.toString}\t$pcol=$dayVal", st.getLen))
+          }
         }
       }
+      acc.toSeq
     }
+    writeData(effSalt)
+    var files = listData()
+    // Post-write salt feedback (VERDICT r20 item 5, opt guide §6):
+    // the estimate-derived bucket count trusts Catalyst's
+    // sizeInBytes, which after filters/joins/generators can be off by
+    // orders of magnitude. Too HIGH is already capped at the old
+    // fixed spread; too LOW (a 10 GB batch estimated at 100 MB)
+    // writes one file per hot day — one write task and one giant
+    // unsplittable scan split per day, exactly the skew the salt
+    // exists to kill. Bytes actually written are ground truth: when
+    // the estimate chose the salt (default -1) and any single file
+    // breaches 2× the target while actual bytes demand more buckets,
+    // rewrite ONCE with the actual-derived count (still ≤ the cap —
+    // identical to what a correct estimate would have chosen). The
+    // happy path pays nothing: sizes ride the listing the commit
+    // already does.
+    if (saltBuckets <= 0 && effSalt < SaltCap && files.nonEmpty) {
+      val actualSalt = saltFor(BigInt(files.map(_._2).sum))
+      if (actualSalt > effSalt && files.map(_._2).max > 2L * saltTarget) {
+        writeData(actualSalt)
+        files = listData()
+      }
+    }
+    val annotated = files.map(_._1)
     val base = if (append && v > 1) listBody(s, root, s"v$cur") else Seq.empty
-    val lines = stampSeq(annotateRows(s, annotated.sorted.toSeq),
+    val lines = stampSeq(annotateRows(s, annotated.sorted),
       nextSeqAt(s, root, cur))
     val newRef =
       if (lines.isEmpty) Seq.empty else Seq(writeFragment(s, root, s"v$v", lines))

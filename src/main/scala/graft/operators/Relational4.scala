@@ -194,12 +194,22 @@ object Relational4 {
     // per (order, supplier): did this supplier return anything?
     val perSupp = lf.groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-    // per order: supplier count + returning-supplier count
-    val perOrder = perSupp.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
-    perSupp.filter(col("has_r") === 1)
-      .join(perOrder, "l_orderkey")
-      .filter(col("n_supp") > 1 && col("n_r_supp") === 1) // others exist, none returned
+    // per-order supplier count + returning-supplier count as WINDOWS
+    // over the same perSupp pass (r21, §2.4 — operations keyed the
+    // same way share one pipeline): the previous shape aggregated
+    // perSupp a second time into a perOrder frame and joined it back,
+    // which re-ran the whole scan→join→groupBy subtree (perSupp had
+    // two plan consumers) and paid two more exchanges for the
+    // re-aggregation + join. Same rows out: the window computes
+    // exactly the old perOrder values alongside each perSupp row.
+    // Window groups are per-ORDER (≤ suppliers-per-order rows) — no
+    // skew at any scale.
+    val byOrder = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_r_supp", sum(col("has_r")).over(byOrder))
+      .filter(col("has_r") === 1 &&
+        col("n_supp") > 1 && col("n_r_supp") === 1) // others exist, none returned
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), col("l_suppkey"))

@@ -229,10 +229,19 @@ object LiveFeed {
     * files — the deterministic stand-in for the remote feed server.
     * `garbagePerDay` poison lines per day are woven in to exercise
     * the malformed path end-to-end.
+    *
+    * Each day is PAGINATED into up to `pagesPerDay` payload files
+    * (r21, §2.5): real feed APIs page their responses, and the
+    * previous one-file-per-day staging made every `fetchInterval` a
+    * one-page-per-day plan — each day's whole payload fetched and
+    * parsed by a SINGLE task while the rest of the session idled (the
+    * classic unsplittable-input skew). The page split is a
+    * deterministic hash of the line — re-staging produces the same
+    * pages.
     */
   def stageEventsFeed(
       s: SparkSession, events: DataFrame, root: String,
-      garbagePerDay: Int = 1): Unit = {
+      garbagePerDay: Int = 1, pagesPerDay: Int = 8): Unit = {
     val payload = events
       .select(
         to_json(struct(
@@ -243,7 +252,7 @@ object LiveFeed {
       .crossJoin(s.range(garbagePerDay.toLong).select(col("id")))
       .select(concat(lit("GARBAGE%%"), col("day"), lit("#"), col("id")).as("line"), col("day"))
     payload.unionByName(garbage)
-      .repartition(col("day"))
+      .repartition(col("day"), pmod(xxhash64(col("line")), lit(pagesPerDay)))
       .write.mode("overwrite").partitionBy("day").text(root)
   }
 }

@@ -44,7 +44,7 @@ object ReplicaProfile {
     val total = t("warm: events count")(ev.count())
     println(s"[profile] events rows: $total")
     t("commit v1 (src)")(SnapshotTable.commit(s, src, ev.filter(col("ts") < d11)))
-    graft.streaming.Streaming.withStatePartitions(s) {
+    locally { // matches replicaSync: no state stores in the CDC query
       val cdc = s.readStream.format("graft-snapshot").option("path", src).load()
       val q = t("query start")(LakeSink.startCdc(cdc, dst, ckpt))
       try {

@@ -479,6 +479,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root2).count() === 2000)
   }
 
+  test("salt feedback: an underestimated batch is re-salted from actual bytes") {
+    import org.apache.spark.sql.functions._
+    // each row carries ~4 KB of high-entropy text that Catalyst's
+    // size estimate prices at the 20-byte string default — the
+    // under-estimate failure mode (VERDICT r20 item 5): the estimate
+    // picks salt=1, the actual bytes demand the full spread
+    val df = spark.range(0, 2000).select(
+      col("id"),
+      (lit("2024-03-01 00:00:00").cast("timestamp") +
+        expr("make_interval(0, 0, 0, 0, CAST(id % 96 AS INT), 0, 0)")).as("ts"),
+      expr("concat_ws('', transform(sequence(0, 63), " +
+        "i -> sha2(concat(cast(id AS string), ':', cast(i AS string)), 256)))")
+        .as("pad"))
+    def filesPerDay(root: String) =
+      SnapshotTable.dataFilesWithPartitions(spark, root, 1)
+        .groupBy(_._2.get("_graft_day")).map { case (d, fs) => d -> fs.size }
+    val root = "/tmp/graft_test/snap_salt_feedback"
+    SnapshotTable.drop(spark, root)
+    spark.conf.set("spark.graft.write.saltTargetBytes", "262144")
+    try SnapshotTable.commitPartitionedByDay(spark, root, df, "ts")
+    finally spark.conf.unset("spark.graft.write.saltTargetBytes")
+    val perDay = filesPerDay(root)
+    // the post-write bytes check must have re-salted: hot days split
+    // across files again instead of one giant unsplittable file each
+    assert(perDay.keySet.flatten.size === 4)
+    assert(perDay.values.exists(_ > 1) && perDay.values.forall(_ <= 4),
+      s"underestimated batch must end salt-spread, got $perDay")
+    // …and the layout is EXACTLY what a correct up-front estimate
+    // would have produced (same salt count → same (day, salt) →
+    // shuffle-partition assignment → same files per day)
+    val root2 = "/tmp/graft_test/snap_salt_feedback_ref"
+    SnapshotTable.drop(spark, root2)
+    spark.conf.set("spark.graft.write.saltTargetBytes", "1")
+    try SnapshotTable.commitPartitionedByDay(spark, root2, df, "ts")
+    finally spark.conf.unset("spark.graft.write.saltTargetBytes")
+    assert(perDay === filesPerDay(root2),
+      s"feedback layout must match the correct-estimate layout: $perDay vs ${filesPerDay(root2)}")
+    assert(SnapshotTable.currentVersion(spark, root) === 1)
+    assert(SnapshotTable.read(spark, root).count() === 2000)
+  }
+
   test("branch staging is invisible to main; publish fast-forwards zero-copy") {
     val root = "/tmp/graft_test/snap_branch"
     SnapshotTable.drop(spark, root)
