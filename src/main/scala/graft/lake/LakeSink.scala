@@ -95,14 +95,34 @@ object LakeSink {
       try {
         if (!batch.isEmpty && batchId > lastCommittedBatch(batch, root)) {
           val s = batch.sparkSession
-          val ins = batch.filter(col("change_type") === "insert").drop("change_type")
-          val del = batch.filter(col("change_type") === "delete").drop("change_type")
-          val meta = Map("streaming_batch" -> batchId.toString)
-          if (SnapshotTable.currentVersion(s, root) == 0)
-            SnapshotTable.commit(s, root, ins, append = true, meta = meta)
-          else
-            SnapshotTable.applyChangesMor(s, root, ins, del, meta)
-          ()
+          // Δ-derived shuffle width for THIS batch's apply (r21, §2.2):
+          // the apply's joins/windows/writes are plan-time sized from
+          // the session conf, AQE does not cover foreachBatch bodies,
+          // and no fixed count fits both a trickle batch (a handful of
+          // rows — one partition suffices) and a catch-up wave
+          // (hundreds of MB — cluster width). The batch is persisted,
+          // so its stats are REAL bytes: one partition per
+          // spark.graft.cdc.applyPartitionBytes (default 8 MB —
+          // latency-oriented micro-batch sizing, overridable), capped
+          // at cluster width. Restored after the apply.
+          val key = "spark.sql.shuffle.partitions"
+          val prev = s.conf.get(key)
+          val target = s.conf.get("spark.graft.cdc.applyPartitionBytes",
+            (8L * 1024 * 1024).toString).toLong.max(1L)
+          val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          val width = ((bytes + target - 1) / target)
+            .min(BigInt(s.sparkContext.defaultParallelism)).max(BigInt(1)).toInt
+          s.conf.set(key, width.toString)
+          try {
+            val ins = batch.filter(col("change_type") === "insert").drop("change_type")
+            val del = batch.filter(col("change_type") === "delete").drop("change_type")
+            val meta = Map("streaming_batch" -> batchId.toString)
+            if (SnapshotTable.currentVersion(s, root) == 0)
+              SnapshotTable.commit(s, root, ins, append = true, meta = meta)
+            else
+              SnapshotTable.applyChangesMor(s, root, ins, del, meta)
+            ()
+          } finally s.conf.set(key, prev)
         }
       } finally { batch.unpersist(); () }
     }

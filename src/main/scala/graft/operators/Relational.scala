@@ -435,52 +435,50 @@ object Relational {
     * x_lo + (x_hi − x_lo)·frac. The rank window runs over DISTINCT
     * values per group (count-sized), not rows.
     */
-  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    // ONE scan + ONE quantize→agg→window→agg chain for all three
-    // outputs (r20, opt guide §2.4 — operations keyed the same way
-    // share one exchange): the previous shape ran the whole chain
-    // TWICE (once per measured column, each with its own scan, hash
-    // agg and window pair) and joined the two 3-row results. Stacking
-    // (metric, value) rows lets both measures ride one chain
-    // partitioned by (flag, metric); the per-value math — quantize to
-    // fixed point, cumulative rank, pos = p·(n−1) interpolation,
-    // round 4 — is IDENTICAL per row, so the result is bit-equal
-    // (oracle-hash re-verified this round). Row count doubles into
-    // the first agg, passes halve: strictly fewer bytes shuffled.
-    val scale = 100
-    val stacked = li.select(col("l_returnflag"), expr(
-      "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (metric, mv)"))
-    val vc = stacked
-      .groupBy(col("l_returnflag"), col("metric"),
-        round(col("mv") * scale).cast("long").as("_v"))
+  private def exactPercentiles(
+      df: DataFrame, key: String, valueCol: Column, scale: Int,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val vc = df
+      .groupBy(col(key), round(valueCol * scale).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
-    val byV = Window.partitionBy("l_returnflag", "metric").orderBy("_v")
-    val whole = Window.partitionBy("l_returnflag", "metric")
+    val byV = Window.partitionBy(key).orderBy("_v")
+    val whole = Window.partitionBy(key)
     val cum = vc
       .withColumn("_cum", sum("_c").over(byV))
       .withColumn("_n", sum("_c").over(whole))
-    val ps = Seq(0.5 -> "p50", 0.9 -> "p90")
     val aggs = ps.flatMap { case (p, name) =>
-      val loRank = floor(lit(p) * (col("_n") - 1)) + 1
+      val loRank = floor(lit(p) * (col("_n") - 1)) + 1 // 1-based rank of x[floor(pos)]
       Seq(
         min(when(col("_cum") >= loRank, col("_v"))).as(s"_lo_$name"),
         min(when(col("_cum") >= loRank + 1, col("_v"))).as(s"_hi_$name"))
     } :+ max(col("_n")).as("_n")
-    val g = cum.groupBy(col("l_returnflag"), col("metric"))
-      .agg(aggs.head, aggs.tail: _*)
-    val interp = ps.foldLeft(g) { case (d, (p, name)) =>
+    val g = cum.groupBy(key).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(g) { case (d, (p, name)) =>
       val pos = lit(p) * (col("_n") - 1)
       val frac = pos - floor(pos)
       val lo = col(s"_lo_$name") / scale.toDouble
       val hi = coalesce(col(s"_hi_$name"), col(s"_lo_$name")) / scale.toDouble
       d.withColumn(name, round(lo + (hi - lo) * frac, 4))
-    }
-    interp.groupBy("l_returnflag")
-      .agg(
-        max(when(col("metric") === "qty", col("p50"))).as("qty_p50"),
-        max(when(col("metric") === "qty", col("p90"))).as("qty_p90"),
-        max(when(col("metric") === "price", col("p50"))).as("price_p50"))
+    }.select(col(key) +: ps.map(p => col(p._2)): _*)
+  }
+
+  // Two independent chains joined on the 3-row key — the r20 stacked
+  // single-chain rewrite (stack(2) into one agg→window→agg keyed
+  // (flag, metric)) was plan-thinner (12→8 exchanges) but measured
+  // SLOWER at every SF in every quiet sweep (r21 interleaved A/B,
+  // reps 5: sf0.1 2.85 vs 2.54 s, sf5 5.44 vs 4.56 s) — the stack()
+  // Expand doubles the rows entering the first hash agg and widens
+  // its grouping key with a metric string, costing more than the
+  // saved exchanges. Reverted per VERDICT r20 item 1; both shapes are
+  // oracle-hash-equal, so this is purely the faster plan.
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qty = exactPercentiles(li, "l_returnflag", col("l_quantity"), 100,
+      Seq(0.5 -> "qty_p50", 0.9 -> "qty_p90"))
+    val price = exactPercentiles(li, "l_returnflag", col("l_extendedprice"), 100,
+      Seq(0.5 -> "price_p50"))
+    qty.join(price, "l_returnflag")
+      .select("l_returnflag", "qty_p50", "qty_p90", "price_p50")
       .orderBy("l_returnflag")
   }
 
